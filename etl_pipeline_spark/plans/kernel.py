@@ -1,0 +1,345 @@
+"""String/naming/JSON/conditional kernel queries (SURVEY.md §2.3, §2.6).
+
+These exercise the transform kernel the reference applies per-row in Python
+(slugify/sanitize/fc-name/mapping/SDE-name derivation, JSON walks, bbox
+predicates, the WGS84 sniff rule) as set-based Column expressions. Every
+query has a cell-exact DuckDB oracle; note DuckDB's ``regexp_replace`` needs
+the ``'g'`` flag to match Spark's replace-all semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.functions.naming import generate_fc_name, sanitize_name, unique_names
+from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.star import load_table
+
+
+# --------------------------------------------------------------------------
+# T3+T4+T5: slugify → sanitize → fc-name over deliberately dirty names
+# (Swedish chars, punctuation, leading digits — the cases the reference's
+# own unit tests cover, tests/unit/test_utils_naming.py:11-130).
+# --------------------------------------------------------------------------
+@register(
+    "naming_sanitize_chain",
+    oracle="""
+        WITH raw AS (
+            SELECT
+                p_partkey,
+                p_name || ' åäö-' || p_brand AS dirty,
+                CAST(p_size AS VARCHAR) || ':' || p_name AS digity,
+                p_type AS authority
+            FROM part
+        ),
+        slug AS (
+            SELECT
+                p_partkey,
+                authority,
+                regexp_replace(regexp_replace(lower(translate(dirty,  'åäöÅÄÖ', 'aaoAAO')), '[^a-z0-9_-]+', '_', 'g'), '_+', '_', 'g') AS s_dirty,
+                regexp_replace(regexp_replace(lower(translate(digity, 'åäöÅÄÖ', 'aaoAAO')), '[^a-z0-9_-]+', '_', 'g'), '_+', '_', 'g') AS s_digity
+            FROM raw
+        ),
+        clean AS (
+            SELECT
+                p_partkey,
+                authority,
+                regexp_replace(regexp_replace(regexp_replace(s_dirty,  '-', '_', 'g'), '_+', '_', 'g'), '^_+|_+$', '', 'g') AS c_dirty,
+                regexp_replace(regexp_replace(regexp_replace(s_digity, '-', '_', 'g'), '_+', '_', 'g'), '^_+|_+$', '', 'g') AS c_digity
+            FROM slug
+        ),
+        fixed AS (
+            SELECT
+                p_partkey,
+                authority,
+                substr(CASE WHEN regexp_matches(c_dirty,  '^[0-9]') THEN '_' || c_dirty  ELSE c_dirty  END, 1, 128) AS sanitized,
+                substr(CASE WHEN regexp_matches(c_digity, '^[0-9]') THEN '_' || c_digity ELSE c_digity END, 1, 128) AS sanitized_digit
+            FROM clean
+        )
+        SELECT
+            p_partkey,
+            sanitized,
+            sanitized_digit,
+            substr(
+                CASE WHEN sanitized LIKE lower(authority) || '\\_%' ESCAPE '\\'
+                     THEN sanitized
+                     ELSE lower(authority) || '_' || sanitized END,
+                1, 128) AS fc_name
+        FROM fixed
+    """,
+    tags=("kernel", "string"),
+)
+def naming_sanitize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    dirty = F.concat(F.col("p_name"), F.lit(" åäö-"), F.col("p_brand"))
+    digity = F.concat(F.col("p_size").cast("string"), F.lit(":"), F.col("p_name"))
+    return part.select(
+        "p_partkey",
+        sanitize_name(dirty).alias("sanitized"),
+        sanitize_name(digity).alias("sanitized_digit"),
+        generate_fc_name(F.col("p_type"), dirty).alias("fc_name"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L5: deterministic unique-name allocation. The reference probes
+# `name, name_1, name_2 …` serially per collision
+# (etl/utils/gdb_utils.py:17-106); the distributed re-expression is one
+# row_number window, deterministic under any partitioning.
+# --------------------------------------------------------------------------
+@register(
+    "unique_name_allocation",
+    oracle="""
+        SELECT
+            p_partkey,
+            CASE WHEN rn = 1 THEN p_name
+                 ELSE p_name || '_' || CAST(rn - 1 AS VARCHAR) END AS uniq_name
+        FROM (
+            SELECT p_partkey, p_name,
+                   ROW_NUMBER() OVER (PARTITION BY lower(p_name) ORDER BY p_partkey) AS rn
+            FROM part
+        )
+    """,
+    tags=("kernel", "window"),
+)
+def unique_name_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", unique_names("p_name", "p_partkey").alias("uniq_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# U1: output-mapping resolution — exact match → partial (bidirectional
+# substring) match → pattern default (etl/mapping.py:128-203). The mapping
+# dimension is tiny → broadcast; multi-matches on the partial rule are
+# resolved deterministically by min(sde_dataset).
+# --------------------------------------------------------------------------
+_MAPPING_ROWS = [
+    ("Brand#2", "Exact_Two", "exact"),
+    ("Brand#17", "Exact_Seventeen", "exact"),
+    ("rand#1", "Partial_Rand1", "partial"),
+    ("Brand#222", "Partial_Sub", "partial"),
+]
+
+_MAPPING_VALUES_SQL = ", ".join(f"('{a}', '{b}', '{c}')" for a, b, c in _MAPPING_ROWS)
+
+
+@register(
+    "mapping_resolution",
+    oracle=f"""
+        WITH mapping(staging_fc, sde_dataset, kind) AS (
+            VALUES {_MAPPING_VALUES_SQL}
+        ),
+        fcs AS (SELECT DISTINCT p_brand AS fc FROM part),
+        exact AS (
+            SELECT fc, MIN(sde_dataset) AS exact_ds
+            FROM fcs JOIN mapping ON mapping.kind = 'exact' AND mapping.staging_fc = fc
+            GROUP BY fc
+        ),
+        partial AS (
+            SELECT fc, MIN(sde_dataset) AS partial_ds
+            FROM fcs JOIN mapping ON mapping.kind = 'partial'
+                 AND (fc LIKE '%' || staging_fc || '%' OR staging_fc LIKE '%' || fc || '%')
+            GROUP BY fc
+        )
+        SELECT
+            fcs.fc,
+            COALESCE(exact_ds, partial_ds,
+                     'Underlag_' || regexp_replace(lower(fcs.fc), '[^a-z0-9_-]+', '_', 'g'))
+                AS sde_dataset,
+            CASE WHEN exact_ds IS NOT NULL THEN 'exact'
+                 WHEN partial_ds IS NOT NULL THEN 'partial'
+                 ELSE 'default' END AS match_kind
+        FROM fcs
+        LEFT JOIN exact  USING (fc)
+        LEFT JOIN partial USING (fc)
+    """,
+    tags=("kernel", "join", "broadcast"),
+)
+def mapping_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mapping = spark.createDataFrame(_MAPPING_ROWS, "staging_fc string, sde_dataset string, kind string")
+    fcs = load_table(spark, sf_dir, "part").select(F.col("p_brand").alias("fc")).distinct()
+    exact = (
+        fcs.join(
+            F.broadcast(mapping.filter(F.col("kind") == "exact")),
+            F.col("staging_fc") == F.col("fc"),
+        )
+        .groupBy("fc")
+        .agg(F.min("sde_dataset").alias("exact_ds"))
+    )
+    partial = (
+        fcs.join(
+            F.broadcast(mapping.filter(F.col("kind") == "partial")),
+            F.col("fc").contains(F.col("staging_fc")) | F.col("staging_fc").contains(F.col("fc")),
+        )
+        .groupBy("fc")
+        .agg(F.min("sde_dataset").alias("partial_ds"))
+    )
+    default_ds = F.concat(
+        F.lit("Underlag_"), F.regexp_replace(F.lower(F.col("fc")), "[^a-z0-9_-]+", "_")
+    )
+    return (
+        fcs.join(exact, "fc", "left")
+        .join(partial, "fc", "left")
+        .select(
+            "fc",
+            F.coalesce(F.col("exact_ds"), F.col("partial_ds"), default_ds).alias("sde_dataset"),
+            F.when(F.col("exact_ds").isNotNull(), F.lit("exact"))
+            .when(F.col("partial_ds").isNotNull(), F.lit("partial"))
+            .otherwise(F.lit("default"))
+            .alias("match_kind"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# T7: SDE name derivation — split name into authority prefix + fc suffix
+# with a special-cased authority spelling (LSTD→LstD analog,
+# etl/pipeline.py:747-770).
+# --------------------------------------------------------------------------
+@register(
+    "sde_name_derivation",
+    oracle="""
+        SELECT DISTINCT
+            event_type || '_' || CAST(user_id AS VARCHAR) AS fc_name,
+            CASE WHEN upper(split_part(event_type || '_' || CAST(user_id AS VARCHAR), '_', 1)) = 'ERROR'
+                 THEN 'Err'
+                 ELSE 'Underlag_' || split_part(event_type || '_' || CAST(user_id AS VARCHAR), '_', 1) END
+                AS sde_dataset,
+            split_part(event_type || '_' || CAST(user_id AS VARCHAR), '_', 2) AS sde_fc
+        FROM events
+    """,
+    tags=("kernel", "string"),
+)
+def sde_name_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    name = F.concat(F.col("event_type"), F.lit("_"), F.col("user_id").cast("string"))
+    authority = F.split_part(name, F.lit("_"), F.lit(1))
+    return ev.select(
+        name.alias("fc_name"),
+        F.when(F.upper(authority) == "ERROR", F.lit("Err"))
+        .otherwise(F.concat(F.lit("Underlag_"), authority))
+        .alias("sde_dataset"),
+        F.split_part(name, F.lit("_"), F.lit(2)).alias("sde_fc"),
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# §2.6 JSON: get_json_object over the raw props payload — the reference
+# walks response JSON imperatively (etl/loaders/geojson_loader.py:20-99).
+# --------------------------------------------------------------------------
+@register(
+    "json_extract_props",
+    oracle="""
+        SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value
+        FROM events
+        WHERE CAST(props->>'k' AS BIGINT) > 80
+    """,
+    tags=("kernel", "json"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.select("event_id", k.alias("k_value")).filter(F.col("k_value") > 80)
+
+
+# --------------------------------------------------------------------------
+# S9: bbox spatial filter as pure range predicates — exactly what the
+# reference sends to servers as `bbox`/`esriSpatialRelIntersects`
+# (etl/handlers/rest_api.py:202-207, etl/handlers/ogc_api.py:63-127).
+# Catalyst pushes both bounds into the parquet scan.
+# --------------------------------------------------------------------------
+@register(
+    "bbox_range_filter",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity AS x, l_extendedprice AS y
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 20
+          AND l_extendedprice BETWEEN 20000 AND 40000
+    """,
+    tags=("kernel", "pushdown", "spatial"),
+)
+def bbox_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20) & F.col("l_extendedprice").between(20000, 40000)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S10: WGS84 sniffing — the reference inspects the first coordinate's
+# magnitude to detect mislabeled CRS (etl/handlers/ogc_api.py:621-656); the
+# set-based rule classifies every row and aggregates the verdict.
+# --------------------------------------------------------------------------
+@register(
+    "wgs84_sniff_rule",
+    oracle="""
+        SELECT
+            CASE WHEN ABS(value) <= 180 AND ABS(CAST(user_id AS DOUBLE)) <= 90
+                 THEN 'wgs84-like' ELSE 'projected' END AS crs_verdict,
+            COUNT(*) AS n_rows
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("kernel", "conditional", "spatial"),
+)
+def wgs84_sniff_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    verdict = (
+        F.when(
+            (F.abs(F.col("value")) <= 180) & (F.abs(F.col("user_id").cast("double")) <= 90),
+            F.lit("wgs84-like"),
+        )
+        .otherwise(F.lit("projected"))
+        .alias("crs_verdict")
+    )
+    return ev.groupBy(verdict).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
+# §2.6 URL functions: host/path/query extraction from URLs — the reference
+# resolves/parses URLs per page (etl/handlers/ogc_api.py:114-127,760-766;
+# etl/utils/http.py:51-130). Implemented with regexes available identically
+# in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "url_parse_extract",
+    oracle="""
+        WITH urls AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/data/v1/items?id='
+                       || CAST(doc_id AS VARCHAR) || '&lang=' || lang AS url
+            FROM documents
+        )
+        SELECT
+            doc_id,
+            regexp_extract(url, '^[a-z]+://([^/]+)/', 1)   AS host,
+            regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+            regexp_extract(url, 'id=([0-9]+)', 1)          AS id_param
+        FROM urls
+    """,
+    tags=("kernel", "string", "url"),
+)
+def url_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/data/v1/items?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&lang="),
+        F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(url, r"^[a-z]+://([^/]+)/", 1).alias("host"),
+        F.regexp_extract(url, r"^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract(url, r"id=([0-9]+)", 1).alias("id_param"),
+    )

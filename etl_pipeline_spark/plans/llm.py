@@ -1,0 +1,608 @@
+"""Training-data pipeline operators: dedup, similarity search, text analysis.
+
+Beyond the reference's surface (SURVEY.md §7 north star): the operators a
+100 TB LLM-data pipeline needs, expressed so the heavy lifting is built-in
+Spark (explode → hash-join → agg), never a Python loop:
+
+- exact dedup: hash-groupBy (one shuffle on the text hash);
+- MinHash + LSH near-dup: shingle → k min-hashes → banded bucket join —
+  candidate generation is an equi-join on (band, key), so cost scales with
+  collisions, not with |docs|²;
+- n-gram Jaccard: the exact verifier (shingle equi-join), used standalone at
+  small scale and as the verify stage after LSH at large scale;
+- SimHash: 32-bit sign-vote fingerprints + Hamming-distance pairing;
+- ANN similarity search: brute-force cosine top-k baseline and a
+  sign-quantization bucketed variant (the scale path: search only within a
+  bucket);
+- text analysis: token stats, quality scoring, stopword language ID,
+  bag-of-tokens fingerprinting.
+
+MinHash uses string-min over seeded md5 — a valid min-wise hash family that
+evaluates identically in Spark and DuckDB, making the whole pipeline
+oracle-checkable cell-for-cell.
+
+The planted near-duplicates in the synthetic corpus (25 pairs ≥ 0.5 Jaccard;
+all other pairs < 0.1) make thresholds at 0.5 a sharp, stable target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.star import load_table
+
+# ---------------------------------------------------------------------------
+# shared shingle helpers (word 3-grams, distinct per doc)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SPARK = (
+    "transform(sequence(1, greatest(size(toks) - 2, 0)), "
+    "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+)
+
+_SHINGLES_DUCK = """
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]))) AS shingle
+        FROM documents
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct word-3-shingles per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("shingle"))
+    )
+
+
+_JACCARD_PAIRS_DUCK = f"""
+        WITH sh AS ({_SHINGLES_DUCK}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+"""
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy. Input is the corpus self-unioned with shifted
+# ids (deterministic duplicate injection — the raw corpus has no exact
+# dups), so keep-first / copy-count semantics are actually exercised.
+# One shuffle on md5(text); at 100 TB this is the cheapest possible exact
+# dedup (no text comparison, 16-byte keys).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_hash",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM documents
+        )
+        SELECT
+            md5(text)       AS text_hash,
+            MIN(doc_id)     AS canonical_id,
+            COUNT(*)        AS n_copies
+        FROM corpus
+        GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return corpus.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs — the all-pairs-via-shingle-join
+# verifier. Cost is Σ per-shingle df² — fine when shingles are selective;
+# at web scale you gate it behind the LSH candidate generator below.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_PAIRS_DUCK,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(spark, sf_dir, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup: k=8 seeded min-hashes per doc, 4 bands × 2 rows;
+# docs sharing any band key become candidates; candidates are verified with
+# exact Jaccard. Candidate generation is an equi-join on (band, band_key) —
+# the 100 TB path: no all-pairs anything, shuffle keyed on band buckets.
+# --------------------------------------------------------------------------
+_N_HASHES = 8
+_BAND_SIZE = 2  # → 4 bands
+
+_MINHASH_AGGS_DUCK = ",\n            ".join(
+    f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(_N_HASHES)
+)
+_BANDS_DUCK = ", ".join(
+    f"(  {b}, md5(h{_BAND_SIZE*b} || h{_BAND_SIZE*b+1}))" for b in range(_N_HASHES // _BAND_SIZE)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_DUCK}),
+        sigs AS (
+            SELECT doc_id,
+            {_MINHASH_AGGS_DUCK}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, band_id, band_key
+            FROM sigs, LATERAL (VALUES {_BANDS_DUCK}) AS t(band_id, band_key)
+        ),
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        verified AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            FROM candidates c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM verified
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    """,
+    tags=("llm", "dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat(F.col(f"h{_BAND_SIZE*b}"), F.col(f"h{_BAND_SIZE*b+1}"))).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(_N_HASHES // _BAND_SIZE)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    verified = (
+        candidates.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.shingle") == F.col("sa.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na.n") + F.col("nb.n") - F.col("n_common"))
+    return (
+        verified.join(sizes.alias("na"), F.col("na.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("nb"), F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash: 32-bit sign-vote fingerprint over token hashes. The bit loop is
+# an explode(0..31) + two-level aggregation — pure column expressions that
+# evaluate identically in both engines (instr-based hex decode; no engine
+# hash builtin is shared, so we derive integers from md5 hex).
+# --------------------------------------------------------------------------
+
+# integer value of the first 8 hex chars of md5(token): Σ (digit × 16^pos)
+_HEX_DECODE = " + ".join(
+    f"CAST(instr('0123456789abcdef', substr(md5(tok), {i+1}, 1)) - 1 AS BIGINT) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        hv AS (SELECT doc_id, {_HEX_DECODE} AS v FROM toks),
+        votes AS (
+            SELECT doc_id, bit,
+                   SUM(CASE WHEN (v // (CAST(1 AS BIGINT) << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+            FROM hv, (SELECT unnest(generate_series(0, 31)) AS bit)
+            GROUP BY doc_id, bit
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "simhash"),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    hv = toks.select("doc_id", F.expr(_HEX_DECODE).alias("v"))
+    votes = (
+        hv.select("doc_id", "v", F.explode(F.expr("sequence(0, 31)")).alias("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("(v div shiftleft(CAST(1 AS BIGINT), bit)) % 2") == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN, brute-force baseline: cosine top-k for a query set. Dot products run
+# as zip_with/aggregate column expressions in double precision (identical
+# left-to-right fold in both engines). At scale the candidate side stays
+# partitioned; the query set broadcasts.
+# --------------------------------------------------------------------------
+_COS_DUCK = (
+    "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * "
+    " sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+        SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS_DUCK} AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_COS_DUCK} DESC, c.vec_id) AS rank
+            FROM embeddings q
+            JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        )
+        WHERE rank <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dot = (
+        "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    norm_q = (
+        "sqrt(aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    norm_c = (
+        "sqrt(aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.expr(dot) / (F.expr(norm_q) * F.expr(norm_c))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "cosine")
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN, bucketed (scale path): sign-quantization LSH — bucket = sign bits of
+# 4 fixed dimensions (16 buckets); search only inside the query's bucket.
+# Trades recall for turning the cross join into an equi-join on bucket —
+# at 100 TB the bucket key is the shuffle/partition key.
+# --------------------------------------------------------------------------
+_BUCKET_DIMS = (1, 17, 33, 49)  # 1-indexed positions used by both engines
+_BUCKET_DUCK = " + ".join(
+    f"(CASE WHEN embedding[{d}] > 0 THEN {1 << i} ELSE 0 END)"
+    for i, d in enumerate(_BUCKET_DIMS)
+)
+
+
+@register(
+    "ann_bucketed_sign_lsh",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {_BUCKET_DUCK} AS bucket FROM embeddings
+        )
+        SELECT query_id, neighbor_id, bucket, rank, ROUND(cosine, 6) AS cosine
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+                   {_COS_DUCK} AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_COS_DUCK} DESC, c.vec_id) AS rank
+            FROM b q
+            JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id AND q.vec_id < 10
+        )
+        WHERE rank <= 3
+    """,
+    tags=("llm", "similarity", "lsh"),
+)
+def ann_bucketed_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = sum(
+        F.when(F.element_at(F.col("embedding"), d) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, d in enumerate(_BUCKET_DIMS)
+    )
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    dot = (
+        "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    norm = (
+        "sqrt(aggregate(transform({0}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("bucket")
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        q.join(c, (F.col("bucket") == F.col("c_bucket")) & (F.col("neighbor_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            (F.expr(dot) / (F.expr(norm.format("qe")) * F.expr(norm.format("ce")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "neighbor_id", "bucket", F.row_number().over(w).alias("rank"), "cosine"
+        )
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "bucket", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text quality scoring: token count, lexical diversity, stopword ratio →
+# composite score. Pure column expressions over split/filter lambdas.
+# --------------------------------------------------------------------------
+_STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_DUCK = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+_STOP_SPARK = "array(" + ", ".join(f"'{s}'" for s in _STOPWORDS) + ")"
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents
+        ),
+        m AS (
+            SELECT doc_id, lang, n_chars,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct,
+                   len(list_filter(toks, x -> list_contains({_STOP_DUCK}, x))) AS n_stop
+            FROM t
+        )
+        SELECT doc_id, lang, n_tokens,
+               ROUND(n_distinct * 1.0 / n_tokens, 6) AS type_token_ratio,
+               ROUND(n_stop * 1.0 / n_tokens, 6)     AS stopword_ratio,
+               ROUND(n_chars * 1.0 / n_tokens, 6)    AS avg_token_len,
+               ROUND(0.5 * LEAST(n_tokens / 50.0, 1.0)
+                     + 0.3 * (n_distinct * 1.0 / n_tokens)
+                     + 0.2 * LEAST(n_stop * 4.0 / n_tokens, 1.0), 6) AS quality_score
+        FROM m
+    """,
+    tags=("llm", "text"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", "n_chars", F.split(F.col("text"), " ").alias("toks"))
+    m = t.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.expr(f"size(filter(toks, x -> array_contains({_STOP_SPARK}, x)))").alias("n_stop"),
+    )
+    ttr = F.col("n_distinct") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars") / F.col("n_tokens"), 6).alias("avg_token_len"),
+        F.round(
+            0.5 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+            + 0.3 * ttr
+            + 0.2 * F.least(F.col("n_stop") * 4.0 / F.col("n_tokens"), F.lit(1.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID (n-gram/stopword heuristic) + confusion matrix against the
+# labeled lang column. The synthetic corpus shares one vocabulary across
+# langs, so the heuristic's verdict is driven by marker-token density —
+# the point is the operator shape (score → argmax → evaluate), not the
+# model quality.
+# --------------------------------------------------------------------------
+@register(
+    "lang_id_confusion",
+    oracle="""
+        WITH scored AS (
+            SELECT lang,
+                   CASE
+                       WHEN len(list_filter(string_split(text, ' '),
+                                x -> list_contains(['the', 'a'], x))) * 10
+                            >= len(string_split(text, ' ')) THEN 'en'
+                       WHEN len(list_filter(string_split(text, ' '),
+                                x -> list_contains(['customer', 'data'], x))) * 10
+                            >= len(string_split(text, ' ')) THEN 'de'
+                       ELSE 'und'
+                   END AS predicted
+            FROM documents
+        )
+        SELECT lang, predicted, COUNT(*) AS n_docs
+        FROM scored GROUP BY lang, predicted
+    """,
+    tags=("llm", "text"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    en_hits = F.expr("size(filter(split(text, ' '), x -> array_contains(array('the','a'), x)))")
+    de_hits = F.expr(
+        "size(filter(split(text, ' '), x -> array_contains(array('customer','data'), x)))"
+    )
+    predicted = (
+        F.when(en_hits * 10 >= n_tok, F.lit("en"))
+        .when(de_hits * 10 >= n_tok, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select("lang", predicted.alias("predicted")).groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace tokens plus a BPE-ish regex segmentation
+# (letter runs / digit runs / single other chars) — the pre-tokenizer shape
+# real BPE pipelines use for cost estimation.
+# --------------------------------------------------------------------------
+@register(
+    "token_stats",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+               n_chars
+        FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).alias(
+            "bpe_ish_tokens"
+        ),
+        "n_chars",
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: order-insensitive bag-of-tokens fingerprint
+# (md5 over the sorted distinct token list) — robust to token reordering,
+# the cheap canonical-form dedup key.
+# --------------------------------------------------------------------------
+@register(
+    "doc_fingerprints",
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|'))
+                   AS bag_fingerprint,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+        FROM documents
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(toks), "|")).alias("bag_fingerprint"),
+        F.size(toks).alias("n_distinct_tokens"),
+    )

@@ -1,0 +1,469 @@
+"""Relational operator queries (SURVEY.md §2.5).
+
+The reference computes each of these shapes imperatively (lookup loops,
+set-based dedupe, offset pagination, Counter aggregation); here each is a
+declarative DataFrame plan so Catalyst provides pushdown, pruning, broadcast
+join selection and partial aggregation. Per query we note the reference
+behavior it re-expresses (file:line) and the scale rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.star import load_table
+
+
+# --------------------------------------------------------------------------
+# Flagship: scan → pushdown filter → hash agg (partial+final) → sort.
+# Reference shape: per-source counters + GetCount verification
+# (etl/utils/run_summary.py:12-31, etl/loaders/geojson_loader.py:160-183)
+# generalized to the TPC-H Q1 pricing-summary pattern.
+# Scale: filter + projection reach the parquet scan (PushedFilters/ReadSchema);
+# 6-group hash agg with map-side combine — no skew risk, one shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            SUM(l_quantity)                                        AS sum_qty,
+            ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+            ROUND(AVG(l_quantity), 6)                              AS avg_qty,
+            ROUND(AVG(l_extendedprice), 2)                         AS avg_price,
+            ROUND(AVG(l_discount), 6)                              AS avg_disc,
+            COUNT(*)                                               AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "pushdown", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("CAST('1998-09-02 00:00:00' AS TIMESTAMP_NTZ)"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 3-way join + agg + top-k (TPC-H Q3 shape).
+# Reference shape: priority-ordered selection, `ORDER BY … LIMIT k`
+# (etl/utils/recovery.py:108-110, error list cap run_summary.py:28-30).
+# Scale: customer filter prunes before the join; orders⋈lineitem is the big
+# shuffle — both sides hash-partitioned on orderkey; top-k is a TakeOrdered,
+# no global sort materialization.
+# --------------------------------------------------------------------------
+@register(
+    "q3_top_unshipped_orders",
+    oracle="""
+        SELECT
+            l_orderkey,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            o_orderdate,
+            o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "CAST('1998-03-15 00:00:00' AS TIMESTAMP_NTZ)"
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.expr(f"o_orderdate < {cutoff}"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.expr(f"l_shipdate > {cutoff}"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# 6-table join through dimensions (TPC-H Q5 shape) — the deep-join stressor.
+# Reference shape: authority→dataset lookup chains (etl/pipeline.py:747-770).
+# Scale: region/nation/supplier broadcast; only customer⋈orders⋈lineitem
+# shuffle. AQE reorders/skew-splits at runtime.
+# --------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+        SELECT
+            n_name,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    tags=("join", "agg", "broadcast"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("CAST('1996-01-01 00:00:00' AS TIMESTAMP_NTZ)"))
+        & (F.col("o_orderdate") < F.expr("CAST('1997-01-01 00:00:00' AS TIMESTAMP_NTZ)"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Broadcast lookup join — the reference's mapping/source↔FC resolution
+# (etl/mapping.py:128-170, etl/models.py:144-237) is a per-row Python loop
+# over a tiny dimension; on Spark it's a broadcast hash join, zero shuffle
+# on the dimension side.
+# --------------------------------------------------------------------------
+@register(
+    "lookup_enrich_customers",
+    oracle="""
+        SELECT
+            r_name,
+            n_name,
+            COUNT(*)                    AS n_customers,
+            ROUND(AVG(c_acctbal), 6)    AS avg_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    tags=("join", "broadcast"),
+)
+def lookup_enrich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-join include filter — the reference filters GPKG feature classes and
+# OGC collections against configured `include` lists
+# (etl/loaders/gpkg_loader.py:193-218, etl/handlers/ogc_api.py:320-339).
+# --------------------------------------------------------------------------
+@register(
+    "semi_join_include_filter",
+    oracle="""
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        WHERE s_nationkey IN (
+            SELECT n_nationkey FROM nation
+            WHERE n_name IN ('NATION_1', 'NATION_7', 'NATION_13', 'NATION_19')
+        )
+    """,
+    tags=("join", "semi"),
+)
+def semi_join_include_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    include = ("NATION_1", "NATION_7", "NATION_13", "NATION_19")
+    supp = load_table(spark, sf_dir, "supplier")
+    nations = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*include))
+    return supp.join(
+        F.broadcast(nations), supp.s_nationkey == nations.n_nationkey, "leftsemi"
+    ).select("s_suppkey", "s_name", "s_acctbal")
+
+
+# --------------------------------------------------------------------------
+# Anti-join — the reference computes `missing = configured - found` for OGC
+# collections (etl/handlers/ogc_api.py:329-338). Here: customers that never
+# placed an order.
+# --------------------------------------------------------------------------
+@register(
+    "anti_join_missing",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "leftanti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct dedupe — the reference dedupes Atom enclosure URLs via a Python
+# set (etl/handlers/atom_feed.py:83-103); relationally it's DISTINCT.
+# --------------------------------------------------------------------------
+@register(
+    "distinct_dedupe",
+    oracle="""
+        SELECT DISTINCT o_custkey, o_orderstatus, o_orderpriority
+        FROM orders
+        WHERE o_totalprice > 100000
+    """,
+    tags=("dedupe",),
+)
+def distinct_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice") > 100000)
+        .select("o_custkey", "o_orderstatus", "o_orderpriority")
+        .dropDuplicates()
+    )
+
+
+# --------------------------------------------------------------------------
+# LIMIT/OFFSET pagination — the reference pages REST results with
+# resultOffset/resultRecordCount (etl/handlers/rest_api.py:575-637). The
+# relational semantics: row_number over a total order, sliced to one page.
+# --------------------------------------------------------------------------
+@register(
+    "pagination_page_slice",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, rn
+        FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+            FROM orders
+        )
+        WHERE rn > 300 AND rn <= 400
+    """,
+    tags=("window", "pagination"),
+)
+def pagination_page_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter((F.col("rn") > 300) & (F.col("rn") <= 400))
+    )
+
+
+# --------------------------------------------------------------------------
+# Page bucketing — the reference's pagination loop materializes page after
+# page of max_record_count features (etl/handlers/rest_api.py:252-298);
+# expressed as a single bucketing window: every row gets a page number, and
+# we emit per-page stats (the page manifest a distributed fetcher would plan
+# from).
+# --------------------------------------------------------------------------
+@register(
+    "pagination_page_manifest",
+    oracle="""
+        SELECT
+            CAST(FLOOR((rn - 1) / 2000) + 1 AS BIGINT) AS page_nr,
+            COUNT(*)        AS page_rows,
+            MIN(o_orderkey) AS first_key,
+            MAX(o_orderkey) AS last_key
+        FROM (
+            SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+            FROM orders
+        )
+        GROUP BY 1
+    """,
+    tags=("window", "pagination"),
+)
+def pagination_page_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        orders.select("o_orderkey", F.row_number().over(w).alias("rn"))
+        .select(
+            "o_orderkey",
+            (F.floor((F.col("rn") - 1) / 2000) + 1).cast("bigint").alias("page_nr"),
+        )
+        .groupBy("page_nr")
+        .agg(
+            F.count(F.lit(1)).alias("page_rows"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops — the reference concatenates file lists (union,
+# etl/loaders/filegdb.py:257-259) and subtracts found ids from configured
+# ids (except, etl/handlers/ogc_api.py:330-333).
+# --------------------------------------------------------------------------
+@register(
+    "set_ops_union_except",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop",),
+)
+def set_ops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    part_c = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # SQL UNION/EXCEPT are distinct-set semantics → union().distinct(), exceptAll
+    # would keep duplicates.
+    return open_c.union(part_c).distinct().exceptAll(done_c.distinct())
+
+
+# --------------------------------------------------------------------------
+# Metrics aggregation — the reference aggregates run metrics imperatively
+# (etl/monitoring.py:206-233: min/max/avg/count per metric;
+# etl/utils/concurrent.py:33-72: success rates). One groupBy does all of it,
+# with map-side partial aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "agg_metrics_summary",
+    oracle="""
+        SELECT
+            event_type,
+            COUNT(*)                       AS n_events,
+            COUNT(DISTINCT user_id)        AS n_users,
+            ROUND(SUM(value), 2)           AS total_value,
+            ROUND(AVG(value), 6)           AS avg_value,
+            ROUND(MIN(value), 2)           AS min_value,
+            ROUND(MAX(value), 2)           AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "metrics"),
+)
+def agg_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional success-rate aggregation — run_summary's done/skip/error
+# ratios (etl/utils/run_summary.py:33-47) as CASE-WHEN fractions.
+# --------------------------------------------------------------------------
+@register(
+    "agg_success_rate",
+    oracle="""
+        SELECT
+            o_orderpriority,
+            COUNT(*) AS n_orders,
+            ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 6)
+                AS fulfilled_rate,
+            ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2)
+                AS open_value
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "conditional"),
+)
+def agg_success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    fulfilled = F.when(F.col("o_orderstatus") == "F", F.lit(1.0)).otherwise(F.lit(0.0))
+    open_val = F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(F.lit(0.0))
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg(fulfilled), 6).alias("fulfilled_rate"),
+        F.round(F.sum(open_val), 2).alias("open_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ranking / running windows — beyond the reference (SURVEY §2.5 notes it has
+# no window functions) but required of a complete engine: per-customer order
+# rank and running spend.
+# --------------------------------------------------------------------------
+@register(
+    "window_rank_running",
+    oracle="""
+        SELECT
+            o_custkey,
+            o_orderkey,
+            RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+                AS spend_rank,
+            ROUND(SUM(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS running_spend
+        FROM orders
+        WHERE o_custkey < 100
+    """,
+    tags=("window",),
+)
+def window_rank_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    rank_w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    run_w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(rank_w).alias("spend_rank"),
+        F.round(F.sum("o_totalprice").over(run_w), 2).alias("running_spend"),
+    )

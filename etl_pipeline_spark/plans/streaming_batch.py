@@ -1,0 +1,152 @@
+"""Event-time window aggregations, batch form (SURVEY.md §2.8).
+
+The reference is pure batch with no event-time operators; these queries
+define the *semantics* of the streaming surface (tumbling / sliding /
+session windows) in batch form so they are DuckDB-oracle-checkable. The
+live Structured Streaming counterparts (watermarks, `window()`,
+session_window, streaming sinks) live in `etl_pipeline_spark.streaming`
+and are asserted equal to these batch plans in tests.
+
+`events.ts` arrives as epoch **nanoseconds** (see sources/star.py); all
+window math is integer epoch arithmetic — `ts DIV window_ns` — which is
+timezone-proof and bit-exact across engines. (`FLOOR(ts / 3.6e12)` would be
+wrong: ts ≈ 1.7e18 exceeds double's 2^53 integer range.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.star import load_table
+
+_HOUR_NS = 3_600_000_000_000
+_M15_NS = 900_000_000_000
+_M30_NS = 1_800_000_000_000
+
+
+# --------------------------------------------------------------------------
+# Tumbling 1h windows: count + value sum per (window, event_type).
+# Streaming analog: groupBy(window(ts, '1 hour'), event_type).
+# --------------------------------------------------------------------------
+@register(
+    "events_tumbling_1h",
+    oracle=f"""
+        SELECT
+            (epoch_ns(ts) // {_HOUR_NS}) * 3600 AS win_start_epoch,
+            event_type,
+            COUNT(*)             AS n_events,
+            ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "agg"),
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = (F.col("ts") / F.lit(_HOUR_NS)).cast("bigint") * 3600  # ts ≥ 0 → div == floor-div
+    return (
+        ev.select(F.expr(f"(ts div {_HOUR_NS}) * 3600").alias("win_start_epoch"), "event_type", "value")
+        .groupBy("win_start_epoch", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding windows (30 min length, 15 min step): each event belongs to 2
+# windows → explode the window starts, then aggregate. This is exactly how
+# Spark's window(ts, '30 minutes', '15 minutes') expands rows.
+# --------------------------------------------------------------------------
+@register(
+    "events_sliding_30m15m",
+    oracle=f"""
+        WITH expanded AS (
+            SELECT ((epoch_ns(ts) // {_M15_NS}) - k) * 900 AS win_start_epoch,
+                   event_type, value
+            FROM events, (SELECT unnest(generate_series(0, 1)) AS k)
+            WHERE ((epoch_ns(ts) // {_M15_NS}) - k) * 900 >= 0
+        )
+        SELECT win_start_epoch, event_type,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM expanded
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "agg"),
+)
+def events_sliding_30m15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    expanded = (
+        ev.select("ts", "event_type", "value", F.explode(F.expr("sequence(0, 1)")).alias("k"))
+        .select(
+            (((F.expr(f"ts div {_M15_NS}")) - F.col("k")) * 900).alias("win_start_epoch"),
+            "event_type",
+            "value",
+        )
+        .filter(F.col("win_start_epoch") >= 0)
+    )
+    return expanded.groupBy("win_start_epoch", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization (30 min inactivity gap) per user: the lag/cumulative-sum
+# formulation — a window scan, no self-join. Streaming analog:
+# session_window(ts, '30 minutes') with watermark.
+# --------------------------------------------------------------------------
+@register(
+    "events_sessionize_30m",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, epoch_ns(ts) AS t,
+                   value,
+                   CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {_M30_NS}
+                        OR LAG(epoch_ns(ts)) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        ),
+        tagged AS (
+            SELECT user_id, t, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_nr
+            FROM seq
+        )
+        SELECT user_id,
+               CAST(session_nr AS BIGINT) AS session_nr,
+               MIN(t) // 1000000000 AS session_start_epoch,
+               MAX(t) // 1000000000 AS session_end_epoch,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM tagged
+        GROUP BY user_id, session_nr
+    """,
+    tags=("streaming", "window", "session"),
+)
+def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(order_w)
+    new_session = F.when(prev.isNull() | ((F.col("ts") - prev) > _M30_NS), 1).otherwise(0)
+    cum_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = ev.select(
+        "user_id", "ts", "value", new_session.alias("new_session")
+    ).select("user_id", "ts", "value", F.sum("new_session").over(cum_w).alias("session_nr"))
+    return tagged.groupBy("user_id", "session_nr").agg(
+        F.expr("min(ts) div 1000000000").alias("session_start_epoch"),
+        F.expr("max(ts) div 1000000000").alias("session_end_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
