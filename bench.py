@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is forced end-to-end with the `noop` sink (full compute, no
+driver-side materialization — the same discipline a 100 TB run needs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
+from etl_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_local_supplier_volume",
+    "lookup_enrich_customers",
+    "agg_metrics_summary",
+    "window_rank_running",
+    "pagination_page_manifest",
+    "naming_sanitize_chain",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "simhash_fingerprints",
+    "ann_cosine_topk",
+    "ann_bucketed_sign_lsh",
+    "text_quality_scores",
+    "events_tumbling_1h",
+    "events_sessionize_30m",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="etl-pipeline-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    _ensure_loaded()
+
+    # JVM/codegen warmup on the smallest table so per-query numbers measure
+    # the plan, not first-call JIT.
+    REGISTRY["q1_pricing_summary"].spark_fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = REGISTRY[name].spark_fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall clock (noop sink, per-query sum)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
