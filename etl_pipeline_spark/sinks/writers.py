@@ -1,0 +1,116 @@
+"""Write-mode sinks — the SDE-load strategies as Spark write modes.
+
+Reference strategy dispatch (etl/pipeline.py:672-745):
+
+- ``truncate_and_load`` (TruncateTable + Append, etl/pipeline.py:685-697)
+  → ``INSERT OVERWRITE``: keeps table identity/schema, replaces rows.
+- ``replace`` (Delete + FeatureClassToFeatureClass, :698-716)
+  → ``saveAsTable(mode="overwrite")``: drop + recreate.
+- ``append`` (Append with NO_TEST, :717-725) → checked, schema-validated
+  append — the reference explicitly bypassed schema checks
+  (``schema_type="NO_TEST"``); we make the check mandatory and mergeable
+  (SURVEY.md §7 hard-part d).
+- create-if-missing refuses to invent the namespace (:625-631,729-745) —
+  same contract here: the database must exist.
+- Pre-load validation (:633-651) → count + schema assertion returning a
+  ``LoadReport`` instead of log lines.
+
+Scale notes: all writes accept ``partition_by`` so production tables land
+partitioned (partition pruning on read); appends go through
+``insertInto``-style positional resolution only after an explicit
+column-name alignment, never silently.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class LoadReport:
+    table: str
+    mode: str
+    rows: int
+    columns: tuple[str, ...]
+
+
+def discover_tables(spark: SparkSession, database: str) -> list[str]:
+    """K1: list feature classes (tables) in the staging database."""
+    return [t.name for t in spark.catalog.listTables(database)]
+
+
+def validate_before_load(df: DataFrame, expected_columns: set[str] | None = None) -> int:
+    """K6: pre-load validation — schema subset check + count."""
+    if expected_columns:
+        missing = expected_columns - set(df.columns)
+        if missing:
+            raise ValueError(f"pre-load validation failed; missing columns: {sorted(missing)}")
+    return df.count()
+
+
+def _require_database(spark: SparkSession, table: str) -> None:
+    """K5: refuse to create a missing namespace (reference refuses missing
+    SDE datasets and points at the provisioning script instead)."""
+    if "." in table:
+        db = table.rsplit(".", 1)[0]
+        if not spark.catalog.databaseExists(db):
+            raise ValueError(
+                f"database {db!r} does not exist; create it first "
+                f"(CREATE DATABASE {db}) — this sink does not invent namespaces"
+            )
+
+
+def truncate_and_load(
+    df: DataFrame, table: str, partition_by: list[str] | None = None
+) -> LoadReport:
+    """K2: keep the table, replace all rows (INSERT OVERWRITE semantics)."""
+    spark = df.sparkSession
+    _require_database(spark, table)
+    if spark.catalog.tableExists(table):
+        # align by name before positional insert — never NO_TEST semantics
+        target_cols = [f.name for f in spark.table(table).schema.fields]
+        missing = set(target_cols) - set(df.columns)
+        if missing:
+            raise ValueError(f"truncate_and_load into {table}: df missing {sorted(missing)}")
+        df.select(*target_cols).write.insertInto(table, overwrite=True)
+    else:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.saveAsTable(table)
+    return LoadReport(table, "truncate_and_load", df.count(), tuple(df.columns))
+
+
+def replace(df: DataFrame, table: str, partition_by: list[str] | None = None) -> LoadReport:
+    """K3: drop + recreate the table from the DataFrame."""
+    _require_database(df.sparkSession, table)
+    writer = df.write.mode("overwrite").option("overwriteSchema", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(table)
+    return LoadReport(table, "replace", df.count(), tuple(df.columns))
+
+
+def append(df: DataFrame, table: str) -> LoadReport:
+    """K4: schema-checked append (by-name alignment; unknown columns error)."""
+    spark = df.sparkSession
+    _require_database(spark, table)
+    if spark.catalog.tableExists(table):
+        target_cols = [f.name for f in spark.table(table).schema.fields]
+        if set(df.columns) != set(target_cols):
+            raise ValueError(
+                f"append into {table}: column mismatch df={sorted(df.columns)} "
+                f"table={sorted(target_cols)}"
+            )
+        df.select(*target_cols).write.insertInto(table, overwrite=False)
+    else:
+        df.write.mode("append").saveAsTable(table)
+    return LoadReport(table, "append", df.count(), tuple(df.columns))
+
+
+def write_json_collection(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K7: JSON file sink (the GeoJSON-at-the-edge analog; columnar formats
+    stay the internal representation)."""
+    df.write.mode(mode).json(path)

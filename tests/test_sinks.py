@@ -1,0 +1,70 @@
+"""Write-mode sinks (K1-K7): truncate_and_load / replace / append semantics
+against a temp warehouse catalog."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_spark.sinks import (
+    append,
+    discover_tables,
+    replace,
+    truncate_and_load,
+    validate_before_load,
+    write_json_collection,
+)
+
+
+@pytest.fixture(scope="module")
+def db(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS staging_test")
+    yield "staging_test"
+    spark.sql("DROP DATABASE IF EXISTS staging_test CASCADE")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, name string")
+
+
+def test_replace_then_truncate_and_load(spark, db):
+    t = f"{db}.fc_one"
+    replace(_df(spark, [(1, "a"), (2, "b")]), t)
+    assert spark.table(t).count() == 2
+    # truncate_and_load keeps the table, replaces rows
+    rep = truncate_and_load(_df(spark, [(3, "c")]), t)
+    assert rep.rows == 1
+    got = [(r.id, r.name) for r in spark.table(t).collect()]
+    assert got == [(3, "c")]
+
+
+def test_append_checked(spark, db):
+    t = f"{db}.fc_append"
+    replace(_df(spark, [(1, "a")]), t)
+    append(_df(spark, [(2, "b")]), t)
+    assert spark.table(t).count() == 2
+    # schema-checked: extra/missing columns refuse (NO_TEST semantics banned)
+    bad = spark.createDataFrame([(3, "c", 1.0)], "id bigint, name string, extra double")
+    with pytest.raises(ValueError, match="column mismatch"):
+        append(bad, t)
+
+
+def test_missing_database_refused(spark):
+    with pytest.raises(ValueError, match="does not exist"):
+        replace(_df(spark, [(1, "a")]), "no_such_db.fc")
+
+
+def test_discover_and_validate(spark, db):
+    t = f"{db}.fc_disc"
+    replace(_df(spark, [(1, "a")]), t)
+    assert "fc_disc" in discover_tables(spark, db)
+    assert validate_before_load(_df(spark, [(1, "a")]), {"id", "name"}) == 1
+    with pytest.raises(ValueError, match="missing columns"):
+        validate_before_load(_df(spark, [(1, "a")]), {"id", "nope"})
+
+
+def test_json_sink(spark, tmp_path):
+    p = str(tmp_path / "out_json")
+    write_json_collection(_df(spark, [(1, "å")]), p)
+    back = spark.read.json(p)
+    assert back.count() == 1
+    assert {r.name for r in back.collect()} == {"å"}
