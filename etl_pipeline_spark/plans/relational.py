@@ -467,3 +467,146 @@ def window_rank_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(rank_w).alias("spend_rank"),
         F.round(F.sum("o_totalprice").over(run_w), 2).alias("running_spend"),
     )
+
+
+# --------------------------------------------------------------------------
+# Single-group filter aggregation (TPC-H Q6 shape) — the all-pushdown query:
+# every predicate reaches the scan, agg collapses to one row.
+# --------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("agg", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("CAST('1996-01-01 00:00:00' AS TIMESTAMP_NTZ)"))
+            & (F.col("l_shipdate") < F.expr("CAST('1997-01-01 00:00:00' AS TIMESTAMP_NTZ)"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP — hierarchical subtotals (status → priority → grand total), the
+# relational form of the reference's per-phase + per-run counter rollups
+# (etl/utils/run_summary.py:33-47).
+# --------------------------------------------------------------------------
+@register(
+    "rollup_order_counts",
+    oracle="""
+        SELECT
+            COALESCE(o_orderstatus, '<all>')   AS status,
+            COALESCE(o_orderpriority, '<all>') AS priority,
+            COUNT(*)                           AS n_orders,
+            ROUND(SUM(o_totalprice), 2)        AS total_value
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated EXISTS subquery — orders containing any near-max-quantity line
+# (decorrelated by Catalyst into a semi-join).
+# --------------------------------------------------------------------------
+@register(
+    "exists_big_quantity_orders",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity >= 49
+        )
+    """,
+    tags=("join", "subquery"),
+)
+def exists_big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return orders.join(
+        big, orders.o_orderkey == big.l_orderkey, "leftsemi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# Scalar subquery — customers above the global average balance; the scalar
+# aggregate broadcasts as a literal after its own one-row plan.
+# --------------------------------------------------------------------------
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+    tags=("subquery",),
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("a"))
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+# --------------------------------------------------------------------------
+# LEAD/LAG — inter-order gaps per customer in days; the event-sequence
+# analysis shape (epoch-day arithmetic on TIMESTAMP_NTZ, tz-proof).
+# --------------------------------------------------------------------------
+@register(
+    "lead_lag_order_gaps",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day',
+                    LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS BIGINT) AS days_since_prev
+        FROM orders
+        WHERE o_custkey < 200
+    """,
+    tags=("window",),
+)
+def lead_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("bigint").alias("days_since_prev"),
+    )
