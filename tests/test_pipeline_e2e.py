@@ -1,0 +1,161 @@
+"""End-to-end pipeline test: fake-transport fetch → landing → stage →
+clip/reproject/name → catalog load → summary — the analog of the
+reference's e2e suite (tests/e2e/test_full_workflow.py there)."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from etl_pipeline_spark.pipeline import Pipeline, PipelineConfig
+from etl_pipeline_spark.sources.gpkg import stage_gpkg
+from etl_pipeline_spark.sources.registry import SourceConfig
+from etl_pipeline_spark.sources.staging import extract_zip, glob_stageable_files, infer_staged_type
+from etl_pipeline_spark.utils.metrics import RunSummary
+
+
+class FakeTransport:
+    def get_json(self, url, params=None):
+        params = params or {}
+        if url.endswith("/FeatureServer"):
+            return {"layers": [{"id": 0}]}
+        if url.endswith("/FeatureServer/0"):
+            return {"maxRecordCount": 3}
+        off = params.get("resultOffset", 0)
+        feats = [
+            {
+                "type": "Feature",
+                "properties": {"fid": i, "namn": f"Väg {i}"},
+                # lon spread so the AOI bbox drops some rows
+                "geometry": {"type": "Point", "coordinates": [14.0 + i, 59.0]},
+            }
+            for i in range(off, min(off + 3, 7))
+        ]
+        return {"features": feats, "exceededTransferLimit": off + len(feats) < 7}
+
+    def head_headers(self, url):
+        return {}
+
+
+@pytest.fixture()
+def prod_db(spark):
+    yield "prod_e2e"
+    spark.sql("DROP DATABASE IF EXISTS prod_e2e CASCADE")
+
+
+def test_pipeline_end_to_end(spark, tmp_path, prod_db):
+    cfg = PipelineConfig(
+        landing_dir=str(tmp_path / "landing"),
+        production_db=prod_db,
+        aoi_bbox=(15.5, 58.0, 25.0, 61.0),  # drops lon 14.0 and 15.0
+        target_epsg=3006,
+    )
+    pipe = Pipeline(spark, cfg, transport=FakeTransport())
+    src = SourceConfig(name="Vägar Källa", authority="TRV", type="rest_api",
+                       url="https://x/FeatureServer")
+    summary = pipe.run([src])
+
+    # counters: download done + one load done
+    assert summary.counters("download")["done"] == 1
+    assert summary.counters("load")["done"] == 1
+
+    # the production table landed under the generated fc name
+    tables = [t.name for t in spark.catalog.listTables(prod_db)]
+    assert tables == ["trv_vagar_kalla_layer0"]
+    out = spark.table(f"{prod_db}.trv_vagar_kalla_layer0")
+    rows = out.orderBy("fid").collect()
+    assert [r.fid for r in rows] == [2, 3, 4, 5, 6]  # AOI clip applied
+    # reprojected coordinates present and plausible (SWEREF99 TM)
+    assert all(100_000 < r.x_out < 1_000_000 for r in rows)
+    assert all(6_000_000 < r.y_out < 8_000_000 for r in rows)
+
+    # failure containment: a broken source records an error, run continues
+    bad = SourceConfig(name="bad", authority="X", type="rest_api", url="https://x/FeatureServer")
+    pipe2 = Pipeline(spark, cfg, transport=None)  # no transport → fetch raises
+    s2 = pipe2.run([bad, SourceConfig(name="off", authority="X", type="file",
+                                      url="nope", enabled=False)])
+    assert s2.counters("download")["error"] == 1
+    assert s2.counters("download")["skip"] == 1
+    assert "❌ error: 1" in s2.dump()
+
+
+def test_gpkg_staging(spark, tmp_path):
+    gpkg = str(tmp_path / "data.gpkg")
+    with sqlite3.connect(gpkg) as con:
+        con.execute("CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)")
+        con.execute("INSERT INTO gpkg_contents VALUES ('main.lakes', 'features')")
+        con.execute("INSERT INTO gpkg_contents VALUES ('roads', 'features')")
+        con.execute("INSERT INTO gpkg_contents VALUES ('tiles', 'tiles')")
+        con.execute("CREATE TABLE lakes (fid INTEGER, namn TEXT, geom BLOB)")
+        con.executemany(
+            "INSERT INTO lakes VALUES (?, ?, ?)",
+            [(i, f"Sjö {i}", b"\x00GP\x01" + bytes([i])) for i in range(5)],
+        )
+        con.execute("CREATE TABLE roads (fid INTEGER, namn TEXT)")
+        con.execute("INSERT INTO roads VALUES (1, 'E4')")
+
+    staged, missing = stage_gpkg(spark, gpkg, include=("LAKES", "rivers"))
+    assert list(staged) == ["lakes"] and missing == ["rivers"]
+    rows = staged["lakes"].orderBy("fid").collect()
+    assert rows[0].namn == "Sjö 0"
+    assert bytes(rows[0].geom).startswith(b"\x00GP\x01")  # blob survives
+
+    # no include → all feature classes, tiles excluded, main. stripped
+    all_staged, _ = stage_gpkg(spark, gpkg)
+    assert sorted(all_staged) == ["lakes", "roads"]
+
+
+def test_gpkg_distributed_read_matches(spark, tmp_path):
+    from etl_pipeline_spark.sources.gpkg import load_table, load_table_distributed
+
+    gpkg = str(tmp_path / "big.gpkg")
+    with sqlite3.connect(gpkg) as con:
+        con.execute("CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)")
+        con.execute("INSERT INTO gpkg_contents VALUES ('pts', 'features')")
+        con.execute("CREATE TABLE pts (fid INTEGER, v REAL)")
+        con.executemany("INSERT INTO pts VALUES (?, ?)", [(i, i * 0.5) for i in range(1000)])
+    a = load_table(spark, gpkg, "pts").orderBy("fid").collect()
+    b = load_table_distributed(spark, gpkg, "pts", num_partitions=7).orderBy("fid").collect()
+    assert a == b and len(a) == 1000
+
+
+def test_zip_and_inference(tmp_path):
+    import zipfile
+
+    archive = tmp_path / "data.zip"
+    with zipfile.ZipFile(archive, "w") as zf:
+        zf.writestr("a/b.geojson", "{}")
+        zf.writestr("c.gpkg", "x")
+    out = extract_zip(str(archive), str(tmp_path / "out"))
+    assert len(out) == 2
+    files = glob_stageable_files(str(tmp_path / "out"))
+    assert [f.split("/")[-1] for f in files] == ["b.geojson", "c.gpkg"]
+
+    assert infer_staged_type("x.gpkg") == "gpkg"
+    assert infer_staged_type("x.json") == "geojson"
+    assert infer_staged_type("x.zip") == "shapefile_collection"
+    assert infer_staged_type("whatever", "gpkg") == "gpkg"
+
+
+def test_zip_slip_guard(tmp_path):
+    import zipfile
+
+    evil = tmp_path / "evil.zip"
+    with zipfile.ZipFile(evil, "w") as zf:
+        zf.writestr("../escape.txt", "x")
+    with pytest.raises(ValueError, match="unsafe zip member"):
+        extract_zip(str(evil), str(tmp_path / "out"))
+
+
+def test_run_summary_dump():
+    s = RunSummary()
+    s.log("download", "a", "done", 1.0)
+    s.log("download", "b", "error", 0.1)
+    s.log("load", "a/fc", "done", 2.0)
+    assert s.counters()["done"] == 2
+    assert s.errors() == [("download", "b")]
+    dump = s.dump()
+    assert "✅ done: 2" in dump and "❌ error: 1" in dump
+    with pytest.raises(ValueError):
+        s.log("x", "y", "weird")
