@@ -343,3 +343,108 @@ def url_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(url, r"^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
         F.regexp_extract(url, r"id=([0-9]+)", 1).alias("id_param"),
     )
+
+
+# --------------------------------------------------------------------------
+# T6: source↔FC reverse matching — the reference loops 4 heuristics per FC
+# over the source registry (etl/models.py:144-237); relationally it's one
+# broadcast theta-join with a priority-ordered CASE, first match wins via
+# min(priority).
+# --------------------------------------------------------------------------
+@register(
+    "source_fc_reverse_match",
+    oracle="""
+        WITH sources(src_name, authority) AS (
+            VALUES ('MACHIN', 'IND'), ('household', 'HOME'), ('auto mobile', 'CAR')
+        ),
+        fcs AS (SELECT DISTINCT lower(c_mktsegment) AS fc FROM customer),
+        matches AS (
+            SELECT fc, src_name,
+                   CASE
+                       WHEN fc = lower(src_name) THEN 1
+                       WHEN fc LIKE lower(src_name) || '%' THEN 2
+                       WHEN position(replace(lower(src_name), ' ', '') IN replace(fc, '_', '')) > 0
+                            THEN 3
+                   END AS heuristic
+            FROM fcs
+            JOIN sources ON
+                 fc = lower(src_name)
+                 OR fc LIKE lower(src_name) || '%'
+                 OR position(replace(lower(src_name), ' ', '') IN replace(fc, '_', '')) > 0
+        )
+        SELECT fc,
+               MIN(heuristic)  AS heuristic,
+               MIN(src_name)   AS matched_source
+        FROM matches
+        GROUP BY fc
+    """,
+    tags=("kernel", "join", "fuzzy"),
+)
+def source_fc_reverse_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sources = spark.createDataFrame(
+        [("MACHIN", "IND"), ("household", "HOME"), ("auto mobile", "CAR")],
+        "src_name string, authority string",
+    )
+    fcs = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.lower(F.col("c_mktsegment")).alias("fc"))
+        .distinct()
+    )
+    s_low = F.lower(F.col("src_name"))
+    squeezed_src = F.replace(s_low, F.lit(" "), F.lit(""))
+    squeezed_fc = F.replace(F.col("fc"), F.lit("_"), F.lit(""))
+    h1 = F.col("fc") == s_low
+    h2 = F.col("fc").startswith(s_low)
+    h3 = F.instr(squeezed_fc, squeezed_src) > 0
+    matched = (
+        fcs.join(F.broadcast(sources), h1 | h2 | h3)
+        .select(
+            "fc",
+            "src_name",
+            F.when(h1, 1).when(h2, 2).when(h3, 3).alias("heuristic"),
+        )
+        .groupBy("fc")
+        .agg(F.min("heuristic").alias("heuristic"), F.min("src_name").alias("matched_source"))
+    )
+    return matched
+
+
+# --------------------------------------------------------------------------
+# U2: mapping validation — alnum + length rules as a violations DataFrame
+# (etl/mapping.py:242-268 raises per-row; set-based validation scales and
+# reports everything at once).
+# --------------------------------------------------------------------------
+@register(
+    "mapping_validation_violations",
+    oracle="""
+        WITH names AS (
+            SELECT p_partkey,
+                   p_brand || '__' || repeat(p_name, CASE WHEN p_size > 45 THEN 20 ELSE 1 END)
+                       AS candidate
+            FROM part
+        )
+        SELECT p_partkey, candidate,
+               CASE
+                   WHEN length(candidate) > 128 THEN 'too_long'
+                   WHEN regexp_matches(candidate, '[^a-zA-Z0-9_]') THEN 'illegal_chars'
+               END AS violation
+        FROM names
+        WHERE length(candidate) > 128 OR regexp_matches(candidate, '[^a-zA-Z0-9_]')
+    """,
+    tags=("kernel", "validation"),
+)
+def mapping_validation_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    candidate = F.concat(
+        F.col("p_brand"),
+        F.lit("__"),
+        F.expr("repeat(p_name, CASE WHEN p_size > 45 THEN 20 ELSE 1 END)"),
+    )
+    names = part.select("p_partkey", candidate.alias("candidate"))
+    too_long = F.length("candidate") > 128
+    illegal = F.col("candidate").rlike("[^a-zA-Z0-9_]")
+    return names.filter(too_long | illegal).select(
+        "p_partkey",
+        "candidate",
+        F.when(too_long, "too_long").when(illegal, "illegal_chars").alias("violation"),
+    )

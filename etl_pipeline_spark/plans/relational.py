@@ -610,3 +610,92 @@ def lead_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.datediff(F.col("o_orderdate"), prev).cast("bigint").alias("days_since_prev"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles — the reference's metric summaries keep min/max/avg only
+# (etl/monitoring.py:206-233); an engine needs distribution statistics.
+# Spark `percentile()` and DuckDB `quantile_cont` implement the same
+# interpolated definition — verified bit-identical.
+# --------------------------------------------------------------------------
+@register(
+    "percentile_event_values",
+    oracle="""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.50), 6) AS p50,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "metrics"),
+)
+def percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE — all grouping combinations in one pass (multi-dimensional run
+# metrics: phase × status in the reference's summary becomes one CUBE).
+# --------------------------------------------------------------------------
+@register(
+    "cube_lineitem_flags",
+    oracle="""
+        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+               COALESCE(l_linestatus, '<all>') AS linestatus,
+               COUNT(*) AS n_lines,
+               SUM(l_quantity) AS total_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum("l_quantity").alias("total_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+            "n_lines",
+            "total_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PIVOT — status columns per priority (wide metrics table). Spark's pivot
+# relational operator; the oracle spells it as conditional aggregation,
+# which is also exactly what Spark plans underneath.
+# --------------------------------------------------------------------------
+@register(
+    "pivot_orders_status",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS status_f,
+               CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS status_o,
+               CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS status_p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+        )
+    )
