@@ -80,8 +80,10 @@ def stage_path(
         staged, _missing = stage_gpkg(spark, path, include)
         return staged
     if st == "shapefile_collection":
-        raise NotImplementedError(
-            "shapefile staging requires a .shp/.dbf parser — planned; "
-            "convert to GeoJSON/GPKG upstream meanwhile"
-        )
+        from etl_pipeline_spark.sources.shapefile import read_shapefile, stage_shapefile_dir
+
+        p = Path(path)
+        if p.is_dir():
+            return stage_shapefile_dir(spark, path)
+        return {stem: read_shapefile(spark, path)}
     raise ValueError(f"unknown staged type {st!r}")
