@@ -606,3 +606,42 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.array_sort(toks), "|")).alias("bag_fingerprint"),
         F.size(toks).alias("n_distinct_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs — the vector-space dedup criterion
+# (semantic near-duplicates). All-pairs here (the corpus is small and the
+# synthetic vectors are near-orthogonal: exactly one pair clears 0.5); at
+# scale the same predicate runs after the sign-LSH bucket join above.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({_COS_DUCK.replace('q.embedding', 'a.embedding').replace('c.embedding', 'b.embedding')}, 6)
+                   AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_DUCK.replace('q.embedding', 'a.embedding').replace('c.embedding', 'b.embedding')} >= 0.5
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dot = (
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    norm = (
+        "sqrt(aggregate(transform({0}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = (F.expr(dot) / (F.expr(norm.format("ea")) * F.expr(norm.format("eb")))).alias("cosine")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos)
+        .filter(F.col("cosine") >= 0.5)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,96 @@
+"""Physical-plan regression guards — the 100 TB posture, asserted.
+
+A correct result with a bad plan is a latent outage at scale: these tests
+pin the plan properties that matter (pushdown reaching the scan, broadcast
+only on dimensions, top-k without global sort, bucketed joins without
+shuffle) so a refactor can't silently regress them.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
+from tests.conftest import SF_DIR
+
+_ensure_loaded()
+
+
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, REGISTRY["q1_pricing_summary"].spark_fn(spark, SF_DIR))
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reaches the scan
+    assert "l_orderkey" not in plan.split("ReadSchema:")[1].splitlines()[0]  # pruned
+
+
+def test_bbox_bounds_pushed(spark):
+    plan = _plan(spark, REGISTRY["bbox_range_filter"].spark_fn(spark, SF_DIR))
+    for frag in (
+        "GreaterThanOrEqual(l_quantity,10.0",
+        "LessThanOrEqual(l_quantity,20.0",
+        "GreaterThanOrEqual(l_extendedprice,20000.0",
+    ):
+        assert frag in plan
+
+
+def test_lookup_join_broadcasts_dimensions(spark):
+    plan = _plan(spark, REGISTRY["lookup_enrich_customers"].spark_fn(spark, SF_DIR))
+    # formatted mode prints each node in tree + detail → 2 joins appear ≥2 times
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, REGISTRY["q3_top_unshipped_orders"].spark_fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_kernel(spark):
+    # the string kernel must stay inside codegen (JVM), not fall to Python
+    plan = _plan(spark, REGISTRY["naming_sanitize_chain"].spark_fn(spark, SF_DIR))
+    assert "[codegen id :" in plan  # formatted mode's whole-stage-codegen marker
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = _plan(spark, REGISTRY["semi_join_include_filter"].spark_fn(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+@pytest.fixture(scope="module")
+def bucketed_db(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
+    yield "bucketdemo"
+    spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucketed_db):
+    """Co-located join: both sides bucketed by the join key → SortMergeJoin
+    with NO Exchange. This is the 100 TB recipe for repeated big-big joins
+    (bucket once, join many times without reshuffling)."""
+    from etl_pipeline_spark.sources.star import load_table
+
+    orders = load_table(spark, SF_DIR, "orders").limit(5000)
+    li = load_table(spark, SF_DIR, "lineitem").limit(20000)
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(f"{bucketed_db}.orders_b"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(f"{bucketed_db}.lineitem_b"))
+    a = spark.table(f"{bucketed_db}.orders_b")
+    b = spark.table(f"{bucketed_db}.lineitem_b")
+    # disable broadcast to prove the co-location, not the dimension path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, a.o_orderkey == b.l_orderkey).groupBy("o_orderstatus").count()
+        plan = _plan(spark, joined)
+        join_section = plan.split("SortMergeJoin")[0]
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in join_section  # no shuffle before the join
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
