@@ -53,13 +53,29 @@ _SHINGLES_DUCK = """
 """
 
 
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct word-3-shingles per document."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-        .select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("shingle"))
-    )
+    """(doc_id, shingle) — distinct word-3-shingles per document.
+
+    Persisted and memoized per (session, sf_dir): the Jaccard/MinHash plans
+    each reference this relation 3-4 times (sides of the self-join + size
+    table) and both queries share it — one materialization instead of ~7
+    recomputes. At true 100 TB scale you'd checkpoint shingles to parquet
+    instead of memory-persisting; the plan shape is identical.
+    """
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _SHINGLE_CACHE[key] = (
+            docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+            .select(
+                "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("shingle")
+            )
+            .persist()
+        )
+    return _SHINGLE_CACHE[key]
 
 
 _JACCARD_PAIRS_DUCK = f"""
