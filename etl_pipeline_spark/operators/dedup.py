@@ -1,0 +1,142 @@
+"""Reusable dedup operators over arbitrary (id, text) DataFrames.
+
+The oracle-checked queries in ``plans/llm.py`` are instantiations of these
+operators on the synthetic corpus; users point them at their own tables.
+All operators are pure DataFrame composition — the only Python that runs
+per-row is inside Spark's codegen'd expressions.
+
+Scale notes per operator are on the functions; the common theme: candidate
+generation is always an equi-join on a derived key (hash, band, bucket),
+never an all-pairs product — except `jaccard_pairs`, which is the exact
+verifier you run on LSH candidates (or standalone at small scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle): distinct word n-gram shingles per document."""
+    span = ", ".join(f"toks[i-1+{j}]" for j in range(n))
+    expr = (
+        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', {span}))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks"))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(expr))).alias("shingle"))
+    )
+
+
+def jaccard_pairs(shingle_df: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over a shingle relation: all pairs sharing ≥1 shingle.
+    Cost Σ df(shingle)² — the verifier stage; gate behind LSH at scale."""
+    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingle_df.alias("a"), shingle_df.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def jaccard_verify(candidates: DataFrame, shingle_df: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs."""
+    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = shingle_df.alias("sa"), shingle_df.alias("sb")
+    verified = (
+        candidates.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na.n") + F.col("nb.n") - F.col("n_common"))
+    return (
+        verified.join(sizes.alias("na"), F.col("na.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("nb"), F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(shingle_df: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """k seeded min-hashes per doc. String-min over seeded md5 — a valid
+    min-wise family that also evaluates identically in SQL oracles."""
+    return shingle_df.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def lsh_candidates(sigs: DataFrame, n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """Banded LSH: docs sharing any (band_id, band_key) become candidate
+    pairs. The equi-join on the band key IS the scale story: shuffle is
+    keyed on buckets, cost follows collisions, not |docs|²."""
+    n_bands = n_hashes // band_size
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(*[F.col(f"h{band_size * b + r}") for r in range(band_size)])
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: shingle → minhash → LSH candidates →
+    exact-Jaccard verify. Returns (doc_a, doc_b, jaccard ≥ threshold)."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    cands = lsh_candidates(minhash_signatures(sh, n_hashes), n_hashes, band_size)
+    return jaccard_verify(cands, sh, threshold)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: (text_hash, canonical_id = min id, n_copies)."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(F.col(id_col)).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

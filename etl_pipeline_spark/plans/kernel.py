@@ -448,3 +448,53 @@ def mapping_validation_violations(spark: SparkSession, sf_dir: str) -> DataFrame
         "candidate",
         F.when(too_long, "too_long").when(illegal, "illegal_chars").alias("violation"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality profiling — per-column null/distinct/min/max in one pass per
+# column family (the pre-load validation K6 grown into a real profiler; a
+# training-data pipeline gates ingestion on exactly these numbers).
+# --------------------------------------------------------------------------
+@register(
+    "profile_orders_columns",
+    oracle="""
+        SELECT 'o_orderstatus' AS column_name,
+               COUNT(*) - COUNT(o_orderstatus) AS n_nulls,
+               COUNT(DISTINCT o_orderstatus)   AS n_distinct,
+               MIN(CAST(o_orderstatus AS VARCHAR)) AS min_value,
+               MAX(CAST(o_orderstatus AS VARCHAR)) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               COUNT(*) - COUNT(o_orderpriority),
+               COUNT(DISTINCT o_orderpriority),
+               MIN(CAST(o_orderpriority AS VARCHAR)),
+               MAX(CAST(o_orderpriority AS VARCHAR))
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               COUNT(*) - COUNT(o_custkey),
+               COUNT(DISTINCT o_custkey),
+               MIN(CAST(o_custkey AS VARCHAR)),
+               MAX(CAST(o_custkey AS VARCHAR))
+        FROM orders
+    """,
+    tags=("kernel", "profiling"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    parts = []
+    for c in ("o_orderstatus", "o_orderpriority", "o_custkey"):
+        parts.append(
+            orders.agg(
+                F.lit(c).alias("column_name"),
+                (F.count(F.lit(1)) - F.count(F.col(c))).alias("n_nulls"),
+                F.countDistinct(F.col(c)).alias("n_distinct"),
+                F.min(F.col(c).cast("string")).alias("min_value"),
+                F.max(F.col(c).cast("string")).alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

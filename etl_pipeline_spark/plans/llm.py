@@ -31,6 +31,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    jaccard_verify,
+    lsh_candidates,
+    minhash_signatures,
+    shingles,
+)
+from etl_pipeline_spark.operators.similarity import cosine_pairs, cosine_topk, sign_lsh_topk
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
 
@@ -68,13 +77,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _SHINGLE_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        _SHINGLE_CACHE[key] = (
-            docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-            .select(
-                "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("shingle")
-            )
-            .persist()
-        )
+        _SHINGLE_CACHE[key] = shingles(docs, "doc_id", "text", 3).persist()
     return _SHINGLE_CACHE[key]
 
 
@@ -96,22 +99,7 @@ _JACCARD_PAIRS_DUCK = f"""
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
-    return (
-        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return jaccard_pairs(_doc_shingles(spark, sf_dir), threshold)
 
 
 # --------------------------------------------------------------------------
@@ -143,10 +131,7 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
-    return corpus.groupBy(F.md5("text").alias("text_hash")).agg(
-        F.min("doc_id").alias("canonical_id"),
-        F.count(F.lit(1)).alias("n_copies"),
-    )
+    return exact_dedup(corpus, "doc_id", "text")
 
 
 # --------------------------------------------------------------------------
@@ -218,54 +203,8 @@ _BANDS_DUCK = ", ".join(
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-            for i in range(_N_HASHES)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat(F.col(f"h{_BAND_SIZE*b}"), F.col(f"h{_BAND_SIZE*b+1}"))).alias(
-                    "band_key"
-                ),
-            )
-            for b in range(_N_HASHES // _BAND_SIZE)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
-        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key")
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    verified = (
-        candidates.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.shingle") == F.col("sa.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common") / (F.col("na.n") + F.col("nb.n") - F.col("n_common"))
-    return (
-        verified.join(sizes.alias("na"), F.col("na.doc_id") == F.col("doc_a"))
-        .join(sizes.alias("nb"), F.col("nb.doc_id") == F.col("doc_b"))
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    cands = lsh_candidates(minhash_signatures(sh, _N_HASHES), _N_HASHES, _BAND_SIZE)
+    return jaccard_verify(cands, sh, 0.5)
 
 
 # --------------------------------------------------------------------------
@@ -355,37 +294,7 @@ _COS_DUCK = (
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    dot = (
-        "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    norm_q = (
-        "sqrt(aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-    )
-    norm_c = (
-        "sqrt(aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-    )
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.expr(dot) / (F.expr(norm_q) * F.expr(norm_c))).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "cosine")
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
-    )
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 # --------------------------------------------------------------------------
@@ -423,44 +332,7 @@ _BUCKET_DUCK = " + ".join(
 )
 def ann_bucketed_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    bucket = sum(
-        F.when(F.element_at(F.col("embedding"), d) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, d in enumerate(_BUCKET_DIMS)
-    )
-    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
-    dot = (
-        "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    norm = (
-        "sqrt(aggregate(transform({0}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-    )
-    q = b.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("bucket")
-    )
-    c = b.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        F.col("bucket").alias("c_bucket"),
-    )
-    scored = (
-        q.join(c, (F.col("bucket") == F.col("c_bucket")) & (F.col("neighbor_id") != F.col("query_id")))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "bucket",
-            (F.expr(dot) / (F.expr(norm.format("qe")) * F.expr(norm.format("ce")))).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.select(
-            "query_id", "neighbor_id", "bucket", F.row_number().over(w).alias("rank"), "cosine"
-        )
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", "bucket", "rank", F.round("cosine", 6).alias("cosine"))
-    )
+    return sign_lsh_topk(emb, F.col("vec_id") < 10, dims=_BUCKET_DIMS, k=3)
 
 
 # --------------------------------------------------------------------------
@@ -644,20 +516,42 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    dot = (
-        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    return cosine_pairs(emb, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# Top-k tokens per language — explode → count → ranked window, the
+# vocabulary-inspection query every corpus pipeline runs.
+# --------------------------------------------------------------------------
+@register(
+    "top_tokens_per_lang",
+    oracle="""
+        SELECT lang, tok, n_occurrences, rank
+        FROM (
+            SELECT lang, tok, n_occurrences,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n_occurrences DESC, tok) AS rank
+            FROM (
+                SELECT lang, tok, COUNT(*) AS n_occurrences
+                FROM (
+                    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+                )
+                GROUP BY lang, tok
+            )
+        )
+        WHERE rank <= 3
+    """,
+    tags=("llm", "text", "topk"),
+)
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
-    norm = (
-        "sqrt(aggregate(transform({0}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-    )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = (F.expr(dot) / (F.expr(norm.format("ea")) * F.expr(norm.format("eb")))).alias("cosine")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_occurrences"), F.asc("tok"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos)
-        .filter(F.col("cosine") >= 0.5)
-        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+        counts.select("lang", "tok", "n_occurrences", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
     )

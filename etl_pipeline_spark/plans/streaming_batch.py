@@ -150,3 +150,45 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join (event-sequence form): for each purchase, the same user's most
+# recent prior 'view' — the classic point-in-time lookup Spark lacks as a
+# builtin, expressed as a conditional running-max window (no join at all;
+# one window scan). ts stays int64 ns → tz-proof, exact.
+# --------------------------------------------------------------------------
+@register(
+    "asof_purchase_last_view",
+    oracle="""
+        SELECT event_id, user_id,
+               (t - last_view_t) // 1000000000 AS seconds_since_view
+        FROM (
+            SELECT event_id, user_id, event_type, epoch_ns(ts) AS t,
+                   MAX(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_view_t
+            FROM events
+        )
+        WHERE event_type = 'purchase' AND last_view_t IS NOT NULL
+    """,
+    tags=("streaming", "window", "asof"),
+)
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts", last_view.alias("last_view_t"))
+        .filter((F.col("event_type") == "purchase") & F.col("last_view_t").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("(ts - last_view_t) div 1000000000").alias("seconds_since_view"),
+        )
+    )
