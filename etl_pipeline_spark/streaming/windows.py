@@ -98,3 +98,36 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def stream_to_table(
+    stream_df: DataFrame,
+    table: str,
+    mode: str = "append",
+    query_name: str = "stream_load",
+    checkpoint: str | None = None,
+):
+    """Streaming → write-mode sink via foreachBatch: each micro-batch goes
+    through the same checked writers as batch loads (sinks/writers.py), so
+    the streaming path inherits schema checking and namespace refusal. Use
+    mode='truncate_and_load' with complete-output aggregations, 'append'
+    with append-output streams."""
+    from etl_pipeline_spark.sinks.writers import append as append_sink
+    from etl_pipeline_spark.sinks.writers import truncate_and_load
+
+    sink = {"append": append_sink, "truncate_and_load": truncate_and_load}[mode]
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink(batch_df, table)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .queryName(query_name)
+        .outputMode("update" if mode == "truncate_and_load" else "append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q

@@ -26,3 +26,28 @@ def test_session_stream_shape(spark):
     got = run_available_now(sessionized(stream), "session_test")
     assert got.count() > 0
     assert set(got.columns) == {"user_id", "session_start_epoch", "n_events", "total_value"}
+
+
+def test_stream_to_table_append(spark, tmp_path):
+    from etl_pipeline_spark.streaming.windows import stream_to_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS stream_sink_db")
+    try:
+        src = tmp_path / "src"
+        for i in range(2):
+            spark.createDataFrame(
+                [(i * 10 + j, f"v{j}") for j in range(5)], "id bigint, name string"
+            ).coalesce(1).write.mode("overwrite").parquet(str(src / f"f{i}"))
+        stream = (
+            spark.readStream.schema("id bigint, name string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        stream_to_table(
+            stream, "stream_sink_db.loaded", mode="append",
+            checkpoint=str(tmp_path / "ckpt"), query_name="s2t_test",
+        )
+        out = spark.table("stream_sink_db.loaded")
+        assert out.count() == 10  # both micro-batches appended through the checked sink
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS stream_sink_db CASCADE")
