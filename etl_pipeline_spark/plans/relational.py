@@ -699,3 +699,106 @@ def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Order-priority checking (TPC-H Q4 shape): EXISTS-gated counts — pure
+# count aggregation, hash-exact (no float arithmetic at all).
+# --------------------------------------------------------------------------
+@register(
+    "q4_order_priority_check",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("CAST('1996-07-01 00:00:00' AS TIMESTAMP_NTZ)"))
+        & (F.col("o_orderdate") < F.expr("CAST('1996-10-01 00:00:00' AS TIMESTAMP_NTZ)"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# Shipping-mode buckets (TPC-H Q12 shape): conditional counts by priority
+# class — CASE-WHEN aggregation, hash-exact.
+# --------------------------------------------------------------------------
+@register(
+    "q12_priority_class_counts",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_linestatus
+    """,
+    tags=("join", "agg", "conditional"),
+)
+def q12_priority_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("CAST('1997-01-01 00:00:00' AS TIMESTAMP_NTZ)"))
+        & (F.col("l_shipdate") < F.expr("CAST('1998-01-01 00:00:00' AS TIMESTAMP_NTZ)"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Promotion revenue share (TPC-H Q14 shape): a ratio of conditional sums —
+# one rounded scalar output.
+# --------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+        SELECT ROUND(
+                   100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0 END)
+                   / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    tags=("join", "agg"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("CAST('1997-03-01 00:00:00' AS TIMESTAMP_NTZ)"))
+        & (F.col("l_shipdate") < F.expr("CAST('1997-04-01 00:00:00' AS TIMESTAMP_NTZ)"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
