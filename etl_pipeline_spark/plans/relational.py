@@ -802,3 +802,23 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate distinct (HyperLogLog++) — the cardinality sketch a metrics
+# layer uses at 100 TB where exact COUNT(DISTINCT) would shuffle every key.
+# Approximate by design → no cell-exact oracle; registered rows-only (the
+# driver records the weaker check) and accuracy-bounded in pytest against
+# the exact count (rel_error <= 0.05 declared, asserted at 2x margin).
+# --------------------------------------------------------------------------
+@register(
+    "approx_distinct_users",
+    oracle=None,
+    tags=("agg", "approx", "rows-only"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

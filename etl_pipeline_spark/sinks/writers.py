@@ -114,3 +114,32 @@ def write_json_collection(df: DataFrame, path: str, mode: str = "overwrite") -> 
     """K7: JSON file sink (the GeoJSON-at-the-edge analog; columnar formats
     stay the internal representation)."""
     df.write.mode(mode).json(path)
+
+
+def write_geojson_seq(
+    df: DataFrame,
+    path: str,
+    geom_type_col: str = "geom_type",
+    coordinates_json_col: str = "coordinates_json",
+    mode: str = "overwrite",
+) -> None:
+    """K7, faithful form: newline-delimited GeoJSON (RFC 8142 GeoJSONSeq) —
+    one Feature per line, written in parallel by executors. Properties are
+    every column except the geometry pair. A single FeatureCollection file
+    would serialize through the driver; GeoJSONSeq is the scale-correct
+    edge format and every modern GIS reader accepts it."""
+    from pyspark.sql import functions as F
+
+    prop_cols = [c for c in df.columns if c not in (geom_type_col, coordinates_json_col)]
+    # the coordinates column is already JSON — splice it in verbatim instead
+    # of escape-mangling it through to_json
+    line = F.concat(
+        F.lit('{"type":"Feature","properties":'),
+        F.to_json(F.struct(*[F.col(c) for c in prop_cols])),
+        F.lit(',"geometry":{"type":"'),
+        F.col(geom_type_col),
+        F.lit('","coordinates":'),
+        F.col(coordinates_json_col),
+        F.lit("}}"),
+    )
+    df.select(line.alias("value")).write.mode(mode).text(path)

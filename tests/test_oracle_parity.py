@@ -28,3 +28,21 @@ def test_entry_smoke(spark):
     rows = out.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+def test_approx_distinct_accuracy(spark, duck):
+    """approx_count_distinct has no cell-exact oracle; bound its relative
+    error against the exact count instead (declared rsd=0.05, 2x margin)."""
+    from etl_pipeline_spark.plans.registry import REGISTRY
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in REGISTRY["approx_distinct_users"].spark_fn(spark, SF_DIR).collect()
+    }
+    exact = dict(
+        duck.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) / ex <= 0.10, (et, approx[et], ex)

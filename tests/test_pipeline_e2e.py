@@ -159,3 +159,44 @@ def test_run_summary_dump():
     assert "✅ done: 2" in dump and "❌ error: 1" in dump
     with pytest.raises(ValueError):
         s.log("x", "y", "weird")
+
+
+class FakeOgcTransport:
+    def get_json(self, url, params=None):
+        base = "https://api/ogc"
+        if url == f"{base}/collections":
+            return {"collections": [{"id": "lakes"}, {"id": "roads"}]}
+        if "/collections/lakes/items" in url:
+            if "next" in url:
+                return {"features": [
+                    {"type": "Feature", "properties": {"fid": 2, "namn": "Östersjön"},
+                     "geometry": {"type": "Point", "coordinates": [18.5, 59.4]}}], "links": []}
+            return {
+                "features": [
+                    {"type": "Feature", "properties": {"fid": 1, "namn": "Vänern"},
+                     "geometry": {"type": "Point", "coordinates": [13.2, 58.9]}}],
+                "links": [{"rel": "next", "href": "items?next=1"}],
+            }
+        raise AssertionError(url)
+
+    def head_headers(self, url):
+        return {}
+
+
+def test_pipeline_ogc_source(spark, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS prod_ogc")
+    try:
+        cfg = PipelineConfig(landing_dir=str(tmp_path / "landing"), production_db="prod_ogc",
+                             target_epsg=3006)
+        pipe = Pipeline(spark, cfg, transport=FakeOgcTransport())
+        src = SourceConfig(name="Sjöar", authority="NVV", type="ogc_api",
+                           url="https://api/ogc", include=("lakes",))
+        summary = pipe.run([src])
+        assert summary.counters("load")["done"] == 1
+        out = spark.table("prod_ogc.nvv_sjoar_lakes")
+        rows = {r.fid: r for r in out.collect()}
+        assert set(rows) == {1, 2}  # link-rel pagination followed
+        assert rows[1].namn == "Vänern"
+        assert 100_000 < rows[1].x_out < 1_000_000  # reprojected to SWEREF99 TM
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS prod_ogc CASCADE")

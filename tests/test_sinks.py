@@ -68,3 +68,28 @@ def test_json_sink(spark, tmp_path):
     back = spark.read.json(p)
     assert back.count() == 1
     assert {r.name for r in back.collect()} == {"å"}
+
+
+def test_geojson_seq_sink_roundtrip(spark, tmp_path):
+    import json as _json
+
+    from etl_pipeline_spark.sinks.writers import write_geojson_seq
+
+    df = spark.createDataFrame(
+        [
+            (1, 'Åkers "citat" väg', "Point", "[18.3,59.5]"),
+            (2, "Polygonia", "Polygon", "[[[0,0],[1,0],[1,1],[0,0]]]"),
+        ],
+        "id bigint, name string, geom_type string, coordinates_json string",
+    )
+    out = str(tmp_path / "features.geojsonl")
+    write_geojson_seq(df, out)
+    lines = [
+        _json.loads(l)
+        for f in __import__("pathlib").Path(out).glob("part-*")
+        for l in f.read_text(encoding="utf-8").splitlines()
+    ]
+    by_id = {f["properties"]["id"]: f for f in lines}
+    assert by_id[1]["geometry"] == {"type": "Point", "coordinates": [18.3, 59.5]}
+    assert by_id[1]["properties"]["name"] == 'Åkers "citat" väg'
+    assert by_id[2]["geometry"]["coordinates"] == [[[0, 0], [1, 0], [1, 1], [0, 0]]]
