@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
         llm,
         relational,
         streaming_batch,
+        tpch_extended,
     )
 
     _LOADED = True
