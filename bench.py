@@ -23,6 +23,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q18_large_volume_customers",
+    "q21_waiting_supplier",
     "lookup_enrich_customers",
     "agg_metrics_summary",
     "window_rank_running",

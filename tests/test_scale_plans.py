@@ -94,3 +94,35 @@ def test_bucketed_join_is_shuffle_free(spark, bucketed_db):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_q7_dimensions_broadcast(spark):
+    """Q7: supplier + both nation aliases broadcast; the only SortMergeJoins
+    are the fact-side lineitem/orders/customer chain."""
+    plan = _plan(spark, REGISTRY["q7_volume_shipping"].spark_fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, n1, n2
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q18_having_filter_before_rejoin(spark):
+    """Q18: the HAVING aggregate qualifies few orderkeys; they must come back
+    as a broadcast semi-join against orders, not a shuffled one."""
+    plan = _plan(spark, REGISTRY["q18_large_volume_customers"].spark_fn(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan  # top-100 never global-sorts
+
+
+def test_q21_anti_and_semi_probe(spark):
+    """Q21 adapted: the EXISTS/NOT EXISTS pair plans as one semi and one
+    anti join — no cartesian fallback."""
+    plan = _plan(spark, REGISTRY["q21_waiting_supplier"].spark_fn(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_preserved(spark):
+    """Q13: the ON-clause predicate must not collapse the outer join to
+    inner (zero-order customers carry c_count=0)."""
+    plan = _plan(spark, REGISTRY["q13_customer_distribution"].spark_fn(spark, SF_DIR))
+    assert "LeftOuter" in plan
