@@ -37,6 +37,7 @@ HEADLINE = [
     "simhash_fingerprints",
     "ann_cosine_topk",
     "ann_bucketed_sign_lsh",
+    "ann_ivf_topk",
     "text_quality_scores",
     "events_tumbling_1h",
     "events_sessionize_30m",

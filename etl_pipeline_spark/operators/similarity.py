@@ -4,18 +4,28 @@ Cosine math is built-in higher-order functions (`zip_with`/`aggregate`) in
 double precision — JVM-side, left-to-right fold, bit-reproducible (and
 matched by the DuckDB oracles in plans/llm.py).
 
-Two search paths:
+Three search paths:
 - `cosine_topk`: brute force — broadcast the (small) query set against the
   partitioned corpus; exact, O(|q|·|corpus|).
 - `sign_lsh_topk`: search only within sign-quantization buckets — the
   approximate scale path; the bucket id is the shuffle/partition key.
+- `ivf_topk`: inverted-file index — spherical k-means coarse quantizer
+  trained on a bounded sample, centroids broadcast, corpus partitioned by
+  nearest-centroid cell, search probes only the query's `nprobe` nearest
+  cells. The FAISS IVF-Flat architecture re-expressed in DataFrame ops.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from etl_pipeline_spark.utils.udfpickle import pickle_module_by_value
+
+pickle_module_by_value(__name__)
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -115,4 +125,138 @@ def cosine_pairs(
         .select("vec_a", "vec_b", cos)
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) index — the 100 TB similarity-search architecture.
+#
+# Training: the coarse quantizer is spherical k-means on a BOUNDED sample
+# (the standard IVF recipe — FAISS trains on a sample too), so training
+# cost is O(sample · ncells · iters) regardless of corpus size, and the
+# centroid matrix (ncells × dim doubles) broadcasts to every executor.
+# Assignment + probing are Arrow-batched NumPy matmuls (one BLAS call per
+# batch, never per-row Python). The cell id becomes the corpus partition
+# key: at scale, write the corpus bucketed/partitioned by cell once, then
+# every query touches only nprobe/ncells of the data.
+# --------------------------------------------------------------------------
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncells: int = 8,
+    sample_limit: int = 4096,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Deterministic spherical k-means centroids from a bounded sample.
+
+    The sample is the first `sample_limit` rows by id (deterministic across
+    runs/partitionings); init is evenly-spaced sample rows (no RNG, so the
+    index is reproducible — the engine's determinism rule). Lloyd updates
+    run in NumPy on the driver: the sample is bounded, never the corpus.
+    """
+    sample = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample_limit)
+        .toPandas()
+    )
+    x = _normalize_rows(np.vstack(sample["v"].to_numpy()).astype(np.float64))
+    n = len(x)
+    ncells = min(ncells, n)
+    cents = x[np.linspace(0, n - 1, ncells).astype(int)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(ncells):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize_rows(cents)
+    return cents.tolist()
+
+
+def _cell_udfs(centroids: list[list[float]], nprobe: int):
+    """Build (assign_cell, probe_cells) pandas UDFs closing over the
+    centroid matrix — shipped by value inside the closure (no executor-side
+    state, no fit/predict server round-trips)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        x = _normalize_rows(np.vstack(vecs.to_numpy()).astype(np.float64))
+        return pd.Series(np.argmax(x @ cents.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        x = _normalize_rows(np.vstack(vecs.to_numpy()).astype(np.float64))
+        sims = x @ cents.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return assign_cell, probe_cells
+
+
+def assign_ivf_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Corpus + nearest-centroid cell id (the partition key at scale)."""
+    assign_cell, _ = _cell_udfs(centroids, nprobe=1)
+    return corpus.withColumn(out_col, assign_cell(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_filter: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncells: int = 8,
+    nprobe: int = 2,
+    k: int = 3,
+    sample_limit: int = 4096,
+) -> DataFrame:
+    """Approximate top-k: probe the query's `nprobe` nearest cells only.
+
+    Plan shape: queries explode to (query, probe_cell) — nprobe rows each —
+    then equi-join the cell-assigned corpus on cell id (the shuffle key;
+    with a cell-partitioned corpus this is a pruned scan, not a shuffle),
+    exact cosine inside candidates, window top-k per query.
+    `nprobe == ncells` degrades gracefully to exact brute force.
+    """
+    centroids = train_ivf_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, ncells=ncells, sample_limit=sample_limit
+    )
+    assign_cell, probe_cells = _cell_udfs(centroids, nprobe=nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ce"),
+        assign_cell(F.col(vec_col)).alias("cell"),
+    )
+    q = (
+        corpus.filter(query_filter)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qe"),
+            probe_cells(F.col(vec_col)).alias("probes"),
+        )
+        .select("query_id", "qe", F.explode("probes").alias("cell"))
+    )
+    scored = F.broadcast(q).join(
+        c, (q.cell == c.cell) & (F.col("neighbor_id") != F.col("query_id"))
+    ).select("query_id", "neighbor_id", cosine_expr("qe", "ce").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "cosine")
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )

@@ -39,7 +39,12 @@ from etl_pipeline_spark.operators.dedup import (
     minhash_signatures,
     shingles,
 )
-from etl_pipeline_spark.operators.similarity import cosine_pairs, cosine_topk, sign_lsh_topk
+from etl_pipeline_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+    sign_lsh_topk,
+)
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
 
@@ -333,6 +338,25 @@ _BUCKET_DUCK = " + ".join(
 def ann_bucketed_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sign_lsh_topk(emb, F.col("vec_id") < 10, dims=_BUCKET_DIMS, k=3)
+
+
+# --------------------------------------------------------------------------
+# ANN, IVF (scale path #2): spherical-k-means coarse quantizer trained on a
+# bounded deterministic sample; queries probe their nprobe nearest cells
+# only. At 100 TB the corpus is written partitioned by cell id, so a query
+# batch scans nprobe/ncells of the data instead of all of it. The quantizer
+# is not SQL-expressible → rows-only driver check; recall vs the exact
+# brute-force path is asserted in tests/test_similarity_ivf.py (full-probe
+# equivalence + planted-pair recall).
+# --------------------------------------------------------------------------
+@register(
+    "ann_ivf_topk",
+    oracle=None,
+    tags=("llm", "similarity", "ivf", "rows-only"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, F.col("vec_id") < 10, ncells=8, nprobe=2, k=3)
 
 
 # --------------------------------------------------------------------------
