@@ -192,3 +192,59 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(ts - last_view_t) div 1000000000").alias("seconds_since_view"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Interval (range) join — click attribution: clicks by the same user within
+# the hour before each purchase. A naive range predicate would plan as a
+# nested-loop join; operators/rangejoin.py turns it into a hash equi-join on
+# (user, time-bin) with the exact range as residual — the Flink-interval-
+# join / Databricks-range-join strategy in plain DataFrame ops. Oracle is
+# the naive theta join (DuckDB handles sf0.01 fine; Spark gets the plan
+# that survives 100 TB).
+# --------------------------------------------------------------------------
+@register(
+    "range_join_click_attribution",
+    oracle=f"""
+        SELECT p.event_id AS purchase_id,
+               CAST(COUNT(*) AS BIGINT) AS n_clicks,
+               ROUND(SUM(c.value), 2)   AS click_value
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND epoch_ns(c.ts) >= epoch_ns(p.ts) - {_HOUR_NS}
+         AND epoch_ns(c.ts) <= epoch_ns(p.ts)
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1
+    """,
+    tags=("streaming", "rangejoin"),
+)
+def range_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.rangejoin import bucketed_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    joined = bucketed_interval_join(
+        purchases,
+        clicks,
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lower_offset=-_HOUR_NS,
+        upper_offset=0,
+        bucket_width=_HOUR_NS,
+        equi_keys=(("p_user", "c_user"),),
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+        F.round(F.sum("c_value"), 2).alias("click_value"),
+    )

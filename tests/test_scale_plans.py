@@ -126,3 +126,14 @@ def test_q13_outer_join_preserved(spark):
     inner (zero-order customers carry c_count=0)."""
     plan = _plan(spark, REGISTRY["q13_customer_distribution"].spark_fn(spark, SF_DIR))
     assert "LeftOuter" in plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The bucketed interval join must plan as a hash/sort-merge equi-join —
+    a raw range predicate would fall back to BroadcastNestedLoopJoin."""
+    plan = _plan(spark, REGISTRY["range_join_click_attribution"].spark_fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
