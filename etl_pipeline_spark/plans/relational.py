@@ -822,3 +822,43 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS — the explicit-set sibling of ROLLUP/CUBE: exactly the
+# (status,priority), (status), (priority) groupings, no grand total. One
+# pass, one expand+shuffle; the reference's per-phase AND per-status
+# counters in a single plan.
+# --------------------------------------------------------------------------
+@register(
+    "grouping_sets_status_priority",
+    oracle="""
+        SELECT COALESCE(o_orderstatus, '<any>')   AS status,
+               COALESCE(o_orderpriority, '<any>') AS priority,
+               CAST(COUNT(*) AS BIGINT)           AS n_orders,
+               ROUND(SUM(o_totalprice), 2)        AS total_value
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+    """,
+    tags=("agg", "grouping_sets"),
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<any>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<any>")).alias("priority"),
+            "n_orders",
+            "total_value",
+        )
+    )

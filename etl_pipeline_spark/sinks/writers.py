@@ -143,3 +143,48 @@ def write_geojson_seq(
         F.lit("}}"),
     )
     df.select(line.alias("value")).write.mode(mode).text(path)
+
+
+def merge_upsert(
+    updates: DataFrame, table: str, key_cols: list[str], partition_by: list[str] | None = None
+) -> LoadReport:
+    """Beyond-reference write mode: MERGE (upsert) — rows whose key matches
+    are replaced by the update row, new keys are inserted, unmatched target
+    rows are kept.
+
+    Logical plan: target ⟕anti updates (survivors) ∪ updates → overwrite —
+    exactly what ``MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT`` compiles to without a transactional table format. The merged
+    relation is staged to a sibling table first because Spark cannot
+    overwrite a file-based table it is reading in the same job; an ACID
+    format (Delta/Iceberg) would replace the staging hop with file-level
+    rewrites + skipping, same semantics. At 100 TB, partition the table by
+    a key-derived column so the anti join and the rewrite prune to touched
+    partitions.
+    """
+    spark = updates.sparkSession
+    _require_database(spark, table)
+    if not key_cols:
+        raise ValueError("merge_upsert requires at least one key column")
+    if not spark.catalog.tableExists(table):
+        return replace(updates, table, partition_by)
+    target = spark.table(table)
+    if set(target.columns) != set(updates.columns):
+        raise ValueError(
+            f"merge_upsert into {table}: column mismatch updates={sorted(updates.columns)} "
+            f"table={sorted(target.columns)}"
+        )
+    missing = set(key_cols) - set(updates.columns)
+    if missing:
+        raise ValueError(f"merge_upsert into {table}: key columns missing {sorted(missing)}")
+    survivors = target.join(updates, on=list(key_cols), how="leftanti")
+    merged = survivors.select(*target.columns).unionByName(updates.select(*target.columns))
+    staging = f"{table}__merge_staging"
+    merged.write.mode("overwrite").saveAsTable(staging)
+    try:
+        staged = spark.table(staging)
+        rows = staged.count()
+        staged.select(*target.columns).write.insertInto(table, overwrite=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    return LoadReport(table, "merge_upsert", rows, tuple(target.columns))

@@ -93,3 +93,33 @@ def test_geojson_seq_sink_roundtrip(spark, tmp_path):
     assert by_id[1]["geometry"] == {"type": "Point", "coordinates": [18.3, 59.5]}
     assert by_id[1]["properties"]["name"] == 'Åkers "citat" väg'
     assert by_id[2]["geometry"]["coordinates"] == [[[0, 0], [1, 0], [1, 1], [0, 0]]]
+
+
+def test_merge_upsert(spark, db):
+    from etl_pipeline_spark.sinks.writers import merge_upsert
+
+    t = f"{db}.fc_merge"
+    replace(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    rep = merge_upsert(_df(spark, [(2, "B2"), (4, "d")]), t, key_cols=["id"])
+    assert rep.mode == "merge_upsert" and rep.rows == 4
+    got = sorted((r.id, r.name) for r in spark.table(t).collect())
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+    # staging table cleaned up
+    assert not spark.catalog.tableExists(f"{t}__merge_staging")
+
+
+def test_merge_upsert_guards(spark, db):
+    from etl_pipeline_spark.sinks.writers import merge_upsert
+
+    t = f"{db}.fc_merge_guard"
+    replace(_df(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="key column"):
+        merge_upsert(_df(spark, [(1, "x")]), t, key_cols=[])
+    with pytest.raises(ValueError, match="column mismatch"):
+        merge_upsert(
+            spark.createDataFrame([(1,)], "id bigint"), t, key_cols=["id"]
+        )
+    # creating a brand-new table through merge degrades to replace
+    t2 = f"{db}.fc_merge_new"
+    merge_upsert(_df(spark, [(9, "z")]), t2, key_cols=["id"])
+    assert [(r.id, r.name) for r in spark.table(t2).collect()] == [(9, "z")]

@@ -3,6 +3,8 @@ must equal the DuckDB-oracle-checked batch plans (the semantics contract)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_pipeline_spark.plans.streaming_batch import events_tumbling_1h
 from etl_pipeline_spark.streaming.windows import (
     events_stream,
@@ -51,3 +53,47 @@ def test_stream_to_table_append(spark, tmp_path):
         assert out.count() == 10  # both micro-batches appended through the checked sink
     finally:
         spark.sql("DROP DATABASE IF EXISTS stream_sink_db CASCADE")
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """The watermarked stream-stream interval join must emit exactly the
+    pairs the batch bucketed interval join produces."""
+    from etl_pipeline_spark.operators.rangejoin import bucketed_interval_join
+    from etl_pipeline_spark.sources.star import load_table
+    from etl_pipeline_spark.streaming.joins import (
+        clicks_before_purchases,
+        run_available_now_append,
+    )
+
+    stream = events_stream(spark, SF_DIR)
+    got = (
+        run_available_now_append(clicks_before_purchases(stream), "ssj_test")
+        .select("purchase_id", "click_time", "click_value")
+        .toPandas()
+    )
+
+    hour_ns = 3_600_000_000_000
+    ev = load_table(spark, SF_DIR, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+    want = (
+        bucketed_interval_join(
+            purchases, clicks, "p_ts", "c_ts", -hour_ns, 0, hour_ns,
+            equi_keys=(("p_user", "c_user"),),
+        )
+        .select(
+            "purchase_id",
+            F.timestamp_micros(F.expr("c_ts div 1000")).alias("click_time"),
+            "click_value",
+        )
+        .toPandas()
+    )
+    assert canonicalize(got).equals(canonicalize(want))
