@@ -70,6 +70,7 @@ def _ensure_loaded() -> None:
         kernel,
         llm,
         relational,
+        sql_surface,
         streaming_batch,
         tpch_extended,
     )

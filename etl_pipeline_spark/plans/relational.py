@@ -862,3 +862,36 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Array aggregation roundtrip — collect_set → sort_array → string join: the
+# "gather a small set per group" shape (the reference gathers per-source
+# file lists, etl/loaders/filegdb.py:243-278). Emitted as a joined string
+# so the value hash is representation-independent across engines.
+# --------------------------------------------------------------------------
+@register(
+    "collect_order_years",
+    oracle="""
+        SELECT c_custkey,
+               array_to_string(list_sort(list_distinct(list(
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)))), ',')
+                   AS order_years
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE c_custkey < 100
+        GROUP BY c_custkey
+    """,
+    tags=("agg", "array"),
+)
+def collect_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set(F.year("o_orderdate").cast("bigint")))
+            ).alias("order_years")
+        )
+    )

@@ -137,3 +137,11 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_sql_not_in_plans_as_single_broadcast_anti(spark):
+    """NOT IN must become one broadcast anti join (Spark's null-aware anti
+    join path) — not a nested loop, and the fallback cartesian is banned."""
+    plan = _plan(spark, REGISTRY["sql_not_in_null_aware"].spark_fn(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
