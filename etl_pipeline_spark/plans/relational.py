@@ -895,3 +895,83 @@ def collect_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("order_years")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RANGE-frame window — value-based frame (trailing 90 days by ORDER BY
+# value, not row count): the moving-aggregate shape rows-frames can't
+# express when rows are unevenly spaced. Sort key is epoch DAYS (integer,
+# tz-proof) so both engines share frame arithmetic exactly.
+# --------------------------------------------------------------------------
+@register(
+    "window_range_trailing_spend",
+    oracle="""
+        SELECT o_custkey, o_orderkey, epoch_day,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY epoch_day
+                   RANGE BETWEEN 90 PRECEDING AND CURRENT ROW), 2)
+                   AS trailing_90d_spend
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                                  o_orderdate) AS BIGINT) AS epoch_day
+            FROM orders
+        )
+        WHERE o_custkey < 150
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 150)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz"))
+            .cast("bigint")
+            .alias("epoch_day"),
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_day")
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "epoch_day",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution windows — NTILE quartiles + PERCENT_RANK + CUME_DIST over
+# account balance per nation: the analytics-ranking triple in one window
+# pass (single sort per partition).
+# --------------------------------------------------------------------------
+@register(
+    "window_balance_distribution",
+    oracle="""
+        SELECT c_nationkey, c_custkey,
+               CAST(NTILE(4) OVER w AS BIGINT)        AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6)        AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6)           AS cume
+        FROM customer
+        WHERE c_nationkey < 5
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "distribution"),
+)
+def window_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

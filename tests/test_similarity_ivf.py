@@ -59,3 +59,22 @@ def test_quantizer_deterministic_and_partitions_all(spark):
     cells = assign_ivf_cells(emb, c1).groupBy("cell").count().collect()
     assert sum(r["count"] for r in cells) == emb.count()
     assert all(0 <= r.cell < 8 for r in cells)
+
+
+def test_cell_partitioned_corpus_prunes_scan(spark, tmp_path):
+    """The 100 TB layout: corpus written partitioned by IVF cell. A probe
+    that filters on cell ids must show partition pruning in the scan (only
+    nprobe/ncells of the files read), not a full-corpus scan."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = train_ivf_centroids(emb, ncells=8)
+    path = str(tmp_path / "emb_by_cell")
+    assign_ivf_cells(emb, cents).write.partitionBy("cell").mode("overwrite").parquet(path)
+
+    probed = spark.read.parquet(path).filter(F.col("cell").isin(2, 5))
+    plan = probed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part_filters  # pruning happens at planning, not runtime
+    cells_read = {r.cell for r in probed.select("cell").distinct().collect()}
+    assert cells_read <= {2, 5}
