@@ -498,3 +498,66 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations (operators/expectations.py) — the engine form
+# of the reference's scattered imperative validation (mapping checks
+# etl/mapping.py:242-268, pre-load Exists/GetCount etl/pipeline.py:633-651):
+# each check yields its violating rows; the union is the quarantine
+# relation. Violations are synthesized deterministically (FK parent set
+# restricted to p_size <= 25; price range capped at 450k) since the
+# testdata's real constraints all hold.
+# --------------------------------------------------------------------------
+@register(
+    "expectations_violation_counts",
+    oracle="""
+        WITH fk AS (
+            SELECT COUNT(*) AS n FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 25)
+        ),
+        rng AS (
+            SELECT COUNT(*) AS n FROM orders
+            WHERE NOT (o_totalprice BETWEEN 0 AND 450000)
+        ),
+        uni AS (
+            SELECT COUNT(*) AS n
+            FROM orders
+            JOIN (
+                SELECT o_custkey, o_orderdate FROM orders
+                GROUP BY 1, 2 HAVING COUNT(*) > 1
+            ) d USING (o_custkey, o_orderdate)
+        )
+        SELECT 'fk_part' AS check_name, CAST(n AS BIGINT) AS n_violations FROM fk
+        UNION ALL
+        SELECT 'range_totalprice', CAST(n AS BIGINT) FROM rng
+        UNION ALL
+        SELECT 'unique_cust_day', CAST(n AS BIGINT) FROM uni
+    """,
+    tags=("kernel", "validation", "expectations"),
+)
+def expectations_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.expectations import (
+        check_foreign_key,
+        check_range,
+        check_unique,
+        union_violations,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "row_id", F.col("l_orderkey") * 100 + F.col("l_linenumber")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    orders = load_table(spark, sf_dir, "orders").withColumn("row_id", F.col("o_orderkey"))
+    checks = {
+        "fk_part": check_foreign_key(li, "l_partkey", part, "p_partkey"),
+        "range_totalprice": check_range(
+            orders, F.col("o_totalprice").between(0, 450000)
+        ),
+        "unique_cust_day": check_unique(orders, ["o_custkey", "o_orderdate"]),
+    }
+    return (
+        union_violations(checks, "row_id")
+        .groupBy(F.col("check").alias("check_name"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+    )

@@ -131,3 +131,47 @@ def stream_to_table(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def stream_merge_to_table(
+    stream_df: DataFrame,
+    table: str,
+    key_cols: list[str],
+    query_name: str = "stream_merge",
+    checkpoint: str | None = None,
+):
+    """Streaming upsert (the CDC-apply pattern): every micro-batch merges
+    into the target through sinks.merge_upsert — matched keys update,
+    new keys insert. Within a batch, later rows win per key (batches can
+    carry several changes for one key), deduped by a keep-last window
+    BEFORE the merge so the upsert sees one row per key.
+
+    At scale this is the standard change-stream materializer; with an ACID
+    table format the same foreachBatch body calls MERGE INTO directly.
+    """
+    from pyspark.sql.window import Window
+
+    from etl_pipeline_spark.sinks.writers import merge_upsert
+
+    def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        w = Window.partitionBy(*key_cols).orderBy(F.monotonically_increasing_id().desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        merge_upsert(latest, table, key_cols)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply_batch)
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q

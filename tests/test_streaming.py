@@ -97,3 +97,32 @@ def test_stream_stream_interval_join_equals_batch(spark):
         .toPandas()
     )
     assert canonicalize(got).equals(canonicalize(want))
+
+
+def test_stream_merge_upsert_cdc(spark, tmp_path):
+    """Two micro-batches with overlapping keys stream-merge into a table:
+    final state is one row per key with the latest value."""
+    from etl_pipeline_spark.streaming.windows import stream_merge_to_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS cdc_db")
+    try:
+        src = tmp_path / "cdc_src"
+        spark.createDataFrame(
+            [(1, "a0"), (2, "b0")], "id bigint, val string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+        spark.createDataFrame(
+            [(2, "b1"), (3, "c0")], "id bigint, val string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+        stream = (
+            spark.readStream.schema("id bigint, val string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        stream_merge_to_table(
+            stream, "cdc_db.materialized", key_cols=["id"],
+            checkpoint=str(tmp_path / "cdc_ckpt"),
+        )
+        got = sorted((r.id, r.val) for r in spark.table("cdc_db.materialized").collect())
+        assert got == [(1, "a0"), (2, "b1"), (3, "c0")]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS cdc_db CASCADE")
