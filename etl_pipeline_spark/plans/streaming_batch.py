@@ -248,3 +248,55 @@ def range_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
         F.round(F.sum("c_value"), 2).alias("click_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Resample + forward fill (operators/timeseries.py) — per-user 6h activity
+# grid, last observed `value` carried forward across silent buckets. Grid
+# math in epoch seconds (bucket_start = bucket * step), deterministic
+# last-observation ties broken by event_id.
+# --------------------------------------------------------------------------
+_H6_NS = 21_600_000_000_000
+
+
+@register(
+    "resample_ffill_user_6h",
+    oracle=f"""
+        WITH obs AS (
+            SELECT user_id, epoch_ns(ts) // {_H6_NS} AS bucket, value
+            FROM (
+                SELECT user_id, ts, value, event_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, epoch_ns(ts) // {_H6_NS}
+                           ORDER BY epoch_ns(ts) // 1000000000 DESC, event_id DESC) AS rn
+                FROM events
+                WHERE user_id < 40
+            )
+            WHERE rn = 1
+        ),
+        spans AS (
+            SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM obs GROUP BY 1
+        ),
+        grid AS (
+            SELECT user_id, unnest(generate_series(lo, hi)) AS bucket FROM spans
+        )
+        SELECT user_id,
+               bucket * 21600 AS bucket_start,
+               ROUND(last_value(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value
+        FROM grid LEFT JOIN obs USING (user_id, bucket)
+    """,
+    tags=("streaming", "timeseries", "window"),
+)
+def resample_ffill_user_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.timeseries import resample_ffill
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", (F.col("ts") / 1_000_000_000).cast("bigint").alias("ts_s"),
+                "value", "event_id")
+    )
+    out = resample_ffill(ev, "user_id", "ts_s", "value", step=21_600, order_col="event_id")
+    return out.select("user_id", "bucket_start", F.round("value", 2).alias("value"))

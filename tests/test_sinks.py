@@ -123,3 +123,19 @@ def test_merge_upsert_guards(spark, db):
     t2 = f"{db}.fc_merge_new"
     merge_upsert(_df(spark, [(9, "z")]), t2, key_cols=["id"])
     assert [(r.id, r.name) for r in spark.table(t2).collect()] == [(9, "z")]
+
+
+def test_compact_table(spark, db):
+    from etl_pipeline_spark.sinks.maintenance import compact_table
+
+    t = f"{db}.fc_fragmented"
+    df = spark.range(0, 10000).selectExpr("id", "id % 7 AS grp")
+    df.repartition(16).write.mode("overwrite").saveAsTable(t)
+    assert len(spark.table(t).inputFiles()) == 16
+    rep = compact_table(spark, t, target_file_bytes=1 << 30)
+    assert rep.files_before == 16 and rep.files_after == 1
+    assert spark.table(t).count() == 10000
+    assert not spark.catalog.tableExists(f"{t}__compact_staging")
+    # already compact → no-op
+    rep2 = compact_table(spark, t, target_file_bytes=1 << 30)
+    assert rep2.files_after == rep2.files_before == 1
