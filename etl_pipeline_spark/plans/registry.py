@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
     from etl_pipeline_spark.plans import (  # noqa: F401
         kernel,
         llm,
+        multimodal_plan,
         relational,
         sql_surface,
         streaming_batch,
