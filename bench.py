@@ -39,8 +39,11 @@ HEADLINE = [
     "ann_bucketed_sign_lsh",
     "ann_ivf_topk",
     "text_quality_scores",
+    "multimodal_decode_features",
     "events_tumbling_1h",
     "events_sessionize_30m",
+    "range_join_click_attribution",
+    "resample_ffill_user_6h",
 ]
 
 
