@@ -1,0 +1,110 @@
+"""Distributed connected components — dedup cluster assignment.
+
+Near-dup detection (MinHash-LSH, n-gram Jaccard, embedding cosine) emits
+*pairs*; turning pairs into keep/drop decisions needs the transitive
+closure: if A~B and B~C, all three are one duplicate cluster even when
+A~C was never emitted. The reference has no equivalent (it has no graph
+data at all); this is a beyond-reference operator every training-data
+pipeline needs (SURVEY.md §7 north star).
+
+Algorithm: iterative min-label propagation over the symmetrized edge set.
+Each round is one shuffle (join labels to edges on src, min-agg on dst):
+
+    label(v) <- min(label(v), min_{u->v} label(u))
+
+Rounds needed = graph diameter. For dedup graphs that is tiny — duplicate
+clusters are small, near-clique blobs (diameter 1-3), so 3-5 rounds
+converge; the planted corpus (25 disjoint pairs) converges in 1. For
+high-diameter graphs (long chains) the alternating large-star/small-star
+algorithm (Kiveris et al., MapReduce & Beyond '14) converges in
+O(log^2 n) rounds; min-label is the right default for dedup workloads
+and keeps every round a plain shuffle Catalyst can plan.
+
+Scale notes:
+- Convergence is detected by SUM(label): min-propagation is monotone
+  decreasing, so the sum strictly decreases iff any label changed — one
+  cheap aggregate per round, no self-join diff.
+- Each round calls ``localCheckpoint`` to truncate lineage; without it
+  the plan doubles per iteration and the driver OOMs planning round ~20.
+  On a real cluster with an HDFS checkpoint dir, ``checkpoint`` is the
+  durable equivalent.
+- The edge relation is persisted once and reused every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected edge set as both directions, deduped."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in `edges`; component = min node id
+    reachable from the node. Long/int node ids.
+
+    Isolated nodes (absent from `edges`) are their own components and are
+    simply not emitted — callers union them back if they need full cover.
+    """
+    sym = symmetrize(edges, src, dst).persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    if prev_sum is None:  # no edges at all
+        sym.unpersist()
+        return labels.select("node", F.col("label").alias("component"))
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def cluster_assignments(
+    pairs: DataFrame, left: str = "doc_a", right: str = "doc_b"
+) -> DataFrame:
+    """Dedup view over components: (doc_id, cluster_id, is_canonical,
+    cluster_size). Canonical doc = min id in the cluster (the keep row);
+    the rest are the drop set.
+    """
+    comp = connected_components(pairs, left, right)
+    w = F.count("*").over(Window.partitionBy("component"))
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
+        w.cast("bigint").alias("cluster_size"),
+    )

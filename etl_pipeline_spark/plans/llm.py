@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_pipeline_spark.operators.graph import cluster_assignments
 from etl_pipeline_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -579,3 +580,44 @@ def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select("lang", "tok", "n_occurrences", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup cluster assignment: near-dup pairs -> transitive closure ->
+# canonical-per-cluster. The Spark side is iterative min-label propagation
+# (operators/graph.py — one shuffle per round, rounds = cluster diameter);
+# the oracle computes the same closure with a recursive CTE. Pair source is
+# the exact-Jaccard verifier at the planted 0.5 threshold.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_cluster_assign",
+    oracle=f"""
+        WITH RECURSIVE
+        pairs AS ({_JACCARD_PAIRS_DUCK}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(node, peer) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer
+        ),
+        comp AS (
+            SELECT node, LEAST(node, MIN(peer)) AS component
+            FROM reach GROUP BY node
+        )
+        SELECT node                                            AS doc_id,
+               component                                       AS cluster_id,
+               CAST(node = component AS INT)                   AS is_canonical,
+               CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+                                                               AS cluster_size
+        FROM comp
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster ids via distributed connected components."""
+    pairs = _jaccard_pairs(spark, sf_dir, threshold=0.5).select("doc_a", "doc_b")
+    return cluster_assignments(pairs, "doc_a", "doc_b")
