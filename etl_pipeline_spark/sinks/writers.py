@@ -37,8 +37,13 @@ class LoadReport:
 
 
 def discover_tables(spark: SparkSession, database: str) -> list[str]:
-    """K1: list feature classes (tables) in the staging database."""
-    return [t.name for t in spark.catalog.listTables(database)]
+    """K1: list feature classes (tables) in the staging database.
+
+    Filters out temporary views: ``listTables(db)`` mixes session-scoped
+    temp views into every database listing, and those are not loadable
+    feature classes.
+    """
+    return [t.name for t in spark.catalog.listTables(database) if not t.isTemporary]
 
 
 def validate_before_load(df: DataFrame, expected_columns: set[str] | None = None) -> int:

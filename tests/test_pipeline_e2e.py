@@ -61,7 +61,7 @@ def test_pipeline_end_to_end(spark, tmp_path, prod_db):
     assert summary.counters("load")["done"] == 1
 
     # the production table landed under the generated fc name
-    tables = [t.name for t in spark.catalog.listTables(prod_db)]
+    tables = [t.name for t in spark.catalog.listTables(prod_db) if not t.isTemporary]
     assert tables == ["trv_vagar_kalla_layer0"]
     out = spark.table(f"{prod_db}.trv_vagar_kalla_layer0")
     rows = out.orderBy("fid").collect()
