@@ -1,0 +1,77 @@
+"""Deterministic hash-based sampling and train/valid/test splits.
+
+A training-data pipeline must be able to re-derive *exactly* the same
+split two years later from the same inputs — so splits can't use
+`rand()`/`sampleBy` (seed + partitioning dependent, engine-specific).
+Instead: bucket = first 32 bits of md5(seed || ':' || id), a pure column
+expression that is engine-portable (the same SQL text evaluates in Spark
+and DuckDB), partitioning-independent, and a narrow transform — splitting
+100 TB costs zero shuffles.
+
+The reference has no sampling at all (its closest analog is the 10-row
+geometry sniff, SURVEY §2.9 bug 5 — replaced here by full-data operators);
+this module is beyond-reference north-star surface.
+
+- ``assign_splits``: label each row train/valid/test by cumulative weight
+  over the hash bucket. Mutually exclusive, exhaustive, stable under
+  corpus growth (a row's label never changes when other rows are added —
+  unlike percentile-based splits).
+- ``stratified_sample``: per-stratum keep-rates (e.g. downsample dominant
+  languages) as a CASE over the same bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def hash_bucket_sql(id_expr: str, seed: str, buckets: int = _BUCKETS) -> str:
+    """SQL for a deterministic bucket in [0, buckets) from md5(seed:id).
+
+    Decodes the first 8 hex chars via instr-arithmetic — evaluates
+    identically in Spark SQL and DuckDB (no conv()/from_hex divergence).
+    """
+    h = f"md5(concat('{seed}', ':', CAST({id_expr} AS STRING)))"
+    decoded = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({decoded}) % {buckets})"
+
+
+def split_label_sql(id_expr: str, seed: str, weights: dict[str, float]) -> str:
+    """SQL CASE assigning split labels by cumulative weight over the bucket."""
+    total = sum(weights.values())
+    bucket = hash_bucket_sql(id_expr, seed)
+    arms, cum = [], 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w / total
+        arms.append(f"WHEN {bucket} < {int(round(cum * _BUCKETS))} THEN '{name}'")
+    return f"CASE {' '.join(arms)} ELSE '{items[-1][0]}' END"
+
+
+def assign_splits(
+    df: DataFrame, id_col: str, weights: dict[str, float], seed: str = "split"
+) -> DataFrame:
+    """Add deterministic `bucket` and `split` columns; no shuffle."""
+    return df.withColumn(
+        "bucket", F.expr(hash_bucket_sql(id_col, seed)).cast("int")
+    ).withColumn("split", F.expr(split_label_sql(id_col, seed, weights)))
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, stratum_col: str, rates: dict[str, float],
+    default_rate: float = 0.0, seed: str = "sample",
+) -> DataFrame:
+    """Keep each row with its stratum's rate, deterministically by id hash."""
+    bucket = hash_bucket_sql(id_col, seed)
+    arms = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * _BUCKETS))}" for s, r in rates.items()
+    )
+    thresh = f"CASE {stratum_col} {arms} ELSE {int(round(default_rate * _BUCKETS))} END"
+    return df.filter(F.expr(f"{bucket} < {thresh}"))

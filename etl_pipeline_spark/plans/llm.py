@@ -621,3 +621,52 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster ids via distributed connected components."""
     pairs = _jaccard_pairs(spark, sf_dir, threshold=0.5).select("doc_a", "doc_b")
     return cluster_assignments(pairs, "doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# Deterministic splits / sampling (operators/sampling.py): bucket = first
+# 32 bits of md5(seed:id) — a narrow, shuffle-free, engine-portable column
+# expression, so the oracle runs the IDENTICAL SQL text. Split labels are
+# stable under corpus growth; stratified keep-rates downsample dominant
+# strata reproducibly.
+# --------------------------------------------------------------------------
+from etl_pipeline_spark.operators.sampling import (  # noqa: E402
+    assign_splits,
+    hash_bucket_sql,
+    split_label_sql,
+    stratified_sample,
+)
+
+_SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+_STRAT_RATES = {"en": 0.5, "zh": 0.25}
+
+
+@register(
+    "train_test_split_assign",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CAST({hash_bucket_sql("doc_id", "r1")} AS INT) AS bucket,
+               {split_label_sql("doc_id", "r1", _SPLIT_WEIGHTS)} AS split
+        FROM documents
+    """,
+    tags=("llm", "sampling"),
+)
+def train_test_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return assign_splits(docs, "doc_id", _SPLIT_WEIGHTS, seed="r1")
+
+
+@register(
+    "stratified_sample_langs",
+    oracle=f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {hash_bucket_sql("doc_id", "s1")} <
+              CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 1000 END
+    """,
+    tags=("llm", "sampling"),
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "doc_id", "lang", _STRAT_RATES, default_rate=0.1, seed="s1"
+    )
