@@ -89,3 +89,87 @@ _sql_query(
     doc="first order per customer (windowed keep-first dedup), pure SQL",
     tags=("sql", "window", "dedupe"),
 )
+
+
+# Equal-width histogram as portable arithmetic (floor(v/w)) — width_bucket
+# exists in neither engine identically, floor-division exists in both. At
+# scale this is one map-side-combinable agg; no row explosion.
+_sql_query(
+    "sql_histogram_event_values",
+    """
+        SELECT CAST(floor(value / 25.0) AS INT) AS bin,
+               ROUND(CAST(floor(value / 25.0) AS INT) * 25.0, 2) AS lo_edge,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    doc="equal-width value histogram (20 x 25.0 bins) over events",
+    tags=("sql", "agg", "histogram"),
+)
+
+# Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL preserve multiplicity
+# (a customer ordering twice in 1996 and once in 1997 appears once in the
+# intersection, once in the difference) — different operators than the
+# set-semantics UNION/EXCEPT already covered in relational.py.
+_sql_query(
+    "sql_intersect_except_all",
+    """
+        SELECT 'both_years' AS op, o_custkey FROM (
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+          INTERSECT ALL
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        )
+        UNION ALL
+        SELECT 'only_1996' AS op, o_custkey FROM (
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+          EXCEPT ALL
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        )
+    """,
+    doc="bag-multiplicity INTERSECT ALL / EXCEPT ALL over order years",
+    tags=("sql", "setops"),
+)
+
+# Standard-SQL UNPIVOT (wide -> long), the inverse of the PIVOT query in
+# relational.py; both engines accept the SQL-standard clause.
+_sql_query(
+    "sql_unpivot_status_totals",
+    """
+        WITH wide AS (
+          SELECT o_custkey,
+                 ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_total,
+                 ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS finished_total,
+                 ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS partial_total
+          FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+        )
+        SELECT o_custkey, status_metric, amount
+        FROM wide UNPIVOT (amount FOR status_metric IN (open_total, finished_total, partial_total))
+    """,
+    doc="UNPIVOT wide per-status totals back to long form",
+    tags=("sql", "unpivot"),
+)
+
+# LAST_VALUE ... IGNORE NULLS carry-forward — the one surface where the
+# engines' SQL dialects diverge (Spark: IGNORE NULLS after the call;
+# DuckDB: inside the argument list), so the texts are separate but the
+# semantics are identical: carry each user's last purchase value forward
+# onto every subsequent event.
+_IGN_SELECT = """
+        SELECT event_id, user_id,
+               COALESCE(ROUND(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END{spark_mark}){duck_mark}
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2), -1.0)
+                   AS last_purchase_value
+        FROM events WHERE user_id < 50
+"""
+
+
+@register(
+    "sql_last_value_ignore_nulls",
+    oracle=_IGN_SELECT.format(spark_mark=" IGNORE NULLS", duck_mark=""),
+    doc="per-user last-purchase carry-forward via LAST_VALUE IGNORE NULLS",
+    tags=("sql", "window"),
+)
+def sql_last_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_IGN_SELECT.format(spark_mark="", duck_mark=" IGNORE NULLS"))
