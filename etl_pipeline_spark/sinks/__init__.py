@@ -1,6 +1,7 @@
 from etl_pipeline_spark.sinks.writers import (  # noqa: F401
     LoadReport,
     append,
+    append_evolve,
     discover_tables,
     merge_upsert,
     replace,

@@ -193,3 +193,59 @@ def merge_upsert(
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
     return LoadReport(table, "merge_upsert", rows, tuple(target.columns))
+
+
+def append_evolve(df: DataFrame, table: str) -> LoadReport:
+    """K4b: append with controlled schema evolution.
+
+    The reference's SDE append runs schema_type="NO_TEST" — blind
+    positional append (etl/pipeline.py:692-695), the biggest correctness
+    hole in its load path. The checked `append` above is the strict
+    replacement; this variant allows the one evolution a long-lived
+    ingest pipeline legitimately needs — NEW nullable columns appear in
+    the incoming batch — while still refusing type changes and dropped
+    columns. Existing rows read NULL for the new columns (parquet
+    schema-merge semantics); the table schema is widened by recreating
+    the table definition from the merged schema before the insert.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    _require_database(spark, table)
+    if not spark.catalog.tableExists(table):
+        df.write.mode("append").saveAsTable(table)
+        return LoadReport(table, "append_evolve", df.count(), tuple(df.columns))
+
+    target = {f.name: f.dataType for f in spark.table(table).schema.fields}
+    incoming = {f.name: f.dataType for f in df.schema.fields}
+    dropped = set(target) - set(incoming)
+    if dropped:
+        raise ValueError(
+            f"append_evolve into {table}: incoming batch lost columns "
+            f"{sorted(dropped)} — evolution only ADDS columns"
+        )
+    changed = {c for c in target if incoming[c] != target[c]}
+    if changed:
+        raise ValueError(
+            f"append_evolve into {table}: type change refused for {sorted(changed)}"
+        )
+    new_cols = [c for c in df.columns if c not in target]
+    if new_cols:
+        # widen: existing data + nulls for new columns, staged through a
+        # sibling table (same reason as merge_upsert: Spark cannot
+        # overwrite a file-based table it reads in the same job), then the
+        # table is recreated with the widened schema
+        existing = spark.table(table)
+        for c in new_cols:
+            existing = existing.withColumn(c, F.lit(None).cast(incoming[c]))
+        widened = existing.unionByName(df)
+        staging = f"{table}__evolve_staging"
+        widened.write.mode("overwrite").saveAsTable(staging)
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            spark.table(staging).write.mode("overwrite").saveAsTable(table)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    else:
+        df.select(*target.keys()).write.insertInto(table, overwrite=False)
+    return LoadReport(table, "append_evolve", df.count(), tuple(df.columns))

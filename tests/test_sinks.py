@@ -139,3 +139,31 @@ def test_compact_table(spark, db):
     # already compact → no-op
     rep2 = compact_table(spark, t, target_file_bytes=1 << 30)
     assert rep2.files_after == rep2.files_before == 1
+
+
+def test_append_evolve_adds_nullable_column(spark, db):
+    from etl_pipeline_spark.sinks import append_evolve
+
+    t = f"{db}.fc_evolve"
+    replace(_df(spark, [(1, "a"), (2, "b")]), t)
+    wide = spark.createDataFrame([(3, "c", 9.5)], "id bigint, name string, score double")
+    append_evolve(wide, t)
+    got = {(r.id, r.name, r.score) for r in spark.table(t).collect()}
+    # old rows read NULL for the evolved column
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 9.5)}
+    # next plain-append batches must now carry the widened schema
+    append_evolve(
+        spark.createDataFrame([(4, "d", 1.0)], "id bigint, name string, score double"), t
+    )
+    assert spark.table(t).count() == 4
+
+
+def test_append_evolve_refuses_drops_and_type_changes(spark, db):
+    from etl_pipeline_spark.sinks import append_evolve
+
+    t = f"{db}.fc_evolve_guard"
+    replace(_df(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="lost columns"):
+        append_evolve(spark.createDataFrame([(2,)], "id bigint"), t)
+    with pytest.raises(ValueError, match="type change"):
+        append_evolve(spark.createDataFrame([(2, 3)], "id bigint, name bigint"), t)
