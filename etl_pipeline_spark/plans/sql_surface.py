@@ -173,3 +173,42 @@ _IGN_SELECT = """
 def sql_last_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_IGN_SELECT.format(spark_mark="", duck_mark=" IGNORE NULLS"))
+
+
+# Arg-max aggregate (max_by): deterministic even under balance ties via an
+# exact integer composite ordering key (2-dp money scaled + key) — struct
+# ordering inside max_by isn't portable across engines.
+_sql_query(
+    "sql_top_customer_per_segment",
+    """
+        SELECT c_mktsegment,
+               max_by(c_custkey,
+                      CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * 100000000 + c_custkey)
+                   AS top_custkey,
+               ROUND(MAX(c_acctbal), 2) AS top_balance
+        FROM customer GROUP BY c_mktsegment
+    """,
+    doc="arg-max per group: highest-balance customer per market segment",
+    tags=("sql", "agg", "argmax"),
+)
+
+# Calendar rollup + trailing moving average: months as portable yyyymm ints
+# (date_trunc would emit timestamps — LTZ-hazardous in Spark, and the
+# contract bans LTZ output).
+_sql_query(
+    "sql_monthly_revenue_ma3",
+    """
+        WITH monthly AS (
+          SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+                 ROUND(SUM(o_totalprice), 2) AS revenue
+          FROM orders GROUP BY 1
+        )
+        SELECT ym, revenue,
+               ROUND(AVG(revenue) OVER (
+                   ORDER BY ym ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                   AS revenue_ma3
+        FROM monthly
+    """,
+    doc="monthly revenue with 3-month trailing moving average",
+    tags=("sql", "window", "timeseries"),
+)
