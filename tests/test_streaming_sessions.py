@@ -91,3 +91,48 @@ def test_stream_matches_batch_on_events(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0  # the comparison is non-vacuous
+
+
+def test_session_state_survives_query_restart(spark, tmp_path):
+    """Stop the query between micro-batches and restart from the same
+    checkpoint: the open-session state must carry across processes."""
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def _run_to_completion():
+        stream = (
+            spark.readStream.schema("user_id bigint, ts bigint, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        out = sessionize_stream(stream, "user_id", "ts", "value", gap=50)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, 0, 1.0), (1, 10, 2.0)], "user_id bigint, ts bigint, value double"
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    _run_to_completion()
+    assert spark.read.parquet(sink).count() == 0  # session still open
+
+    time.sleep(1.1)
+    # continues the open session (15 within gap), then closes it (1000)
+    spark.createDataFrame(
+        [(1, 15, 4.0), (1, 1000, 8.0)], "user_id bigint, ts bigint, value double"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    _run_to_completion()
+    rows = [
+        (r.key, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.read.parquet(sink).collect()
+    ]
+    # the merged (pre-restart + post-restart) session closed as one unit
+    assert rows == [(1, 0, 15, 3, 7.0)]
