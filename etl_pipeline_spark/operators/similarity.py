@@ -260,3 +260,164 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-side scale path for ANN. IVF above
+# prunes WHICH vectors a query scans; PQ shrinks WHAT is scanned: each
+# vector compresses to m sub-space codebook codes (m bytes at ksub<=256 vs
+# dim*4 bytes raw — 32x for 64-dim float32), and query-time scoring is
+# table lookups, never full-vector arithmetic. IVF-PQ composed = FAISS's
+# 100 TB layout. Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011.
+#
+# Determinism rule (same as IVF): bounded sample ordered by id, linspace
+# init, fixed Lloyd iterations — no RNG anywhere, so codes and search
+# results are reproducible run-to-run.
+# --------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    sample_limit: int = 4096,
+    iters: int = 8,
+) -> list:
+    """Per-subspace L2 k-means codebooks [m][ksub][dim/m] from a bounded,
+    deterministic sample of the (normalized) corpus."""
+    sample = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample_limit)
+        .toPandas()
+    )
+    x = _normalize_rows(np.vstack(sample["v"].to_numpy()).astype(np.float64))
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ksub = min(ksub, n)
+    books = []
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cents = sub[np.linspace(0, n - 1, ksub).astype(int)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append the m-byte PQ code (array<int>) per vector — an Arrow-batched
+    argmin per subspace; by-value closure, no executor state."""
+    books = np.asarray(codebooks, dtype=np.float64)  # [m][ksub][dsub]
+    m, _, dsub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = _normalize_rows(np.vstack(vecs.to_numpy()).astype(np.float64))
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return corpus.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    query_filter: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 3,
+    sample_limit: int = 4096,
+) -> DataFrame:
+    """Approximate cosine top-k via asymmetric distance computation.
+
+    Queries stay exact (driver-side distance tables, queries are a bounded
+    set by contract); the corpus is scanned as codes only. Per mapInPandas
+    batch the score is m table lookups per (query, vector) — no vector
+    arithmetic touches corpus floats at query time. On normalized vectors
+    L2² = 2 - 2·cos, so approx_cosine = 1 - d²/2 and ranking by d² asc is
+    ranking by cosine desc.
+    """
+    books = train_pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, sample_limit=sample_limit
+    )
+    books_np = np.asarray(books, dtype=np.float64)
+    dsub = books_np.shape[2]
+
+    queries = (
+        corpus.filter(query_filter)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
+        .orderBy("query_id")
+        .toPandas()
+    )
+    qx = _normalize_rows(np.vstack(queries["qe"].to_numpy()).astype(np.float64))
+    qids = queries["query_id"].to_numpy()
+    # distance tables [nq][m][ksub]
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    ((qx[:, j * dsub : (j + 1) * dsub][:, None, :] - books_np[j][None, :, :]) ** 2).sum(axis=2)
+                    for j in range(books_np.shape[0])
+                ],
+                axis=1,
+            )
+        ]
+    )[0]  # [nq][m][ksub]
+
+    encoded = pq_encode(corpus, books, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "pq_code"
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            codes = np.vstack(pdf["pq_code"].to_numpy())  # [n][m]
+            n = len(codes)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(qids)):
+                # d2[i] = sum_j tables[qi][j][codes[i][j]]
+                d2 = tables[qi][np.arange(codes.shape[1])[None, :], codes].sum(axis=1)
+                out_q.append(np.full(n, qids[qi], dtype=np.int64))
+                out_n.append(pdf["neighbor_id"].to_numpy())
+                out_c.append(1.0 - d2 / 2.0)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "approx_cosine": np.concatenate(out_c),
+                }
+            )
+
+    scored = encoded.mapInPandas(
+        _score, "query_id bigint, neighbor_id bigint, approx_cosine double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "approx_cosine"
+        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("approx_cosine", 6).alias("approx_cosine"))
+    )

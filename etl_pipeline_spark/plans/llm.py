@@ -44,6 +44,7 @@ from etl_pipeline_spark.operators.similarity import (
     cosine_pairs,
     cosine_topk,
     ivf_topk,
+    pq_topk,
     sign_lsh_topk,
 )
 from etl_pipeline_spark.plans.registry import register
@@ -358,6 +359,23 @@ def ann_bucketed_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, F.col("vec_id") < 10, ncells=8, nprobe=2, k=3)
+
+
+# --------------------------------------------------------------------------
+# PQ ANN: asymmetric-distance search over m-byte codes — the memory-side
+# scale companion to IVF's scan pruning (compose for IVF-PQ at 100 TB).
+# Deterministic training (bounded ordered sample, linspace init, no RNG)
+# but k-means itself isn't SQL-expressible → rows-only check; quality is
+# pinned by test_similarity_pq.py (error bound + planted-pair recall).
+# --------------------------------------------------------------------------
+@register(
+    "ann_pq_topk",
+    oracle=None,
+    tags=("llm", "similarity", "pq", "rows-only"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, F.col("vec_id") < 10, m=8, ksub=16, k=3)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,58 @@
+"""Product quantization: code validity/determinism, approximation quality
+against exact cosine, and planted-pair recall on the real embeddings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
+from etl_pipeline_spark.sources.star import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").persist()
+
+
+def test_codes_valid_and_deterministic(spark, emb):
+    books = train_pq_codebooks(emb, m=8, ksub=16)
+    assert len(books) == 8 and all(len(b) <= 16 for b in books)
+    a = {r.vec_id: list(r.pq_code) for r in pq_encode(emb, books).collect()}
+    b = {r.vec_id: list(r.pq_code) for r in pq_encode(emb, books).collect()}
+    assert a == b
+    assert all(len(c) == 8 and max(c) < 16 and min(c) >= 0 for c in a.values())
+
+
+def test_approximation_error_bounded(spark, emb):
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id): r.approx_cosine
+        for r in pq_topk(emb, F.col("vec_id") < 10, k=200).collect()
+    }
+    # every exact top-5 pair is scored by PQ and the score is close
+    errs = [abs(approx[p] - c) for p, c in exact.items() if p in approx]
+    assert len(errs) >= len(exact) * 0.8
+    assert sum(errs) / len(errs) < 0.2
+
+
+def test_planted_pair_recovered(spark, emb):
+    # the corpus plants exactly one pair with cosine >= 0.5 (the rest tail
+    # off below it) — PQ as candidate generator must surface the partner
+    # in the top-3 for its query, both directions
+    top1 = cosine_topk(emb, emb, k=1).filter(F.col("cosine") >= 0.5)
+    planted = [(r.query_id, r.neighbor_id) for r in top1.collect()]
+    assert len(planted) == 2  # both directions of the one pair
+    for qid, partner in planted:
+        got = pq_topk(emb, F.col("vec_id") == qid, k=3).collect()
+        assert partner in [r.neighbor_id for r in got]
