@@ -212,3 +212,72 @@ _sql_query(
     doc="monthly revenue with 3-month trailing moving average",
     tags=("sql", "window", "timeseries"),
 )
+
+
+# Funnel analysis (view -> click -> purchase): first-touch timestamps per
+# user via conditional MIN, strict ordering between stages. One shuffle
+# (groupBy user), counts map-side-combinable — the standard event-funnel
+# shape at any scale.
+_sql_query(
+    "sql_funnel_view_click_purchase",
+    """
+        SELECT
+          CAST(COUNT(*) AS BIGINT) AS n_users,
+          CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+          CAST(SUM(CASE WHEN first_click > first_view THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+          CAST(SUM(CASE WHEN first_purchase > first_click AND first_click > first_view THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_both
+        FROM (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+          FROM events GROUP BY user_id
+        )
+    """,
+    doc="three-stage first-touch funnel with strict stage ordering",
+    tags=("sql", "funnel", "events"),
+)
+
+# EWMA per user — a RECURSIVE accumulator no window frame expresses; both
+# engines fold an ordered array with a lambda (Spark `aggregate`, DuckDB
+# `list_reduce`), seeded with the first observation so the fold sequence —
+# and therefore every floating-point operation — is identical. The texts
+# differ only in list-building dialect.
+_EWMA_DUCK = """
+        WITH arrs AS (
+          SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+          FROM events
+          WHERE user_id < 100
+          GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(len(vals) AS BIGINT) AS n_events,
+               ROUND(list_reduce(vals, (acc, x) -> acc * 0.9 + x * 0.1), 6) AS ewma_value
+        FROM arrs
+"""
+
+_EWMA_SPARK = """
+        WITH ordered AS (
+          SELECT user_id, array_sort(collect_list(struct(ts, event_id, value))) AS evs
+          FROM events
+          WHERE user_id < 100
+          GROUP BY user_id
+        ),
+        arrs AS (SELECT user_id, transform(evs, e -> e.value) AS vals FROM ordered)
+        SELECT user_id,
+               CAST(size(vals) AS BIGINT) AS n_events,
+               ROUND(aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1),
+                               (acc, x) -> acc * 0.9D + x * 0.1D), 6) AS ewma_value
+        FROM arrs
+"""
+
+
+@register(
+    "sql_ewma_user_values",
+    oracle=_EWMA_DUCK,
+    doc="per-user EWMA (alpha=0.1) as an ordered array fold",
+    tags=("sql", "timeseries", "lambda"),
+)
+def sql_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_EWMA_SPARK)
