@@ -281,3 +281,26 @@ _EWMA_SPARK = """
 def sql_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_EWMA_SPARK)
+
+
+# Equi-depth histogram — the quantile-boundary partner to the equal-width
+# one above: ntile over a total order. NOTE the single-partition window is
+# intentional here (exact global quantiles need a total order); the
+# approximate, scalable form is approx_percentile/percentile_event_values
+# elsewhere in the registry.
+_sql_query(
+    "sql_equidepth_value_deciles",
+    """
+        SELECT bucket,
+               ROUND(MIN(value), 2) AS lo,
+               ROUND(MAX(value), 2) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (
+          SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+          FROM events
+        )
+        GROUP BY bucket
+    """,
+    doc="exact decile boundaries of event values via ntile",
+    tags=("sql", "histogram", "window"),
+)

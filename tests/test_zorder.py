@@ -77,3 +77,23 @@ def test_zorder_scan_prunes_files(spark, tmp_path):
     assert hit.count() == _events(spark).filter(
         (F.col("x").between(0, 49)) & (F.col("y").between(0, 49))
     ).count()
+
+
+def test_compact_with_zorder(spark, tmp_path):
+    from etl_pipeline_spark.sinks.maintenance import compact_table
+    from etl_pipeline_spark.sinks.zorder import file_skipping_stats
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS zc_test")
+    try:
+        t = "zc_test.events_z"
+        _events(spark).repartition(24).write.mode("overwrite").saveAsTable(t)
+        rep = compact_table(spark, t, target_file_bytes=1 << 20, zorder_cols=["x", "y"])
+        assert rep.files_after <= rep.files_before
+        stats = file_skipping_stats(list(spark.table(t).inputFiles()), ["x", "y"])
+        files = len(spark.table(t).inputFiles())
+        if files > 4:  # with enough files both dims must tighten
+            assert stats.col_coverage["x"] < 0.8
+            assert stats.col_coverage["y"] < 0.8
+        assert spark.table(t).count() == 40_000
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS zc_test CASCADE")
