@@ -421,3 +421,89 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("approx_cosine", 6).alias("approx_cosine"))
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    query_filter: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 3,
+    sample_limit: int = 4096,
+) -> DataFrame:
+    """IVF-PQ composed: cell probing prunes WHICH codes are scanned, PQ
+    codes shrink WHAT is scanned — the FAISS IVFADC layout as a DataFrame
+    plan. At scale the encoded corpus is written once, partitioned by
+    cell (bytes per row: 4 id + m codes), and a query reads nprobe/ncells
+    of that already-32x-smaller table; scoring is ADC table lookups.
+    ``nprobe == ncells`` degrades to exactly ``pq_topk``.
+    """
+    ivf_cents = train_ivf_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, ncells=ncells, sample_limit=sample_limit
+    )
+    books = train_pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, sample_limit=sample_limit
+    )
+    books_np = np.asarray(books, dtype=np.float64)
+    dsub = books_np.shape[2]
+    assign_cell, probe_cells = _cell_udfs(ivf_cents, nprobe=nprobe)
+
+    encoded = (
+        pq_encode(corpus, books, vec_col=vec_col)
+        .withColumn("cell", assign_cell(F.col(vec_col)))
+        .select(F.col(id_col).alias("neighbor_id"), "cell", "pq_code")
+    )
+
+    queries = (
+        corpus.filter(query_filter)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
+        .orderBy("query_id")
+        .toPandas()
+    )
+    qx = _normalize_rows(np.vstack(queries["qe"].to_numpy()).astype(np.float64))
+    qids = queries["query_id"].to_numpy()
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    ((qx[:, j * dsub : (j + 1) * dsub][:, None, :] - books_np[j][None, :, :]) ** 2).sum(axis=2)
+                    for j in range(books_np.shape[0])
+                ],
+                axis=1,
+            )
+        ]
+    )[0]  # [nq][m][ksub]
+    id2idx = {int(q): i for i, q in enumerate(qids)}
+    n_sub = books_np.shape[0]
+
+    @F.pandas_udf("double")
+    def adc(qid: pd.Series, code: pd.Series) -> pd.Series:
+        qidx = qid.map(id2idx).to_numpy(dtype=np.int64)
+        codes = np.vstack(code.to_numpy())
+        d2 = tables[qidx[:, None], np.arange(n_sub)[None, :], codes].sum(axis=1)
+        return pd.Series(1.0 - d2 / 2.0)
+
+    qprobe = (
+        corpus.filter(query_filter)
+        .select(
+            F.col(id_col).alias("query_id"),
+            probe_cells(F.col(vec_col)).alias("probes"),
+        )
+        .select("query_id", F.explode("probes").alias("cell"))
+    )
+    cand = F.broadcast(qprobe).join(encoded, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", adc(F.col("query_id"), F.col("pq_code")).alias("approx_cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "approx_cosine")
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("approx_cosine", 6).alias("approx_cosine"))
+    )

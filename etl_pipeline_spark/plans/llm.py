@@ -44,6 +44,7 @@ from etl_pipeline_spark.operators.similarity import (
     cosine_pairs,
     cosine_topk,
     ivf_topk,
+    ivfpq_topk,
     pq_topk,
     sign_lsh_topk,
 )
@@ -376,6 +377,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk(emb, F.col("vec_id") < 10, m=8, ksub=16, k=3)
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=None,
+    doc="IVF-PQ composed (FAISS IVFADC layout): cell probing x PQ codes",
+    tags=("llm", "similarity", "ivf", "pq", "rows-only"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, F.col("vec_id") < 10, ncells=8, nprobe=2, m=8, ksub=16, k=3)
 
 
 # --------------------------------------------------------------------------

@@ -56,3 +56,24 @@ def test_planted_pair_recovered(spark, emb):
     for qid, partner in planted:
         got = pq_topk(emb, F.col("vec_id") == qid, k=3).collect()
         assert partner in [r.neighbor_id for r in got]
+
+
+def test_ivfpq_full_probe_equals_pq(spark, emb):
+    from etl_pipeline_spark.operators.similarity import ivfpq_topk
+
+    pq = [(r.query_id, r.neighbor_id, r.rank) for r in
+          pq_topk(emb, F.col("vec_id") < 5, k=3).collect()]
+    full = [(r.query_id, r.neighbor_id, r.rank) for r in
+            ivfpq_topk(emb, F.col("vec_id") < 5, ncells=8, nprobe=8, k=3).collect()]
+    assert sorted(pq) == sorted(full)
+
+
+def test_ivfpq_planted_pair(spark, emb):
+    from etl_pipeline_spark.operators.similarity import cosine_topk as _ct, ivfpq_topk
+
+    top1 = _ct(emb, emb, k=1).filter(F.col("cosine") >= 0.5)
+    planted = [(r.query_id, r.neighbor_id) for r in top1.collect()]
+    assert len(planted) == 2
+    for qid, partner in planted:
+        got = ivfpq_topk(emb, F.col("vec_id") == qid, ncells=8, nprobe=2, k=3).collect()
+        assert partner in [r.neighbor_id for r in got]
