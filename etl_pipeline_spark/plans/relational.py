@@ -975,3 +975,53 @@ def window_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (operators/diff.py): row-level added/removed/changed between
+# two table versions — the incremental-refresh primitive the reference's
+# truncate-and-reload (etl/pipeline.py:685-697) can't express. Both
+# snapshots derive from `orders` deterministically so the oracle rebuilds
+# them: old drops every 97th key, new drops every 89th and bumps the price
+# of every 13th.
+# --------------------------------------------------------------------------
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+        WITH old AS (
+          SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+          FROM orders WHERE o_orderkey % 97 <> 0
+        ),
+        new AS (
+          SELECT o_orderkey, o_orderstatus,
+                 ROUND(CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.1
+                            ELSE o_totalprice END, 2) AS price
+          FROM orders WHERE o_orderkey % 89 <> 0
+        )
+        SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+               CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                    WHEN new.o_orderkey IS NULL THEN 'removed'
+                    WHEN old.o_orderstatus = new.o_orderstatus
+                         AND old.price = new.price THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    """,
+    tags=("relational", "diff", "incremental"),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.diff import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    new = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(
+            F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 1.1)
+            .otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("price"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
