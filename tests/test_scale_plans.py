@@ -145,3 +145,35 @@ def test_sql_not_in_plans_as_single_broadcast_anti(spark):
     plan = _plan(spark, REGISTRY["sql_not_in_null_aware"].spark_fn(spark, SF_DIR))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_shuffle_partial_agg(spark):
+    plan = _plan(
+        spark, REGISTRY["sql_funnel_view_click_purchase"].spark_fn(spark, SF_DIR)
+    )
+    # one exchange for the per-user agg, one single-partition collapse for
+    # the global rollup (formatted mode prints tree + detail; count the
+    # detail blocks) — and the per-user agg must run partial (map-side)
+    assert plan.count("ENSURE_REQUIREMENTS") <= 2
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_snapshot_diff_is_one_join_no_udf(spark):
+    plan = _plan(spark, REGISTRY["snapshot_diff_orders"].spark_fn(spark, SF_DIR))
+    # exactly one join node (formatted mode mentions it twice: tree + detail)
+    joins = sum(plan.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert joins == 2 and "FullOuter" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_histogram_partial_agg_no_expand(spark):
+    plan = _plan(spark, REGISTRY["sql_histogram_event_values"].spark_fn(spark, SF_DIR))
+    # equal-width binning is one map-side-combinable agg — no row explosion
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Generate" not in plan  # no explode anywhere
+
+
+def test_split_assign_no_shuffle_no_udf(spark):
+    plan = _plan(spark, REGISTRY["train_test_split_assign"].spark_fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
