@@ -135,3 +135,106 @@ def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
             yield kernel(pdf)
 
     return media.mapInPandas(_decode, schema=MEDIA_FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("thumb", BinaryType(), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), False),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, codec: str = "fake"
+) -> DataFrame:
+    """Image resize → fixed-dimension thumbnails (training-shard prep).
+
+    Non-image rows are filtered out BEFORE the Python stage (a JVM-side
+    predicate — the expensive kernel only ever sees image bytes). The fake
+    kernel emits deterministic pseudo-thumbnails (md5-keystream bytes of
+    the target size); ``codec="real"`` is the PIL/cv2 integration point.
+    """
+    if codec == "real":
+        raise NotImplementedError("real image resize needs PIL/cv2; use codec='fake'")
+    if codec != "fake":
+        raise ValueError(f"unknown codec {codec!r}")
+    n_out = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                seed = _hashlib.md5(bytes(row["payload"])).digest()
+                reps = (n_out // len(seed)) + 1
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": width,
+                        "height": height,
+                        "thumb": (seed * reps)[:n_out],
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )
+
+
+def sample_frames(
+    media: DataFrame, max_frames: int = 4, codec: str = "fake"
+) -> DataFrame:
+    """Video frame sampling: one input row explodes to ≤ ``max_frames``
+    frame rows — the row-multiplying shape (and the reason frame sampling
+    runs AFTER a repartition on media_id: a long video's frames spread
+    across the partition instead of serializing behind one task).
+
+    Fake kernel: frame count = payload-length-derived (deterministic),
+    frame bytes = md5 over (payload, frame_idx). ``codec="real"`` is the
+    ffmpeg/pyav integration point.
+    """
+    if codec == "real":
+        raise NotImplementedError("real frame sampling needs ffmpeg/pyav; use codec='fake'")
+    if codec != "fake":
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                n = min(max_frames, 1 + len(payload) % max_frames)
+                for i in range(n):
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": i,
+                            "frame_payload": _hashlib.md5(
+                                payload + i.to_bytes(4, "big")
+                            ).digest(),
+                        }
+                    )
+            yield _pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        _frames, schema=FRAME_SCHEMA
+    )

@@ -42,3 +42,78 @@ def test_real_codec_is_explicit_stub(spark):
     media = media_table_from_documents(docs)
     with pytest.raises(NotImplementedError, match="not available"):
         decode_media(media, codec="real")
+
+
+def test_resize_images_only_and_deterministic(spark):
+    from etl_pipeline_spark.operators.multimodal import (
+        media_table_from_documents,
+        resize_media,
+    )
+    from etl_pipeline_spark.sources.star import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    media = media_table_from_documents(docs)
+    n_images = media.filter("kind = 'image'").count()
+    out = resize_media(media, 8, 4)
+    rows = out.collect()
+    assert len(rows) == n_images
+    assert all(r.width == 8 and r.height == 4 and len(r.thumb) == 32 for r in rows)
+    again = {r.media_id: bytes(r.thumb) for r in resize_media(media, 8, 4).collect()}
+    assert {r.media_id: bytes(r.thumb) for r in rows} == again
+
+
+def test_resize_filter_stays_jvm_side(spark):
+    from etl_pipeline_spark.operators.multimodal import (
+        media_table_from_documents,
+        resize_media,
+    )
+    from etl_pipeline_spark.sources.star import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        resize_media(media_table_from_documents(docs), 8, 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the kind='image' predicate must run BEFORE the Python stage
+    assert plan.index("Filter") > plan.index("MapInPandas") or "image" in plan.split("MapInPandas")[1]
+
+
+def test_frame_sampling_explodes_bounded(spark):
+    from etl_pipeline_spark.operators.multimodal import (
+        media_table_from_documents,
+        sample_frames,
+    )
+    from etl_pipeline_spark.sources.star import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    media = media_table_from_documents(docs)
+    n_videos = media.filter("kind = 'video'").count()
+    frames = sample_frames(media, max_frames=4).collect()
+    per = {}
+    for r in frames:
+        per.setdefault(r.media_id, []).append(r.frame_idx)
+    assert len(per) == n_videos
+    for idxs in per.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense, 0-based
+        assert 1 <= len(idxs) <= 4
+    assert all(len(bytes(r.frame_payload)) == 16 for r in frames)
+
+
+def test_real_codecs_are_explicit_stubs(spark):
+    import pytest as _pytest
+
+    from etl_pipeline_spark.operators.multimodal import (
+        media_table_from_documents,
+        resize_media,
+        sample_frames,
+    )
+    from etl_pipeline_spark.sources.star import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    media = media_table_from_documents(docs)
+    with _pytest.raises(NotImplementedError):
+        resize_media(media, 8, 8, codec="real")
+    with _pytest.raises(NotImplementedError):
+        sample_frames(media, codec="real")
