@@ -304,3 +304,47 @@ _sql_query(
     doc="exact decile boundaries of event values via ntile",
     tags=("sql", "histogram", "window"),
 )
+
+
+# PII redaction — the compliance pass every training corpus needs before
+# sharding. Patterns stay in the backslash-free regex subset both engines
+# parse identically (Spark treats backslashes in string literals as
+# escapes; DuckDB doesn't — `[.]` sidesteps the divergence). Dialect split
+# is mechanical: extract-all arity and DuckDB's 'g' flag. Verified to the
+# md5 of the redacted text, not just match counts.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_URL = "https?://[^ ]+"
+
+
+def _pii_sql(engine: str) -> str:
+    extract = (
+        "len(regexp_extract_all(t, '{p}'))"
+        if engine == "duck"
+        else "size(regexp_extract_all(t, '{p}', 0))"
+    )
+    g = ", 'g'" if engine == "duck" else ""
+    return f"""
+        WITH enriched AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS STRING) ||
+                 '@example.com or https://site.example/' || CAST(doc_id AS STRING) AS t
+          FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               CAST({extract.format(p=_PII_EMAIL)} AS BIGINT) AS n_emails,
+               CAST({extract.format(p=_PII_URL)} AS BIGINT) AS n_urls,
+               md5(regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>'{g}),
+                                  '{_PII_URL}', '<URL>'{g})) AS redacted_hash
+        FROM enriched
+    """
+
+
+@register(
+    "sql_pii_redaction",
+    oracle=_pii_sql("duck"),
+    doc="email/URL redaction with injected PII, verified to the redacted md5",
+    tags=("sql", "text", "pii"),
+)
+def sql_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_pii_sql("spark"))
