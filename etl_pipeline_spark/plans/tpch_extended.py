@@ -13,7 +13,13 @@ Schema adaptations (the synthetic schema lacks some TPC-H columns):
 - no ``l_commitdate``/``l_receiptdate`` → Q21's "late" is
   ``l_shipdate > o_orderdate + 60 days``;
 - no ``c_phone`` → Q22's country code is ``c_nationkey``;
-- no ``partsupp`` table → Q2/Q9/Q11/Q16/Q20 are out of scope.
+- no ``partsupp`` table → Q2/Q9/Q11/Q16/Q20 run against a deterministic
+  ``partsupp`` PROXY derived from lineitem per (partkey, suppkey):
+  ``ps_availqty := SUM(l_quantity)``, ``ps_supplycost := MIN(unit price)``.
+  The SAME derivation runs as a CTE in the DuckDB oracle, so the proxy is
+  itself oracle-checked. ``ps_availqty`` stays DOUBLE (quantities are
+  integral doubles; casting would hit Spark-truncates vs DuckDB-rounds);
+  no ``s_comment`` → Q16's complaint exclusion is ``s_acctbal < 0``.
 
 Scale stance per query is documented inline: which side broadcasts, where
 the one big shuffle lands, and why the plan survives 1000 executors.
@@ -572,4 +578,324 @@ def q22_idle_balance_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# partsupp proxy (Q2/Q9/Q11/Q16/Q20): per (partkey, suppkey) inventory
+# derived from lineitem. One shuffle on the composite key; the result is
+# ~|part|×avg-suppliers-per-part rows — small enough to broadcast back
+# against dimension-filtered probes at any SF (it grows with |part|, not
+# with |lineitem|).
+# --------------------------------------------------------------------------
+_PARTSUPP_CTE = """
+        partsupp AS (
+            SELECT l_partkey AS ps_partkey,
+                   l_suppkey AS ps_suppkey,
+                   SUM(l_quantity) AS ps_availqty,
+                   MIN(l_extendedprice / l_quantity) AS ps_supplycost
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.sum("l_quantity").alias("ps_availqty"),
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2 (proxy partsupp) — minimum-cost supplier per part in a region.
+# The correlated MIN subquery decorrelates to a per-part aggregate joined
+# back on (partkey, cost == min-cost); the equality is on the UNROUNDED
+# double (MIN returns one of the existing values, so equality is exact in
+# both engines). Scale: supplier/nation/region and the filtered part list
+# broadcast; the only shuffle is the partsupp derivation itself, and the
+# per-part MIN reuses that same (partkey-prefixed) partitioning.
+# --------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+        WITH {_PARTSUPP_CTE},
+        regional AS (
+            SELECT ps_partkey, ps_supplycost, s_name, s_acctbal, n_name
+            FROM partsupp
+            JOIN supplier ON s_suppkey = ps_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT ROUND(s_acctbal, 2) AS acctbal, s_name, n_name,
+               p_partkey, p_name, ROUND(ps_supplycost, 2) AS supplycost
+        FROM part
+        JOIN regional ON p_partkey = ps_partkey
+        WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+          AND ps_supplycost = (
+              SELECT MIN(r2.ps_supplycost) FROM regional r2
+              WHERE r2.ps_partkey = p_partkey
+          )
+        ORDER BY acctbal DESC, s_name, p_partkey
+        LIMIT 10
+    """,
+    tags=("join", "subquery", "broadcast", "topk", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    regional = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(supp), F.col("ps_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    min_cost = regional.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        regional.join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("ps_supplycost", 2).alias("supplycost"),
+        )
+        .orderBy(F.desc("acctbal"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 (proxy partsupp) — profit by supplier nation and order year for
+# parts matching a name word: profit := revenue − supplycost × quantity.
+# Scale: the filtered part list, supplier, and nation broadcast; lineitem
+# joins partsupp on the composite key (one shuffle) and orders on orderkey
+# (the other); the final agg is 25 nations × ~7 years — AQE coalesces it.
+# --------------------------------------------------------------------------
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+        WITH {_PARTSUPP_CTE}
+        SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   l_extendedprice * (1 - l_discount)
+                     - ps_supplycost * l_quantity AS amount
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+        )
+        GROUP BY nation, o_year
+    """,
+    tags=("join", "agg", "broadcast", "tpch"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    ps = _partsupp(spark, sf_dir)
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11 (proxy partsupp) — important stock: parts whose inventory value
+# held by one nation's suppliers exceeds 0.1% of that nation's total. The
+# scalar-subquery threshold is a one-row broadcast. The 0.001 fraction was
+# chosen against the data: min relative margin to the threshold is ~1.3e-4
+# — 11 orders of magnitude above double noise, so the > compare is stable
+# across engines. Scale: supplier×nation broadcast into the partsupp scan;
+# per-part agg reuses the partkey-prefix partitioning; total is a one-row
+# reduce.
+# --------------------------------------------------------------------------
+@register(
+    "q11_important_stock",
+    oracle=f"""
+        WITH {_PARTSUPP_CTE},
+        held AS (
+            SELECT ps_partkey, ps_supplycost * ps_availqty AS val
+            FROM partsupp
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+        )
+        SELECT ps_partkey, ROUND(SUM(val), 2) AS value
+        FROM held
+        GROUP BY ps_partkey
+        HAVING SUM(val) > (SELECT SUM(val) * 0.001 FROM held)
+    """,
+    tags=("join", "subquery", "agg", "broadcast", "tpch"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    held = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(supp), F.col("ps_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("val"))
+    )
+    per_part = held.groupBy("ps_partkey").agg(F.sum("val").alias("part_val"))
+    threshold = held.agg((F.sum("val") * F.lit(0.001)).alias("thr"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("part_val") > F.col("thr"))
+        .select("ps_partkey", F.round("part_val", 2).alias("value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 (proxy partsupp; complaints := negative supplier balance) —
+# distinct supplier count per (brand, type, size) bucket, excluding
+# excluded suppliers. The NOT IN is a broadcast anti join (s_suppkey is
+# never null, so null-aware semantics coincide). Scale: part and the
+# 6-row exclusion list broadcast; COUNT(DISTINCT) expands to a two-phase
+# partial-distinct agg — the only shuffle beyond the proxy itself.
+# --------------------------------------------------------------------------
+@register(
+    "q16_supplier_part_buckets",
+    oracle=f"""
+        WITH {_PARTSUPP_CTE}
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM partsupp
+        JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#4'
+          AND p_type <> 'MEDIUM'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND ps_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+          )
+        GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("join", "anti", "agg", "broadcast", "tpch"),
+)
+def q16_supplier_part_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .join(F.broadcast(excluded), F.col("ps_suppkey") == F.col("s_suppkey"), "leftanti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 (proxy partsupp) — suppliers holding excess stock of matching
+# parts: availqty > half the quantity they shipped in 1996. The correlated
+# SUM decorrelates to a date-filtered per-(partkey,suppkey) aggregate;
+# pairs with NO 1996 shipments make the oracle's comparison NULL → row
+# dropped, which an INNER join reproduces exactly. Scale: the part-name
+# filter broadcasts into both the proxy probe and the 1996 re-aggregation
+# (so the second lineitem shuffle only carries matching parts); the final
+# supplier probe is a broadcast semi join.
+# --------------------------------------------------------------------------
+@register(
+    "q20_excess_stock_suppliers",
+    oracle=f"""
+        WITH {_PARTSUPP_CTE}
+        SELECT s_name, ROUND(s_acctbal, 2) AS acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+          AND s_suppkey IN (
+              SELECT ps_suppkey FROM partsupp
+              WHERE ps_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+              )
+              AND ps_availqty > (
+                  SELECT 0.5 * SUM(l_quantity) FROM lineitem
+                  WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              )
+          )
+    """,
+    tags=("join", "subquery", "semi", "broadcast", "tpch"),
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    shipped_1996 = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
+        .groupBy(
+            F.col("l_partkey").alias("y_partkey"), F.col("l_suppkey").alias("y_suppkey")
+        )
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_shipped"))
+    )
+    excess = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(red_parts), F.col("ps_partkey") == F.col("p_partkey"), "leftsemi")
+        .join(
+            shipped_1996,
+            (F.col("ps_partkey") == F.col("y_partkey"))
+            & (F.col("ps_suppkey") == F.col("y_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_shipped"))
+        .select("ps_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(excess, supp.s_suppkey == F.col("ps_suppkey"), "leftsemi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
     )
