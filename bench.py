@@ -24,6 +24,7 @@ HEADLINE = [
     "q3_top_unshipped_orders",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
+    "q9_product_type_profit",
     "q18_large_volume_customers",
     "q21_waiting_supplier",
     "lookup_enrich_customers",

@@ -73,6 +73,7 @@ def _ensure_loaded() -> None:
         relational,
         sql_surface,
         streaming_batch,
+        text_pipeline,
         tpch_extended,
     )
 

@@ -1,0 +1,166 @@
+"""Text-pipeline and profiling queries: chunking, BM25 search, profiling.
+
+Training-data preparation shapes beyond the reference's surface
+(SURVEY.md §7 north star), each oracle-checked cell-for-cell against
+DuckDB: overlapping token chunking (context-window splitting), BM25
+keyword scoring (corpus curation / retrieval), and single-pass table
+profiling (the generalized form of the reference's scattered validation
+checks, `etl/pipeline.py:633-651`, `etl/mapping.py:242-268`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.operators.profile import profile
+from etl_pipeline_spark.operators.textprep import bm25_scores, chunk_tokens
+from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.star import load_table
+
+# --------------------------------------------------------------------------
+# Overlapping token chunking: chunk_size=20, stride=15 (5-token overlap).
+# Narrow op (zero shuffle): each doc locally explodes into
+# ceil(n_tokens/15) rows. At 100 TB the output is ~4/3× the token volume
+# and partitioning follows the scan — nothing to re-plan.
+# --------------------------------------------------------------------------
+@register(
+    "doc_chunk_overlap",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, toks,
+                   UNNEST(generate_series(1, GREATEST(len(toks), 1), 15)) AS start
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST((start - 1) // 15 AS BIGINT) AS chunk_id,
+               CAST(LEAST(20, len(toks) - start + 1) AS BIGINT) AS n_tokens,
+               array_to_string(toks[start : start + 19], ' ') AS chunk_text
+        FROM starts
+    """,
+    tags=("text", "chunking", "narrow"),
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(docs, chunk_size=20, stride=15)
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword scoring, top-10 docs for a 3-term query. The tf shuffle
+# carries only tokens matching the query terms (filter before aggregate);
+# df and corpus stats are term-count-sized → broadcast. Scores rounded to
+# 6 dp before the ORDER BY so the sort key is bit-identical across engines.
+# --------------------------------------------------------------------------
+@register(
+    "bm25_keyword_topk",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+            FROM documents
+        ),
+        dl AS (
+            SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+            FROM toks GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+                   (SELECT AVG(dl) FROM dl) AS avgdl
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM toks WHERE tok IN ('hash', 'join', 'filter')
+            GROUP BY doc_id, tok
+        ),
+        dfreq AS (
+            SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+            FROM toks WHERE tok IN ('hash', 'join', 'filter')
+            GROUP BY tok
+        )
+        SELECT tf.doc_id AS doc_id,
+               ROUND(SUM(
+                   LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS bm25
+        FROM tf
+        JOIN dfreq USING (tok)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+        ORDER BY bm25 DESC, tf.doc_id
+        LIMIT 10
+    """,
+    tags=("text", "search", "agg", "broadcast"),
+)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, ["hash", "join", "filter"], k1=1.2, b=0.75)
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Single-pass profiling of the orders table: every per-column statistic
+# from ONE aggregation (Expand-based multi-distinct), then a driver-shaped
+# unpivot. The repeated one-row agg branches share the same shuffle via
+# ReusedExchange, so the table is scanned once however many columns it has.
+# --------------------------------------------------------------------------
+@register(
+    "profile_orders",
+    oracle="""
+        SELECT 'o_orderkey' AS col_name,
+               CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+               CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+               CAST(NULL AS DOUBLE) AS min_len, CAST(NULL AS DOUBLE) AS max_len
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+               CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(MIN(LENGTH(o_orderstatus)) AS DOUBLE),
+               CAST(MAX(LENGTH(o_orderstatus)) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+               CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate',
+               CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(MIN(LENGTH(o_orderpriority)) AS DOUBLE),
+               CAST(MAX(LENGTH(o_orderpriority)) AS DOUBLE)
+        FROM orders
+    """,
+    tags=("profiling", "agg", "quality"),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile(load_table(spark, sf_dir, "orders"))

@@ -1,0 +1,84 @@
+"""Tests for chunking, BM25 scoring, and single-pass profiling."""
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.operators.profile import profile
+from etl_pipeline_spark.operators.textprep import bm25_scores, chunk_tokens
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_chunks_cover_and_reconstruct(spark):
+    text = " ".join(f"w{i}" for i in range(47))
+    out = chunk_tokens(_docs(spark, [text]), chunk_size=20, stride=15).collect()
+    # starts at 1, 16, 31, 46 → 4 chunks; last has 2 tokens
+    assert [r.chunk_id for r in out] == [0, 1, 2, 3]
+    assert [r.n_tokens for r in out] == [20, 20, 17, 2]
+    assert out[0].chunk_text.split(" ") == [f"w{i}" for i in range(20)]
+    assert out[3].chunk_text == "w45 w46"
+    # consecutive chunks overlap by chunk-stride tokens
+    assert out[0].chunk_text.split(" ")[15:] == out[1].chunk_text.split(" ")[:5]
+
+
+def test_chunks_nonoverlapping_reconstruct_exactly(spark):
+    text = " ".join(f"t{i}" for i in range(33))
+    out = chunk_tokens(_docs(spark, [text]), chunk_size=10, stride=10).collect()
+    rebuilt = " ".join(r.chunk_text for r in sorted(out, key=lambda r: r.chunk_id))
+    assert rebuilt == text
+
+
+def test_chunking_is_narrow(spark):
+    plan = (
+        chunk_tokens(_docs(spark, ["a b c"]), chunk_size=2, stride=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_bm25_matches_hand_computation(spark):
+    texts = ["cat dog cat", "dog bird", "fish fish fish cat"]
+    out = {
+        r.doc_id: r.score
+        for r in bm25_scores(_docs(spark, texts), ["cat"], k1=1.2, b=0.75).collect()
+    }
+    # cat: df=2, N=3 → idf = ln((3-2+0.5)/(2+0.5)+1); dl = 3,2,4; avgdl = 3
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+
+    def w(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.0))
+
+    assert set(out) == {0, 2}  # doc 1 has no 'cat'
+    assert abs(out[0] - w(2, 3)) < 1e-12
+    assert abs(out[2] - w(1, 4)) < 1e-12
+
+
+def test_profile_values_and_single_scan(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, name="ab", val=2.5),
+            Row(k=2, name=None, val=-1.0),
+            Row(k=2, name="wxyz", val=None),
+        ]
+    )
+    path = str(tmp_path / "p")
+    df.write.parquet(path)
+    stats = {r.col_name: r for r in profile(spark.read.parquet(path)).collect()}
+    assert stats["k"].n_nulls == 0 and stats["k"].n_distinct == 2
+    assert stats["k"].min_num == 1.0 and stats["k"].max_num == 2.0
+    assert stats["name"].n_nulls == 1 and stats["name"].n_distinct == 2
+    assert stats["name"].min_len == 2.0 and stats["name"].max_len == 4.0
+    assert stats["name"].min_num is None
+    assert stats["val"].n_nulls == 1 and stats["val"].min_num == -1.0
+    plan = (
+        profile(spark.read.parquet(path))._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
