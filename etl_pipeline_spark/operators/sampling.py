@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 _BUCKETS = 10_000
 
 
-def hash_bucket_sql(id_expr: str, seed: str, buckets: int = _BUCKETS) -> str:
-    """SQL for a deterministic bucket in [0, buckets) from md5(seed:id).
+def hash_u32_sql(id_expr: str, seed: str) -> str:
+    """SQL for a deterministic uint32 from md5(seed:id).
 
     Decodes the first 8 hex chars via instr-arithmetic — evaluates
     identically in Spark SQL and DuckDB (no conv()/from_hex divergence).
@@ -40,7 +40,12 @@ def hash_bucket_sql(id_expr: str, seed: str, buckets: int = _BUCKETS) -> str:
         f" * {16 ** (7 - i)}"
         for i in range(8)
     )
-    return f"(({decoded}) % {buckets})"
+    return f"({decoded})"
+
+
+def hash_bucket_sql(id_expr: str, seed: str, buckets: int = _BUCKETS) -> str:
+    """SQL for a deterministic bucket in [0, buckets) from md5(seed:id)."""
+    return f"({hash_u32_sql(id_expr, seed)} % {buckets})"
 
 
 def split_label_sql(id_expr: str, seed: str, weights: dict[str, float]) -> str:
@@ -75,3 +80,30 @@ def stratified_sample(
     )
     thresh = f"CASE {stratum_col} {arms} ELSE {int(round(default_rate * _BUCKETS))} END"
     return df.filter(F.expr(f"{bucket} < {thresh}"))
+
+
+def weighted_sample_key_sql(id_expr: str, weight_expr: str, seed: str) -> str:
+    """SQL for an Efraimidis–Spirakis weighted-sampling key.
+
+    key = -ln(u) / w with u ~ Uniform(0,1) derived from md5(seed:id); the
+    k rows with the SMALLEST keys are a weighted sample without
+    replacement (equivalent to top-k by u^(1/w)). Deterministic and
+    engine-portable: u is exact integer arithmetic; ln/division are IEEE
+    doubles whose sub-ulp engine differences only matter on an exact tie
+    at the k-boundary (probability ~0 for distinct ids).
+    """
+    u = f"((CAST({hash_u32_sql(id_expr, seed)} AS DOUBLE) + 0.5) / 4294967296.0)"
+    return f"(-LN({u}) / CAST({weight_expr} AS DOUBLE))"
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int, seed: str = "wsample"
+) -> DataFrame:
+    """Weighted sample of k rows without replacement (weights > 0).
+
+    Scale: the key is a narrow expression; top-k by smallest key is
+    Spark's TakeOrdered (per-partition k then a k-sized driver merge) —
+    no full sort, no shuffle of the data itself.
+    """
+    key = F.expr(weighted_sample_key_sql(id_col, weight_col, seed))
+    return df.withColumn("__wkey", key).orderBy("__wkey").limit(k).drop("__wkey")

@@ -108,9 +108,9 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Single-pass profiling of the orders table: every per-column statistic
-# from ONE aggregation (Expand-based multi-distinct), then a driver-shaped
-# unpivot. The repeated one-row agg branches share the same shuffle via
-# ReusedExchange, so the table is scanned once however many columns it has.
+# from ONE aggregation (Expand-based multi-distinct), unpivoted by a single
+# stack generator — the table is scanned once however many columns it has
+# (test-asserted in test_textprep_profile.py).
 # --------------------------------------------------------------------------
 @register(
     "profile_orders",
@@ -164,3 +164,77 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Inverted-index AND-search: documents containing ALL query terms.
+# The posting-list intersection is expressed as filter → groupBy(doc)
+# HAVING COUNT(DISTINCT term) = |terms| — one shuffle that carries only
+# matching (doc, term) pairs (at 100 TB: proportional to posting-list
+# sizes, not corpus size), then a semi-join back for the payload columns.
+# --------------------------------------------------------------------------
+@register(
+    "keyword_and_search",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id FROM toks
+            WHERE tok IN ('hash', 'join', 'batch')
+            GROUP BY doc_id
+            HAVING COUNT(DISTINCT tok) = 3
+        )
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN hits USING (doc_id)
+    """,
+    tags=("text", "search", "semi", "agg"),
+)
+def keyword_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.textprep import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["hash", "join", "batch"]
+    hits = (
+        tokenize(docs)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tok").alias("n_terms"))
+        .filter(F.col("n_terms") == len(terms))
+        .select("doc_id")
+    )
+    return docs.join(hits, "doc_id", "leftsemi").select("doc_id", "lang", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis–Spirakis): 50 docs sampled
+# without replacement, probability ∝ n_chars, reproducible two years later
+# from the same inputs (no rand()). The key is a narrow md5-derived
+# expression; top-k by smallest key is TakeOrdered — no shuffle, no full
+# sort. The oracle evaluates the IDENTICAL key SQL, so selection parity is
+# checked end-to-end.
+# --------------------------------------------------------------------------
+from etl_pipeline_spark.operators.sampling import (  # noqa: E402
+    weighted_sample,
+    weighted_sample_key_sql,
+)
+
+_WKEY = weighted_sample_key_sql("doc_id", "n_chars", "wsample")
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        ORDER BY {_WKEY}
+        LIMIT 50
+    """,
+    tags=("sampling", "topk", "narrow"),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=50, seed="wsample")

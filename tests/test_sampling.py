@@ -50,3 +50,23 @@ def test_no_shuffle_in_plan(spark):
     df = assign_splits(_ids(spark, 100), "doc_id", _W, seed="t")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from pyspark.sql import Row
+
+    from etl_pipeline_spark.operators.sampling import weighted_sample
+
+    # 100 light rows (w=1) + 10 heavy rows (w=1000)
+    df = spark.createDataFrame(
+        [Row(id=i, w=1.0) for i in range(100)]
+        + [Row(id=100 + i, w=1000.0) for i in range(10)]
+    )
+    s1 = sorted(r.id for r in weighted_sample(df, "id", "w", k=10).collect())
+    s2 = sorted(r.id for r in weighted_sample(df, "id", "w", k=10).collect())
+    assert s1 == s2 and len(s1) == 10  # deterministic, exact k
+    # heavy rows (9% of population, >99% of weight) should dominate the sample
+    assert sum(1 for i in s1 if i >= 100) >= 7
+    # a different seed draws a different sample
+    s3 = sorted(r.id for r in weighted_sample(df, "id", "w", k=10, seed="other").collect())
+    assert s3 != s1
