@@ -108,3 +108,65 @@ def cluster_assignments(
         (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
         w.cast("bigint").alias("cluster_size"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` synchronous PageRank iterations.
+
+    Directed edges; uniform teleport; dangling-node mass (nodes with no
+    out-edges) is redistributed uniformly each round, so ranks always sum
+    to 1. Fixed iteration count (not convergence-tested) keeps the result
+    deterministic for a given graph.
+
+    Scale notes (same discipline as ``connected_components``):
+    - the degree-weighted edge relation is built once and persisted; each
+      round is one join (edges ⋈ ranks on src, reusing the persisted
+      partitioning) + one groupBy(dst) shuffle;
+    - dangling mass is a one-scalar aggregate per round (tiny collect);
+    - ``localCheckpoint`` per round truncates lineage growth.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    weighted = e.join(deg, "src").persist()
+    weighted.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    has_out = deg.select(F.col("src").alias("node"))
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(has_out, "node", "leftanti").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            weighted.join(ranks, weighted["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    nodes.unpersist()
+    weighted.unpersist()
+    return ranks

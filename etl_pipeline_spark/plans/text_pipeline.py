@@ -238,3 +238,40 @@ _WKEY = weighted_sample_key_sql("doc_id", "n_chars", "wsample")
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return weighted_sample(docs, "doc_id", "n_chars", k=50, seed="wsample")
+
+
+# --------------------------------------------------------------------------
+# PageRank over the bipartite part↔supplier graph derived from lineitem
+# (node ids: 2*partkey for parts, 2*suppkey+1 for suppliers; edges
+# symmetrized). Iterative — not SQL-expressible → rows-only driver check;
+# exactness is pinned by test_graph.py's numpy power-iteration equality.
+# Each round is one degree-weighted join + one groupBy shuffle with
+# lineage truncated per round (operators/graph.py::pagerank).
+# --------------------------------------------------------------------------
+@register(
+    "pagerank_part_supplier",
+    oracle=None,
+    tags=("graph", "iterative", "rows-only"),
+)
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.graph import pagerank
+
+    rel = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_partkey") * 2).alias("part_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges = rel.select(
+        F.col("part_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        rel.select(F.col("supp_node").alias("src"), F.col("part_node").alias("dst"))
+    )
+    ranks = pagerank(edges, n_iter=5)
+    return (
+        ranks.select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )

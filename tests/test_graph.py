@@ -80,3 +80,29 @@ def test_cluster_assignments_view(spark):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "src bigint, dst bigint")
     assert connected_components(df).count() == 0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from etl_pipeline_spark.operators.graph import pagerank
+
+    # 4-node graph with a dangling node (3 has no out-edges)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3)]
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    got = {r.node: r.rank for r in pagerank(df, n_iter=12).collect()}
+
+    n, d = 4, 0.85
+    out = {0: [1, 2], 1: [2, 3], 2: [0], 3: []}
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        nxt = np.zeros(n)
+        dangling = sum(r[v] for v in range(n) if not out[v])
+        for v in range(n):
+            for w in out[v]:
+                nxt[w] += r[v] / len(out[v])
+        r = (1 - d) / n + d * (nxt + dangling / n)
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
