@@ -1025,3 +1025,61 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price"),
     )
     return snapshot_diff(old, new, ["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (operators/incremental.py): carry the
+# previous aggregate forward, re-aggregate ONLY groups touched by the
+# old→new diff. The oracle is the FULL recompute over `new`, so the hash
+# match proves incremental == full cell-for-cell. Same deterministic
+# old/new snapshots as snapshot_diff_orders. At 100 TB every shuffle here
+# is change-volume-sized, not table-sized — this is the pattern that
+# replaces the reference's daily truncate-and-reload.
+# --------------------------------------------------------------------------
+@register(
+    "incremental_agg_orders",
+    oracle="""
+        WITH new AS (
+          SELECT o_orderkey, o_orderpriority, o_orderdate,
+                 CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 89 <> 0
+        )
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM new
+        GROUP BY 1, 2
+    """,
+    tags=("relational", "incremental", "agg"),
+)
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.incremental import incremental_agg_refresh
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        "o_totalprice",
+    )
+    new = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    aggs = [
+        F.sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    ]
+    prev = old.groupBy("o_year", "o_orderpriority").agg(*aggs)
+    refreshed = incremental_agg_refresh(
+        prev, old, new, "o_orderkey", ["o_year", "o_orderpriority"], aggs
+    )
+    return refreshed.select(
+        "o_year", "o_orderpriority", F.round("revenue", 2).alias("revenue"), "n_orders"
+    )
