@@ -1083,3 +1083,53 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refreshed.select(
         "o_year", "o_orderpriority", F.round("revenue", 2).alias("revenue"), "n_orders"
     )
+
+
+# --------------------------------------------------------------------------
+# Key-skew diagnostics: the heaviest join/agg keys with their share of all
+# rows and ratio to the mean key load — the relation you inspect BEFORE
+# choosing salting (operators/skew.py) or AQE skew-join handling for a
+# 100 TB join. One count shuffle + two scalar broadcasts; top-10 is
+# TakeOrdered with a deterministic (cnt DESC, key ASC) tie-break.
+# --------------------------------------------------------------------------
+@register(
+    "key_skew_partkey",
+    oracle="""
+        WITH per_key AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (
+            SELECT CAST(SUM(cnt) AS DOUBLE) AS total_rows,
+                   AVG(cnt) AS avg_cnt
+            FROM per_key
+        )
+        SELECT l_partkey, cnt,
+               ROUND(cnt / total_rows, 6) AS row_share,
+               ROUND(cnt / avg_cnt, 6) AS skew_factor
+        FROM per_key CROSS JOIN tot
+        ORDER BY cnt DESC, l_partkey
+        LIMIT 10
+    """,
+    tags=("relational", "skew", "diagnostics", "topk"),
+)
+def key_skew_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_key = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = per_key.agg(
+        F.sum("cnt").cast("double").alias("total_rows"), F.avg("cnt").alias("avg_cnt")
+    )
+    return (
+        per_key.join(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total_rows"), 6).alias("row_share"),
+            F.round(F.col("cnt") / F.col("avg_cnt"), 6).alias("skew_factor"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("l_partkey"))
+        .limit(10)
+    )

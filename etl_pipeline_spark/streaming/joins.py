@@ -76,3 +76,20 @@ def run_available_now_append(stream_df: DataFrame, query_name: str) -> DataFrame
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def enrich_with_dimension(
+    stream: DataFrame, dim: DataFrame, on: list[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to each
+    streaming row.
+
+    The static side is broadcast — no streaming state at all (unlike
+    stream-stream joins), and the dimension is re-resolved every
+    micro-batch, so a slowly-changing dimension table picks up updates on
+    the next trigger without restarting the query. This is the streaming
+    twin of the reference's per-row source↔config lookups
+    (etl/models.py:144-237) and the single most common production
+    enrichment shape at any scale.
+    """
+    return stream.join(F.broadcast(dim), on, how)

@@ -126,3 +126,41 @@ def test_stream_merge_upsert_cdc(spark, tmp_path):
         assert got == [(1, "a0"), (2, "b1"), (3, "c0")]
     finally:
         spark.sql("DROP DATABASE IF EXISTS cdc_db CASCADE")
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    from etl_pipeline_spark.streaming.joins import enrich_with_dimension
+    from etl_pipeline_spark.streaming.windows import events_stream
+    from etl_pipeline_spark.sources.star import load_table
+
+    sf = SF_DIR
+    dim = (
+        load_table(spark, sf, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    enriched = enrich_with_dimension(events_stream(spark, sf), dim, ["user_id"])
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("enrich_check")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.c_mktsegment: (r.n, r.total)
+        for r in spark.sql("SELECT * FROM enrich_check").collect()
+    }
+    events = load_table(spark, sf, "events")
+    want = {
+        r.c_mktsegment: (r.n, r.total)
+        for r in events.join(dim, "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert got == want and len(got) > 1
