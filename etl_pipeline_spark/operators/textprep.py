@@ -23,8 +23,10 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from etl_pipeline_spark.operators.dedup import shingles
 
 _WS = r"\s+"
 
@@ -66,6 +68,92 @@ def chunk_tokens(
             .cast("bigint")
             .alias("n_tokens"),
             F.concat_ws(" ", F.expr(f"slice(toks, start, {chunk_size})")).alias("chunk_text"),
+        )
+    )
+
+
+def eval_contamination(
+    docs: DataFrame,
+    eval_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_common: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: word-n-gram overlap of every training
+    document against every held-out eval document.
+
+    ``eval_pred`` (over ``doc_id``) splits the corpus; a (train, eval) pair
+    is reported when they share at least ``min_common`` distinct shingles,
+    with ``contamination`` = shared / |eval shingles| — the fraction of the
+    eval document's n-grams leaked into that training document.
+
+    Scale shape: the eval side (a benchmark suite) is tiny relative to a
+    100 TB train corpus, so its shingle relation is broadcast — the big
+    train-shingle scan never shuffles; only matching (train, eval) pairs
+    reach the counting aggregate.
+    """
+    sh = shingles(docs, id_col, text_col, n)
+    ev = sh.filter(eval_pred)
+    tr = sh.filter(~eval_pred)
+    sizes = ev.groupBy(F.col("doc_id").alias("eval_doc")).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        tr.alias("t")
+        .join(F.broadcast(ev.alias("e")), F.col("t.shingle") == F.col("e.shingle"))
+        .groupBy(F.col("t.doc_id").alias("train_doc"), F.col("e.doc_id").alias("eval_doc"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return inter.join(F.broadcast(sizes), "eval_doc").select(
+        "train_doc",
+        "eval_doc",
+        "n_common",
+        F.round(F.col("n_common") / F.col("n"), 6).alias("contamination"),
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Returns (doc_id, n_tokens, top_token_frac, top_bigram_frac,
+    distinct_ratio): the token share of the most frequent token, the token
+    share covered by the most frequent bigram (count × 2 / n_tokens), and
+    the distinct-token ratio. High top-*-frac / low distinct_ratio flags
+    degenerate repetitive text for corpus filtering.
+
+    Two shuffles, both keyed on (doc_id, gram) then doc_id — partial
+    aggregation absorbs the repetition itself, so shuffle volume is the
+    number of *distinct* grams per doc, not token volume. Documents with
+    fewer than two tokens are omitted (no bigram exists).
+    """
+    t = docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks"))
+    tok = t.select("doc_id", F.explode("toks").alias("tok"))
+    tc = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ts = tc.groupBy("doc_id").agg(
+        F.max("c").alias("top_tok"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    sz = t.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    bg_expr = "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))"
+    bg = t.filter(F.size("toks") >= 2).select("doc_id", F.explode(F.expr(bg_expr)).alias("bg"))
+    bs = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"))
+    )
+    return (
+        ts.join(sz, "doc_id")
+        .join(bs, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("top_tok") / F.col("n_tokens"), 6).alias("top_token_frac"),
+            F.round(F.lit(2.0) * F.col("top_bg") / F.col("n_tokens"), 6).alias("top_bigram_frac"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
         )
     )
 

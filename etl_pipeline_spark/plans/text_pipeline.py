@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.operators.profile import profile
-from etl_pipeline_spark.operators.textprep import bm25_scores, chunk_tokens
+from etl_pipeline_spark.operators.textprep import (
+    bm25_scores,
+    chunk_tokens,
+    eval_contamination,
+    repetition_metrics,
+)
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
 
@@ -275,3 +280,80 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap of training docs against a
+# held-out eval split (doc_id % 97 = 0 stands in for a benchmark suite).
+# The eval shingle relation is broadcast (a benchmark is KBs against a
+# 100 TB corpus), so the train-side shingle scan joins map-side with no
+# shuffle; only matching (train, eval) pairs reach the count aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "decontaminate_eval_overlap",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]))) AS shingle
+            FROM documents
+        ),
+        ev AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
+        tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        sizes AS (SELECT doc_id AS eval_doc, COUNT(*) AS n FROM ev GROUP BY 1),
+        inter AS (
+            SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+                   COUNT(*) AS n_common
+            FROM tr JOIN ev ON tr.shingle = ev.shingle
+            GROUP BY 1, 2
+        )
+        SELECT train_doc, eval_doc, n_common,
+               ROUND(n_common * 1.0 / s.n, 6) AS contamination
+        FROM inter JOIN sizes s USING (eval_doc)
+        WHERE n_common >= 2
+    """,
+    tags=("llm", "dedup", "decontamination"),
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return eval_contamination(docs, F.col("doc_id") % 97 == 0, min_common=2)
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition quality: most-frequent-token share, top-bigram
+# token share, distinct-token ratio per document — the standard degenerate-
+# text filters for pretraining corpora. Shuffle volume is distinct grams
+# per doc (partial agg absorbs the repetition being measured).
+# --------------------------------------------------------------------------
+@register(
+    "repetition_quality",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        ts AS (SELECT doc_id, MAX(c) AS top_tok, COUNT(*) AS n_distinct
+               FROM tc GROUP BY 1),
+        sz AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        bgs AS (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1])) AS bg
+            FROM t WHERE len(toks) >= 2
+        ),
+        bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY 1, 2),
+        bs AS (SELECT doc_id, MAX(c) AS top_bg FROM bc GROUP BY 1)
+        SELECT ts.doc_id, n_tokens,
+               ROUND(top_tok * 1.0 / n_tokens, 6) AS top_token_frac,
+               ROUND(2.0 * top_bg / n_tokens, 6) AS top_bigram_frac,
+               ROUND(n_distinct * 1.0 / n_tokens, 6) AS distinct_ratio
+        FROM ts
+        JOIN sz ON sz.doc_id = ts.doc_id
+        JOIN bs ON bs.doc_id = ts.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs)

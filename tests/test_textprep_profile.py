@@ -82,3 +82,36 @@ def test_profile_values_and_single_scan(spark, tmp_path):
         profile(spark.read.parquet(path))._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan parquet") == 1
+
+
+def test_eval_contamination_planted_copy(spark):
+    from etl_pipeline_spark.operators.textprep import eval_contamination
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",   # doc 0 (eval: 0 % 3 == 0)
+        "alpha beta gamma delta epsilon zeta",   # doc 1 — exact copy of eval doc 0
+        "one two three four five six seven",     # doc 2 — disjoint
+        "unrelated words entirely different here now",  # doc 3 (eval)
+    ]
+    out = eval_contamination(
+        _docs(spark, texts), F.col("doc_id") % 3 == 0, min_common=2
+    ).collect()
+    rows = {(r.train_doc, r.eval_doc): r for r in out}
+    # the exact copy shares all 4 shingles of the 6-token eval doc
+    assert set(rows) == {(1, 0)}
+    assert rows[(1, 0)].n_common == 4
+    assert rows[(1, 0)].contamination == 1.0
+
+
+def test_repetition_metrics_hand_values(spark):
+    from etl_pipeline_spark.operators.textprep import repetition_metrics
+
+    out = {r.doc_id: r for r in repetition_metrics(_docs(spark, ["a a a b", "x y"])).collect()}
+    r0 = out[0]
+    assert r0.n_tokens == 4
+    assert r0.top_token_frac == 0.75          # 'a' ×3 / 4
+    assert r0.top_bigram_frac == 1.0          # 'a a' ×2 → 2*2/4
+    assert r0.distinct_ratio == 0.5           # {a, b} / 4
+    r1 = out[1]
+    assert r1.top_token_frac == 0.5 and r1.top_bigram_frac == 1.0
+    assert r1.distinct_ratio == 1.0
