@@ -348,3 +348,68 @@ def _pii_sql(engine: str) -> str:
 def sql_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_pii_sql("spark"))
+
+
+# Exact-interpolation percentile fences (percentile_cont WITHIN GROUP is
+# the same ANSI text in both engines): per-priority Q1/Q3 from a 5-row
+# aggregate, broadcast back against orders, outliers above Q3 + 0.5·IQR.
+# The fence table is group-count-sized — the join never shuffles orders.
+_sql_query(
+    "sql_outlier_iqr_fences",
+    """
+        WITH fences AS (
+            SELECT o_orderpriority,
+                   percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1,
+                   percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS q3
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT f.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_outliers,
+               ROUND(f.q3 + 0.5 * (f.q3 - f.q1), 2) AS upper_fence,
+               ROUND(MAX(o.o_totalprice), 2) AS max_outlier
+        FROM fences f JOIN orders o ON o.o_orderpriority = f.o_orderpriority
+        WHERE o.o_totalprice > f.q3 + 0.5 * (f.q3 - f.q1)
+        GROUP BY f.o_orderpriority, f.q3, f.q1
+    """,
+    doc="per-priority IQR outlier fences via exact interpolated percentiles",
+    tags=("sql", "percentile", "outliers"),
+)
+
+# NTILE bucketing — equal-frequency quartile assignment with a total
+# deterministic order (tiebreak on the key).
+_sql_query(
+    "sql_ntile_balance_quartiles",
+    """
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+               CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    doc="equal-frequency account-balance quartiles (NTILE)",
+    tags=("sql", "window"),
+)
+
+# Order-insensitive table fingerprint: SUM over a per-row 32-bit hash
+# (md5 hex decoded via the shared instr chain — no engine-specific hash
+# builtin). Verifies replica/migration equality of a 100 TB table with one
+# commutative aggregate — no sort, no pairwise compare; any single-row
+# difference shifts the checksum.
+_CHECKSUM_HEX = " + ".join(
+    "CAST(instr('0123456789abcdef', substr(h, %d, 1)) - 1 AS BIGINT) * %d"
+    % (i + 1, 16 ** (7 - i))
+    for i in range(8)
+)
+_sql_query(
+    "sql_table_checksum_orders",
+    f"""
+        WITH hashed AS (
+            SELECT md5(o_orderkey || '|' || o_custkey || '|' ||
+                       o_orderstatus || '|' || o_orderdate) AS h
+            FROM orders
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM({_CHECKSUM_HEX}) AS BIGINT) AS checksum
+        FROM hashed
+    """,
+    doc="order-insensitive row-hash fingerprint of the orders table",
+    tags=("sql", "checksum", "agg"),
+)
