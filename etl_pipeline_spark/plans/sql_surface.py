@@ -413,3 +413,83 @@ _sql_query(
     doc="order-insensitive row-hash fingerprint of the orders table",
     tags=("sql", "checksum", "agg"),
 )
+
+
+# Correlated LATERAL subquery with ORDER BY + LIMIT — per-customer top-2
+# orders, the "top-N per group" stated as a lateral join rather than a
+# window. Catalyst decorrelates the LIMIT subquery (DomainJoin → ranked
+# window under the hood) instead of executing it per outer row as the
+# reference's per-row lookup loops would (etl/mapping.py:128-170).
+_sql_query(
+    "sql_lateral_top2_orders",
+    """
+        SELECT n.n_name, t.o_orderkey, ROUND(t.o_totalprice, 2) AS totalprice
+        FROM nation n
+        JOIN customer c ON c.c_nationkey = n.n_nationkey,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE n.n_name IN ('NATION_3', 'NATION_7')
+    """,
+    doc="top-2 orders per customer via correlated LATERAL LIMIT subquery",
+    tags=("sql", "lateral", "subquery", "topk"),
+)
+
+
+# Conditional aggregation with the ANSI FILTER clause — one scan computes
+# per-status counts and a conditional average (the SQL statement of the
+# reference's per-status Counter rollups, etl/utils/run_summary.py:12-31).
+_sql_query(
+    "sql_conditional_agg_filter",
+    """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+               ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+                   AS avg_finished_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="per-priority conditional aggregates via ANSI FILTER clause",
+    tags=("sql", "agg"),
+)
+
+# Fuzzy string reconciliation — the generalized form of the reference's
+# T6 fuzzy source↔FC matching (substring heuristics, etl/models.py:144-237)
+# with an edit-distance predicate. Scale shape: project to DISTINCT names
+# BEFORE the quadratic comparison — the vocabulary (64 names here) is what
+# gets squared, never the table; at 100 TB the distinct-project is the
+# shuffle and the pair join is a broadcast nested loop over KBs.
+_sql_query(
+    "sql_fuzzy_name_pairs",
+    """
+        WITH names AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        FROM names a JOIN names b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    """,
+    doc="near-identical part-name pairs by edit distance over the distinct vocabulary",
+    tags=("sql", "fuzzy", "dedup"),
+)
+
+# Per-group z-score normalization — the feature-scaling primitive for
+# training-data prep: a group-count-sized stats aggregate broadcast back
+# against the fact table (no second shuffle of events).
+_sql_query(
+    "sql_zscore_normalize_events",
+    """
+        WITH stats AS (
+            SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               ROUND((e.value - s.mu) / s.sigma, 6) AS value_z
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+    """,
+    doc="per-event-type z-score normalization (broadcast stats join)",
+    tags=("sql", "agg", "feature-prep"),
+)
