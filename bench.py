@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "simhash_fingerprints",
+    "decontaminate_eval_overlap",
+    "repetition_quality",
     "ann_cosine_topk",
     "ann_bucketed_sign_lsh",
     "ann_ivf_topk",

@@ -177,3 +177,31 @@ def test_split_assign_no_shuffle_no_udf(spark):
     plan = _plan(spark, REGISTRY["train_test_split_assign"].spark_fn(spark, SF_DIR))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontamination_eval_side_broadcast(spark):
+    plan = _plan(
+        spark, REGISTRY["decontaminate_eval_overlap"].spark_fn(spark, SF_DIR)
+    )
+    # the train-shingle scan must join map-side against broadcast eval
+    # shingles — a sort-merge join here would shuffle the whole corpus
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_pairs_distinct_before_quadratic(spark):
+    df = REGISTRY["sql_fuzzy_name_pairs"].spark_fn(spark, SF_DIR)
+    plan = _plan(spark, df)
+    # the vocabulary is deduped BEFORE the pair join: HashAggregate on both
+    # sides below the (broadcast) nested-loop pair comparison
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_zscore_stats_join_broadcast(spark):
+    plan = _plan(spark, REGISTRY["sql_zscore_normalize_events"].spark_fn(spark, SF_DIR))
+    # the group-count-sized stats relation broadcasts; events never
+    # shuffle for the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
