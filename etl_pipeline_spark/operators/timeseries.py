@@ -61,3 +61,50 @@ def resample_ffill(
         (F.col("__bucket") * F.lit(step)).alias("bucket_start"),
         F.last("__obs", ignorenulls=True).over(w_fill).alias(value_col),
     )
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Build a Type-2 slowly-changing dimension from change events.
+
+    Each change row becomes a half-open validity interval
+    ``[valid_from, valid_to)``; the latest version per key has
+    ``valid_to IS NULL`` and ``is_current = 1``. Input must be unique per
+    (key, ts) — pre-aggregate ties upstream for determinism.
+
+    One shuffle on the key (the LEAD window); interval construction is a
+    narrow window function, so dimension history builds scale with change
+    volume, not snapshot volume — the whole point of SCD2 over daily full
+    snapshots.
+    """
+    w = Window.partitionBy(key_col).orderBy("valid_from")
+    return (
+        changes.select(key_col, *attr_cols, F.col(ts_col).alias("valid_from"))
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn("is_current", F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+    )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    fact_ts_col: str,
+) -> DataFrame:
+    """Point-in-time join: each fact row picks the dimension version valid
+    at its timestamp (``valid_from <= ts < valid_to``, open-ended current).
+
+    The key equality makes this a plain hash join with the interval test as
+    a residual predicate — no interval explosion, no nested loop. Facts
+    before a key's first version drop out (inner semantics).
+    """
+    cond = (
+        (facts[key_col] == dim[key_col])
+        & (dim["valid_from"] <= facts[fact_ts_col])
+        & (dim["valid_to"].isNull() | (facts[fact_ts_col] < dim["valid_to"]))
+    )
+    return facts.join(dim, cond).drop(dim[key_col])

@@ -300,3 +300,62 @@ def resample_ffill_user_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = resample_ffill(ev, "user_id", "ts_s", "value", step=21_600, order_col="event_id")
     return out.select("user_id", "bucket_start", F.round("value", 2).alias("value"))
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 dimension: 'error' events are treated as state changes per
+# user; consecutive changes become half-open validity intervals (LEAD
+# window — one shuffle on the key, cost ∝ change volume, never snapshot
+# volume). The point-in-time lookup joins purchases to the version valid
+# at purchase time: key equality drives a hash join, the interval test is
+# a residual predicate — no nested loop, no interval explosion.
+# --------------------------------------------------------------------------
+@register(
+    "scd2_state_at_purchase",
+    oracle="""
+        WITH changes AS (
+            SELECT user_id, epoch_ns(ts) AS cts, MAX(value) AS state_value
+            FROM events WHERE event_type = 'error'
+            GROUP BY 1, 2
+        ),
+        dim AS (
+            SELECT user_id, state_value, cts AS valid_from,
+                   LEAD(cts) OVER (PARTITION BY user_id ORDER BY cts) AS valid_to
+            FROM changes
+        ),
+        facts AS (
+            SELECT event_id, user_id, epoch_ns(ts) AS fts, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT f.event_id, f.user_id, f.fts // 1000 AS purchase_ts_us,
+               ROUND(d.state_value, 2) AS state_value,
+               ROUND(f.value, 2) AS purchase_value,
+               CAST(d.valid_to IS NULL AS INT) AS at_current_state
+        FROM facts f
+        JOIN dim d ON d.user_id = f.user_id
+                  AND d.valid_from <= f.fts
+                  AND (d.valid_to IS NULL OR f.fts < d.valid_to)
+    """,
+    tags=("streaming", "scd2", "join"),
+)
+def scd2_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.timeseries import scd2_build, scd2_lookup
+
+    ev = load_table(spark, sf_dir, "events")
+    changes = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("state_value"))
+    )
+    dim = scd2_build(changes, "user_id", "ts", ["state_value"])
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return scd2_lookup(facts, dim, "user_id", "ts").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("purchase_ts_us"),
+        F.round("state_value", 2).alias("state_value"),
+        F.round("value", 2).alias("purchase_value"),
+        F.col("is_current").cast("int").alias("at_current_state"),
+    )
