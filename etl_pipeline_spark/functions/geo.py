@@ -231,3 +231,63 @@ def clip_polygons(df: DataFrame, ring_json: str,
     kernel = F.pandas_udf(_make_kernel(bounds, clip_ring_bbox, ring_area), schema)
     packed = df.withColumn("_clip", kernel(F.col(ring_json)))
     return packed.select("*", f"_clip.{out_col}", "_clip.clipped_area").drop("_clip")
+
+
+def points_in_polygon(
+    df: DataFrame,
+    x: str,
+    y: str,
+    ring: list[tuple[float, float]],
+) -> DataFrame:
+    """Exact point-in-polygon AOI filter — the point analog of the
+    reference's PairwiseClip (etl/handlers/geoprocess.py:63-98), upgrading
+    the pushed bbox prefilter to true polygon membership.
+
+    Even-odd ray cast, vectorized over Arrow batches: the (tiny) ring is a
+    closure constant; per edge the crossing test is one NumPy expression
+    over the whole batch. At scale, run `bbox_filter` first so row-group
+    pruning discards everything outside the AOI envelope, then this exact
+    test touches only the survivors. The per-edge intersection formula is
+    written identically to its SQL unrolling (`pip_sql_predicate`) so the
+    UDF is oracle-checkable bit-for-bit in IEEE double.
+    """
+    pts = np.asarray(ring, dtype=np.float64)
+    if not np.array_equal(pts[0], pts[-1]):
+        pts = np.vstack([pts, pts[:1]])
+    edges = [
+        (float(ax), float(ay), float(bx), float(by))
+        for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:])
+        if ay != by  # horizontal edges never satisfy the crossing test
+    ]
+
+    @F.pandas_udf("boolean")
+    def _inside(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        px = xs.to_numpy(dtype=np.float64)
+        py = ys.to_numpy(dtype=np.float64)
+        inside = np.zeros(len(px), dtype=bool)
+        for ax, ay, bx, by in edges:
+            cond = (ay > py) != (by > py)
+            xint = ax + (py - ay) * (bx - ax) / (by - ay)
+            inside ^= cond & (px < xint)
+        return pd.Series(inside)
+
+    return df.filter(_inside(F.col(x), F.col(y)))
+
+
+def pip_sql_predicate(x: str, y: str, ring: list[tuple[float, float]]) -> str:
+    """ANSI-SQL unrolling of the same even-odd ray cast (for oracles and
+    engines without the UDF): parity of per-edge crossing counts, with the
+    intersection expression textually identical to the UDF's."""
+    pts = list(ring)
+    if pts[0] != pts[-1]:
+        pts = pts + [pts[0]]
+    terms = []
+    for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
+        if ay == by:
+            continue
+        terms.append(
+            f"(CASE WHEN (({ay} > {y}) <> ({by} > {y})) AND "
+            f"{x} < {ax} + ({y} - {ay}) * ({bx} - {ax}) / ({by} - {ay}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"

@@ -561,3 +561,48 @@ def expectations_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("check").alias("check_name"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
     )
+
+
+# --------------------------------------------------------------------------
+# T1 exact form: point-in-polygon AOI membership (even-odd ray cast) over
+# the synthetic (quantity, price) point space, with a concave pentagon
+# AOI. The Spark side is the Arrow-vectorized UDF; the oracle is the SAME
+# ray cast unrolled to SQL arithmetic — formula-identical in IEEE double,
+# so the UDF is value-checked, not just smoke-tested. At scale the bbox
+# envelope prefilter (pushed to the scan) runs first; the exact test only
+# touches envelope survivors.
+# --------------------------------------------------------------------------
+_AOI_RING = [(10.0, 10000.0), (40.0, 10000.0), (40.0, 80000.0),
+             (25.0, 40000.0), (10.0, 80000.0)]
+
+
+def _pip_oracle() -> str:
+    from etl_pipeline_spark.functions.geo import pip_sql_predicate
+
+    pred = pip_sql_predicate("l_quantity", "l_extendedprice", _AOI_RING)
+    return f"""
+        SELECT l_orderkey, l_linenumber,
+               l_quantity AS x, l_extendedprice AS y
+        FROM lineitem
+        WHERE {pred}
+    """
+
+
+@register(
+    "point_in_aoi_filter",
+    oracle=_pip_oracle(),
+    tags=("kernel", "spatial", "udf"),
+)
+def point_in_aoi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.functions.geo import bbox_filter, points_in_polygon
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    xs = [p[0] for p in _AOI_RING]
+    ys = [p[1] for p in _AOI_RING]
+    envelope = bbox_filter(li, "x", "y", (min(xs), min(ys), max(xs), max(ys)))
+    return points_in_polygon(envelope, "x", "y", _AOI_RING)

@@ -120,3 +120,44 @@ def test_point_clip_is_pushed_down(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PushedFilters" in plan and "GreaterThanOrEqual(l_quantity,10.0" in plan
+
+
+def test_point_in_polygon_concave(spark):
+    from pyspark.sql import Row
+    from etl_pipeline_spark.functions.geo import points_in_polygon
+
+    # concave pentagon with a notch at the top: (2,3) sits in the notch
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (2.0, 2.0), (0.0, 4.0)]
+    pts = spark.createDataFrame(
+        [
+            Row(pid=1, x=1.0, y=0.5),   # inside
+            Row(pid=2, x=2.0, y=3.0),   # in the notch → outside
+            Row(pid=3, x=0.5, y=3.4),   # inside the left arm
+            Row(pid=4, x=0.5, y=3.6),   # above the left arm → outside
+            Row(pid=5, x=5.0, y=1.0),   # right of everything
+            Row(pid=6, x=3.9, y=3.0),   # inside the right arm
+        ]
+    )
+    got = sorted(r.pid for r in points_in_polygon(pts, "x", "y", ring).collect())
+    assert got == [1, 3, 6]
+
+
+def test_pip_sql_predicate_agrees_with_udf(spark):
+    from pyspark.sql import Row
+    from etl_pipeline_spark.functions.geo import pip_sql_predicate, points_in_polygon
+
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (2.0, 2.0), (0.0, 4.0)]
+    rows = [
+        Row(pid=i, x=float(xi) / 3.0, y=float(yi) / 7.0)
+        for i, (xi, yi) in enumerate((a, b) for a in range(-3, 16) for b in range(-3, 31))
+    ]
+    pts = spark.createDataFrame(rows)
+    pts.createOrReplaceTempView("pip_pts")
+    via_udf = sorted(r.pid for r in points_in_polygon(pts, "x", "y", ring).collect())
+    via_sql = sorted(
+        r.pid
+        for r in spark.sql(
+            f"SELECT pid FROM pip_pts WHERE {pip_sql_predicate('x', 'y', ring)}"
+        ).collect()
+    )
+    assert via_udf == via_sql and len(via_udf) > 50
