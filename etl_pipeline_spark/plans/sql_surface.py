@@ -493,3 +493,94 @@ _sql_query(
     doc="per-event-type z-score normalization (broadcast stats join)",
     tags=("sql", "agg", "feature-prep"),
 )
+
+
+# Regression aggregates — distributed least squares from one pass of
+# commutative moments (regr_slope/intercept = the normal equations over
+# Σx, Σy, Σxy, Σx²; partial agg makes this a single map-side-combined
+# shuffle at any scale).
+_sql_query(
+    "sql_regression_price_trend",
+    """
+        SELECT o_orderpriority,
+               ROUND(regr_slope(o_totalprice, o_custkey), 6) AS slope,
+               ROUND(regr_intercept(o_totalprice, o_custkey), 6) AS intercept,
+               ROUND(corr(o_totalprice, o_custkey), 6) AS r
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="per-priority least-squares fit via regr_* moment aggregates",
+    tags=("sql", "stats", "agg"),
+)
+
+# Mode (most frequent value) per group — single hash aggregate.
+_sql_query(
+    "sql_mode_priority_by_status",
+    """
+        SELECT o_orderstatus, mode(o_orderpriority) AS top_priority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="most frequent order priority per status",
+    tags=("sql", "stats", "agg"),
+)
+
+# Shannon entropy of a categorical distribution — the column-level
+# information content signal for profiling/drift dashboards.
+_sql_query(
+    "sql_entropy_event_types",
+    """
+        WITH p AS (
+            SELECT event_type,
+                   COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events) AS prob
+            FROM events GROUP BY event_type
+        )
+        SELECT ROUND(SUM(-prob * LN(prob)), 6) AS shannon_entropy FROM p
+    """,
+    doc="Shannon entropy of the event-type distribution",
+    tags=("sql", "stats", "quality"),
+)
+
+# Population-stability-index drift detection: equal-width bins over the
+# global value range, reference vs current split (deterministic id
+# parity stands in for two time slices), Laplace-smoothed probabilities
+# so empty bins stay finite. Everything is count aggregates + arithmetic:
+# two shuffles total ((type, bin) then type), volume = distinct bins, not
+# rows — drift over 100 TB costs two tiny aggregates per monitored column.
+_sql_query(
+    "sql_drift_psi_event_values",
+    """
+        WITH stats AS (
+            SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+        ),
+        binned AS (
+            SELECT event_type,
+                   LEAST(9, GREATEST(0,
+                       CAST(FLOOR((value - lo) / ((hi - lo) / 10)) AS INT))) AS bin,
+                   event_id % 2 AS half
+            FROM events, stats
+        ),
+        counts AS (
+            SELECT event_type, bin,
+                   COUNT(*) FILTER (WHERE half = 0) AS n_ref,
+                   COUNT(*) FILTER (WHERE half = 1) AS n_cur
+            FROM binned GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type,
+                   SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur, COUNT(*) AS nbins
+            FROM counts GROUP BY 1
+        )
+        SELECT c.event_type,
+               ROUND(SUM(
+                   ((c.n_ref + 0.5) / (t.t_ref + 0.5 * t.nbins)
+                    - (c.n_cur + 0.5) / (t.t_cur + 0.5 * t.nbins))
+                   * LN(((c.n_ref + 0.5) / (t.t_ref + 0.5 * t.nbins))
+                        / ((c.n_cur + 0.5) / (t.t_cur + 0.5 * t.nbins)))
+               ), 6) AS psi,
+               CAST(MAX(t.nbins) AS BIGINT) AS n_bins
+        FROM counts c JOIN tot t ON c.event_type = t.event_type
+        GROUP BY c.event_type
+    """,
+    doc="population-stability-index drift per event type (smoothed equal-width bins)",
+    tags=("sql", "stats", "drift", "quality"),
+)
