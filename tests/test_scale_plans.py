@@ -205,3 +205,12 @@ def test_zscore_stats_join_broadcast(spark):
     # shuffle for the join
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scd2_lookup_is_hash_join_not_nested_loop(spark):
+    plan = _plan(spark, REGISTRY["scd2_state_at_purchase"].spark_fn(spark, SF_DIR))
+    # key equality drives a hash join; the validity-interval test must stay
+    # a residual predicate, never a nested-loop/cartesian plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
