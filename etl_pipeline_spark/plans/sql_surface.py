@@ -512,15 +512,28 @@ _sql_query(
     tags=("sql", "stats", "agg"),
 )
 
-# Mode (most frequent value) per group — single hash aggregate.
+# Deterministic mode per group: engines break mode() ties arbitrarily, so
+# the most frequent value is stated as count-then-value arg-max (ties go
+# to the smallest value) — reproducible on any engine, any partitioning.
 _sql_query(
     "sql_mode_priority_by_status",
     """
-        SELECT o_orderstatus, mode(o_orderpriority) AS top_priority,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM orders GROUP BY o_orderstatus
+        WITH c AS (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+            FROM orders GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT o_orderstatus, o_orderpriority, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY cnt DESC, o_orderpriority) AS rn,
+                   SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n_total
+            FROM c
+        )
+        SELECT o_orderstatus, o_orderpriority AS top_priority,
+               CAST(n_total AS BIGINT) AS n
+        FROM r WHERE rn = 1
     """,
-    doc="most frequent order priority per status",
+    doc="deterministic most-frequent priority per status (tie-break: smallest value)",
     tags=("sql", "stats", "agg"),
 )
 

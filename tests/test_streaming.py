@@ -164,3 +164,38 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_streaming_drift_psi_equals_batch_query(spark):
+    """Streamed current-half histogram + batch reference must reproduce the
+    oracle-checked batch PSI (sql_drift_psi_event_values) per event type."""
+    from etl_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
+    from etl_pipeline_spark.sources.star import load_table
+
+    _ensure_loaded()
+    from etl_pipeline_spark.streaming.drift import bin_expr, psi_score, value_histogram
+
+    ev = load_table(spark, SF_DIR, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+
+    ref = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("event_type", bin_expr("value", lo, hi, 10).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stream = events_stream(spark, SF_DIR).filter(F.col("event_id") % 2 == 1)
+    streamed = run_available_now(
+        value_histogram(stream, lo, hi, nbins=10, window="6 hours"), "drift_hist_test"
+    )
+    got = {
+        r.event_type: (r.psi, r.n_bins)
+        for r in psi_score(streamed.select("event_type", "bin", "n"), ref).collect()
+    }
+    want = {
+        r.event_type: (r.psi, r.n_bins)
+        for r in REGISTRY["sql_drift_psi_event_values"].spark_fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]          # same observed-bin count
+        assert abs(got[k][0] - want[k][0]) <= 1e-6  # same PSI to rounding
