@@ -357,3 +357,82 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return repetition_metrics(docs)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch frequency estimation (operators/sketch.py): fixed
+# depth×width state replaces the unbounded distinct-key shuffle — the
+# heavy-hitter primitive for unbounded key spaces (URLs, n-grams) at
+# 100 TB. Seeded-md5 bucketing makes build + probe exactly reproducible,
+# so the oracle recomputes the identical sketch in SQL and the driver
+# value-checks estimates cell-for-cell; the overestimate guarantee is
+# asserted as a column.
+# --------------------------------------------------------------------------
+_CMS_DEPTH, _CMS_WIDTH = 4, 4096
+
+
+def _cms_oracle() -> str:
+    from etl_pipeline_spark.operators.sketch import hex8_expr
+
+    def bucket(d: int) -> str:
+        inner = "'" + str(d) + ":' || l_partkey"
+        return f"{hex8_expr(inner)} % {_CMS_WIDTH}"
+
+    cell_rows = "\n            UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket(d)} AS bucket FROM lineitem"
+        for d in range(_CMS_DEPTH)
+    )
+    probe_rows = "\n            UNION ALL ".join(
+        f"SELECT l_partkey, {d} AS d, {bucket(d)} AS bucket FROM probes"
+        for d in range(_CMS_DEPTH)
+    )
+    return f"""
+        WITH cells AS (
+            SELECT d, bucket, COUNT(*) AS cnt FROM (
+            {cell_rows}
+            ) GROUP BY 1, 2
+        ),
+        probes AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey < 20),
+        probe_cells AS (
+            {probe_rows}
+        ),
+        est AS (
+            SELECT p.l_partkey, MIN(COALESCE(c.cnt, 0)) AS est
+            FROM probe_cells p
+            LEFT JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+            GROUP BY 1
+        ),
+        ex AS (
+            SELECT l_partkey, COUNT(*) AS n_exact
+            FROM lineitem WHERE l_partkey < 20 GROUP BY 1
+        )
+        SELECT e.l_partkey, CAST(e.est AS BIGINT) AS est,
+               CAST(x.n_exact AS BIGINT) AS n_exact,
+               CAST(e.est >= x.n_exact AS INT) AS is_overestimate
+        FROM est e JOIN ex x ON e.l_partkey = x.l_partkey
+    """
+
+
+@register(
+    "cms_partkey_estimates",
+    oracle=_cms_oracle(),
+    tags=("sketch", "agg", "heavy-hitters"),
+)
+def cms_partkey_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.sketch import cms_build, cms_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = cms_build(li.select("l_partkey"), "l_partkey", _CMS_DEPTH, _CMS_WIDTH)
+    probes = li.filter(F.col("l_partkey") < 20).select("l_partkey").distinct()
+    est = cms_estimate(sketch, probes, "l_partkey", _CMS_DEPTH, _CMS_WIDTH)
+    exact = (
+        li.filter(F.col("l_partkey") < 20)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return est.join(exact, "l_partkey").select(
+        "l_partkey",
+        F.col("est").cast("bigint").alias("est"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.col("est") >= F.col("n_exact")).cast("int").alias("is_overestimate"),
+    )

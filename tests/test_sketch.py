@@ -1,0 +1,44 @@
+"""Count-min sketch: overestimate guarantee, mergeability, accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+
+
+def _keys(spark, counts: dict[str, int]):
+    rows = [Row(k=k) for k, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows)
+
+
+def test_cms_overestimates_and_is_accurate_when_wide(spark):
+    counts = {"a": 50, "b": 7, "c": 1, "d": 13}
+    df = _keys(spark, counts)
+    sketch = cms_build(df, "k", depth=4, width=1024)
+    probes = spark.createDataFrame([Row(k=k) for k in counts])
+    est = {r.k: r.est for r in cms_estimate(sketch, probes, "k", 4, 1024).collect()}
+    # always an overestimate; with 4 keys in 1024 buckets × 4 rows there is
+    # no collision in at least one row, so the min is exact
+    assert est == counts
+
+
+def test_cms_merge_equals_single_build(spark):
+    counts = {"a": 20, "b": 5, "c": 9}
+    df = _keys(spark, counts)
+    h1 = df.filter(F.col("k") != "c")
+    h2 = df.filter(F.col("k") == "c")
+    merged = cms_merge(cms_build(h1, "k", 3, 256), cms_build(h2, "k", 3, 256))
+    single = cms_build(df, "k", 3, 256)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, single.collect()))
+
+
+def test_cms_never_underestimates_under_collision_pressure(spark):
+    counts = {f"k{i}": (i % 7) + 1 for i in range(200)}
+    df = _keys(spark, counts)
+    sketch = cms_build(df, "k", depth=3, width=64)  # forced collisions
+    probes = spark.createDataFrame([Row(k=k) for k in counts])
+    est = {r.k: r.est for r in cms_estimate(sketch, probes, "k", 3, 64).collect()}
+    assert all(est[k] >= counts[k] for k in counts)
+    assert sum(est.values()) > sum(counts.values())  # collisions inflate somewhere

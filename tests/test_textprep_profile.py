@@ -115,3 +115,29 @@ def test_repetition_metrics_hand_values(spark):
     r1 = out[1]
     assert r1.top_token_frac == 0.5 and r1.top_bigram_frac == 1.0
     assert r1.distinct_ratio == 1.0
+
+
+def test_repetition_metrics_fuzz_vs_python(spark):
+    """Seeded random corpora: the Spark plan must agree with a direct
+    Python computation of every metric (one job for all examples)."""
+    import random
+    from collections import Counter
+
+    from etl_pipeline_spark.operators.textprep import repetition_metrics
+
+    rng = random.Random(20260813)
+    vocab = ["a", "bb", "ccc", "d", "e"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30)))
+        for _ in range(60)
+    ]
+    out = {r.doc_id: r for r in repetition_metrics(_docs(spark, texts)).collect()}
+    assert len(out) == 60
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        r = out[i]
+        assert r.n_tokens == len(toks)
+        assert r.top_token_frac == round(max(Counter(toks).values()) / len(toks), 6)
+        assert r.top_bigram_frac == round(2.0 * max(Counter(bigrams).values()) / len(toks), 6)
+        assert r.distinct_ratio == round(len(set(toks)) / len(toks), 6)
