@@ -111,3 +111,49 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter as a relation — the explicit form of runtime join pruning:
+# build over the (selective) build-side key set, pre-filter the probe
+# side's DISTINCT keys, semi-join survivors back. False positives only
+# cost wasted probe rows; no true key is ever dropped (test-pinned).
+# Same seeded-md5 position hashing as the CMS → oracle-checkable.
+# --------------------------------------------------------------------------
+
+
+def bloom_position_sql(key_sql: str, i: int, m: int) -> str:
+    """SQL for the i-th Bloom bit position of a key expression."""
+    inner = "'" + str(i) + ":' || " + key_sql
+    return f"{hex8_expr(inner)} % {m}"
+
+
+def _positions(key_sql: str, k: int, m: int):
+    return [F.expr(bloom_position_sql(key_sql, i, m)) for i in range(k)]
+
+
+def bloom_build(df: DataFrame, key_col: str, m: int = 16384, k: int = 3) -> DataFrame:
+    """Set-position relation (pos) of the Bloom filter over a key column —
+    at most m rows however many keys are inserted; mergeable by union."""
+    key_sql = f"CAST({key_col} AS STRING)"
+    pos = F.explode(F.array(*_positions(key_sql, k, m))).alias("pos")
+    return df.select(pos).distinct()
+
+
+def bloom_check(
+    probes: DataFrame, bloom: DataFrame, key_col: str, m: int = 16384, k: int = 3
+) -> DataFrame:
+    """Probe keys annotated with bloom membership (`maybe_member` = every
+    one of the k positions is set). The bloom relation broadcasts (≤ m
+    rows); checking is a map-side join per position + one count-match
+    aggregate over k rows per key."""
+    key_sql = f"CAST({key_col} AS STRING)"
+    cells = probes.select(
+        key_col, F.explode(F.array(*_positions(key_sql, k, m))).alias("pos")
+    )
+    hits = (
+        cells.join(F.broadcast(bloom.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy(key_col)
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) == k).cast("int").alias("maybe_member"))
+    )
+    return hits

@@ -436,3 +436,89 @@ def cms_partkey_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("bigint").alias("n_exact"),
         (F.col("est") >= F.col("n_exact")).cast("int").alias("is_overestimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join pruning (operators/sketch.py): the explicit relation
+# form of what engines do as a runtime filter — build a bloom over the
+# selective build side (high-balance suppliers), broadcast it, and
+# annotate every probe key with `maybe_member` before the real join.
+# At 100 TB the bloom is ≤ m rows regardless of build cardinality, the
+# probe check is a map-side broadcast join, and the guarantee that no
+# true key is ever dropped (`no_false_negative`) is asserted as a
+# column the oracle value-checks row-for-row.
+# --------------------------------------------------------------------------
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+def _bloom_oracle() -> str:
+    from etl_pipeline_spark.operators.sketch import bloom_position_sql
+
+    build_rows = "\n            UNION ALL ".join(
+        f"SELECT {bloom_position_sql('s_suppkey', i, _BLOOM_M)} AS pos FROM sel"
+        for i in range(_BLOOM_K)
+    )
+    probe_rows = "\n            UNION ALL ".join(
+        f"SELECT l_suppkey, {bloom_position_sql('l_suppkey', i, _BLOOM_M)} AS pos"
+        " FROM probes"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+        WITH sel AS (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000),
+        bloom AS (
+            SELECT DISTINCT pos FROM (
+            {build_rows}
+            )
+        ),
+        probes AS (SELECT DISTINCT l_suppkey FROM lineitem),
+        cells AS (
+            {probe_rows}
+        ),
+        hits AS (
+            SELECT c.l_suppkey,
+                   CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                        = {_BLOOM_K} AS INT) AS maybe_member
+            FROM cells c LEFT JOIN bloom b ON b.pos = c.pos
+            GROUP BY 1
+        ),
+        ex AS (SELECT DISTINCT s_suppkey FROM sel)
+        SELECT h.l_suppkey, h.maybe_member,
+               CAST(e.s_suppkey IS NOT NULL AS INT) AS is_member,
+               CAST(h.maybe_member >=
+                    CAST(e.s_suppkey IS NOT NULL AS INT) AS INT)
+                   AS no_false_negative
+        FROM hits h LEFT JOIN ex e ON e.s_suppkey = h.l_suppkey
+    """
+
+
+@register(
+    "bloom_supplier_prune",
+    oracle=_bloom_oracle(),
+    tags=("sketch", "join-pruning"),
+)
+def bloom_supplier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.sketch import bloom_build, bloom_check
+
+    sel = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey")
+    )
+    bloom = bloom_build(sel, "s_suppkey", _BLOOM_M, _BLOOM_K)
+    probes = load_table(spark, sf_dir, "lineitem").select("l_suppkey").distinct()
+    checked = bloom_check(probes, bloom, "l_suppkey", _BLOOM_M, _BLOOM_K)
+    exact = sel.distinct().withColumn("is_member", F.lit(1))
+    return (
+        checked.join(
+            exact, checked["l_suppkey"] == exact["s_suppkey"], "left"
+        )
+        .select(
+            "l_suppkey",
+            F.col("maybe_member").cast("int").alias("maybe_member"),
+            F.coalesce("is_member", F.lit(0)).cast("int").alias("is_member"),
+        )
+        .withColumn(
+            "no_false_negative",
+            (F.col("maybe_member") >= F.col("is_member")).cast("int"),
+        )
+    )

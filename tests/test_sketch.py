@@ -42,3 +42,40 @@ def test_cms_never_underestimates_under_collision_pressure(spark):
     est = {r.k: r.est for r in cms_estimate(sketch, probes, "k", 3, 64).collect()}
     assert all(est[k] >= counts[k] for k in counts)
     assert sum(est.values()) > sum(counts.values())  # collisions inflate somewhere
+
+
+def _bloom_mod():
+    from etl_pipeline_spark.operators import sketch
+
+    return sketch
+
+
+def test_bloom_never_drops_true_members(spark):
+    sk = _bloom_mod()
+    members = spark.createDataFrame([Row(k=f"m{i}") for i in range(50)])
+    bloom = sk.bloom_build(members, "k", m=512, k=3)
+    checked = sk.bloom_check(members.distinct(), bloom, "k", m=512, k=3)
+    assert all(r.maybe_member == 1 for r in checked.collect())
+
+
+def test_bloom_prunes_most_non_members_when_wide(spark):
+    sk = _bloom_mod()
+    members = spark.createDataFrame([Row(k=f"m{i}") for i in range(20)])
+    others = spark.createDataFrame([Row(k=f"x{i}") for i in range(200)])
+    bloom = sk.bloom_build(members, "k", m=8192, k=3)
+    checked = sk.bloom_check(others, bloom, "k", m=8192, k=3)
+    fp = sum(r.maybe_member for r in checked.collect())
+    # 60 set bits in 8192 positions → fp rate ≈ (60/8192)^3; 200 probes
+    # should see essentially none, and certainly not most
+    assert fp <= 5
+
+
+def test_bloom_union_merge_equals_single_build(spark):
+    sk = _bloom_mod()
+    a = spark.createDataFrame([Row(k=f"a{i}") for i in range(10)])
+    b = spark.createDataFrame([Row(k=f"b{i}") for i in range(10)])
+    merged = sk.bloom_build(a, "k", 256, 3).union(sk.bloom_build(b, "k", 256, 3)).distinct()
+    single = sk.bloom_build(a.union(b), "k", 256, 3)
+    assert sorted(r.pos for r in merged.collect()) == sorted(
+        r.pos for r in single.collect()
+    )
