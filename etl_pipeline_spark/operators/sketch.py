@@ -157,3 +157,86 @@ def bloom_check(
         .agg((F.sum(F.coalesce("hit", F.lit(0))) == k).cast("int").alias("maybe_member"))
     )
     return hits
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog as a relation — the cardinality member of the sketch
+# family (CMS = frequency, Bloom = membership, HLL = distinct count).
+# State is ≤ 2^p register rows however many keys stream in; merge is
+# max-per-register, so shards/days/streams combine without re-scanning.
+# rho is computed exactly from the binary length of the hash remainder
+# (no floating log2), and every 2^-rho summand is an exact dyadic, so
+# the raw estimator is bit-identical across engines and the whole
+# pipeline value-hashes against a SQL recomputation.
+# Flajolet et al., AofA 2007 ("HyperLogLog: the analysis of a
+# near-optimal cardinality estimation algorithm").
+# --------------------------------------------------------------------------
+
+
+def hll_cell_sql(key_sql: str, p: int) -> tuple[str, str]:
+    """(idx_sql, rho_sql): register index = low p hash bits; rho = leading
+    zeros of the remaining 32-p bits + 1, via exact binary length."""
+    m = 1 << p
+    bits = 32 - p
+    h = hex8_expr(key_sql)
+    idx = f"({h} % {m})"
+    rest = f"CAST(FLOOR({h} / {m}) AS BIGINT)"
+    # TRIM(LEADING...) not two-arg LTRIM: Spark's ltrim(a, b) swaps the
+    # argument order vs DuckDB's — the standard syntax parses identically
+    rho = f"({bits} - LENGTH(TRIM(LEADING '0' FROM bin({rest}))) + 1)"
+    return idx, rho
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant for m registers (Flajolet et al. §4)."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_build(df: DataFrame, key_col: str, p: int = 8) -> DataFrame:
+    """Register relation (idx, rho_max) — ≤ 2^p rows; the fixed-size
+    cardinality summary. One narrow projection + one bounded aggregate."""
+    key_sql = f"CAST({key_col} AS STRING)"
+    idx, rho = hll_cell_sql(key_sql, p)
+    return (
+        df.select(F.expr(idx).alias("idx"), F.expr(rho).alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Merge register relations built with the same p: max per register."""
+    out = registers[0]
+    for s in registers[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("idx").agg(F.max("rho_max").alias("rho_max"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Single-row (n_set, est): the raw HLL estimator
+    alpha_m * m^2 / (sum over set registers of 2^-rho + one per empty
+    register). No small-range (linear counting) or 32-bit large-range
+    correction — callers stay in the raw band (n >> 2.5·m), which the
+    registered query's tables satisfy and tests pin; every summand is an
+    exact dyadic so the result is engine-bit-identical."""
+    m = 1 << p
+    alpha_m2 = hll_alpha(m) * m * m
+    return (
+        registers.agg(
+            F.count(F.lit(1)).alias("n_set"),
+            F.sum(F.expr("pow(2.0, -rho_max)")).alias("sum_set"),
+        )
+        .select(
+            F.col("n_set").cast("bigint").alias("n_set"),
+            (
+                F.lit(alpha_m2)
+                / (F.col("sum_set") + (F.lit(m) - F.col("n_set")))
+            ).alias("est"),
+        )
+    )

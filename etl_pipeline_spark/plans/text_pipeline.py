@@ -522,3 +522,67 @@ def bloom_supplier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("maybe_member") >= F.col("is_member")).cast("int"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog cardinality (operators/sketch.py): ≤ 2^p register rows of
+# state however many keys stream in; merge = max-per-register, so
+# per-shard/per-day register relations combine without re-scanning —
+# the COUNT(DISTINCT) replacement when the key space is unbounded at
+# 100 TB. rho comes from exact binary length (no float log2) and every
+# 2^-rho is an exact dyadic, so the raw estimator is engine-bit-
+# identical and the whole pipeline (registers AND estimate) value-
+# hashes against the SQL recomputation. Accuracy vs exact distinct is
+# asserted as a column (within the ~6.5% standard-error band for p=8).
+# --------------------------------------------------------------------------
+_HLL_P = 8
+
+
+def _hll_oracle() -> str:
+    from etl_pipeline_spark.operators.sketch import hll_alpha, hll_cell_sql
+
+    m = 1 << _HLL_P
+    alpha_m2 = repr(hll_alpha(m) * m * m)
+    idx, rho = hll_cell_sql("CAST(o_orderkey AS STRING)", _HLL_P)
+    return f"""
+        WITH cells AS (
+            SELECT {idx} AS idx, {rho} AS rho FROM orders
+        ),
+        regs AS (SELECT idx, MAX(rho) AS rho_max FROM cells GROUP BY 1),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_set,
+                   {alpha_m2} / (SUM(pow(2.0, -rho_max))
+                                 + ({m} - COUNT(*))) AS est
+            FROM regs
+        ),
+        ex AS (
+            SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_exact
+            FROM orders
+        )
+        SELECT n_set, est, n_exact,
+               CAST(ABS(est - n_exact) <= 0.2 * n_exact AS INT)
+                   AS within_20pct
+        FROM s CROSS JOIN ex
+    """
+
+
+@register(
+    "hll_orderkey_cardinality",
+    oracle=_hll_oracle(),
+    tags=("sketch", "agg", "cardinality"),
+)
+def hll_orderkey_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.sketch import hll_build, hll_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    regs = hll_build(orders.select("o_orderkey"), "o_orderkey", _HLL_P)
+    est = hll_estimate(regs, _HLL_P)
+    exact = orders.agg(
+        F.count_distinct("o_orderkey").cast("bigint").alias("n_exact")
+    )
+    return est.crossJoin(exact).withColumn(
+        "within_20pct",
+        (F.abs(F.col("est") - F.col("n_exact")) <= 0.2 * F.col("n_exact")).cast(
+            "int"
+        ),
+    )

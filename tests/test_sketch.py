@@ -79,3 +79,36 @@ def test_bloom_union_merge_equals_single_build(spark):
     assert sorted(r.pos for r in merged.collect()) == sorted(
         r.pos for r in single.collect()
     )
+
+
+def test_hll_accuracy_within_standard_error_band(spark):
+    from etl_pipeline_spark.operators.sketch import hll_build, hll_estimate
+
+    n = 5000
+    df = spark.createDataFrame([Row(k=i) for i in range(n)])
+    est = hll_estimate(hll_build(df, "k", p=10), p=10).collect()[0]
+    # se = 1.04/sqrt(1024) ~ 3.3%; 3 sigma ~ 10%
+    assert abs(est.est - n) <= 0.10 * n
+    assert est.n_set <= 1024
+
+
+def test_hll_merge_equals_single_build(spark):
+    from etl_pipeline_spark.operators.sketch import hll_build, hll_merge
+
+    a = spark.createDataFrame([Row(k=f"a{i}") for i in range(300)])
+    b = spark.createDataFrame([Row(k=f"b{i}") for i in range(300)])
+    merged = hll_merge(hll_build(a, "k", 6), hll_build(b, "k", 6))
+    single = hll_build(a.union(b), "k", 6)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    from etl_pipeline_spark.operators.sketch import hll_build
+
+    once = spark.createDataFrame([Row(k=f"k{i}") for i in range(100)])
+    thrice = once.union(once).union(once)
+    assert sorted(map(tuple, hll_build(once, "k", 7).collect())) == sorted(
+        map(tuple, hll_build(thrice, "k", 7).collect())
+    )
