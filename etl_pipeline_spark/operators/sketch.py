@@ -240,3 +240,41 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
             ).alias("est"),
         )
     )
+
+
+def hll_build_grouped(
+    df: DataFrame, group_cols: list[str], key_col: str, p: int = 8
+) -> DataFrame:
+    """Per-group register relation (*group_cols, idx, rho_max) — ≤ 2^p rows
+    per group; the GROUP BY COUNT(DISTINCT) replacement."""
+    key_sql = f"CAST({key_col} AS STRING)"
+    idx, rho = hll_cell_sql(key_sql, p)
+    return (
+        df.select(*group_cols, F.expr(idx).alias("idx"), F.expr(rho).alias("rho"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Raw HLL estimate per group from a grouped register relation:
+    (*group_cols, n_set, est). Same raw-band caveat as hll_estimate."""
+    m = 1 << p
+    alpha_m2 = hll_alpha(m) * m * m
+    return (
+        registers.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_set"),
+            F.sum(F.expr("pow(2.0, -rho_max)")).alias("sum_set"),
+        )
+        .select(
+            *group_cols,
+            "n_set",
+            (
+                F.lit(alpha_m2)
+                / (F.col("sum_set") + (F.lit(m) - F.col("n_set")))
+            ).alias("est"),
+        )
+    )

@@ -586,3 +586,69 @@ def hll_orderkey_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     )
+
+
+def _hll_grouped_oracle() -> str:
+    from etl_pipeline_spark.operators.sketch import hll_alpha, hll_cell_sql
+
+    m = 1 << _HLL_P
+    alpha_m2 = repr(hll_alpha(m) * m * m)
+    idx, rho = hll_cell_sql("CAST(l_orderkey AS STRING)", _HLL_P)
+    return f"""
+        WITH cells AS (
+            SELECT l_returnflag, {idx} AS idx, {rho} AS rho FROM lineitem
+        ),
+        regs AS (
+            SELECT l_returnflag, idx, MAX(rho) AS rho_max
+            FROM cells GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_set,
+                   {alpha_m2} / (SUM(pow(2.0, -rho_max))
+                                 + ({m} - COUNT(*))) AS est
+            FROM regs GROUP BY 1
+        ),
+        ex AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+            FROM lineitem GROUP BY 1
+        )
+        SELECT s.l_returnflag, n_set, est, n_exact,
+               CAST(ABS(est - n_exact) <= 0.2 * n_exact AS INT)
+                   AS within_20pct
+        FROM s JOIN ex ON ex.l_returnflag = s.l_returnflag
+    """
+
+
+@register(
+    "hll_orders_by_flag",
+    oracle=_hll_grouped_oracle(),
+    tags=("sketch", "agg", "cardinality"),
+)
+def hll_orders_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY approximate COUNT(DISTINCT): per-group HLL registers
+    (≤ 2^p rows per group however many keys), raw estimate + exactness
+    band as value-checked columns."""
+    from etl_pipeline_spark.operators.sketch import (
+        hll_build_grouped,
+        hll_estimate_grouped,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    regs = hll_build_grouped(
+        li.select("l_returnflag", "l_orderkey"),
+        ["l_returnflag"],
+        "l_orderkey",
+        _HLL_P,
+    )
+    est = hll_estimate_grouped(regs, ["l_returnflag"], _HLL_P)
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_exact")
+    )
+    return est.join(exact, "l_returnflag").withColumn(
+        "within_20pct",
+        (F.abs(F.col("est") - F.col("n_exact")) <= 0.2 * F.col("n_exact")).cast(
+            "int"
+        ),
+    )

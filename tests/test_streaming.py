@@ -199,3 +199,53 @@ def test_streaming_drift_psi_equals_batch_query(spark):
     for k in want:
         assert got[k][1] == want[k][1]          # same observed-bin count
         assert abs(got[k][0] - want[k][0]) <= 1e-6  # same PSI to rounding
+
+
+def test_streaming_hll_registers_equal_batch_build(spark):
+    """Windowed streamed HLL registers must equal a batch
+    hll_build_grouped over the same window slices exactly — the register
+    relation is the state, so this pins streaming distinct-count
+    semantics to the oracle-checked batch sketch."""
+    from etl_pipeline_spark.operators.sketch import (
+        hll_build_grouped,
+        hll_estimate_grouped,
+    )
+    from etl_pipeline_spark.sources.star import load_table
+    from etl_pipeline_spark.streaming.cardinality import windowed_hll_registers
+    from etl_pipeline_spark.streaming.windows import events_stream, run_available_now
+
+    stream = events_stream(spark, SF_DIR)
+    got = run_available_now(
+        windowed_hll_registers(stream, id_col="user_id", p=6, window="6 hours"),
+        "hll_regs_test",
+    )
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn(
+            "win_start_epoch",
+            F.unix_timestamp(F.window("event_time", "6 hours").start),
+        )
+    )
+    want = hll_build_grouped(
+        ev.select("win_start_epoch", "event_type", "user_id"),
+        ["win_start_epoch", "event_type"],
+        "user_id",
+        p=6,
+    ).withColumnRenamed("rho_max", "rho_max")
+
+    g = sorted(map(tuple, got.select("win_start_epoch", "event_type", "idx", "rho_max").collect()))
+    w = sorted(map(tuple, want.select("win_start_epoch", "event_type", "idx", "rho_max").collect()))
+    assert g == w and len(g) > 0
+
+    # estimates over the drained registers are sane for the tiny user pool
+    est = hll_estimate_grouped(
+        got.select("win_start_epoch", "event_type", "idx", "rho_max"),
+        ["win_start_epoch", "event_type"],
+        p=6,
+    )
+    n_users = ev.select("user_id").distinct().count()
+    for r in est.collect():
+        assert 0 < r.est  # raw band not guaranteed at this cardinality
+        assert r.n_set <= min(64, n_users)
