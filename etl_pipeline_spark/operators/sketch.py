@@ -278,3 +278,39 @@ def hll_estimate_grouped(
             ).alias("est"),
         )
     )
+
+
+def hll_est_sql(sum_expr: str, nset_expr: str, p: int) -> str:
+    """SQL for the corrected HLL estimate from aggregate sub-expressions.
+
+    Raw estimator in the high band; linear counting (m·ln(m/V), V = empty
+    registers) below 2.5·m where the raw form is biased (Flajolet et al.
+    §4). ROUND(.., 4) absorbs last-ulp libm LN differences across
+    engines (the same discipline the PSI/entropy queries use).
+    """
+    m = 1 << p
+    alpha_m2 = repr(hll_alpha(m) * m * m)
+    raw = f"({alpha_m2} / ({sum_expr} + ({m} - {nset_expr})))"
+    zeros = f"({m} - {nset_expr})"
+    return (
+        f"ROUND(CASE WHEN {raw} <= {repr(2.5 * m)} AND {zeros} > 0 "
+        f"THEN {m} * LN({m} / CAST({zeros} AS DOUBLE)) "
+        f"ELSE {raw} END, 4)"
+    )
+
+
+def hll_estimate_corrected_grouped(
+    registers: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Corrected estimate per group: (*group_cols, n_set, est) — accurate
+    from n ≈ 1 (linear counting) through the raw band, so it serves
+    low-cardinality columns (statuses) and high ones (keys) alike."""
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_set"),
+        F.sum(F.expr("pow(2.0, -rho_max)")).alias("sum_set"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_set",
+        F.expr(hll_est_sql("sum_set", "n_set", p)).alias("est"),
+    )

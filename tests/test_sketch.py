@@ -112,3 +112,19 @@ def test_hll_duplicates_do_not_move_registers(spark):
     assert sorted(map(tuple, hll_build(once, "k", 7).collect())) == sorted(
         map(tuple, hll_build(thrice, "k", 7).collect())
     )
+
+
+def test_hll_corrected_estimate_accurate_in_both_bands(spark):
+    from etl_pipeline_spark.operators.sketch import (
+        hll_build_grouped,
+        hll_estimate_corrected_grouped,
+    )
+
+    rows = [Row(g="tiny", k=f"t{i % 5}") for i in range(500)] + [
+        Row(g="big", k=f"b{i}") for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows)
+    regs = hll_build_grouped(df, ["g"], "k", p=8)
+    est = {r.g: r.est for r in hll_estimate_corrected_grouped(regs, ["g"], p=8).collect()}
+    assert abs(est["tiny"] - 5) <= 0.5        # linear-counting band
+    assert abs(est["big"] - 5000) <= 0.20 * 5000  # raw band (se ~6.5%)
