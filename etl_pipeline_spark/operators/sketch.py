@@ -314,3 +314,15 @@ def hll_estimate_corrected_grouped(
         "n_set",
         F.expr(hll_est_sql("sum_set", "n_set", p)).alias("est"),
     )
+
+
+def hll_estimate_corrected(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Single-row corrected estimate (n_set, est) — the scalar form of
+    hll_estimate_corrected_grouped."""
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_set"),
+        F.sum(F.expr("pow(2.0, -rho_max)")).alias("sum_set"),
+    )
+    return agg.select(
+        "n_set", F.expr(hll_est_sql("sum_set", "n_set", p)).alias("est")
+    )

@@ -750,3 +750,107 @@ def profile_approx_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch set algebra: estimated intersection cardinality by inclusion-
+# exclusion over mergeable HLL registers — |A∩B| ≈ est(A) + est(B) −
+# est(A∪B), where est(A∪B) is FREE (max-merge of the two register
+# relations, no data re-scan). This is the "how many users did both X
+# and Y" shape at 100 TB: each cohort keeps 2^p rows of state, the
+# answer is arithmetic. Error compounds across three estimates
+# (~√3·1.04/√m relative), hence the 30% assertion band.
+# --------------------------------------------------------------------------
+
+
+def _hll_intersect_oracle() -> str:
+    from etl_pipeline_spark.operators.sketch import hll_cell_sql, hll_est_sql
+
+    idx, rho = hll_cell_sql("CAST(o_custkey AS STRING)", _HLL_P)
+    est = hll_est_sql(
+        "SUM(pow(2.0, -rho_max))", "CAST(COUNT(*) AS BIGINT)", _HLL_P
+    )
+    return f"""
+        WITH regs_a AS (
+            SELECT {idx} AS idx, MAX({rho}) AS rho_max
+            FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+        ),
+        regs_b AS (
+            SELECT {idx} AS idx, MAX({rho}) AS rho_max
+            FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+        ),
+        regs_u AS (
+            SELECT idx, MAX(rho_max) AS rho_max FROM (
+                SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b
+            ) GROUP BY 1
+        ),
+        ea AS (SELECT {est} AS est_a FROM regs_a),
+        eb AS (SELECT {est} AS est_b FROM regs_b),
+        eu AS (SELECT {est} AS est_union FROM regs_u),
+        ex AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_intersection FROM (
+                SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+                INTERSECT
+                SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            )
+        )
+        SELECT est_a, est_b, est_union,
+               ROUND(est_a + est_b - est_union, 4) AS est_intersection,
+               n_exact_intersection,
+               CAST(ABS(est_a + est_b - est_union - n_exact_intersection)
+                    <= 0.3 * n_exact_intersection AS INT) AS within_30pct
+        FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN ex
+    """
+
+
+@register(
+    "hll_intersect_cohorts",
+    oracle=_hll_intersect_oracle(),
+    tags=("sketch", "set-ops", "cardinality"),
+)
+def hll_intersect_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.sketch import (
+        hll_build,
+        hll_estimate_corrected,
+        hll_merge,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.expr("year(o_orderdate) = 1995")).select("o_custkey")
+    b = orders.filter(F.expr("year(o_orderdate) = 1996")).select("o_custkey")
+    ra = hll_build(a, "o_custkey", _HLL_P)
+    rb = hll_build(b, "o_custkey", _HLL_P)
+    ru = hll_merge(ra, rb)
+    ea = hll_estimate_corrected(ra, _HLL_P).select(F.col("est").alias("est_a"))
+    eb = hll_estimate_corrected(rb, _HLL_P).select(F.col("est").alias("est_b"))
+    eu = hll_estimate_corrected(ru, _HLL_P).select(
+        F.col("est").alias("est_union")
+    )
+    exact = (
+        a.distinct()
+        .join(b.distinct(), "o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_intersection"))
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(exact)
+        .withColumn(
+            "est_intersection",
+            F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4),
+        )
+        .withColumn(
+            "within_30pct",
+            (
+                F.abs(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union")
+                    - F.col("n_exact_intersection")
+                )
+                <= 0.3 * F.col("n_exact_intersection")
+            ).cast("int"),
+        )
+        .select(
+            "est_a", "est_b", "est_union", "est_intersection",
+            "n_exact_intersection", "within_30pct",
+        )
+    )

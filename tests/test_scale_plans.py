@@ -214,3 +214,20 @@ def test_scd2_lookup_is_hash_join_not_nested_loop(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sketch_probes_broadcast_never_sortmerge(spark):
+    """CMS estimate, Bloom check, and the probe side of the pruning query
+    must join against the broadcast sketch relation — a SortMergeJoin here
+    would shuffle the (unbounded) probe side on sketch cells."""
+    for name in ("cms_partkey_estimates", "bloom_supplier_prune"):
+        plan = _plan(spark, REGISTRY[name].spark_fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_hll_build_partial_aggregates(spark):
+    """HLL register builds must partially aggregate map-side: the exchange
+    carries ≤ 2^p register cells per task, never raw rows."""
+    plan = _plan(spark, REGISTRY["hll_orderkey_cardinality"].spark_fn(spark, SF_DIR))
+    assert "partial_max" in plan

@@ -128,3 +128,22 @@ def test_hll_corrected_estimate_accurate_in_both_bands(spark):
     est = {r.g: r.est for r in hll_estimate_corrected_grouped(regs, ["g"], p=8).collect()}
     assert abs(est["tiny"] - 5) <= 0.5        # linear-counting band
     assert abs(est["big"] - 5000) <= 0.20 * 5000  # raw band (se ~6.5%)
+
+
+def test_hll_inclusion_exclusion_intersection(spark):
+    from etl_pipeline_spark.operators.sketch import (
+        hll_build,
+        hll_estimate_corrected,
+        hll_merge,
+    )
+
+    # |A|=2000, |B|=2000, |A∩B|=1000 (planted overlap)
+    a = spark.createDataFrame([Row(k=f"k{i}") for i in range(2000)])
+    b = spark.createDataFrame([Row(k=f"k{i}") for i in range(1000, 3000)])
+    p = 10
+    ra, rb = hll_build(a, "k", p), hll_build(b, "k", p)
+    ea = hll_estimate_corrected(ra, p).collect()[0].est
+    eb = hll_estimate_corrected(rb, p).collect()[0].est
+    eu = hll_estimate_corrected(hll_merge(ra, rb), p).collect()[0].est
+    inter = ea + eb - eu
+    assert abs(inter - 1000) <= 0.2 * 1000
