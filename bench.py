@@ -47,6 +47,10 @@ HEADLINE = [
     "events_sessionize_30m",
     "range_join_click_attribution",
     "resample_ffill_user_6h",
+    "cms_partkey_estimates",
+    "bloom_supplier_prune",
+    "hll_orderkey_cardinality",
+    "profile_approx_orders",
 ]
 
 
