@@ -13,10 +13,17 @@ sketch caps the state at depth × width cells regardless of cardinality:
   overestimate with error ≤ e·N/width at probability 1-(1/e)^depth
   (Cormode & Muthukrishnan, J. Algorithms 2005).
 
-Hashing is seeded md5 (hex-decoded to BIGINT via the same instr chain the
-SimHash query uses) — no engine-specific hash builtin, so build and
-estimate evaluate identically in Spark and DuckDB and the whole pipeline
-is oracle-checkable cell-for-cell.
+Hashing is seeded md5 hex-decoded to BIGINT — no engine-specific hash
+builtin, so build and estimate produce identical VALUES in Spark and
+DuckDB and the whole pipeline is oracle-checkable cell-for-cell. The
+decode differs per dialect (same value, different cost): the portable
+form sums 8 instr() digit lookups, which embeds md5() once per digit —
+and under a Generate (explode) node Spark's subexpression elimination
+does not apply, so the sketch builders were paying up to 8 md5 calls
+per expression occurrence. The Spark fast form decodes in one builtin,
+`CAST(conv(substr(md5(x),1,8),16,10) AS BIGINT)`, i.e. exactly one md5
+per occurrence (value-equality with the instr chain is test-pinned).
+DuckDB oracles keep the portable form; oracle SQL text is unchanged.
 """
 
 from __future__ import annotations
@@ -25,8 +32,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def hex8_expr(inner: str) -> str:
-    """SQL decoding the first 8 md5 hex chars of `inner` to a BIGINT."""
+def hex8_expr(inner: str, *, fast: bool = False) -> str:
+    """SQL decoding the first 8 md5 hex chars of `inner` to a BIGINT.
+
+    fast=True → Spark-only conv() decode (one md5 per occurrence);
+    fast=False → engine-portable instr-chain decode (used by oracles).
+    Both produce the same BIGINT for every input.
+    """
+    if fast:
+        return f"CAST(conv(substr(md5({inner}), 1, 8), 16, 10) AS BIGINT)"
     digits = " + ".join(
         f"CAST(instr('0123456789abcdef', substr(md5({inner}), {i + 1}, 1)) - 1 AS BIGINT)"
         f" * {16 ** (7 - i)}"
@@ -35,9 +49,17 @@ def hex8_expr(inner: str) -> str:
     return f"({digits})"
 
 
-def _bucket_expr(key_sql: str, d: int, width: int) -> str:
+def hex8_from_col(hex_col: str) -> str:
+    """Spark SQL decoding an already-projected 8-hex-char column to BIGINT.
+
+    Use when the md5 can be computed once in a Project and decoded after a
+    Generate/explode — zero md5 calls at the decode site."""
+    return f"CAST(conv({hex_col}, 16, 10) AS BIGINT)"
+
+
+def _bucket_expr(key_sql: str, d: int, width: int, *, fast: bool = False) -> str:
     inner = "concat('" + str(d) + ":', " + key_sql + ")"
-    return f"{hex8_expr(inner)} % {width}"
+    return f"{hex8_expr(inner, fast=fast)} % {width}"
 
 
 def cms_build(
@@ -58,7 +80,7 @@ def cms_build(
             *[
                 F.struct(
                     F.lit(d).alias("d"),
-                    F.expr(_bucket_expr(key_sql, d, width)).alias("bucket"),
+                    F.expr(_bucket_expr(key_sql, d, width, fast=True)).alias("bucket"),
                 )
                 for d in range(depth)
             ]
@@ -98,7 +120,7 @@ def cms_estimate(
                 *[
                     F.struct(
                         F.lit(d).alias("d"),
-                        F.expr(_bucket_expr(key_sql, d, width)).alias("bucket"),
+                        F.expr(_bucket_expr(key_sql, d, width, fast=True)).alias("bucket"),
                     )
                     for d in range(depth)
                 ]
