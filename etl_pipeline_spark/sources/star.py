@@ -74,10 +74,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, *, validate: bool = 
         # physical int64 and treat `ts` as epoch-nanoseconds downstream.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _events_ts_to_epoch_ns(df)
     if validate:
         missing = EXPECTED_COLUMNS[name] - set(df.columns)
         if missing:
             raise ValueError(f"table {name!r} missing expected columns: {sorted(missing)}")
+    return df
+
+
+def _events_ts_to_epoch_ns(df: DataFrame) -> DataFrame:
+    """Normalize `events.ts` to epoch-nanoseconds BIGINT whatever the
+    parquet physical type is (the generator has shipped both INT64
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds). All query code
+    downstream does pure integer epoch arithmetic on `ts`; the session
+    timezone is pinned UTC so the timestamp branch is deterministic, and
+    DuckDB oracles use epoch_ns(ts), which is physical-type-agnostic too."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "timestamp_ntz":
+        from pyspark.sql import functions as F
+
+        # NTZ wall clock == DuckDB's epoch_ns reading: pure NTZ arithmetic,
+        # never a cast through the session timezone (the driver's session
+        # tz is unknown — verified hostile-tz in scripts/drive_contract.py)
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            )
+            * F.lit(1000),
+        )
+    elif ts_type == "timestamp":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000))
     return df
 
 
