@@ -144,14 +144,17 @@ def cms_estimate(
 # --------------------------------------------------------------------------
 
 
-def bloom_position_sql(key_sql: str, i: int, m: int) -> str:
+def bloom_position_sql(key_sql: str, i: int, m: int, *, fast: bool = False) -> str:
     """SQL for the i-th Bloom bit position of a key expression."""
     inner = "'" + str(i) + ":' || " + key_sql
-    return f"{hex8_expr(inner)} % {m}"
+    return f"{hex8_expr(inner, fast=fast)} % {m}"
 
 
 def _positions(key_sql: str, k: int, m: int):
-    return [F.expr(bloom_position_sql(key_sql, i, m)) for i in range(k)]
+    """Spark-side Bloom positions: fast conv() decode — one md5 per
+    position. Oracles regenerate the portable instr-chain form via
+    bloom_position_sql(fast=False)."""
+    return [F.expr(bloom_position_sql(key_sql, i, m, fast=True)) for i in range(k)]
 
 
 def bloom_build(df: DataFrame, key_col: str, m: int = 16384, k: int = 3) -> DataFrame:
@@ -220,13 +223,29 @@ def hll_alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
+def hll_cell_from_h(h_sql: str, p: int) -> tuple[str, str]:
+    """(idx_sql, rho_sql) decoded from an ALREADY-projected BIGINT hash
+    column/expression — the Spark fast path: the md5 is computed once in
+    a Project below the Aggregate, and both cell coordinates read it.
+    Value-identical to hll_cell_sql's embedded form (test-pinned)."""
+    m = 1 << p
+    bits = 32 - p
+    idx = f"({h_sql} % {m})"
+    rest = f"CAST(FLOOR({h_sql} / {m}) AS BIGINT)"
+    rho = f"({bits} - LENGTH(TRIM(LEADING '0' FROM bin({rest}))) + 1)"
+    return idx, rho
+
+
 def hll_build(df: DataFrame, key_col: str, p: int = 8) -> DataFrame:
     """Register relation (idx, rho_max) — ≤ 2^p rows; the fixed-size
-    cardinality summary. One narrow projection + one bounded aggregate."""
+    cardinality summary. One narrow projection + one bounded aggregate.
+    Exactly one md5 per input row: the hash is projected once and both
+    cell coordinates decode from the projection."""
     key_sql = f"CAST({key_col} AS STRING)"
-    idx, rho = hll_cell_sql(key_sql, p)
+    idx, rho = hll_cell_from_h("h", p)
     return (
-        df.select(F.expr(idx).alias("idx"), F.expr(rho).alias("rho"))
+        df.select(F.expr(hex8_expr(key_sql, fast=True)).alias("h"))
+        .select(F.expr(idx).alias("idx"), F.expr(rho).alias("rho"))
         .groupBy("idx")
         .agg(F.max("rho").alias("rho_max"))
     )
@@ -268,11 +287,13 @@ def hll_build_grouped(
     df: DataFrame, group_cols: list[str], key_col: str, p: int = 8
 ) -> DataFrame:
     """Per-group register relation (*group_cols, idx, rho_max) — ≤ 2^p rows
-    per group; the GROUP BY COUNT(DISTINCT) replacement."""
+    per group; the GROUP BY COUNT(DISTINCT) replacement. One md5 per row
+    (hash projected once, decoded twice)."""
     key_sql = f"CAST({key_col} AS STRING)"
-    idx, rho = hll_cell_sql(key_sql, p)
+    idx, rho = hll_cell_from_h("h", p)
     return (
-        df.select(*group_cols, F.expr(idx).alias("idx"), F.expr(rho).alias("rho"))
+        df.select(*group_cols, F.expr(hex8_expr(key_sql, fast=True)).alias("h"))
+        .select(*group_cols, F.expr(idx).alias("idx"), F.expr(rho).alias("rho"))
         .groupBy(*group_cols, "idx")
         .agg(F.max("rho").alias("rho_max"))
     )

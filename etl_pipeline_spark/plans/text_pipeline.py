@@ -714,14 +714,25 @@ def _hll_profile_oracle() -> str:
 )
 def profile_approx_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_spark.operators.sketch import (
-        hll_cell_sql,
+        hex8_expr,
+        hll_cell_from_h,
         hll_estimate_corrected_grouped,
     )
 
     orders = load_table(spark, sf_dir, "orders")
+    # One md5 per (row, column): hashes are projected once below the
+    # Generate, then each struct decodes idx/rho from its projected hash
+    # (under explode Spark does no subexpression elimination — embedding
+    # the hash in both coordinates would cost 16 md5 per column).
+    hashed = orders.select(
+        *[
+            F.expr(hex8_expr(f"CAST({c} AS STRING)", fast=True)).alias(f"h_{i}")
+            for i, c in enumerate(_PROFILE_COLS)
+        ]
+    )
     cols = []
-    for c in _PROFILE_COLS:
-        idx, rho = hll_cell_sql(f"CAST({c} AS STRING)", _HLL_P)
+    for i, c in enumerate(_PROFILE_COLS):
+        idx, rho = hll_cell_from_h(f"h_{i}", _HLL_P)
         cols.append(
             F.struct(
                 F.lit(c).alias("col_name"),
@@ -730,7 +741,7 @@ def profile_approx_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     regs = (
-        orders.select(F.explode(F.array(*cols)).alias("cell"))
+        hashed.select(F.explode(F.array(*cols)).alias("cell"))
         .select("cell.col_name", "cell.idx", "cell.rho")
         .filter(F.col("idx").isNotNull())
         .groupBy("col_name", "idx")

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_pipeline_spark.operators.sketch import hll_cell_sql
+from etl_pipeline_spark.operators.sketch import hex8_expr, hll_cell_from_h
 
 
 def windowed_hll_registers(
@@ -33,10 +33,13 @@ def windowed_hll_registers(
     key_col: str = "event_type",
 ) -> DataFrame:
     """Windowed per-key HLL register relation:
-    (win_start_epoch, key, idx, rho_max)."""
-    idx, rho = hll_cell_sql(f"CAST({id_col} AS STRING)", p)
+    (win_start_epoch, key, idx, rho_max). One md5 per event: the hash is
+    projected below the stateful aggregate and both cell coordinates
+    decode from the projection."""
+    idx, rho = hll_cell_from_h("h", p)
     return (
         stream.withWatermark("event_time", watermark)
+        .withColumn("h", F.expr(hex8_expr(f"CAST({id_col} AS STRING)", fast=True)))
         .groupBy(
             F.window("event_time", window),
             F.col(key_col),

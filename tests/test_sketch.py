@@ -147,3 +147,46 @@ def test_hll_inclusion_exclusion_intersection(spark):
     eu = hll_estimate_corrected(hll_merge(ra, rb), p).collect()[0].est
     inter = ea + eb - eu
     assert abs(inter - 1000) <= 0.2 * 1000
+
+# --------------------------------------------------------------------------
+# Fast-decode parity: the Spark-only conv() decode and the engine-portable
+# instr-chain decode must produce the same BIGINT for every input — the
+# invariant that lets Spark plans hash once per occurrence while DuckDB
+# oracles keep the portable form with unchanged SQL text.
+# --------------------------------------------------------------------------
+
+
+def test_hex8_fast_decode_equals_portable(spark):
+    from etl_pipeline_spark.operators.sketch import hex8_expr
+
+    df = spark.range(500).selectExpr("CAST(id AS STRING) AS s")
+    both = df.select(
+        F.expr(hex8_expr("s", fast=True)).alias("fast"),
+        F.expr(hex8_expr("s")).alias("portable"),
+    )
+    assert both.filter(F.col("fast") != F.col("portable")).count() == 0
+
+
+def test_hll_cell_from_h_equals_embedded_form(spark):
+    from etl_pipeline_spark.operators.sketch import (
+        hex8_expr,
+        hll_cell_from_h,
+        hll_cell_sql,
+    )
+
+    p = 8
+    idx_e, rho_e = hll_cell_sql("CAST(id AS STRING)", p)
+    idx_f, rho_f = hll_cell_from_h("h", p)
+    df = spark.range(500).withColumn(
+        "h", F.expr(hex8_expr("CAST(id AS STRING)", fast=True))
+    )
+    both = df.select(
+        F.expr(idx_e).alias("idx_e"),
+        F.expr(rho_e).alias("rho_e"),
+        F.expr(idx_f).alias("idx_f"),
+        F.expr(rho_f).alias("rho_f"),
+    )
+    bad = both.filter(
+        (F.col("idx_e") != F.col("idx_f")) | (F.col("rho_e") != F.col("rho_f"))
+    )
+    assert bad.count() == 0
