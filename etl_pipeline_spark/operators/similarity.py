@@ -507,3 +507,272 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("approx_cosine", 6).alias("approx_cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Relational ANN variants — same index architectures (IVF cell pruning,
+# PQ code compression, IVF-PQ composed) with a SQL-expressible quantizer:
+# pivots/codebook centers are linspace-positioned rows of the bounded
+# ordered sample, i.e. exactly the k-means INIT the trained variants use
+# (0 Lloyd iterations). Everything below is pure DataFrame algebra — no
+# UDFs, no driver-side training — so a DuckDB oracle can recompute the
+# complete output and the driver value-checks neighbors cell-for-cell
+# (plans/llm.py). The k-means-trained variants above stay the quality
+# path, pinned by recall tests (test_similarity_ivf.py / _pq.py).
+#
+# Determinism discipline shared with the oracles:
+# - pivot row = (i · max_rn) div (n_pivots - 1): integer arithmetic only;
+# - ranking keys are ROUNDED (cosine and encode scores → 6 dp) BEFORE
+#   row_number, ties broken by id — so last-ulp float differences between
+#   engines (or between partial-agg orders) can never flip a rank.
+# --------------------------------------------------------------------------
+
+
+def _sample_with_rn(corpus: DataFrame, id_col: str, vec_col: str, sample_limit: int) -> DataFrame:
+    """Bounded ordered sample (rn, v): first `sample_limit` rows by id,
+    rn = 0-based position. TakeOrdered keeps this a bounded top-k scan —
+    never a global sort of the corpus."""
+    s = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample_limit)
+    )
+    w = Window.orderBy("i")
+    return s.withColumn("rn", F.row_number().over(w) - 1)
+
+
+def _linspace_pivots(
+    corpus: DataFrame, id_col: str, vec_col: str, n_pivots: int, sample_limit: int
+) -> DataFrame:
+    """(cell, pe): `n_pivots` Voronoi pivots = evenly-spaced sample rows."""
+    spark = corpus.sparkSession
+    s = _sample_with_rn(corpus, id_col, vec_col, sample_limit)
+    mx = s.agg(F.max("rn").alias("mx"))
+    cells = spark.range(n_pivots).select(F.col("id").cast("int").alias("cell"))
+    return (
+        cells.crossJoin(mx)
+        .withColumn("rn", F.expr(f"(cell * mx) div {n_pivots - 1}"))
+        .join(s, "rn")
+        .select("cell", F.col("v").alias("pe"))
+    )
+
+
+def ivf_topk_relational(
+    corpus: DataFrame,
+    query_filter: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncells: int = 8,
+    nprobe: int = 2,
+    k: int = 3,
+    sample_limit: int = 4096,
+) -> DataFrame:
+    """IVF top-k with the pivot quantizer: assign each corpus vector to its
+    nearest pivot's cell (broadcast 8-row pivot table — a narrow map-side
+    scan), probe each query's `nprobe` nearest cells, exact cosine inside
+    candidates. At 100 TB the corpus is written partitioned by `cell`, so
+    the candidate join is a pruned scan of nprobe/ncells of the data."""
+    piv = F.broadcast(_linspace_pivots(corpus, id_col, vec_col, ncells, sample_limit))
+    c_scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"))
+        .crossJoin(piv)
+        .select("neighbor_id", "ce", "cell", F.round(cosine_expr("ce", "pe"), 6).alias("cs"))
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("cs"), F.asc("cell"))
+    cells = (
+        c_scored.withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select("neighbor_id", "ce", "cell")
+    )
+    q_scored = (
+        corpus.filter(query_filter)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
+        .crossJoin(piv)
+        .select("query_id", "qe", "cell", F.round(cosine_expr("qe", "pe"), 6).alias("cs"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cell"))
+    probes = (
+        q_scored.withColumn("r", F.row_number().over(w_probe))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "qe", "cell")
+    )
+    cand = F.broadcast(probes).join(cells, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(cosine_expr("qe", "ce"), 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "cosine"
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _normalized(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, ne): unit-normalized double vector (norm projected once)."""
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_e"),
+        F.expr(_NORM.format(v=vec_col)).alias("_nrm"),
+    ).select(
+        "vec_id", F.expr("transform(_e, x -> CAST(x AS DOUBLE) / _nrm)").alias("ne")
+    )
+
+
+def _pq_codebook(
+    normalized: DataFrame, m: int, ksub: int, sample_limit: int
+) -> DataFrame:
+    """(sub, code, center): per-subspace codebook = subslices of linspace-
+    positioned normalized sample rows. m·ksub rows — broadcasts."""
+    spark = normalized.sparkSession
+    s = _sample_with_rn(normalized, "vec_id", "ne", sample_limit)
+    mx = s.agg(F.max("rn").alias("mx"))
+    subs = spark.range(m).select(F.col("id").cast("int").alias("sub"))
+    codes = spark.range(ksub).select(F.col("id").cast("int").alias("code"))
+    dsub = f"(size(v) div {m})"
+    return (
+        subs.crossJoin(codes)
+        .crossJoin(mx)
+        .withColumn("rn", F.expr(f"(code * mx) div {ksub - 1}"))
+        .join(s, "rn")
+        .select("sub", "code", F.expr(f"slice(v, sub * {dsub} + 1, {dsub})").alias("center"))
+    )
+
+
+def _pq_codes(normalized: DataFrame, cb: DataFrame, m: int) -> DataFrame:
+    """(vec_id, sub, code): argmin-distance code per (vector, subspace).
+    Scoring key is d²-without-the-constant: |c|² − 2·a·c (the |a|² term is
+    constant per (vector, subspace) and cannot move the argmin), rounded
+    to 6 dp before ranking so engines agree on ties (broken by code)."""
+    a = f"slice(ne, sub * (size(ne) div {m}) + 1, size(ne) div {m})"
+    score = (
+        F.expr(_DOT.format(a="center", b="center"))
+        - 2 * F.expr(_DOT.format(a=a, b="center"))
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("s9"), F.asc("code"))
+    return (
+        normalized.crossJoin(F.broadcast(cb))
+        .select("vec_id", "sub", "code", F.round(score, 6).alias("s9"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "sub", "code")
+    )
+
+
+def _pq_dtable(queries_norm: DataFrame, cb: DataFrame, m: int) -> DataFrame:
+    """(query_id, sub, code, d2): full asymmetric distance table for the
+    bounded query set — |q_sub − center|² via the dot identity."""
+    a = f"slice(ne, sub * (size(ne) div {m}) + 1, size(ne) div {m})"
+    d2 = (
+        F.expr(_DOT.format(a=a, b=a))
+        + F.expr(_DOT.format(a="center", b="center"))
+        - 2 * F.expr(_DOT.format(a=a, b="center"))
+    )
+    return queries_norm.crossJoin(F.broadcast(cb)).select(
+        F.col("vec_id").alias("query_id"), "sub", "code", d2.alias("d2")
+    )
+
+
+def pq_topk_relational(
+    corpus: DataFrame,
+    query_filter: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 3,
+    sample_limit: int = 4096,
+) -> DataFrame:
+    """PQ top-k, fully relational: corpus scanned as m small codes, scoring
+    is a broadcast join against the query distance table + one sum — the
+    ADC pattern with zero Python. On normalized vectors L2² = 2 − 2·cos,
+    so approx_cosine = 1 − d²/2 and asc-d² ranking is desc-cosine."""
+    cn = _normalized(corpus, id_col, vec_col)
+    cb = _pq_codebook(cn, m, ksub, sample_limit)
+    codes = _pq_codes(cn, cb, m)
+    qn = _normalized(corpus.filter(query_filter), id_col, vec_col)
+    dtable = _pq_dtable(qn, cb, m)
+    summed = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.lit(1.0) - F.sum("d2") / 2, 6).alias("approx_cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        summed.select(
+            "query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "approx_cosine"
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk_relational(
+    corpus: DataFrame,
+    query_filter: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 3,
+    sample_limit: int = 4096,
+) -> DataFrame:
+    """IVF-PQ composed, fully relational: pivot cells prune WHICH codes a
+    query scans, PQ codes shrink WHAT is scanned. At scale the encoded
+    corpus is written once partitioned by cell (id + m codes per row) and
+    a query reads nprobe/ncells of that already-compressed table."""
+    piv = F.broadcast(_linspace_pivots(corpus, id_col, vec_col, ncells, sample_limit))
+    c_scored = (
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("ce"))
+        .crossJoin(piv)
+        .select("nid", "cell", F.round(cosine_expr("ce", "pe"), 6).alias("cs"))
+    )
+    w_assign = Window.partitionBy("nid").orderBy(F.desc("cs"), F.asc("cell"))
+    cells = (
+        c_scored.withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select("nid", "cell")
+    )
+    q_scored = (
+        corpus.filter(query_filter)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
+        .crossJoin(piv)
+        .select("query_id", "cell", F.round(cosine_expr("qe", "pe"), 6).alias("cs"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cell"))
+    probes = (
+        q_scored.withColumn("r", F.row_number().over(w_probe))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cand = F.broadcast(probes).join(cells, "cell").filter(
+        F.col("nid") != F.col("query_id")
+    )
+
+    cn = _normalized(corpus, id_col, vec_col)
+    cb = _pq_codebook(cn, m, ksub, sample_limit)
+    codes = _pq_codes(cn, cb, m)
+    qn = _normalized(corpus.filter(query_filter), id_col, vec_col)
+    dtable = _pq_dtable(qn, cb, m)
+    summed = (
+        cand.join(codes, cand["nid"] == codes["vec_id"])
+        .join(F.broadcast(dtable), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col("nid").alias("neighbor_id"))
+        .agg(F.round(F.lit(1.0) - F.sum("d2") / 2, 6).alias("approx_cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        summed.select(
+            "query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "approx_cosine"
+        )
+        .filter(F.col("rank") <= k)
+    )

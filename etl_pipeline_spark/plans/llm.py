@@ -41,6 +41,9 @@ from etl_pipeline_spark.operators.dedup import (
     shingles,
 )
 from etl_pipeline_spark.operators.similarity import (
+    ivf_topk_relational,
+    ivfpq_topk_relational,
+    pq_topk_relational,
     cosine_pairs,
     cosine_topk,
     ivf_topk,
@@ -344,50 +347,222 @@ def ann_bucketed_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# ANN, IVF (scale path #2): spherical-k-means coarse quantizer trained on a
-# bounded deterministic sample; queries probe their nprobe nearest cells
-# only. At 100 TB the corpus is written partitioned by cell id, so a query
-# batch scans nprobe/ncells of the data instead of all of it. The quantizer
-# is not SQL-expressible → rows-only driver check; recall vs the exact
-# brute-force path is asserted in tests/test_similarity_ivf.py (full-probe
-# equivalence + planted-pair recall).
+# ANN, IVF / PQ / IVF-PQ — driver-checked RELATIONAL variants
+# (operators/similarity.py::*_topk_relational). Same index architectures
+# as the k-means-trained operators (cell pruning, code compression,
+# composed IVFADC) with a SQL-expressible quantizer: pivots / codebook
+# centers are linspace-positioned rows of the bounded ordered sample —
+# exactly the k-means INIT, 0 Lloyd iterations. That makes the COMPLETE
+# output (neighbors, ranks, scores) recomputable in DuckDB, so all three
+# queries below are value-hash-checked end-to-end instead of rows-only.
+# The trained variants stay the quality path, pinned by recall tests
+# (tests/test_similarity_ivf.py, tests/test_similarity_pq.py).
+#
+# Cross-engine determinism: every ranking key is ROUNDED (6 dp) before
+# ROW_NUMBER with id/code tie-breaks, and pivot positions use integer
+# arithmetic only — last-ulp float divergence can never flip a rank.
 # --------------------------------------------------------------------------
+_ANN_SAMPLE = 4096
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+        f"(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+        f" sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+    )
+
+
+def _duck_ivf_ctes(ncells: int, nprobe: int) -> str:
+    """Shared CTE block: sample → pivots → cell assignment → query probes."""
+    return f"""
+        s AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn, embedding AS v
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {_ANN_SAMPLE})
+        ),
+        mx AS (SELECT MAX(rn) AS mx FROM s),
+        piv AS (
+            SELECT g.cell, s.v AS pe
+            FROM (SELECT UNNEST(generate_series(0, {ncells - 1})) AS cell) g
+            CROSS JOIN mx
+            JOIN s ON s.rn = (g.cell * mx.mx) // {ncells - 1}
+        ),
+        csc AS (
+            SELECT e.vec_id AS nid, e.embedding AS ce, p.cell,
+                   ROUND({_duck_cos("e.embedding", "p.pe")}, 6) AS cs
+            FROM embeddings e CROSS JOIN piv p
+        ),
+        cells AS (
+            SELECT nid, ce, cell FROM (
+                SELECT nid, ce, cell,
+                       ROW_NUMBER() OVER (PARTITION BY nid
+                                          ORDER BY cs DESC, cell) AS r
+                FROM csc
+            ) WHERE r = 1
+        ),
+        probes AS (
+            SELECT query_id, qe, cell FROM (
+                SELECT nid AS query_id, ce AS qe, cell,
+                       ROW_NUMBER() OVER (PARTITION BY nid
+                                          ORDER BY cs DESC, cell) AS r
+                FROM csc WHERE nid < 10
+            ) WHERE r <= {nprobe}
+        )"""
+
+
+def _duck_pq_ctes(m: int, ksub: int) -> str:
+    """Shared CTE block: normalize → codebook → codes → query dist table."""
+    dsub = f"(len(cn.ne) // {m})"
+    a_enc = f"list_slice(cn.ne, b.sub * (len(cn.ne) // {m}) + 1, (b.sub + 1) * (len(cn.ne) // {m}))"
+    return f"""
+        nrm0 AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nr
+            FROM embeddings
+        ),
+        cn AS (SELECT vec_id, list_transform(e, x -> x / nr) AS ne FROM nrm0),
+        sn AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn, ne AS v
+            FROM (SELECT vec_id, ne FROM cn ORDER BY vec_id LIMIT {_ANN_SAMPLE})
+        ),
+        mxn AS (SELECT MAX(rn) AS mx FROM sn),
+        cb AS (
+            SELECT sc.sub, sc.code,
+                   list_slice(sn.v, sc.sub * (len(sn.v) // {m}) + 1,
+                              (sc.sub + 1) * (len(sn.v) // {m})) AS center
+            FROM (SELECT g1.sub, g2.code
+                  FROM (SELECT UNNEST(generate_series(0, {m - 1})) AS sub) g1
+                  CROSS JOIN (SELECT UNNEST(generate_series(0, {ksub - 1})) AS code) g2) sc
+            CROSS JOIN mxn
+            JOIN sn ON sn.rn = (sc.code * mxn.mx) // {ksub - 1}
+        ),
+        encsc AS (
+            SELECT cn.vec_id, b.sub, b.code,
+                   ROUND(list_dot_product(b.center, b.center)
+                         - 2 * list_dot_product({a_enc}, b.center), 6) AS s6
+            FROM cn CROSS JOIN cb b
+        ),
+        codes AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY s6 ASC, code) AS r
+                FROM encsc
+            ) WHERE r = 1
+        ),
+        dt AS (
+            SELECT cn.vec_id AS query_id, b.sub, b.code,
+                   list_dot_product({a_enc}, {a_enc})
+                   + list_dot_product(b.center, b.center)
+                   - 2 * list_dot_product({a_enc}, b.center) AS d2
+            FROM cn CROSS JOIN cb b WHERE cn.vec_id < 10
+        )"""
+
+
+def _ivf_oracle() -> str:
+    return f"""
+        WITH {_duck_ivf_ctes(8, 2)},
+        cand AS (
+            SELECT p.query_id, c.nid AS neighbor_id,
+                   ROUND({_duck_cos("p.qe", "c.ce")}, 6) AS cosine
+            FROM probes p JOIN cells c
+              ON c.cell = p.cell AND c.nid <> p.query_id
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM cand
+        ) WHERE rank <= 3
+    """
+
+
 @register(
     "ann_ivf_topk",
-    oracle=None,
-    tags=("llm", "similarity", "ivf", "rows-only"),
+    oracle=_ivf_oracle(),
+    doc="IVF cell-pruned ANN, pivot quantizer — full output value-checked",
+    tags=("llm", "similarity", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, F.col("vec_id") < 10, ncells=8, nprobe=2, k=3)
+    return ivf_topk_relational(
+        emb, F.col("vec_id") < 10, ncells=8, nprobe=2, k=3, sample_limit=_ANN_SAMPLE
+    )
 
 
-# --------------------------------------------------------------------------
-# PQ ANN: asymmetric-distance search over m-byte codes — the memory-side
-# scale companion to IVF's scan pruning (compose for IVF-PQ at 100 TB).
-# Deterministic training (bounded ordered sample, linspace init, no RNG)
-# but k-means itself isn't SQL-expressible → rows-only check; quality is
-# pinned by test_similarity_pq.py (error bound + planted-pair recall).
-# --------------------------------------------------------------------------
+def _pq_oracle() -> str:
+    return f"""
+        WITH {_duck_pq_ctes(8, 16)},
+        summed AS (
+            SELECT d.query_id, c.vec_id AS neighbor_id,
+                   ROUND(1.0 - SUM(d.d2) / 2, 6) AS approx_cosine
+            FROM codes c JOIN dt d ON d.sub = c.sub AND d.code = c.code
+            WHERE c.vec_id <> d.query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, rank, approx_cosine FROM (
+            SELECT query_id, neighbor_id, approx_cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx_cosine DESC, neighbor_id) AS rank
+            FROM summed
+        ) WHERE rank <= 3
+    """
+
+
 @register(
     "ann_pq_topk",
-    oracle=None,
-    tags=("llm", "similarity", "pq", "rows-only"),
+    oracle=_pq_oracle(),
+    doc="PQ asymmetric-distance ANN, relational codebooks — value-checked",
+    tags=("llm", "similarity", "pq"),
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_topk(emb, F.col("vec_id") < 10, m=8, ksub=16, k=3)
+    return pq_topk_relational(
+        emb, F.col("vec_id") < 10, m=8, ksub=16, k=3, sample_limit=_ANN_SAMPLE
+    )
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+        WITH {_duck_ivf_ctes(8, 2)},
+        {_duck_pq_ctes(8, 16).lstrip()},
+        cand AS (
+            SELECT p.query_id, c.nid AS neighbor_id
+            FROM probes p JOIN cells c
+              ON c.cell = p.cell AND c.nid <> p.query_id
+        ),
+        summed AS (
+            SELECT d.query_id, ca.neighbor_id,
+                   ROUND(1.0 - SUM(d.d2) / 2, 6) AS approx_cosine
+            FROM cand ca
+            JOIN codes c ON c.vec_id = ca.neighbor_id
+            JOIN dt d ON d.query_id = ca.query_id
+                     AND d.sub = c.sub AND d.code = c.code
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, rank, approx_cosine FROM (
+            SELECT query_id, neighbor_id, approx_cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx_cosine DESC, neighbor_id) AS rank
+            FROM summed
+        ) WHERE rank <= 3
+    """
 
 
 @register(
     "ann_ivfpq_topk",
-    oracle=None,
-    doc="IVF-PQ composed (FAISS IVFADC layout): cell probing x PQ codes",
-    tags=("llm", "similarity", "ivf", "pq", "rows-only"),
+    oracle=_ivfpq_oracle(),
+    doc="IVF-PQ composed (FAISS IVFADC layout) relational — value-checked",
+    tags=("llm", "similarity", "ivf", "pq"),
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivfpq_topk(emb, F.col("vec_id") < 10, ncells=8, nprobe=2, m=8, ksub=16, k=3)
+    return ivfpq_topk_relational(
+        emb, F.col("vec_id") < 10, ncells=8, nprobe=2, m=8, ksub=16, k=3,
+        sample_limit=_ANN_SAMPLE,
+    )
 
 
 # --------------------------------------------------------------------------
