@@ -64,3 +64,38 @@ def unique_names(name: Column | str, order_by: Column | str) -> Column:
     o = F.col(order_by) if isinstance(order_by, str) else order_by
     rn = F.row_number().over(Window.partitionBy(F.lower(c)).orderBy(o))
     return F.when(rn == 1, c).otherwise(F.concat(c, F.lit("_"), (rn - 1).cast("string")))
+
+
+# --------------------------------------------------------------------------
+# Driver-side pure-Python twins. Pipeline orchestration needs one fc-name
+# per SOURCE (a config-sized value, not data) — running a 1-row Spark job
+# for a pure string function is a job-scheduling round trip for nothing.
+# These mirror the Column chains above exactly (property-tested against
+# them in tests/test_functions_naming.py).
+# --------------------------------------------------------------------------
+import re as _re
+
+_TRANSLIT = str.maketrans("åäöÅÄÖ", "aaoAAO")
+
+
+def slugify_py(s: str) -> str:
+    s = s.translate(_TRANSLIT).lower()
+    s = _re.sub(r"[^a-z0-9_-]+", "_", s)
+    return _re.sub(r"_+", "_", s)
+
+
+def sanitize_name_py(s: str, max_len: int = MAX_NAME_LEN) -> str:
+    c = slugify_py(s)
+    c = c.replace("-", "_")
+    c = _re.sub(r"_+", "_", c)
+    c = _re.sub(r"^_+|_+$", "", c)
+    if _re.match(r"^[0-9]", c):
+        c = "_" + c
+    return c[:max_len]
+
+
+def generate_fc_name_py(authority: str, source: str) -> str:
+    auth = authority.lower()
+    base = sanitize_name_py(source)
+    out = base if base.startswith(auth + "_") else f"{auth}_{base}"
+    return out[:MAX_NAME_LEN]

@@ -28,9 +28,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.functions.geo import bbox_filter, reproject
-from etl_pipeline_spark.functions.naming import generate_fc_name
+from etl_pipeline_spark.functions.naming import generate_fc_name_py
 from etl_pipeline_spark.sinks.writers import LoadReport, append, replace, truncate_and_load
-from etl_pipeline_spark.sources.fetchers import OgcApiFetcher, RestApiFetcher, Transport
+from etl_pipeline_spark.sources.fetchers import (
+    OgcApiFetcher,
+    RestApiFetcher,
+    Transport,
+    atom_resource_urls,
+    download_file,
+    fetch_text,
+)
 from etl_pipeline_spark.sources.registry import SourceConfig
 from etl_pipeline_spark.sources.staging import stage_path
 from etl_pipeline_spark.utils.metrics import PhaseTimer, RunSummary
@@ -56,9 +63,10 @@ class Pipeline:
     # ---------------------------------------------------------------- fetch
     def fetch(self, source: SourceConfig) -> list[str]:
         """Phase 1: driver-side fetch into the landing zone; returns staged
-        file paths. File-type sources are expected to already sit in the
-        landing dir (the download itself is plain HTTP, out of engine scope
-        for local files)."""
+        file paths. Every member of sources.registry.VALID_TYPES dispatches:
+        remote file sources stream through the chunked idempotent download
+        (S1); atom feeds resolve enclosure URLs then download each resource
+        (S11, reference etl/handlers/atom_feed.py:34-263)."""
         if source.type == "rest_api":
             fetcher = RestApiFetcher(self.transport, source.url)
             out = fetcher.fetch_all(self.config.landing_dir, source.name)
@@ -68,7 +76,15 @@ class Pipeline:
             out, _missing = fetcher.fetch_all(self.config.landing_dir, source.name)
             return [str(p) for p in out.values()]
         if source.type == "file":
+            if source.url.startswith(("http://", "https://")):
+                return [str(download_file(self.transport, source.url, self.config.landing_dir))]
             return [source.url]  # already local
+        if source.type == "atom_feed":
+            feed_xml = fetch_text(self.transport, source.url)
+            return [
+                str(download_file(self.transport, u, self.config.landing_dir))
+                for u in atom_resource_urls(feed_xml)
+            ]
         raise ValueError(f"unsupported source type {source.type!r}")
 
     # ---------------------------------------------------------------- stage
@@ -90,12 +106,10 @@ class Pipeline:
             out = bbox_filter(out, "x", "y", self.config.aoi_bbox)
         if self.config.target_epsg and "x" in out.columns and "y" in out.columns:
             out = reproject(out, "x", "y", 4326, self.config.target_epsg)
-        fc_name_row = (
-            self.spark.createDataFrame([(source.authority, name)], "a string, s string")
-            .select(generate_fc_name("a", "s").alias("fc"))
-            .collect()[0]
-        )
-        return fc_name_row.fc, out
+        # config-sized value → driver-side pure-Python twin of the naming
+        # kernel (property-tested equal to the Column version); no Spark
+        # job is scheduled for name generation
+        return generate_fc_name_py(source.authority, name), out
 
     # ----------------------------------------------------------------- load
     def load(self, fc_name: str, df: DataFrame) -> LoadReport:

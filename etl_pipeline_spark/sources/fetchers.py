@@ -37,19 +37,24 @@ import json
 import re
 import urllib.parse
 import xml.etree.ElementTree as ET
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Protocol
 
 DEFAULT_MAX_RECORDS = 5000
 FALLBACK_MAX_RECORDS = 2000
+DOWNLOAD_CHUNK = 8192  # streamed-download chunk size (io.py:25 CHUNK)
 
 
 class Transport(Protocol):
     def get_json(self, url: str, params: dict[str, Any] | None = None) -> dict: ...
 
     def head_headers(self, url: str) -> dict[str, str]: ...
+
+    def get_stream(self, url: str) -> "Iterator[bytes]":
+        """Yield the response body in bounded chunks (binary downloads)."""
+        ...
 
 
 # --------------------------------------------------------------------------
@@ -86,6 +91,43 @@ def write_landing_json(landing_dir: str, name: str, payload: dict, overwrite: bo
         return p
     p.write_text(json.dumps(payload, ensure_ascii=False), encoding="utf-8")
     return p
+
+
+def download_file(
+    transport: Transport,
+    url: str,
+    landing_dir: str,
+    filename: str | None = None,
+    overwrite: bool = False,
+) -> Path:
+    """S1 proper: streamed binary download into the landing zone.
+
+    Chunked writes (DOWNLOAD_CHUNK, never whole-body buffering) +
+    skip-if-exists idempotence — the semantics of the reference's
+    download() (etl/utils/io.py:25-84) with the true filename resolved
+    from Content-Disposition when the caller doesn't pin one. A partial
+    download never lands: chunks stream to `<name>.part`, which is
+    atomically renamed only on success."""
+    name = filename or true_filename(transport, url)
+    dest = Path(landing_dir) / name
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    if dest.exists() and not overwrite:
+        return dest
+    tmp = dest.with_name(dest.name + ".part")
+    try:
+        with tmp.open("wb") as fh:
+            for chunk in transport.get_stream(url):
+                if chunk:
+                    fh.write(chunk)
+        tmp.replace(dest)
+    finally:
+        tmp.unlink(missing_ok=True)
+    return dest
+
+
+def fetch_text(transport: Transport, url: str, encoding: str = "utf-8") -> str:
+    """Small text payload (feed XML) via the same streamed path."""
+    return b"".join(transport.get_stream(url)).decode(encoding)
 
 
 # --------------------------------------------------------------------------
@@ -310,5 +352,16 @@ def requests_transport(
         def head_headers(self, url: str) -> dict[str, str]:
             r = session.head(url, timeout=30, allow_redirects=True)
             return dict(r.headers)
+
+        def get_stream(self, url: str):
+            def _open():
+                r = session.get(url, stream=True, timeout=60)
+                r.raise_for_status()
+                return r
+
+            call = (lambda: breaker.call(_open)) if breaker else _open
+            resp = retry_call(call, policy, recoverable=(requests.RequestException,))
+            with resp:
+                yield from resp.iter_content(DOWNLOAD_CHUNK)
 
     return _RequestsTransport()

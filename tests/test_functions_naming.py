@@ -68,3 +68,26 @@ def test_sanitize_always_valid(spark, raw):
     assert len(out) <= 128
     assert re.fullmatch(r"[a-z0-9_]*", out) or out == ""
     assert not re.match(r"^[0-9]", out)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(min_size=0, max_size=160),
+    st.text(alphabet=st.characters(whitelist_categories=("Lu", "Ll"), max_codepoint=0x2FF), min_size=1, max_size=12),
+)
+def test_py_twin_matches_column_kernel(spark, raw, auth):
+    """Property: the driver-side pure-Python twins equal the Column kernel
+    for any input — the invariant that lets the pipeline generate fc names
+    without scheduling a Spark job."""
+    from etl_pipeline_spark.functions.naming import (
+        generate_fc_name,
+        generate_fc_name_py,
+        sanitize_name_py,
+    )
+
+    col_sanitized = _run_kernel(spark, [raw], sanitize_name)[0]
+    assert sanitize_name_py(raw) == col_sanitized
+
+    df = spark.createDataFrame([(auth, raw)], "a string, s string")
+    col_fc = df.select(generate_fc_name("a", "s").alias("fc")).collect()[0].fc
+    assert generate_fc_name_py(auth, raw) == col_fc

@@ -200,3 +200,140 @@ def test_pipeline_ogc_source(spark, tmp_path):
         assert 100_000 < rows[1].x_out < 1_000_000  # reprojected to SWEREF99 TM
     finally:
         spark.sql("DROP DATABASE IF EXISTS prod_ogc CASCADE")
+
+
+# --------------------------------------------------------------------------
+# S1 proper (streamed binary download) + S11 wiring (atom feed dispatch)
+# --------------------------------------------------------------------------
+class BinaryTransport:
+    """Serves named binary bodies; counts stream opens for idempotence
+    assertions; chunks at 10 bytes to prove chunked assembly."""
+
+    def __init__(self, bodies: dict[str, bytes], texts: dict[str, str] | None = None):
+        self.bodies = dict(bodies)
+        for u, t in (texts or {}).items():
+            self.bodies[u] = t.encode()
+        self.stream_calls: list[str] = []
+
+    def get_stream(self, url):
+        self.stream_calls.append(url)
+        body = self.bodies[url]
+        for i in range(0, len(body), 10):
+            yield body[i : i + 10]
+
+    def head_headers(self, url):
+        return {}
+
+    def get_json(self, url, params=None):
+        raise AssertionError("not used")
+
+
+def test_download_file_chunked_idempotent(tmp_path):
+    from etl_pipeline_spark.sources.fetchers import download_file
+
+    body = b"x" * 12345
+    t = BinaryTransport({"https://h/data.bin": body})
+    p1 = download_file(t, "https://h/data.bin", str(tmp_path))
+    assert p1.name == "data.bin" and p1.read_bytes() == body
+    p2 = download_file(t, "https://h/data.bin", str(tmp_path))
+    assert p2 == p1 and t.stream_calls == ["https://h/data.bin"]  # skip-if-exists
+    assert not list(tmp_path.glob("*.part"))
+
+
+def test_download_file_no_partial_on_failure(tmp_path):
+    from etl_pipeline_spark.sources.fetchers import download_file
+
+    class Failing(BinaryTransport):
+        def get_stream(self, url):
+            yield b"partial-bytes"
+            raise OSError("connection dropped")
+
+    t = Failing({})
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        download_file(t, "https://h/big.zip", str(tmp_path))
+    assert list(tmp_path.iterdir()) == []  # neither dest nor .part left
+
+
+def _feature_collection(n: int) -> str:
+    import json as _json
+
+    return _json.dumps(
+        {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "properties": {"fid": i, "namn": f"Plats {i}"},
+                    "geometry": {"type": "Point", "coordinates": [15.0 + i, 59.0]},
+                }
+                for i in range(n)
+            ],
+        }
+    )
+
+
+def test_pipeline_remote_file_source_downloads_then_stages(spark, tmp_path):
+    cfg = PipelineConfig(
+        landing_dir=str(tmp_path / "landing"), production_db="prod_dl", target_epsg=None
+    )
+    t = BinaryTransport({}, texts={"https://h/pts.geojson": _feature_collection(4)})
+    pipe = Pipeline(spark, cfg, transport=t)
+    src = SourceConfig(
+        name="Punkter", authority="LST", type="file",
+        url="https://h/pts.geojson", staged_data_type="geojson",
+    )
+    try:
+        summary = pipe.run([src])
+        assert summary.counters("download")["done"] == 1
+        out = spark.table("prod_dl.lst_pts")
+        assert out.count() == 4
+        # re-run: landing hit, no second stream open
+        pipe.run([src])
+        assert t.stream_calls == ["https://h/pts.geojson"]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS prod_dl CASCADE")
+
+
+_ATOM_FEED = """<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+  <entry><link rel="enclosure" href="https://h/a.geojson"/></entry>
+  <entry><link rel="enclosure" href="https://h/b.geojson"/>
+         <link href="https://h/ignored.html"/></entry>
+  <entry><link rel="enclosure" href="https://h/a.geojson"/></entry>
+</feed>"""
+
+
+def test_pipeline_atom_feed_source_e2e(spark, tmp_path):
+    cfg = PipelineConfig(
+        landing_dir=str(tmp_path / "landing"), production_db="prod_atom", target_epsg=None
+    )
+    t = BinaryTransport(
+        {},
+        texts={
+            "https://h/feed.xml": _ATOM_FEED,
+            "https://h/a.geojson": _feature_collection(2),
+            "https://h/b.geojson": _feature_collection(3),
+        },
+    )
+    pipe = Pipeline(spark, cfg, transport=t)
+    src = SourceConfig(
+        name="Atomkälla", authority="SGU", type="atom_feed",
+        url="https://h/feed.xml", staged_data_type="geojson",
+    )
+    try:
+        summary = pipe.run([src])
+        assert summary.counters("download")["done"] == 1
+        # deduped enclosure URLs → exactly one download per unique resource
+        assert sorted(t.stream_calls) == [
+            "https://h/a.geojson", "https://h/b.geojson", "https://h/feed.xml",
+        ]
+        tables = sorted(
+            x.name for x in spark.catalog.listTables("prod_atom") if not x.isTemporary
+        )
+        assert tables == ["sgu_a", "sgu_b"]
+        assert spark.table("prod_atom.sgu_a").count() == 2
+        assert spark.table("prod_atom.sgu_b").count() == 3
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS prod_atom CASCADE")
