@@ -1,0 +1,88 @@
+"""Data-volume scaling measurement: time registered queries at 1x (sf0.1)
+and 8x (id-shifted replication) — the evidence rows in SCALING.md.
+
+Replication shifts primary ids per copy so keys stay globally unique, and
+rewrites `documents.text` per replica (distinct letter-rotation per copy)
+so the corpus grows at CONSTANT near-duplicate structure — naive
+replication would make every doc a near-dup of its 7 copies and measure
+the quadratic verify blow-up of a pathologically duplicated corpus, not
+volume scaling. (That behavior is inherent to LSH dedup: verify cost
+scales with true duplicate mass; see SCALING.md.)
+
+Usage: python scripts/measure_scaling.py [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from etl_pipeline_spark.plans.registry import all_queries  # noqa: E402
+from etl_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+X8_DIR = "/tmp/sf0.1_x8"
+REPLICAS = 8
+
+# table -> id columns to shift per replica (keeps keys globally unique)
+TABLES = {
+    "lineitem": ("l_orderkey",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "orders": ("o_orderkey",),
+    "events": ("event_id",),
+}
+
+DEFAULT_QUERIES = ["cms_partkey_estimates", "dedup_minhash_lsh", "ann_ivf_topk"]
+
+
+def replicate(spark, table: str) -> None:
+    out = Path(X8_DIR) / f"{table}.parquet"
+    if out.exists():
+        return
+    df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+    shift_cols = TABLES[table]
+    shifts = {c: df.agg(F.max(c)).collect()[0][0] + 1 for c in shift_cols}
+    letters = "etaoinsrhl"
+    copies = []
+    for r in range(REPLICAS):
+        c = df
+        for col, m in shifts.items():
+            c = c.withColumn(col, F.col(col) + F.lit(r * m))
+        if table == "documents" and r > 0:
+            rot = letters[r:] + letters[:r]
+            c = c.withColumn("text", F.translate("text", letters, rot))
+        copies.append(c)
+    u = copies[0]
+    for c in copies[1:]:
+        u = u.unionByName(c)
+    u.write.mode("overwrite").parquet(str(out))
+
+
+def run_once(spark, qname: str, sf_dir: str) -> float:
+    fn = all_queries()[qname]
+    t0 = time.monotonic()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    queries = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark("scaling-measure")
+    for t in TABLES:
+        replicate(spark, t)
+    # warm the JVM/codegen once per query, then measure
+    for q in queries:
+        run_once(spark, q, SF_DIR)
+        t1 = run_once(spark, q, SF_DIR)
+        t8 = run_once(spark, q, X8_DIR)
+        print(f"{q}: 1x={t1:.2f}s 8x={t8:.2f}s ratio={t8 / t1:.2f}")
+
+
+if __name__ == "__main__":
+    main()
