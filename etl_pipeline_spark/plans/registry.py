@@ -77,12 +77,13 @@ PRIORITY: tuple[str, ...] = (
     # §2.5 family representatives
     "semi_join_include_filter", "anti_join_missing",
     "window_rank_running", "lead_lag_order_gaps", "window_range_trailing_spend",
-    "sql_ntile_balance_quartiles",
     "rollup_order_counts", "cube_lineitem_flags", "pivot_orders_status",
     "grouping_sets_status_priority", "percentile_event_values",
     "set_ops_union_except", "distinct_dedupe", "pagination_page_slice",
+    # §2.9 R10 — regression detector over metrics history
+    "regression_detect_metrics",
     # ---- tier 2 (51+): dedup/similarity family, remaining stream shapes
-    "resample_ffill_user_6h", "scd2_state_at_purchase",
+    "sql_ntile_balance_quartiles", "resample_ffill_user_6h", "scd2_state_at_purchase",
     "dedup_exact_hash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_cluster_assign", "dedup_embedding_cosine", "simhash_fingerprints",
     "ann_cosine_topk", "ann_bucketed_sign_lsh", "decontaminate_eval_overlap",

@@ -1133,3 +1133,82 @@ def key_skew_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("l_partkey"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Performance-regression detection (SURVEY.md §2.9 R10,
+# operators/regression.py): the reference's stateful detector
+# (etl/utils/regression_detector.py:26-171 — baseline mean/std, z-score
+# anomaly, percent-magnitude threshold) re-expressed as one aggregate
+# query over a metrics history relation. Here the history is the daily
+# per-event_type value series from `events`; the "current run" is the
+# latest day, the baseline is every prior day. One shuffle keyed on the
+# series; baseline state is one moment row per series at any history
+# length. Inputs rounded (6 dp) before moments, outputs after (4 dp) —
+# the cross-engine determinism discipline of the drift/PSI family.
+# --------------------------------------------------------------------------
+_DAY_NS = 86_400_000_000_000
+
+
+@register(
+    "regression_detect_metrics",
+    oracle=f"""
+        WITH hist AS (
+            SELECT epoch_ns(ts) // {_DAY_NS} AS run_day, event_type,
+                   ROUND(AVG(value), 6) AS metric
+            FROM events GROUP BY 1, 2
+        ),
+        cur_run AS (SELECT MAX(run_day) AS d FROM hist),
+        base AS (
+            SELECT event_type, AVG(ROUND(metric, 6)) AS m,
+                   stddev_pop(ROUND(metric, 6)) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n_history
+            FROM hist CROSS JOIN cur_run WHERE run_day < d GROUP BY 1
+        ),
+        cur AS (
+            SELECT event_type, ROUND(metric, 6) AS current_value
+            FROM hist CROSS JOIN cur_run WHERE run_day = d
+        ),
+        j AS (
+            SELECT c.event_type, c.current_value, b.m, b.s, b.n_history,
+                   ROUND(CASE WHEN b.s > 0
+                              THEN (c.current_value - b.m) / b.s
+                              ELSE 0.0 END, 4) AS z_score,
+                   ROUND(CASE WHEN b.m <> 0
+                              THEN (c.current_value - b.m) / b.m * 100.0
+                              ELSE 0.0 END, 4) AS magnitude_pct
+            FROM cur c JOIN base b ON b.event_type = c.event_type
+        )
+        SELECT event_type,
+               ROUND(current_value, 4) AS current_value,
+               ROUND(m, 4) AS baseline_mean,
+               ROUND(s, 4) AS baseline_std,
+               n_history, z_score, magnitude_pct,
+               CAST(n_history >= 3 AND z_score > 2.0
+                    AND ABS(magnitude_pct) > 10.0 AS INT) AS is_regression
+        FROM j
+    """,
+    tags=("metrics", "regression", "agg"),
+)
+def regression_detect_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.regression import detect_regressions
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            F.expr(f"ts div {_DAY_NS}").alias("run_day"), "event_type", "value"
+        )
+        .groupBy("run_day", "event_type")
+        .agg(F.round(F.avg("value"), 6).alias("metric"))
+    )
+    cur_day = hist.agg(F.max("run_day")).collect()[0][0]
+    return detect_regressions(
+        hist,
+        ["event_type"],
+        "run_day",
+        "metric",
+        current_run=int(cur_day),
+        threshold_sigma=2.0,
+        min_magnitude_pct=10.0,
+        min_history=3,
+    )

@@ -231,3 +231,16 @@ def test_hll_build_partial_aggregates(spark):
     carries ≤ 2^p register cells per task, never raw rows."""
     plan = _plan(spark, REGISTRY["hll_orderkey_cardinality"].spark_fn(spark, SF_DIR))
     assert "partial_max" in plan
+
+
+def test_relational_ann_no_python_and_broadcast_candidates(spark):
+    """The driver-checked ANN queries (pivot quantizer) must stay entirely
+    JVM-side — no Arrow/Python eval nodes anywhere — and the candidate
+    join must broadcast the bounded probe side against the cell-assigned
+    corpus (the side that scales)."""
+    from etl_pipeline_spark.plans.registry import all_queries
+
+    for q in ("ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk"):
+        plan = _plan(spark, all_queries()[q](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+        assert "BroadcastHashJoin" in plan, q
