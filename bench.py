@@ -51,6 +51,10 @@ HEADLINE = [
     "bloom_supplier_prune",
     "hll_orderkey_cardinality",
     "profile_approx_orders",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "unigram_surprisal_quality",
+    "regression_detect_metrics",
 ]
 
 

@@ -225,11 +225,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash builtin is shared, so we derive integers from md5 hex).
 # --------------------------------------------------------------------------
 
-# integer value of the first 8 hex chars of md5(token): Σ (digit × 16^pos)
+# integer value of the first 8 hex chars of md5(token): Σ (digit × 16^pos).
+# The oracle keeps this portable instr-chain form; the Spark plan decodes
+# with conv() — one md5 + one builtin per token instead of 8 digit probes
+# (value equality pinned by test_sketch.py::test_hex8_fast_decode_*).
 _HEX_DECODE = " + ".join(
     f"CAST(instr('0123456789abcdef', substr(md5(tok), {i+1}, 1)) - 1 AS BIGINT) * {16 ** (7 - i)}"
     for i in range(8)
 )
+_HEX_DECODE_FAST = "CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"
 
 
 @register(
@@ -254,7 +258,7 @@ _HEX_DECODE = " + ".join(
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-    hv = toks.select("doc_id", F.expr(_HEX_DECODE).alias("v"))
+    hv = toks.select("doc_id", F.expr(_HEX_DECODE_FAST).alias("v"))
     votes = (
         hv.select("doc_id", "v", F.explode(F.expr("sequence(0, 31)")).alias("bit"))
         .groupBy("doc_id", "bit")

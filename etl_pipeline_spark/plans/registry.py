@@ -87,6 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact_hash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_cluster_assign", "dedup_embedding_cosine", "simhash_fingerprints",
     "ann_cosine_topk", "ann_bucketed_sign_lsh", "decontaminate_eval_overlap",
+    "unigram_surprisal_quality",
 )
 
 

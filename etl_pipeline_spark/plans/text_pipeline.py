@@ -865,3 +865,58 @@ def hll_intersect_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact_intersection", "within_30pct",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram surprisal quality score: per-doc average −ln p(token) under the
+# corpus's own unigram distribution — the classic cheap LM-quality signal
+# (low surprisal ≈ repetitive/boilerplate, high ≈ noise/OOV-heavy; both
+# tails are filter candidates for training data). Fully relational: one
+# groupBy builds the vocabulary relation (vocab-sized state, not
+# corpus-sized), one join scores tokens, one agg per doc. At 100 TB the
+# vocab relation broadcasts when it fits, else it's a shuffle keyed on the
+# token — either way no Python and no per-doc loops. ROUND(.., 4) absorbs
+# last-ulp libm LN differences across engines (hll_est_sql discipline).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "unigram_surprisal_quality",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+        vocab AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(-LN(v.c / CAST(total.n AS DOUBLE))), 4) AS avg_surprisal
+        FROM t d
+        JOIN vocab v ON v.tok = d.tok
+        CROSS JOIN total
+        GROUP BY d.doc_id
+    """,
+    tags=("llm", "text-quality", "language-model"),
+)
+def unigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    total = t.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    vocab = t.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return (
+        t.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c") / F.col("n").cast("double"))), 4
+            ).alias("avg_surprisal"),
+        )
+    )
