@@ -528,6 +528,34 @@ def ivfpq_topk(
 # --------------------------------------------------------------------------
 
 
+# Interpreted higher-order folds (aggregate/zip_with) cost a lambda eval
+# per element; with the dimension known at plan time the same sums unroll
+# to static codegen-able arithmetic. Bit-identity: the fold computes
+# 0.0 + p0 + p1 + … left-associated with per-element DOUBLE casts — the
+# unrolled forms reproduce exactly that AST, so rounded outputs (and the
+# DuckDB oracles) are unchanged.
+
+
+def _vec_dim(corpus: DataFrame, vec_col: str) -> int:
+    """Array length from one row (schemas don't carry list lengths)."""
+    row = corpus.select(vec_col).first()
+    return len(row[0])
+
+
+def _dot_unrolled_sql(a: str, b: str, dim: int) -> str:
+    terms = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))" for i in range(dim)
+    )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def _norm_unrolled_sql(v: str, dim: int) -> str:
+    terms = " + ".join(
+        f"(CAST({v}[{i}] AS DOUBLE) * CAST({v}[{i}] AS DOUBLE))" for i in range(dim)
+    )
+    return f"sqrt(CAST(0.0 AS DOUBLE) + {terms})"
+
+
 def _sample_with_rn(corpus: DataFrame, id_col: str, vec_col: str, sample_limit: int) -> DataFrame:
     """Bounded ordered sample (rn, v): first `sample_limit` rows by id,
     rn = 0-based position. TakeOrdered keeps this a bounded top-k scan —
@@ -571,7 +599,14 @@ def ivf_topk_relational(
     nearest pivot's cell (broadcast 8-row pivot table — a narrow map-side
     scan), probe each query's `nprobe` nearest cells, exact cosine inside
     candidates. At 100 TB the corpus is written partitioned by `cell`, so
-    the candidate join is a pruned scan of nprobe/ncells of the data."""
+    the candidate join is a pruned scan of nprobe/ncells of the data.
+
+    Cosines stay in the higher-order-function fold form: measured against
+    the 64-term static unroll, steady-state is comparable but the unroll
+    pays ~7 s of one-time Janino compilation for the giant expressions —
+    the wrong trade for a query that runs once per session. (The PQ path
+    below unrolls its 8-term subspace dots, where compile cost is small
+    and the win is real.)"""
     piv = F.broadcast(_linspace_pivots(corpus, id_col, vec_col, ncells, sample_limit))
     c_scored = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"))
@@ -611,15 +646,26 @@ def ivf_topk_relational(
     )
 
 
-def _normalized(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(vec_id, ne): unit-normalized double vector (norm projected once)."""
+def _normalized(
+    corpus: DataFrame, id_col: str, vec_col: str, dim: int | None = None
+) -> DataFrame:
+    """(vec_id, ne): unit-normalized double vector (norm projected once).
+    With dim known, both the norm and the per-element division unroll to
+    static arithmetic (same values as the transform/fold forms)."""
+    if dim is None:
+        return corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_e"),
+            F.expr(_NORM.format(v=vec_col)).alias("_nrm"),
+        ).select(
+            "vec_id", F.expr("transform(_e, x -> CAST(x AS DOUBLE) / _nrm)").alias("ne")
+        )
+    elems = ", ".join(f"(CAST(_e[{i}] AS DOUBLE) / _nrm)" for i in range(dim))
     return corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_e"),
-        F.expr(_NORM.format(v=vec_col)).alias("_nrm"),
-    ).select(
-        "vec_id", F.expr("transform(_e, x -> CAST(x AS DOUBLE) / _nrm)").alias("ne")
-    )
+        F.expr(_norm_unrolled_sql(vec_col, dim)).alias("_nrm"),
+    ).select("vec_id", F.expr(f"array({elems})").alias("ne"))
 
 
 def _pq_codebook(
@@ -642,19 +688,46 @@ def _pq_codebook(
     )
 
 
-def _pq_codes(normalized: DataFrame, cb: DataFrame, m: int) -> DataFrame:
+def _subvectors(normalized: DataFrame, m: int) -> DataFrame:
+    """(vec_id, sub, sv): one slice per (vector, subspace) — m rows per
+    vector, each 64-dim array sliced exactly once (slicing per codebook
+    CODE would cost ksub× more interpreted array work for nothing)."""
+    return normalized.select(
+        "vec_id", "ne", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub")
+    ).select(
+        "vec_id",
+        "sub",
+        F.expr(f"slice(ne, sub * (size(ne) div {m}) + 1, size(ne) div {m})").alias("sv"),
+    )
+
+
+def _pq_dot(a: str, b: str, dsub: int | None) -> Column:
+    """Subspace dot: unrolled when the subspace width is known."""
+    if dsub is None:
+        return F.expr(_DOT.format(a=a, b=b))
+    return F.expr(_dot_unrolled_sql(a, b, dsub))
+
+
+def _cb_with_norms(cb: DataFrame, dsub: int | None = None) -> DataFrame:
+    """Codebook + |center|² precomputed once per codebook row (m·ksub rows)
+    instead of once per (vector, subspace, code) score evaluation."""
+    return cb.withColumn("cc", _pq_dot("center", "center", dsub))
+
+
+def _pq_codes(
+    normalized: DataFrame, cb: DataFrame, m: int, dsub: int | None = None
+) -> DataFrame:
     """(vec_id, sub, code): argmin-distance code per (vector, subspace).
     Scoring key is d²-without-the-constant: |c|² − 2·a·c (the |a|² term is
     constant per (vector, subspace) and cannot move the argmin), rounded
-    to 6 dp before ranking so engines agree on ties (broken by code)."""
-    a = f"slice(ne, sub * (size(ne) div {m}) + 1, size(ne) div {m})"
-    score = (
-        F.expr(_DOT.format(a="center", b="center"))
-        - 2 * F.expr(_DOT.format(a=a, b="center"))
-    )
+    to 6 dp before ranking so engines agree on ties (broken by code).
+    Value-identical to evaluating on full vectors — the subvector slice
+    and |c|² are precomputed, the fold order is unchanged."""
+    score = F.col("cc") - 2 * _pq_dot("sv", "center", dsub)
     w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("s9"), F.asc("code"))
     return (
-        normalized.crossJoin(F.broadcast(cb))
+        _subvectors(normalized, m)
+        .join(F.broadcast(_cb_with_norms(cb, dsub)), "sub")
         .select("vec_id", "sub", "code", F.round(score, 6).alias("s9"))
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") == 1)
@@ -662,16 +735,15 @@ def _pq_codes(normalized: DataFrame, cb: DataFrame, m: int) -> DataFrame:
     )
 
 
-def _pq_dtable(queries_norm: DataFrame, cb: DataFrame, m: int) -> DataFrame:
+def _pq_dtable(
+    queries_norm: DataFrame, cb: DataFrame, m: int, dsub: int | None = None
+) -> DataFrame:
     """(query_id, sub, code, d2): full asymmetric distance table for the
-    bounded query set — |q_sub − center|² via the dot identity."""
-    a = f"slice(ne, sub * (size(ne) div {m}) + 1, size(ne) div {m})"
-    d2 = (
-        F.expr(_DOT.format(a=a, b=a))
-        + F.expr(_DOT.format(a="center", b="center"))
-        - 2 * F.expr(_DOT.format(a=a, b="center"))
-    )
-    return queries_norm.crossJoin(F.broadcast(cb)).select(
+    bounded query set — |q_sub − center|² via the dot identity, with
+    |q_sub|² computed once per (query, subspace)."""
+    qsv = _subvectors(queries_norm, m).withColumn("aa", _pq_dot("sv", "sv", dsub))
+    d2 = F.col("aa") + F.col("cc") - 2 * _pq_dot("sv", "center", dsub)
+    return qsv.join(F.broadcast(_cb_with_norms(cb, dsub)), "sub").select(
         F.col("vec_id").alias("query_id"), "sub", "code", d2.alias("d2")
     )
 
@@ -690,11 +762,13 @@ def pq_topk_relational(
     is a broadcast join against the query distance table + one sum — the
     ADC pattern with zero Python. On normalized vectors L2² = 2 − 2·cos,
     so approx_cosine = 1 − d²/2 and asc-d² ranking is desc-cosine."""
-    cn = _normalized(corpus, id_col, vec_col)
+    dim = _vec_dim(corpus, vec_col)
+    dsub = dim // m
+    cn = _normalized(corpus, id_col, vec_col, dim)
     cb = _pq_codebook(cn, m, ksub, sample_limit)
-    codes = _pq_codes(cn, cb, m)
-    qn = _normalized(corpus.filter(query_filter), id_col, vec_col)
-    dtable = _pq_dtable(qn, cb, m)
+    codes = _pq_codes(cn, cb, m, dsub)
+    qn = _normalized(corpus.filter(query_filter), id_col, vec_col, dim)
+    dtable = _pq_dtable(qn, cb, m, dsub)
     summed = (
         codes.join(F.broadcast(dtable), ["sub", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -728,6 +802,8 @@ def ivfpq_topk_relational(
     query scans, PQ codes shrink WHAT is scanned. At scale the encoded
     corpus is written once partitioned by cell (id + m codes per row) and
     a query reads nprobe/ncells of that already-compressed table."""
+    dim = _vec_dim(corpus, vec_col)
+    dsub = dim // m
     piv = F.broadcast(_linspace_pivots(corpus, id_col, vec_col, ncells, sample_limit))
     c_scored = (
         corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("ce"))
@@ -756,11 +832,11 @@ def ivfpq_topk_relational(
         F.col("nid") != F.col("query_id")
     )
 
-    cn = _normalized(corpus, id_col, vec_col)
+    cn = _normalized(corpus, id_col, vec_col, dim)
     cb = _pq_codebook(cn, m, ksub, sample_limit)
-    codes = _pq_codes(cn, cb, m)
-    qn = _normalized(corpus.filter(query_filter), id_col, vec_col)
-    dtable = _pq_dtable(qn, cb, m)
+    codes = _pq_codes(cn, cb, m, dsub)
+    qn = _normalized(corpus.filter(query_filter), id_col, vec_col, dim)
+    dtable = _pq_dtable(qn, cb, m, dsub)
     summed = (
         cand.join(codes, cand["nid"] == codes["vec_id"])
         .join(F.broadcast(dtable), ["query_id", "sub", "code"])
