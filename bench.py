@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "simhash_fingerprints",
+    "dedup_simhash_hamming",
     "decontaminate_eval_overlap",
     "repetition_quality",
     "ann_cosine_topk",

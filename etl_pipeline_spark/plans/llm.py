@@ -278,6 +278,102 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SimHash near-dup PAIRS: banded LSH over the 32-bit fingerprint.
+# 4 bands x 8 bits; candidates = equi-join on (band, byte) — pigeonhole
+# guarantees 100% recall for hamming distance <= 3 (3 flipped bits touch
+# at most 3 of the 4 bands, so one band always matches). Verify =
+# bit_count(xor) <= 3 on candidates only; the all-pairs hamming matrix is
+# never materialized. This closes the dedup family: exact hash / MinHash
+# Jaccard / SimHash hamming / embedding cosine all share the same
+# bucket-join-then-verify scale shape.
+# --------------------------------------------------------------------------
+_SH_BANDS, _SH_BITS = 4, 8
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        hv AS (SELECT doc_id, {_HEX_DECODE} AS v FROM toks),
+        votes AS (
+            SELECT doc_id, bit,
+                   SUM(CASE WHEN (v // (CAST(1 AS BIGINT) << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+            FROM hv, (SELECT unnest(generate_series(0, 31)) AS bit)
+            GROUP BY doc_id, bit
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, simhash, band,
+                   (simhash // (CAST(1 AS BIGINT) << (band * {_SH_BITS}))) % {1 << _SH_BITS} AS bucket
+            FROM sh, (SELECT unnest(generate_series(0, {_SH_BANDS - 1})) AS band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS ha, b.simhash AS hb
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+    tags=("llm", "dedup", "simhash", "lsh"),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    hv = toks.select("doc_id", F.expr(_HEX_DECODE_FAST).alias("v"))
+    votes = (
+        hv.select("doc_id", "v", F.explode(F.expr("sequence(0, 31)")).alias("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("(v div shiftleft(CAST(1 AS BIGINT), bit)) % 2") == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias("vote")
+        )
+    )
+    sh = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"sequence(0, {_SH_BANDS - 1})")).alias("band"),
+    ).withColumn(
+        "bucket",
+        F.expr(f"(simhash div shiftleft(CAST(1 AS BIGINT), band * {_SH_BITS})) % {1 << _SH_BITS}"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.filter(F.expr("bit_count(ha ^ hb) <= 3")).select(
+        "doc_a", "doc_b", F.expr("CAST(bit_count(ha ^ hb) AS INT)").alias("hamming")
+    )
+
+
+# --------------------------------------------------------------------------
 # ANN, brute-force baseline: cosine top-k for a query set. Dot products run
 # as zip_with/aggregate column expressions in double precision (identical
 # left-to-right fold in both engines). At scale the candidate side stays

@@ -86,6 +86,7 @@ PRIORITY: tuple[str, ...] = (
     "sql_ntile_balance_quartiles", "resample_ffill_user_6h", "scd2_state_at_purchase",
     "dedup_exact_hash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_cluster_assign", "dedup_embedding_cosine", "simhash_fingerprints",
+    "dedup_simhash_hamming",
     "ann_cosine_topk", "ann_bucketed_sign_lsh", "decontaminate_eval_overlap",
     "unigram_surprisal_quality",
 )
