@@ -78,7 +78,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = REGISTRY[name].spark_fn
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # one broken query must not kill the suite
+            print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
