@@ -74,12 +74,32 @@ def jaccard_verify(candidates: DataFrame, shingle_df: DataFrame, threshold: floa
     )
 
 
+_MINHASH_CHUNKS_PER_MD5 = 4  # 32 hex chars → 4 disjoint 8-char (32-bit) hashes
+
+
 def minhash_signatures(shingle_df: DataFrame, n_hashes: int = 8) -> DataFrame:
-    """k seeded min-hashes per doc. String-min over seeded md5 — a valid
-    min-wise family that also evaluates identically in SQL oracles."""
-    return shingle_df.groupBy("doc_id").agg(
+    """k min-hashes per doc: string-min over disjoint 8-hex-char chunks of
+    seeded md5 digests — a valid min-wise family (each chunk is an
+    independent 32-bit hash of the shingle) that evaluates identically in
+    SQL oracles, at ceil(k/4) md5 calls per shingle instead of k. The
+    digests are projected once below the aggregate."""
+    n_seeds = (n_hashes + _MINHASH_CHUNKS_PER_MD5 - 1) // _MINHASH_CHUNKS_PER_MD5
+    seeded = shingle_df.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle"))).alias(f"m{g}")
+            for g in range(n_seeds)
+        ],
+    )
+    return seeded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.col(f"m{i // _MINHASH_CHUNKS_PER_MD5}"),
+                    (i % _MINHASH_CHUNKS_PER_MD5) * 8 + 1,
+                    8,
+                )
+            ).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     )

@@ -168,8 +168,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 8
 _BAND_SIZE = 2  # → 4 bands
 
+# mirrors operators/dedup.py::minhash_signatures — disjoint 8-hex-char
+# chunks of seeded md5 digests as the min-wise family
 _MINHASH_AGGS_DUCK = ",\n            ".join(
-    f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(_N_HASHES)
+    f"MIN(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+    for i in range(_N_HASHES)
 )
 _BANDS_DUCK = ", ".join(
     f"(  {b}, md5(h{_BAND_SIZE*b} || h{_BAND_SIZE*b+1}))" for b in range(_N_HASHES // _BAND_SIZE)
