@@ -57,9 +57,36 @@ def hex8_from_col(hex_col: str) -> str:
     return f"CAST(conv({hex_col}, 16, 10) AS BIGINT)"
 
 
+# A 32-char md5 digest carries four disjoint 8-hex-char (32-bit) hashes.
+# The i-th independent hash of a key is chunk i%4 of digest i//4, so n
+# hash rows cost ceil(n/4) md5 evaluations — the same chunked-family
+# trick the MinHash signatures use (operators/dedup.py).
+_CHUNKS_PER_MD5 = 4
+
+
+def _digest_sql(key_sql: str, group: int) -> str:
+    """SQL for the group-th seeded md5 digest of a key expression."""
+    return f"md5({key_sql})" if group == 0 else f"md5(concat('{group}:', {key_sql}))"
+
+
+def hex8_at_expr(key_sql: str, chunk: int, *, fast: bool = False) -> str:
+    """SQL decoding the chunk-th independent 32-bit hash of `key_sql` to
+    BIGINT. fast=True → Spark conv() decode; fast=False → engine-portable
+    instr chain (oracles). Both produce the same BIGINT."""
+    g, c = divmod(chunk, _CHUNKS_PER_MD5)
+    digest = _digest_sql(key_sql, g)
+    if fast:
+        return f"CAST(conv(substr({digest}, {8 * c + 1}, 8), 16, 10) AS BIGINT)"
+    digits = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr({digest}, {8 * c + i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({digits})"
+
+
 def _bucket_expr(key_sql: str, d: int, width: int, *, fast: bool = False) -> str:
-    inner = "concat('" + str(d) + ":', " + key_sql + ")"
-    return f"{hex8_expr(inner, fast=fast)} % {width}"
+    return f"{hex8_at_expr(key_sql, d, fast=fast)} % {width}"
 
 
 def cms_build(
@@ -72,22 +99,32 @@ def cms_build(
 
     One explode (depth rows per input row, a narrow op) + one aggregation
     whose output is ≤ depth × width rows — the fixed-size summary that
-    replaces an unbounded distinct-key shuffle.
+    replaces an unbounded distinct-key shuffle. The depth hash rows are
+    md5-digest chunks: ceil(depth/4) md5 calls per input row, projected
+    once below the Generate (no subexpression elimination applies there).
     """
     key_sql = f"CAST({key_col} AS STRING)"
+    n_groups = (depth + _CHUNKS_PER_MD5 - 1) // _CHUNKS_PER_MD5
+    hashed = df.select(
+        *[F.expr(_digest_sql(key_sql, g)).alias(f"m{g}") for g in range(n_groups)]
+    )
     cells = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(d).alias("d"),
-                    F.expr(_bucket_expr(key_sql, d, width, fast=True)).alias("bucket"),
+                    F.expr(
+                        f"CAST(conv(substr(m{d // _CHUNKS_PER_MD5}, "
+                        f"{8 * (d % _CHUNKS_PER_MD5) + 1}, 8), 16, 10) AS BIGINT)"
+                        f" % {width}"
+                    ).alias("bucket"),
                 )
                 for d in range(depth)
             ]
         )
     ).alias("cell")
     return (
-        df.select(cells)
+        hashed.select(cells)
         .select("cell.d", "cell.bucket")
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -113,14 +150,23 @@ def cms_estimate(
     cell. The sketch is broadcast (≤ depth × width rows); probing is a
     map-side join however many keys are probed."""
     key_sql = f"CAST({key_col} AS STRING)"
-    probe_cells = probes.select(
+    n_groups = (depth + _CHUNKS_PER_MD5 - 1) // _CHUNKS_PER_MD5
+    hashed = probes.select(
+        key_col,
+        *[F.expr(_digest_sql(key_sql, g)).alias(f"m{g}") for g in range(n_groups)],
+    )
+    probe_cells = hashed.select(
         key_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(d).alias("d"),
-                        F.expr(_bucket_expr(key_sql, d, width, fast=True)).alias("bucket"),
+                        F.expr(
+                            f"CAST(conv(substr(m{d // _CHUNKS_PER_MD5}, "
+                            f"{8 * (d % _CHUNKS_PER_MD5) + 1}, 8), 16, 10) AS BIGINT)"
+                            f" % {width}"
+                        ).alias("bucket"),
                     )
                     for d in range(depth)
                 ]
@@ -145,24 +191,38 @@ def cms_estimate(
 
 
 def bloom_position_sql(key_sql: str, i: int, m: int, *, fast: bool = False) -> str:
-    """SQL for the i-th Bloom bit position of a key expression."""
-    inner = "'" + str(i) + ":' || " + key_sql
-    return f"{hex8_expr(inner, fast=fast)} % {m}"
+    """SQL for the i-th Bloom bit position of a key expression — the i-th
+    digest chunk mod m (k positions cost ceil(k/4) md5 evaluations)."""
+    return f"{hex8_at_expr(key_sql, i, fast=fast)} % {m}"
 
 
-def _positions(key_sql: str, k: int, m: int):
-    """Spark-side Bloom positions: fast conv() decode — one md5 per
-    position. Oracles regenerate the portable instr-chain form via
-    bloom_position_sql(fast=False)."""
-    return [F.expr(bloom_position_sql(key_sql, i, m, fast=True)) for i in range(k)]
+def _position_cols(key_col: str, k: int, m: int) -> tuple[list, list]:
+    """(digest projections, position columns over them) for the Spark
+    side: digests are projected once, positions decode chunks via conv()."""
+    key_sql = f"CAST({key_col} AS STRING)"
+    n_groups = (k + _CHUNKS_PER_MD5 - 1) // _CHUNKS_PER_MD5
+    digests = [
+        F.expr(_digest_sql(key_sql, g)).alias(f"m{g}") for g in range(n_groups)
+    ]
+    positions = [
+        F.expr(
+            f"CAST(conv(substr(m{i // _CHUNKS_PER_MD5}, "
+            f"{8 * (i % _CHUNKS_PER_MD5) + 1}, 8), 16, 10) AS BIGINT) % {m}"
+        )
+        for i in range(k)
+    ]
+    return digests, positions
 
 
 def bloom_build(df: DataFrame, key_col: str, m: int = 16384, k: int = 3) -> DataFrame:
     """Set-position relation (pos) of the Bloom filter over a key column —
     at most m rows however many keys are inserted; mergeable by union."""
-    key_sql = f"CAST({key_col} AS STRING)"
-    pos = F.explode(F.array(*_positions(key_sql, k, m))).alias("pos")
-    return df.select(pos).distinct()
+    digests, positions = _position_cols(key_col, k, m)
+    return (
+        df.select(*digests)
+        .select(F.explode(F.array(*positions)).alias("pos"))
+        .distinct()
+    )
 
 
 def bloom_check(
@@ -172,9 +232,9 @@ def bloom_check(
     one of the k positions is set). The bloom relation broadcasts (≤ m
     rows); checking is a map-side join per position + one count-match
     aggregate over k rows per key."""
-    key_sql = f"CAST({key_col} AS STRING)"
-    cells = probes.select(
-        key_col, F.explode(F.array(*_positions(key_sql, k, m))).alias("pos")
+    digests, positions = _position_cols(key_col, k, m)
+    cells = probes.select(key_col, *digests).select(
+        key_col, F.explode(F.array(*positions)).alias("pos")
     )
     hits = (
         cells.join(F.broadcast(bloom.withColumn("hit", F.lit(1))), "pos", "left")

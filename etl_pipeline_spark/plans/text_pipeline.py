@@ -372,11 +372,10 @@ _CMS_DEPTH, _CMS_WIDTH = 4, 4096
 
 
 def _cms_oracle() -> str:
-    from etl_pipeline_spark.operators.sketch import hex8_expr
+    from etl_pipeline_spark.operators.sketch import hex8_at_expr
 
     def bucket(d: int) -> str:
-        inner = "'" + str(d) + ":' || l_partkey"
-        return f"{hex8_expr(inner)} % {_CMS_WIDTH}"
+        return f"{hex8_at_expr('CAST(l_partkey AS VARCHAR)', d)} % {_CMS_WIDTH}"
 
     cell_rows = "\n            UNION ALL ".join(
         f"SELECT {d} AS d, {bucket(d)} AS bucket FROM lineitem"
@@ -455,11 +454,11 @@ def _bloom_oracle() -> str:
     from etl_pipeline_spark.operators.sketch import bloom_position_sql
 
     build_rows = "\n            UNION ALL ".join(
-        f"SELECT {bloom_position_sql('s_suppkey', i, _BLOOM_M)} AS pos FROM sel"
+        f"SELECT {bloom_position_sql('CAST(s_suppkey AS VARCHAR)', i, _BLOOM_M)} AS pos FROM sel"
         for i in range(_BLOOM_K)
     )
     probe_rows = "\n            UNION ALL ".join(
-        f"SELECT l_suppkey, {bloom_position_sql('l_suppkey', i, _BLOOM_M)} AS pos"
+        f"SELECT l_suppkey, {bloom_position_sql('CAST(l_suppkey AS VARCHAR)', i, _BLOOM_M)} AS pos"
         " FROM probes"
         for i in range(_BLOOM_K)
     )
