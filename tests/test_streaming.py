@@ -249,3 +249,42 @@ def test_streaming_hll_registers_equal_batch_build(spark):
     for r in est.collect():
         assert 0 < r.est  # raw band not guaranteed at this cardinality
         assert r.n_set <= min(64, n_users)
+
+
+def test_streaming_cms_cells_equal_batch_build(spark):
+    """Windowed streamed CMS cells must equal a batch cms_build over the
+    same window slices exactly — counts are the state, so this pins
+    streaming frequency-sketch semantics to the oracle-checked batch
+    sketch (the frequency member of the streaming sketch family next to
+    HLL registers and drift histograms)."""
+    from etl_pipeline_spark.operators.sketch import cms_build
+    from etl_pipeline_spark.sources.star import load_table
+    from etl_pipeline_spark.streaming.frequency import windowed_cms_cells
+    from etl_pipeline_spark.streaming.windows import events_stream, run_available_now
+
+    stream = events_stream(spark, SF_DIR)
+    got = run_available_now(
+        windowed_cms_cells(stream, key_col="user_id", depth=3, width=256, window="6 hours"),
+        "cms_cells_test",
+    )
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn(
+            "win_start_epoch",
+            F.unix_timestamp(F.window("event_time", "6 hours").start),
+        )
+    )
+    wins = [r.win_start_epoch for r in ev.select("win_start_epoch").distinct().collect()]
+    g_all = sorted(map(tuple, got.select("win_start_epoch", "d", "bucket", "cnt").collect()))
+    w_all = []
+    for w0 in wins:
+        batch = cms_build(
+            ev.filter(F.col("win_start_epoch") == w0).select("user_id"),
+            "user_id",
+            depth=3,
+            width=256,
+        )
+        w_all.extend((w0, r.d, r.bucket, r.cnt) for r in batch.collect())
+    assert g_all == sorted(w_all) and len(g_all) > 0
