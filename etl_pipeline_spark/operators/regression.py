@@ -26,7 +26,7 @@ def detect_regressions(
     series_cols: list[str],
     run_col: str,
     value_col: str,
-    current_run: Column | int | str,
+    current_run: Column | int | str | None = None,
     threshold_sigma: float = 2.0,
     min_magnitude_pct: float = 10.0,
     min_history: int = 3,
@@ -37,8 +37,15 @@ def detect_regressions(
     runs, z-score, percent magnitude, and is_regression — the reference's
     RegressionBaseline.is_regression + is_significant semantics
     (z > threshold_sigma AND |magnitude| > min_magnitude_pct AND enough
-    history), computed relationally."""
-    cur_lit = current_run if isinstance(current_run, Column) else F.lit(current_run)
+    history), computed relationally. current_run=None means "the latest
+    run", resolved relationally (broadcast single-row max — no driver
+    collect, empty history yields an empty result instead of an error)."""
+    if current_run is None:
+        mx = history.agg(F.max(run_col).alias("__cur"))
+        history = history.crossJoin(F.broadcast(mx))
+        cur_lit = F.col("__cur")
+    else:
+        cur_lit = current_run if isinstance(current_run, Column) else F.lit(current_run)
     val = F.round(F.col(value_col), 6)
     base = (
         history.filter(F.col(run_col) < cur_lit)

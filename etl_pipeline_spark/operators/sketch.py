@@ -85,8 +85,15 @@ def hex8_at_expr(key_sql: str, chunk: int, *, fast: bool = False) -> str:
     return f"({digits})"
 
 
-def _bucket_expr(key_sql: str, d: int, width: int, *, fast: bool = False) -> str:
-    return f"{hex8_at_expr(key_sql, d, fast=fast)} % {width}"
+def digest_chunk_sql(chunk: int, width: int, col_prefix: str = "m") -> str:
+    """Spark SQL decoding the chunk-th hash from ALREADY-projected digest
+    columns ({col_prefix}0, {col_prefix}1, …) to a bucket in [0, width) —
+    the shared decode for CMS build/probe and the streaming CMS."""
+    g, c = divmod(chunk, _CHUNKS_PER_MD5)
+    return (
+        f"CAST(conv(substr({col_prefix}{g}, {8 * c + 1}, 8), 16, 10) AS BIGINT)"
+        f" % {width}"
+    )
 
 
 def cms_build(
@@ -113,11 +120,7 @@ def cms_build(
             *[
                 F.struct(
                     F.lit(d).alias("d"),
-                    F.expr(
-                        f"CAST(conv(substr(m{d // _CHUNKS_PER_MD5}, "
-                        f"{8 * (d % _CHUNKS_PER_MD5) + 1}, 8), 16, 10) AS BIGINT)"
-                        f" % {width}"
-                    ).alias("bucket"),
+                    F.expr(digest_chunk_sql(d, width)).alias("bucket"),
                 )
                 for d in range(depth)
             ]
@@ -162,11 +165,7 @@ def cms_estimate(
                 *[
                     F.struct(
                         F.lit(d).alias("d"),
-                        F.expr(
-                            f"CAST(conv(substr(m{d // _CHUNKS_PER_MD5}, "
-                            f"{8 * (d % _CHUNKS_PER_MD5) + 1}, 8), 16, 10) AS BIGINT)"
-                            f" % {width}"
-                        ).alias("bucket"),
+                        F.expr(digest_chunk_sql(d, width)).alias("bucket"),
                     )
                     for d in range(depth)
                 ]
@@ -205,10 +204,7 @@ def _position_cols(key_col: str, k: int, m: int) -> tuple[list, list]:
         F.expr(_digest_sql(key_sql, g)).alias(f"m{g}") for g in range(n_groups)
     ]
     positions = [
-        F.expr(
-            f"CAST(conv(substr(m{i // _CHUNKS_PER_MD5}, "
-            f"{8 * (i % _CHUNKS_PER_MD5) + 1}, 8), 16, 10) AS BIGINT) % {m}"
-        )
+        F.expr(digest_chunk_sql(i, m))
         for i in range(k)
     ]
     return digests, positions

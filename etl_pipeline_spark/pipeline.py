@@ -30,13 +30,15 @@ from pyspark.sql import functions as F
 from etl_pipeline_spark.functions.geo import bbox_filter, reproject
 from etl_pipeline_spark.functions.naming import generate_fc_name_py
 from etl_pipeline_spark.sinks.writers import LoadReport, append, replace, truncate_and_load
+import urllib.parse
+
 from etl_pipeline_spark.sources.fetchers import (
     OgcApiFetcher,
     RestApiFetcher,
     Transport,
     atom_resource_urls,
     download_file,
-    fetch_text,
+    fetch_bytes,
 )
 from etl_pipeline_spark.sources.registry import SourceConfig
 from etl_pipeline_spark.sources.staging import stage_path
@@ -80,9 +82,17 @@ class Pipeline:
                 return [str(download_file(self.transport, source.url, self.config.landing_dir))]
             return [source.url]  # already local
         if source.type == "atom_feed":
-            feed_xml = fetch_text(self.transport, source.url)
+            feed_xml = fetch_bytes(self.transport, source.url)
             return [
-                str(download_file(self.transport, u, self.config.landing_dir))
+                # resolve relative enclosure hrefs against the feed URL
+                # (legal per RFC 4287) before downloading
+                str(
+                    download_file(
+                        self.transport,
+                        urllib.parse.urljoin(source.url, u),
+                        self.config.landing_dir,
+                    )
+                )
                 for u in atom_resource_urls(feed_xml)
             ]
         raise ValueError(f"unsupported source type {source.type!r}")

@@ -41,14 +41,11 @@ from etl_pipeline_spark.operators.dedup import (
     shingles,
 )
 from etl_pipeline_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
     ivf_topk_relational,
     ivfpq_topk_relational,
     pq_topk_relational,
-    cosine_pairs,
-    cosine_topk,
-    ivf_topk,
-    ivfpq_topk,
-    pq_topk,
     sign_lsh_topk,
 )
 from etl_pipeline_spark.plans.registry import register

@@ -94,8 +94,13 @@ PRIORITY: tuple[str, ...] = (
 
 def _export_order() -> list[str]:
     _ensure_loaded()
+    unknown = [n for n in PRIORITY if n not in REGISTRY]
+    if unknown:
+        # a typo here would silently demote a query out of the driver's
+        # first-50 correctness window — fail loudly instead
+        raise ValueError(f"PRIORITY names not in registry: {unknown}")
     rest = [n for n in REGISTRY if n not in set(PRIORITY)]
-    return [n for n in PRIORITY if n in REGISTRY] + rest
+    return list(PRIORITY) + rest
 
 
 def all_queries() -> dict[str, SparkQuery]:

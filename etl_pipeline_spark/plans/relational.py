@@ -1201,13 +1201,12 @@ def regression_detect_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("run_day", "event_type")
         .agg(F.round(F.avg("value"), 6).alias("metric"))
     )
-    cur_day = hist.agg(F.max("run_day")).collect()[0][0]
     return detect_regressions(
         hist,
         ["event_type"],
         "run_day",
         "metric",
-        current_run=int(cur_day),
+        current_run=None,  # latest day, resolved relationally
         threshold_sigma=2.0,
         min_magnitude_pct=10.0,
         min_history=3,

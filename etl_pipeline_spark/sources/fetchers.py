@@ -33,6 +33,7 @@ wraps `requests` with RetryPolicy + CircuitBreaker from utils.resilience.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import re
 import urllib.parse
@@ -93,6 +94,15 @@ def write_landing_json(landing_dir: str, name: str, payload: dict, overwrite: bo
     return p
 
 
+def _safe_landing_name(name: str) -> str:
+    """Basename only — Content-Disposition is SERVER-SUPPLIED: a
+    traversal ('../../x') or absolute ('/etc/x') filename must never
+    escape the landing zone (the same attack class extract_zip guards
+    against in staging.py)."""
+    base = Path(name.replace("\\", "/")).name
+    return base if base not in ("", ".", "..") else "download"
+
+
 def download_file(
     transport: Transport,
     url: str,
@@ -105,11 +115,18 @@ def download_file(
     Chunked writes (DOWNLOAD_CHUNK, never whole-body buffering) +
     skip-if-exists idempotence — the semantics of the reference's
     download() (etl/utils/io.py:25-84) with the true filename resolved
-    from Content-Disposition when the caller doesn't pin one. A partial
-    download never lands: chunks stream to `<name>.part`, which is
-    atomically renamed only on success."""
-    name = filename or true_filename(transport, url)
-    dest = Path(landing_dir) / name
+    from Content-Disposition when the caller doesn't pin one. Safety on
+    top of the reference: the filename is clamped to a basename (no
+    server-driven path traversal), and derived names land in a per-URL
+    subdirectory so two URLs sharing a basename can never serve each
+    other's cached bytes. A partial download never lands: chunks stream
+    to `<name>.part`, atomically renamed only on success."""
+    if filename is not None:
+        dest = Path(landing_dir) / _safe_landing_name(filename)
+    else:
+        name = _safe_landing_name(true_filename(transport, url))
+        url_key = hashlib.md5(url.encode("utf-8")).hexdigest()[:8]
+        dest = Path(landing_dir) / url_key / name
     dest.parent.mkdir(parents=True, exist_ok=True)
     if dest.exists() and not overwrite:
         return dest
@@ -125,9 +142,10 @@ def download_file(
     return dest
 
 
-def fetch_text(transport: Transport, url: str, encoding: str = "utf-8") -> str:
-    """Small text payload (feed XML) via the same streamed path."""
-    return b"".join(transport.get_stream(url)).decode(encoding)
+def fetch_bytes(transport: Transport, url: str) -> bytes:
+    """Small payload (feed XML) via the same streamed path. Returned as
+    bytes so XML parsing can honor the encoding declared in the prolog."""
+    return b"".join(transport.get_stream(url))
 
 
 # --------------------------------------------------------------------------
@@ -309,10 +327,11 @@ class OgcApiFetcher:
 _ATOM_NS = "{http://www.w3.org/2005/Atom}"
 
 
-def atom_resource_urls(feed_xml: str) -> list[str]:
+def atom_resource_urls(feed_xml: str | bytes) -> list[str]:
     """Enclosure (preferred) or plain href links from all entries, deduped
     order-preserving — the set-dedupe at atom_feed.py:83-103 made
-    deterministic."""
+    deterministic. Pass bytes to let the parser honor a non-UTF-8
+    encoding declared in the XML prolog."""
     root = ET.fromstring(feed_xml)
     seen: dict[str, None] = {}
     for entry in root.iter(f"{_ATOM_NS}entry"):

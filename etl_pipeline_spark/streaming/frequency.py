@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_pipeline_spark.operators.sketch import _CHUNKS_PER_MD5, _digest_sql
+from etl_pipeline_spark.operators.sketch import (
+    _CHUNKS_PER_MD5,
+    _digest_sql,
+    digest_chunk_sql,
+)
 
 
 def windowed_cms_cells(
@@ -49,11 +53,7 @@ def windowed_cms_cells(
                 *[
                     F.struct(
                         F.lit(d).alias("d"),
-                        F.expr(
-                            f"CAST(conv(substr(m{d // _CHUNKS_PER_MD5}, "
-                            f"{8 * (d % _CHUNKS_PER_MD5) + 1}, 8), 16, 10) AS BIGINT)"
-                            f" % {width}"
-                        ).alias("bucket"),
+                        F.expr(digest_chunk_sql(d, width)).alias("bucket"),
                     )
                     for d in range(depth)
                 ]

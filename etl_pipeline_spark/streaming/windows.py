@@ -35,17 +35,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # normalize ts to epoch-ns bigint whatever the parquet physical type
-    # (same tz-proof contract as sources/star.py::_events_ts_to_epoch_ns)
-    ts_type = dict(raw.dtypes).get("ts")
-    if ts_type == "timestamp_ntz":
-        raw = raw.withColumn(
-            "ts",
-            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
-            * F.lit(1000),
-        )
-    elif ts_type == "timestamp":
-        raw = raw.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000))
+    # normalize ts to epoch-ns bigint whatever the parquet physical type —
+    # the one shared tz-proof conversion (works on streaming DataFrames too)
+    from etl_pipeline_spark.sources.star import _events_ts_to_epoch_ns
+
+    raw = _events_ts_to_epoch_ns(raw)
     return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -29,7 +29,10 @@ SF_DIR = "/root/testdata/sf0.1"
 X8_DIR = "/tmp/sf0.1_x8"
 REPLICAS = 8
 
-# table -> id columns to shift per replica (keeps keys globally unique)
+# table -> id columns to shift per replica (keeps keys globally unique).
+# Dimension tables replicate WITHOUT key shifts (facts reference them, and
+# 8x volume with the same dimension domain is the realistic scale-up) —
+# they are copied as-is so any registered query can run against X8_DIR.
 TABLES = {
     "lineitem": ("l_orderkey",),
     "documents": ("doc_id",),
@@ -37,6 +40,7 @@ TABLES = {
     "orders": ("o_orderkey",),
     "events": ("event_id",),
 }
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 
 DEFAULT_QUERIES = ["cms_partkey_estimates", "dedup_minhash_lsh", "ann_ivf_topk"]
 
@@ -76,6 +80,12 @@ def main() -> None:
     spark = get_spark("scaling-measure")
     for t in TABLES:
         replicate(spark, t)
+    for t in DIM_TABLES:
+        out = Path(X8_DIR) / f"{t}.parquet"
+        if not out.exists():
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.mode(
+                "overwrite"
+            ).parquet(str(out))
     # warm the JVM/codegen once per query, then measure
     for q in queries:
         run_once(spark, q, SF_DIR)

@@ -237,7 +237,7 @@ def test_download_file_chunked_idempotent(tmp_path):
     assert p1.name == "data.bin" and p1.read_bytes() == body
     p2 = download_file(t, "https://h/data.bin", str(tmp_path))
     assert p2 == p1 and t.stream_calls == ["https://h/data.bin"]  # skip-if-exists
-    assert not list(tmp_path.glob("*.part"))
+    assert not list(tmp_path.rglob("*.part"))
 
 
 def test_download_file_no_partial_on_failure(tmp_path):
@@ -253,7 +253,7 @@ def test_download_file_no_partial_on_failure(tmp_path):
 
     with _pytest.raises(OSError):
         download_file(t, "https://h/big.zip", str(tmp_path))
-    assert list(tmp_path.iterdir()) == []  # neither dest nor .part left
+    assert [p for p in tmp_path.rglob("*") if p.is_file()] == []  # no dest, no .part
 
 
 def _feature_collection(n: int) -> str:
@@ -337,3 +337,60 @@ def test_pipeline_atom_feed_source_e2e(spark, tmp_path):
         assert spark.table("prod_atom.sgu_b").count() == 3
     finally:
         spark.sql("DROP DATABASE IF EXISTS prod_atom CASCADE")
+
+
+def test_download_file_clamps_server_supplied_filename(tmp_path):
+    """Content-Disposition is server-controlled: traversal and absolute
+    paths must be clamped to a basename inside the landing zone."""
+    from etl_pipeline_spark.sources.fetchers import download_file
+
+    class Hostile(BinaryTransport):
+        def head_headers(self, url):
+            return {"Content-Disposition": "filename*=UTF-8\'\'..%2F..%2Fevil.sh"}
+
+    t = Hostile({"https://h/x": b"payload"})
+    p = download_file(t, "https://h/x", str(tmp_path))
+    assert p.name == "evil.sh"
+    assert p.resolve().is_relative_to(tmp_path.resolve())
+    assert (tmp_path.parent / "evil.sh").exists() is False
+
+
+def test_download_file_same_basename_different_urls_no_collision(tmp_path):
+    from etl_pipeline_spark.sources.fetchers import download_file
+
+    t = BinaryTransport(
+        {"https://h/2024/data.bin": b"year-2024", "https://h/2025/data.bin": b"year-2025"}
+    )
+    p1 = download_file(t, "https://h/2024/data.bin", str(tmp_path))
+    p2 = download_file(t, "https://h/2025/data.bin", str(tmp_path))
+    assert p1 != p2
+    assert p1.read_bytes() == b"year-2024" and p2.read_bytes() == b"year-2025"
+
+
+def test_pipeline_atom_feed_relative_hrefs(spark, tmp_path):
+    """Relative enclosure hrefs (RFC 4287) resolve against the feed URL."""
+    cfg = PipelineConfig(
+        landing_dir=str(tmp_path / "landing"), production_db="prod_atom_rel", target_epsg=None
+    )
+    feed = """<?xml version="1.0"?>
+    <feed xmlns="http://www.w3.org/2005/Atom">
+      <entry><link rel="enclosure" href="data/rel.geojson"/></entry>
+    </feed>"""
+    t = BinaryTransport(
+        {},
+        texts={
+            "https://h/feeds/feed.xml": feed,
+            "https://h/feeds/data/rel.geojson": _feature_collection(2),
+        },
+    )
+    pipe = Pipeline(spark, cfg, transport=t)
+    src = SourceConfig(
+        name="Rel", authority="X", type="atom_feed",
+        url="https://h/feeds/feed.xml", staged_data_type="geojson",
+    )
+    try:
+        summary = pipe.run([src])
+        assert summary.counters("download")["done"] == 1
+        assert spark.table("prod_atom_rel.x_rel").count() == 2
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS prod_atom_rel CASCADE")

@@ -56,3 +56,20 @@ def test_trend_slopes(spark):
     ).collect()}
     assert abs(got["up"] - 2.0) < 1e-9
     assert got["flat"] == 0.0
+
+
+def test_detect_regressions_latest_run_relational_and_empty_history(spark):
+    # current_run=None resolves the latest run without a driver collect
+    out = {
+        r.series: r
+        for r in detect_regressions(
+            _history(spark), ["series"], "run", "value", current_run=None
+        ).collect()
+    }
+    assert out["regressed"].is_regression == 1 and out["stable"].is_regression == 0
+
+    # empty history -> empty result, not an error
+    empty = spark.createDataFrame(
+        [], "run int, series string, value double"
+    )
+    assert detect_regressions(empty, ["series"], "run", "value").count() == 0
