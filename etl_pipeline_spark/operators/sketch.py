@@ -15,15 +15,17 @@ sketch caps the state at depth × width cells regardless of cardinality:
 
 Hashing is seeded md5 hex-decoded to BIGINT — no engine-specific hash
 builtin, so build and estimate produce identical VALUES in Spark and
-DuckDB and the whole pipeline is oracle-checkable cell-for-cell. The
-decode differs per dialect (same value, different cost): the portable
-form sums 8 instr() digit lookups, which embeds md5() once per digit —
-and under a Generate (explode) node Spark's subexpression elimination
-does not apply, so the sketch builders were paying up to 8 md5 calls
-per expression occurrence. The Spark fast form decodes in one builtin,
-`CAST(conv(substr(md5(x),1,8),16,10) AS BIGINT)`, i.e. exactly one md5
-per occurrence (value-equality with the instr chain is test-pinned).
-DuckDB oracles keep the portable form; oracle SQL text is unchanged.
+DuckDB and the whole pipeline is oracle-checkable cell-for-cell. Two
+cost disciplines on top of that, both value-identical across dialects
+(test-pinned):
+- the i-th independent 32-bit hash is chunk i%4 of digest i//4 (a
+  32-char md5 carries 4 disjoint 8-hex-char hashes), so a depth-4 CMS
+  or k=3 Bloom pays ONE md5 per input row;
+- decode differs per dialect: DuckDB oracles sum 8 instr() digit
+  lookups (portable), Spark decodes in one builtin
+  `CAST(conv(substr(digest, 8c+1, 8), 16, 10) AS BIGINT)` — and the
+  digest is projected once BELOW any Generate node, where Spark's
+  subexpression elimination does not apply.
 """
 
 from __future__ import annotations
