@@ -49,6 +49,7 @@ HEADLINE = [
     "range_join_click_attribution",
     "resample_ffill_user_6h",
     "cms_partkey_estimates",
+    "cms_heavy_hitters",
     "bloom_supplier_prune",
     "hll_orderkey_cardinality",
     "profile_approx_orders",

@@ -88,7 +88,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_cluster_assign", "dedup_embedding_cosine", "simhash_fingerprints",
     "dedup_simhash_hamming",
     "ann_cosine_topk", "ann_bucketed_sign_lsh", "decontaminate_eval_overlap",
-    "unigram_surprisal_quality",
+    "unigram_surprisal_quality", "cms_heavy_hitters",
 )
 
 

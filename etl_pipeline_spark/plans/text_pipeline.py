@@ -919,3 +919,95 @@ def unigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters from the sketch: at 100 TB you cannot enumerate distinct
+# keys to find the top ones — the standard composition is (a) candidate
+# keys from a cheap deterministic sample (here: keys on the first
+# lineitems by orderkey — a bounded TakeOrdered scan), (b) frequency
+# ESTIMATES for the candidates from the CMS (broadcast probe, min over
+# depth rows), (c) keep candidates whose estimate clears the support
+# threshold. The sketch was built in one pass with bounded state; no
+# second full scan is keyed on the full distinct-key space. Oracle
+# recomputes sample, sketch, and estimates cell-for-cell, plus the CMS
+# overestimate guarantee as a checked column.
+# --------------------------------------------------------------------------
+_HH_SAMPLE_ORDERS = 2000  # candidate source: lineitems of the first orders
+_HH_SUPPORT = 200  # estimated-frequency support threshold
+
+
+def _heavy_hitters_oracle() -> str:
+    from etl_pipeline_spark.operators.sketch import hex8_at_expr
+
+    def bucket(d: int) -> str:
+        return f"{hex8_at_expr('CAST(l_partkey AS VARCHAR)', d)} % {_CMS_WIDTH}"
+
+    cell_rows = "\n            UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket(d)} AS bucket FROM lineitem"
+        for d in range(_CMS_DEPTH)
+    )
+    probe_rows = "\n            UNION ALL ".join(
+        f"SELECT l_partkey, {d} AS d, {bucket(d)} AS bucket FROM cand"
+        for d in range(_CMS_DEPTH)
+    )
+    return f"""
+        WITH cells AS (
+            SELECT d, bucket, COUNT(*) AS cnt FROM (
+            {cell_rows}
+            ) GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_orderkey <= {_HH_SAMPLE_ORDERS}
+        ),
+        probe_cells AS (
+            {probe_rows}
+        ),
+        est AS (
+            SELECT p.l_partkey, MIN(COALESCE(c.cnt, 0)) AS est
+            FROM probe_cells p
+            LEFT JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+            GROUP BY 1
+        ),
+        ex AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_exact
+            FROM lineitem GROUP BY 1
+        )
+        SELECT e.l_partkey, CAST(e.est AS BIGINT) AS est,
+               x.n_exact,
+               CAST(e.est >= x.n_exact AS INT) AS is_overestimate
+        FROM est e JOIN ex x ON x.l_partkey = e.l_partkey
+        WHERE e.est >= {_HH_SUPPORT}
+    """
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=_heavy_hitters_oracle(),
+    tags=("sketch", "heavy-hitters", "agg"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.sketch import cms_build, cms_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = cms_build(li.select("l_partkey"), "l_partkey", _CMS_DEPTH, _CMS_WIDTH)
+    cand = (
+        li.filter(F.col("l_orderkey") <= _HH_SAMPLE_ORDERS)
+        .select("l_partkey")
+        .distinct()
+    )
+    est = cms_estimate(sketch, cand, "l_partkey", _CMS_DEPTH, _CMS_WIDTH)
+    exact = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    return (
+        est.filter(F.col("est") >= _HH_SUPPORT)
+        .join(exact, "l_partkey")
+        .select(
+            "l_partkey",
+            F.col("est").cast("bigint").alias("est"),
+            "n_exact",
+            (F.col("est") >= F.col("n_exact")).cast("int").alias("is_overestimate"),
+        )
+    )
