@@ -17,6 +17,8 @@ Three search paths:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -511,42 +513,79 @@ def ivfpq_topk(
 
 # --------------------------------------------------------------------------
 # Relational ANN variants — same index architectures (IVF cell pruning,
-# PQ code compression, IVF-PQ composed) with a SQL-expressible quantizer:
-# pivots/codebook centers are linspace-positioned rows of the bounded
-# ordered sample, i.e. exactly the k-means INIT the trained variants use
-# (0 Lloyd iterations). Everything below is pure DataFrame algebra — no
-# UDFs, no driver-side training — so a DuckDB oracle can recompute the
-# complete output and the driver value-checks neighbors cell-for-cell
-# (plans/llm.py). The k-means-trained variants above stay the quality
-# path, pinned by recall tests (test_similarity_ivf.py / _pq.py).
+# PQ code compression, IVF-PQ composed) with an oracle-recomputable
+# quantizer: pivots/codebook centers are linspace-positioned rows of the
+# bounded ordered sample, i.e. exactly the k-means INIT the trained
+# variants use (0 Lloyd iterations). The corpus-side plan is pure
+# DataFrame algebra (zero Python, zero Exchange in the encode — guarded
+# by test_scale_plans.py), and every value the index build produces is
+# reproduced term-for-term by the DuckDB oracle SQL (plans/llm.py), so
+# the driver value-checks neighbors cell-for-cell. The bounded artifacts
+# themselves — ncells pivots, m·ksub codebook rows, the nq·m·ksub query
+# distance table — are built on the DRIVER from the collected sample
+# (the same bounded-sample discipline as the trained FAISS-style variants
+# above) and shipped as broadcast local relations: index build is a
+# one-time cost on ≤sample_limit rows, never a corpus-sized job. The
+# k-means-trained variants above stay the quality path, pinned by recall
+# tests (test_similarity_ivf.py / _pq.py).
 #
 # Determinism discipline shared with the oracles:
 # - pivot row = (i · max_rn) div (n_pivots - 1): integer arithmetic only;
+# - every float the driver computes (norms, |center|², distance-table d²)
+#   uses the same left-associated IEEE-double op sequence as the engine
+#   folds, so the values are bit-identical to a relational recomputation;
 # - ranking keys are ROUNDED (cosine and encode scores → 6 dp) BEFORE
 #   row_number, ties broken by id — so last-ulp float differences between
 #   engines (or between partial-agg orders) can never flip a rank.
 # --------------------------------------------------------------------------
 
 
-# Interpreted higher-order folds (aggregate/zip_with) cost a lambda eval
-# per element; with the dimension known at plan time the same sums unroll
-# to static codegen-able arithmetic. Bit-identity: the fold computes
-# 0.0 + p0 + p1 + … left-associated with per-element DOUBLE casts — the
-# unrolled forms reproduce exactly that AST, so rounded outputs (and the
-# DuckDB oracles) are unchanged.
+def _round6(x: float) -> float:
+    """round(x, 6) with Spark/DuckDB semantics: HALF_UP on the shortest
+    decimal representation (Java BigDecimal.valueOf path) — Python's builtin
+    round() is HALF_EVEN and must not be used for engine-shared keys."""
+    import decimal
 
-
-def _vec_dim(corpus: DataFrame, vec_col: str) -> int:
-    """Array length from one row (schemas don't carry list lengths)."""
-    row = corpus.select(vec_col).first()
-    return len(row[0])
-
-
-def _dot_unrolled_sql(a: str, b: str, dim: int) -> str:
-    terms = " + ".join(
-        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))" for i in range(dim)
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP
+        )
     )
-    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Left-associated dot product — the exact IEEE op sequence of the SQL
+    fold `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)`
+    (and of DuckDB's list_dot_product), so driver-built artifacts are
+    bit-identical to a relational recomputation."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _py_normalize(v: list[float]) -> list[float]:
+    """Unit-normalize with the engine's op order: x / sqrt(Σ x·x)."""
+    nrm = math.sqrt(_py_dot(v, v))
+    return [x / nrm for x in v]
+
+
+def _ordered_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, sample_limit: int
+) -> list[list[float]]:
+    """First `sample_limit` vectors by id, as driver-side doubles.
+    TakeOrdered keeps this a bounded top-k scan — never a global sort of
+    the corpus — and float32→double conversion is exact, so the collected
+    values equal the engine's CAST(... AS DOUBLE)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample_limit)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("corpus has no rows — cannot build an ANN index")
+    return [[float(x) for x in r.v] for r in rows]
 
 
 def _norm_unrolled_sql(v: str, dim: int) -> str:
@@ -556,33 +595,113 @@ def _norm_unrolled_sql(v: str, dim: int) -> str:
     return f"sqrt(CAST(0.0 AS DOUBLE) + {terms})"
 
 
-def _sample_with_rn(corpus: DataFrame, id_col: str, vec_col: str, sample_limit: int) -> DataFrame:
-    """Bounded ordered sample (rn, v): first `sample_limit` rows by id,
-    rn = 0-based position. TakeOrdered keeps this a bounded top-k scan —
-    never a global sort of the corpus."""
-    s = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
-        .limit(sample_limit)
+def _pivot_array(spark, sample: list[list[float]], ncells: int) -> DataFrame:
+    """ONE broadcast row holding array<struct<cell, pe, pn>> sorted by
+    cell: the linspace pivots with norms precomputed. Cross-joining this
+    single row onto the corpus makes cell scoring a narrow projection —
+    no corpus-side Exchange (and no repeated sample jobs) in the encode."""
+    if ncells < 2:
+        raise ValueError(f"ncells must be >= 2, got {ncells}")
+    mx = len(sample) - 1
+    pivs = []
+    for cell in range(ncells):
+        pe = sample[(cell * mx) // (ncells - 1)]
+        pivs.append((cell, pe, math.sqrt(_py_dot(pe, pe))))
+    return F.broadcast(
+        spark.createDataFrame(
+            [(pivs,)], "pivs array<struct<cell:int, pe:array<double>, pn:double>>"
+        )
     )
-    w = Window.orderBy("i")
-    return s.withColumn("rn", F.row_number().over(w) - 1)
 
 
-def _linspace_pivots(
-    corpus: DataFrame, id_col: str, vec_col: str, n_pivots: int, sample_limit: int
+# Per-pivot score inside a higher-order lambda: the same left-assoc
+# per-element-DOUBLE-cast sum as cosine_expr's fold (so values — and the
+# DuckDB oracles — are unchanged), with the pivot norm read from the
+# precomputed struct field. Rounded to 6 dp before the argmin so engines
+# agree on ties (broken by cell asc). Negating the rounded score turns
+# array_min/array_sort's (asc, asc) struct order into (cosine desc, cell
+# asc) — exactly the old row_number ordering. With the dimension known the
+# dot unrolls to static indexing — lambda bodies are never Janino-compiled,
+# so the unroll is a pure interpreter win (no zip_with pair allocation, no
+# per-element lambda frames) at zero compile cost.
+def _pivot_score(vec: str, nrm: str, dim: int | None) -> str:
+    if dim is None:
+        dot = (
+            f"aggregate(zip_with({vec}, p.pe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    else:
+        terms = " + ".join(
+            f"(CAST({vec}[{i}] AS DOUBLE) * CAST(p.pe[{i}] AS DOUBLE))" for i in range(dim)
+        )
+        dot = f"(CAST(0.0 AS DOUBLE) + {terms})"
+    return f"struct(-round({dot} / ({nrm} * p.pn), 6) AS s, p.cell AS c)"
+
+
+def _nearest_cell_expr(vec: str, nrm: str, dim: int | None) -> Column:
+    """argmax-cosine cell id as a narrow projection over the pivot array."""
+    score = _pivot_score(vec, nrm, dim)
+    return F.expr(f"array_min(transform(pivs, p -> {score})).c")
+
+
+def _assign_cells_narrow(
+    corpus: DataFrame, piv1: DataFrame, id_col: str, vec_col: str,
+    id_alias: str, keep_vec: bool, dim: int | None = None,
 ) -> DataFrame:
-    """(cell, pe): `n_pivots` Voronoi pivots = evenly-spaced sample rows."""
-    spark = corpus.sparkSession
-    s = _sample_with_rn(corpus, id_col, vec_col, sample_limit)
-    mx = s.agg(F.max("rn").alias("mx"))
-    cells = spark.range(n_pivots).select(F.col("id").cast("int").alias("cell"))
+    """(id_alias[, ce], cell): nearest-pivot cell per corpus vector, computed
+    in one projection over the broadcast 1-row pivot array (zero Exchange
+    between the corpus scan and the cell output — the encode is map-side)."""
+    out = [F.col(id_alias), F.col("_cell").alias("cell")]
+    if keep_vec:
+        out.insert(1, F.col("ce"))
     return (
-        cells.crossJoin(mx)
-        .withColumn("rn", F.expr(f"(cell * mx) div {n_pivots - 1}"))
-        .join(s, "rn")
-        .select("cell", F.col("v").alias("pe"))
+        corpus.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("ce"))
+        .crossJoin(piv1)
+        .withColumn("_nrm", F.expr(_NORM.format(v="ce")))
+        .withColumn("_cell", _nearest_cell_expr("ce", "_nrm", dim))
+        .select(*out)
     )
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """(id_type, [(id, vec_doubles)]): one collect of the bounded query set,
+    shared by the probe table and the ADC distance tables."""
+    id_type = queries.schema[id_col].dataType
+    rows = queries.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")).collect()
+    return id_type, [(r.i, [float(x) for x in r.v]) for r in rows]
+
+
+def _probe_local(
+    spark, qrows, id_type, sample: list[list[float]], ncells: int, nprobe: int,
+    keep_vec: bool,
+) -> DataFrame:
+    """(query_id[, qe], cell) as a broadcast local relation — the query-side
+    probe list computed on the driver with the engine's op order (round(cos,
+    6) desc, cell asc), so probed cells are identical to the relational
+    formulation (and the DuckDB oracle). Skips a corpus-filter mini-job per
+    query execution; queries are bounded by contract."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    mx = len(sample) - 1
+    pivots = []
+    for cell in range(ncells):
+        pe = sample[(cell * mx) // (ncells - 1)]
+        pivots.append((cell, pe, math.sqrt(_py_dot(pe, pe))))
+    rows = []
+    for qid, qe in qrows:
+        qn = math.sqrt(_py_dot(qe, qe))
+        ranked = sorted(
+            (-_round6(_py_dot(qe, pe) / (qn * pn)), cell) for cell, pe, pn in pivots
+        )
+        for _, cell in ranked[:nprobe]:
+            rows.append((qid, qe, cell) if keep_vec else (qid, cell))
+    fields = [StructField("query_id", id_type)]
+    if keep_vec:
+        fields.append(StructField("qe", ArrayType(DoubleType())))
+    fields.append(StructField("cell", IntegerType()))
+    return F.broadcast(spark.createDataFrame(rows, StructType(fields)))
 
 
 def ivf_topk_relational(
@@ -596,42 +715,28 @@ def ivf_topk_relational(
     sample_limit: int = 4096,
 ) -> DataFrame:
     """IVF top-k with the pivot quantizer: assign each corpus vector to its
-    nearest pivot's cell (broadcast 8-row pivot table — a narrow map-side
-    scan), probe each query's `nprobe` nearest cells, exact cosine inside
-    candidates. At 100 TB the corpus is written partitioned by `cell`, so
-    the candidate join is a pruned scan of nprobe/ncells of the data.
+    nearest pivot's cell, probe each query's `nprobe` nearest cells, exact
+    cosine inside candidates. At 100 TB the corpus is written partitioned
+    by `cell`, so the candidate join is a pruned scan of nprobe/ncells of
+    the data.
 
-    Cosines stay in the higher-order-function fold form: measured against
-    the 64-term static unroll, steady-state is comparable but the unroll
-    pays ~7 s of one-time Janino compilation for the giant expressions —
-    the wrong trade for a query that runs once per session. (The PQ path
-    below unrolls its 8-term subspace dots, where compile cost is small
-    and the win is real.)"""
-    piv = F.broadcast(_linspace_pivots(corpus, id_col, vec_col, ncells, sample_limit))
-    c_scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"))
-        .crossJoin(piv)
-        .select("neighbor_id", "ce", "cell", F.round(cosine_expr("ce", "pe"), 6).alias("cs"))
+    Encode plan shape: the ncells pivots collapse to a single broadcast
+    row (array of structs) and the per-vector argmax is a higher-order
+    `array_min(transform(...))` projection — no crossJoin row explosion,
+    no window, zero Exchange between the corpus scan and the cell output
+    (guarded by test_scale_plans.py). Candidate cosines stay in the fold
+    form: a 64-term static unroll pays ~7 s of one-time Janino compilation
+    — the wrong trade for a query that runs once per session."""
+    spark = corpus.sparkSession
+    sample = _ordered_sample(corpus, id_col, vec_col, sample_limit)
+    dim = len(sample[0])
+    piv1 = _pivot_array(spark, sample, ncells)
+    cells = _assign_cells_narrow(
+        corpus, piv1, id_col, vec_col, "neighbor_id", keep_vec=True, dim=dim
     )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("cs"), F.asc("cell"))
-    cells = (
-        c_scored.withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") == 1)
-        .select("neighbor_id", "ce", "cell")
-    )
-    q_scored = (
-        corpus.filter(query_filter)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
-        .crossJoin(piv)
-        .select("query_id", "qe", "cell", F.round(cosine_expr("qe", "pe"), 6).alias("cs"))
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cell"))
-    probes = (
-        q_scored.withColumn("r", F.row_number().over(w_probe))
-        .filter(F.col("r") <= nprobe)
-        .select("query_id", "qe", "cell")
-    )
-    cand = F.broadcast(probes).join(cells, "cell").filter(
+    id_type, qrows = _collect_queries(corpus.filter(query_filter), id_col, vec_col)
+    probes = _probe_local(spark, qrows, id_type, sample, ncells, nprobe, keep_vec=True)
+    cand = probes.join(cells, "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = cand.select(
@@ -668,84 +773,135 @@ def _normalized(
     ).select("vec_id", F.expr(f"array({elems})").alias("ne"))
 
 
-def _pq_codebook(
-    normalized: DataFrame, m: int, ksub: int, sample_limit: int
-) -> DataFrame:
-    """(sub, code, center): per-subspace codebook = subslices of linspace-
-    positioned normalized sample rows. m·ksub rows — broadcasts."""
-    spark = normalized.sparkSession
-    s = _sample_with_rn(normalized, "vec_id", "ne", sample_limit)
-    mx = s.agg(F.max("rn").alias("mx"))
-    subs = spark.range(m).select(F.col("id").cast("int").alias("sub"))
-    codes = spark.range(ksub).select(F.col("id").cast("int").alias("code"))
-    dsub = f"(size(v) div {m})"
-    return (
-        subs.crossJoin(codes)
-        .crossJoin(mx)
-        .withColumn("rn", F.expr(f"(code * mx) div {ksub - 1}"))
-        .join(s, "rn")
-        .select("sub", "code", F.expr(f"slice(v, sub * {dsub} + 1, {dsub})").alias("center"))
+def _codebook_entries(
+    sample: list[list[float]], m: int, ksub: int
+) -> list[tuple[int, int, float, list[float]]]:
+    """(sub, code, cc, center) for the m·ksub linspace codebook, built on
+    the driver from the bounded ordered sample. center = subspace slice of
+    the normalized sample row at position (code·mx) div (ksub−1); cc =
+    |center|² with the engine's left-assoc op order. Sorted by (sub, code)
+    by construction, so entries for subspace j are exactly
+    [j·ksub, (j+1)·ksub)."""
+    if ksub < 2:
+        raise ValueError(f"ksub must be >= 2, got {ksub}")
+    dim = len(sample[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    mx = len(sample) - 1
+    ne_cache: dict[int, list[float]] = {}
+    entries = []
+    for sub in range(m):
+        for code in range(ksub):
+            rn = (code * mx) // (ksub - 1)
+            ne = ne_cache.setdefault(rn, _py_normalize(sample[rn]))
+            center = ne[sub * dsub : (sub + 1) * dsub]
+            entries.append((sub, code, _py_dot(center, center), center))
+    return entries
+
+
+def _codebook_array(spark, entries) -> DataFrame:
+    """ONE broadcast row: array<struct<sub, code, cc, center>> — the whole
+    codebook rides along each corpus task; the corpus side never shuffles
+    (and no sample job re-runs per downstream use)."""
+    return F.broadcast(
+        spark.createDataFrame(
+            [(entries,)],
+            "cbs array<struct<sub:int, code:int, cc:double, center:array<double>>>",
+        )
     )
 
 
-def _subvectors(normalized: DataFrame, m: int) -> DataFrame:
-    """(vec_id, sub, sv): one slice per (vector, subspace) — m rows per
-    vector, each 64-dim array sliced exactly once (slicing per codebook
-    CODE would cost ksub× more interpreted array work for nothing)."""
-    return normalized.select(
-        "vec_id", "ne", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub")
-    ).select(
-        "vec_id",
-        "sub",
-        F.expr(f"slice(ne, sub * (size(ne) div {m}) + 1, size(ne) div {m})").alias("sv"),
-    )
+def _code_col_exprs(m: int, ksub: int, dsub: int | None = None) -> list[Column]:
+    """_c0.._c{m-1}: argmin-distance code per subspace, as narrow column
+    expressions over the normalized vector `ne` and the broadcast one-row
+    codebook array `cbs` — the zero-exchange encode.
 
-
-def _pq_dot(a: str, b: str, dsub: int | None) -> Column:
-    """Subspace dot: unrolled when the subspace width is known."""
-    if dsub is None:
-        return F.expr(_DOT.format(a=a, b=b))
-    return F.expr(_dot_unrolled_sql(a, b, dsub))
-
-
-def _cb_with_norms(cb: DataFrame, dsub: int | None = None) -> DataFrame:
-    """Codebook + |center|² precomputed once per codebook row (m·ksub rows)
-    instead of once per (vector, subspace, code) score evaluation."""
-    return cb.withColumn("cc", _pq_dot("center", "center", dsub))
+    Each subspace's argmin is a higher-order
+    `array_min(transform(slice(cbs, ...), ...))` — no per-code row
+    explosion, no window, no Exchange between the corpus scan and the code
+    output (the former row_number formulation shuffled corpus × m × ksub
+    rows). Scoring key is d²-without-the-constant: |c|² − 2·a·c (the |a|²
+    term is constant per (vector, subspace) and cannot move the argmin),
+    rounded to 6 dp before the argmin so engines agree on ties (broken by
+    code asc via the struct comparison) — the same left-assoc fold
+    arithmetic as before, so codes (and the DuckDB oracles) are
+    unchanged."""
+    code_cols = []
+    for j in range(m):
+        if dsub is not None:
+            # Unrolled direct indexing: same left-assoc per-element-DOUBLE
+            # sum as the fold (values unchanged); lambda bodies are never
+            # Janino-compiled, so this is a pure interpreter win.
+            terms = " + ".join(
+                f"(CAST(ne[{j * dsub + i}] AS DOUBLE) * CAST(e.center[{i}] AS DOUBLE))"
+                for i in range(dsub)
+            )
+            dot = f"(CAST(0.0 AS DOUBLE) + {terms})"
+        else:
+            dot = (
+                f"aggregate(zip_with(slice(ne, {j} * (size(ne) div {m}) + 1, "
+                f"(size(ne) div {m})), e.center, "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+        score = f"e.cc - 2 * {dot}"
+        code_cols.append(
+            F.expr(
+                f"array_min(transform(slice(cbs, {j * ksub + 1}, {ksub}), "
+                f"e -> struct(round({score}, 6) AS s, e.code AS c))).c"
+            ).alias(f"_c{j}")
+        )
+    return code_cols
 
 
 def _pq_codes(
-    normalized: DataFrame, cb: DataFrame, m: int, dsub: int | None = None
+    normalized: DataFrame, cb1: DataFrame, m: int, ksub: int, dsub: int | None = None
 ) -> DataFrame:
-    """(vec_id, sub, code): argmin-distance code per (vector, subspace).
-    Scoring key is d²-without-the-constant: |c|² − 2·a·c (the |a|² term is
-    constant per (vector, subspace) and cannot move the argmin), rounded
-    to 6 dp before ranking so engines agree on ties (broken by code).
-    Value-identical to evaluating on full vectors — the subvector slice
-    and |c|² are precomputed, the fold order is unchanged."""
-    score = F.col("cc") - 2 * _pq_dot("sv", "center", dsub)
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("s9"), F.asc("code"))
-    return (
-        _subvectors(normalized, m)
-        .join(F.broadcast(_cb_with_norms(cb, dsub)), "sub")
-        .select("vec_id", "sub", "code", F.round(score, 6).alias("s9"))
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "sub", "code")
+    """(vec_id, sub, code): the m-byte PQ code in long form — the operator
+    that writes a persisted compressed index at scale (FAISS `add()`:
+    id + m codes per row, 32× smaller than raw float32 vectors). Narrow
+    zero-exchange encode (see _code_col_exprs) + an explode."""
+    wide = normalized.crossJoin(cb1).select("vec_id", *_code_col_exprs(m, ksub, dsub))
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).cast("int").alias("sub"), F.col(f"_c{j}").alias("code"))
+            for j in range(m)
+        ]
+    )
+    return wide.select("vec_id", F.explode(pairs).alias("sc")).select(
+        "vec_id", F.col("sc.sub").alias("sub"), F.col("sc.code").alias("code")
     )
 
 
-def _pq_dtable(
-    queries_norm: DataFrame, cb: DataFrame, m: int, dsub: int | None = None
-) -> DataFrame:
-    """(query_id, sub, code, d2): full asymmetric distance table for the
-    bounded query set — |q_sub − center|² via the dot identity, with
-    |q_sub|² computed once per (query, subspace)."""
-    qsv = _subvectors(queries_norm, m).withColumn("aa", _pq_dot("sv", "sv", dsub))
-    d2 = F.col("aa") + F.col("cc") - 2 * _pq_dot("sv", "center", dsub)
-    return qsv.join(F.broadcast(_cb_with_norms(cb, dsub)), "sub").select(
-        F.col("vec_id").alias("query_id"), "sub", "code", d2.alias("d2")
+def _pq_query_tables(spark, qrows, id_type, entries, m: int, ksub: int) -> DataFrame:
+    """(query_id, dt): the asymmetric distance table per query as ONE flat
+    array — dt[sub·ksub + code] = |q_sub − center|². Built on the driver
+    (queries are a bounded set by contract — the trained pq_topk collects
+    them too) and broadcast, so corpus-side ADC scoring is m array lookups
+    + a fixed-order sum in a narrow projection: no join on (sub, code), no
+    re-aggregation shuffle. d² = |q_sub|² + |center|² − 2·q_sub·center
+    with the engine's left-assoc op order, so values are bit-identical to
+    a relational recomputation (and to the DuckDB oracle)."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    rows = []
+    for qid, qe in qrows:
+        ne = _py_normalize(qe)
+        dsub = len(ne) // m
+        dt = [0.0] * (m * ksub)
+        for sub, code, cc, center in entries:
+            sv = ne[sub * dsub : (sub + 1) * dsub]
+            aa = _py_dot(sv, sv)
+            dt[sub * ksub + code] = aa + cc - 2 * _py_dot(sv, center)
+        rows.append((qid, dt))
+    schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("dt", ArrayType(DoubleType())),
+        ]
     )
+    return F.broadcast(spark.createDataFrame(rows, schema))
 
 
 def pq_topk_relational(
@@ -758,28 +914,41 @@ def pq_topk_relational(
     k: int = 3,
     sample_limit: int = 4096,
 ) -> DataFrame:
-    """PQ top-k, fully relational: corpus scanned as m small codes, scoring
-    is a broadcast join against the query distance table + one sum — the
-    ADC pattern with zero Python. On normalized vectors L2² = 2 − 2·cos,
-    so approx_cosine = 1 − d²/2 and asc-d² ranking is desc-cosine."""
-    dim = _vec_dim(corpus, vec_col)
+    """PQ top-k via asymmetric distance computation, Spark-native: the
+    corpus is scanned ONCE through the zero-exchange encode projection
+    (codes as m wide columns), the per-query distance tables broadcast as
+    flat arrays, and scoring is m array lookups + a fixed-order sum in the
+    same narrow projection — no join on (sub, code), no re-aggregation
+    shuffle; the only Exchange left is the per-query top-k window. On
+    normalized vectors L2² = 2 − 2·cos, so approx_cosine = 1 − d²/2 and
+    asc-d² ranking is desc-cosine. Values (and the DuckDB oracle) are
+    unchanged from the long-form join+sum formulation."""
+    spark = corpus.sparkSession
+    sample = _ordered_sample(corpus, id_col, vec_col, sample_limit)
+    dim = len(sample[0])
     dsub = dim // m
+    entries = _codebook_entries(sample, m, ksub)
     cn = _normalized(corpus, id_col, vec_col, dim)
-    cb = _pq_codebook(cn, m, ksub, sample_limit)
-    codes = _pq_codes(cn, cb, m, dsub)
-    qn = _normalized(corpus.filter(query_filter), id_col, vec_col, dim)
-    dtable = _pq_dtable(qn, cb, m, dsub)
-    summed = (
-        codes.join(F.broadcast(dtable), ["sub", "code"])
+    wide = cn.crossJoin(_codebook_array(spark, entries)).select(
+        "vec_id", *_code_col_exprs(m, ksub, dsub)
+    )
+    id_type, qrows = _collect_queries(corpus.filter(query_filter), id_col, vec_col)
+    qdt = _pq_query_tables(spark, qrows, id_type, entries, m, ksub)
+    lookup = " + ".join(f"dt[{j * ksub} + _c{j}]" for j in range(m))
+    scored = (
+        wide.crossJoin(qdt)
         .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.round(F.lit(1.0) - F.sum("d2") / 2, 6).alias("approx_cosine"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.lit(1.0) - F.expr(f"({lookup})") / 2, 6).alias("approx_cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cosine"), F.asc("neighbor_id")
     )
     return (
-        summed.select(
+        scored.select(
             "query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "approx_cosine"
         )
         .filter(F.col("rank") <= k)
@@ -798,56 +967,55 @@ def ivfpq_topk_relational(
     k: int = 3,
     sample_limit: int = 4096,
 ) -> DataFrame:
-    """IVF-PQ composed, fully relational: pivot cells prune WHICH codes a
-    query scans, PQ codes shrink WHAT is scanned. At scale the encoded
-    corpus is written once partitioned by cell (id + m codes per row) and
-    a query reads nprobe/ncells of that already-compressed table."""
-    dim = _vec_dim(corpus, vec_col)
+    """IVF-PQ composed (the FAISS IVFADC layout, Spark-native): pivot cells
+    prune WHICH codes a query scans, PQ codes shrink WHAT is scanned. The
+    corpus is scanned ONCE through a single narrow projection computing
+    BOTH the cell id and the m code columns (zero Exchange — guarded);
+    candidates come from a broadcast probe join on cell, and ADC scoring
+    is m broadcast-table lookups + a fixed-order sum — no join on
+    (sub, code), no re-aggregation shuffle. At scale the encoded corpus is
+    written once partitioned by cell (id + m codes per row) and a query
+    reads nprobe/ncells of that already-compressed table."""
+    spark = corpus.sparkSession
+    sample = _ordered_sample(corpus, id_col, vec_col, sample_limit)
+    dim = len(sample[0])
     dsub = dim // m
-    piv = F.broadcast(_linspace_pivots(corpus, id_col, vec_col, ncells, sample_limit))
-    c_scored = (
+    piv1 = _pivot_array(spark, sample, ncells)
+    entries = _codebook_entries(sample, m, ksub)
+    # one corpus scan computes BOTH the cell id and the m code columns in
+    # a single narrow projection — each vector is encoded exactly once
+    # (encoding per candidate pair would duplicate work × the number of
+    # queries probing its cell); candidates then come from the broadcast
+    # probe join on cell and ADC scoring is m broadcast-table lookups
+    norm_elems = ", ".join(f"(CAST(ce[{i}] AS DOUBLE) / _nrm)" for i in range(dim))
+    encoded = (
         corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("ce"))
-        .crossJoin(piv)
-        .select("nid", "cell", F.round(cosine_expr("ce", "pe"), 6).alias("cs"))
+        .crossJoin(piv1)
+        .crossJoin(_codebook_array(spark, entries))
+        .withColumn("_nrm", F.expr(_NORM.format(v="ce")))
+        .withColumn("cell", _nearest_cell_expr("ce", "_nrm", dim))
+        .withColumn("ne", F.expr(f"array({norm_elems})"))
+        .select("nid", "cell", *_code_col_exprs(m, ksub, dsub))
     )
-    w_assign = Window.partitionBy("nid").orderBy(F.desc("cs"), F.asc("cell"))
-    cells = (
-        c_scored.withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") == 1)
-        .select("nid", "cell")
-    )
-    q_scored = (
-        corpus.filter(query_filter)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
-        .crossJoin(piv)
-        .select("query_id", "cell", F.round(cosine_expr("qe", "pe"), 6).alias("cs"))
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cell"))
-    probes = (
-        q_scored.withColumn("r", F.row_number().over(w_probe))
-        .filter(F.col("r") <= nprobe)
-        .select("query_id", "cell")
-    )
-    cand = F.broadcast(probes).join(cells, "cell").filter(
-        F.col("nid") != F.col("query_id")
-    )
-
-    cn = _normalized(corpus, id_col, vec_col, dim)
-    cb = _pq_codebook(cn, m, ksub, sample_limit)
-    codes = _pq_codes(cn, cb, m, dsub)
-    qn = _normalized(corpus.filter(query_filter), id_col, vec_col, dim)
-    dtable = _pq_dtable(qn, cb, m, dsub)
-    summed = (
-        cand.join(codes, cand["nid"] == codes["vec_id"])
-        .join(F.broadcast(dtable), ["query_id", "sub", "code"])
-        .groupBy("query_id", F.col("nid").alias("neighbor_id"))
-        .agg(F.round(F.lit(1.0) - F.sum("d2") / 2, 6).alias("approx_cosine"))
+    id_type, qrows = _collect_queries(corpus.filter(query_filter), id_col, vec_col)
+    probes = _probe_local(spark, qrows, id_type, sample, ncells, nprobe, keep_vec=False)
+    qdt = _pq_query_tables(spark, qrows, id_type, entries, m, ksub)
+    lookup = " + ".join(f"dt[{j * ksub} + _c{j}]" for j in range(m))
+    scored = (
+        probes.join(encoded, "cell")
+        .filter(F.col("nid") != F.col("query_id"))
+        .join(qdt, "query_id")
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(F.lit(1.0) - F.expr(f"({lookup})") / 2, 6).alias("approx_cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cosine"), F.asc("neighbor_id")
     )
     return (
-        summed.select(
+        scored.select(
             "query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "approx_cosine"
         )
         .filter(F.col("rank") <= k)

@@ -243,4 +243,42 @@ def test_relational_ann_no_python_and_broadcast_candidates(spark):
     for q in ("ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk"):
         plan = _plan(spark, all_queries()[q](spark, SF_DIR))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
-        assert "BroadcastHashJoin" in plan, q
+        # candidate generation must broadcast the bounded side (hash join on
+        # cell for IVF/IVF-PQ; nested-loop against the bounded query
+        # distance tables for flat PQ) — never a shuffled join
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_ann_encode_is_zero_exchange(spark):
+    """The IVF cell assignment and PQ code assignment — the parts that touch
+    the WHOLE corpus — must be narrow projections over the broadcast
+    pivot/codebook array: no shuffle Exchange anywhere between the corpus
+    scan and the cell/code output. (The former row_number-window argmin
+    shuffled corpus × m × ksub rows; at 100 TB the encode is a one-time
+    cost that must stay map-side.) Broadcast exchanges are allowed — they
+    move only the bounded pivot/codebook/sample side."""
+    from etl_pipeline_spark.operators.similarity import (
+        _assign_cells_narrow,
+        _codebook_array,
+        _codebook_entries,
+        _normalized,
+        _ordered_sample,
+        _pivot_array,
+        _pq_codes,
+    )
+    from etl_pipeline_spark.sources.star import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    sample = _ordered_sample(emb, "vec_id", "embedding", 4096)
+    dim = len(sample[0])
+    piv1 = _pivot_array(spark, sample, 8)
+    cells = _assign_cells_narrow(
+        emb, piv1, "vec_id", "embedding", "nid", keep_vec=False, dim=dim
+    )
+    cn = _normalized(emb, "vec_id", "embedding", dim)
+    codes = _pq_codes(cn, _codebook_array(spark, _codebook_entries(sample, 8, 16)), 8, 16, dim // 8)
+    for name, df in (("ivf_cells", cells), ("pq_codes", codes)):
+        plan = _plan(spark, df)
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Exchange rangepartitioning" not in plan, name
