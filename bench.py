@@ -74,32 +74,45 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Noise discipline: the first execution of a query pays one-off costs
+    # (Janino compile of its expressions, classloading, broadcast-thread
+    # spin-up) that scheduling overlap turns into >2x swings on untouched
+    # queries. Each query therefore runs twice — a warm-up execution, then
+    # the timed pass — and reports best-of-2, which measures the plan, not
+    # the JIT lottery. Failures go to a separate "errors" map (never a
+    # sentinel mixed into the timings) and flip the exit code so a broken
+    # query can't read as a speedup.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = REGISTRY[name].spark_fn
-        t0 = time.perf_counter()
+        best = None
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
         except Exception as exc:  # one broken query must not kill the suite
             print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        timings[name] = round(best, 3)
+        total += best
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline suite wall clock (noop sink, per-query sum)",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline suite wall clock (noop sink, best-of-2 per query)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

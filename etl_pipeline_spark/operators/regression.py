@@ -30,16 +30,33 @@ def detect_regressions(
     threshold_sigma: float = 2.0,
     min_magnitude_pct: float = 10.0,
     min_history: int = 3,
+    direction: Column | int | None = None,
 ) -> DataFrame:
     """Flag series whose current-run value regresses vs their own history.
 
     Output per series: current value, baseline mean/stddev over PRIOR
     runs, z-score, percent magnitude, and is_regression — the reference's
     RegressionBaseline.is_regression + is_significant semantics
-    (z > threshold_sigma AND |magnitude| > min_magnitude_pct AND enough
-    history), computed relationally. current_run=None means "the latest
-    run", resolved relationally (broadcast single-row max — no driver
-    collect, empty history yields an empty result instead of an error)."""
+    (directed deviation > threshold_sigma AND |magnitude| >
+    min_magnitude_pct AND enough history), computed relationally.
+
+    `direction` mirrors the reference's per-metric direction logic
+    (etl/utils/regression_detector.py: duration-style metrics regress when
+    they go UP, throughput/success_rate-style metrics when they go DOWN):
+    +1 flags z > threshold (higher is worse), −1 flags −z > threshold
+    (lower is worse; a throughput collapse IS flagged), and it may be a
+    per-row Column (e.g. a CASE over a metric-name column) when one
+    relation carries both kinds. The default None is two-sided —
+    |z| > threshold — for metrics with no inherent direction.
+
+    Series with no prior-run history are NOT dropped: the baseline join is
+    a left join, they surface with n_history=0 (NULL baseline moments,
+    zeroed z/magnitude) and can never be flagged — instead of silently
+    vanishing from the report.
+
+    current_run=None means "the latest run", resolved relationally
+    (broadcast single-row max — no driver collect, empty history yields an
+    empty result instead of an error)."""
     if current_run is None:
         mx = history.agg(F.max(run_col).alias("__cur"))
         history = history.crossJoin(F.broadcast(mx))
@@ -66,15 +83,21 @@ def detect_regressions(
         F.col("_mean") != 0,
         (F.col("current_value") - F.col("_mean")) / F.col("_mean") * 100.0,
     ).otherwise(F.lit(0.0))
+    if direction is None:
+        directed_z = F.abs(F.col("z_score"))
+    else:
+        dir_col = direction if isinstance(direction, Column) else F.lit(direction)
+        directed_z = F.col("z_score") * dir_col
     flagged = (
-        cur.join(base, series_cols)
+        cur.join(base, series_cols, "left")
+        .withColumn("n_history", F.coalesce(F.col("n_history"), F.lit(0).cast("bigint")))
         .withColumn("z_score", F.round(z, 4))
         .withColumn("magnitude_pct", F.round(magnitude, 4))
         .withColumn(
             "is_regression",
             (
                 (F.col("n_history") >= min_history)
-                & (F.col("z_score") > threshold_sigma)
+                & (directed_z > threshold_sigma)
                 & (F.abs(F.col("magnitude_pct")) > min_magnitude_pct)
             ).cast("int"),
         )

@@ -1170,21 +1170,22 @@ _DAY_NS = 86_400_000_000_000
             FROM hist CROSS JOIN cur_run WHERE run_day = d
         ),
         j AS (
-            SELECT c.event_type, c.current_value, b.m, b.s, b.n_history,
+            SELECT c.event_type, c.current_value, b.m, b.s,
+                   COALESCE(b.n_history, CAST(0 AS BIGINT)) AS n_history,
                    ROUND(CASE WHEN b.s > 0
                               THEN (c.current_value - b.m) / b.s
                               ELSE 0.0 END, 4) AS z_score,
                    ROUND(CASE WHEN b.m <> 0
                               THEN (c.current_value - b.m) / b.m * 100.0
                               ELSE 0.0 END, 4) AS magnitude_pct
-            FROM cur c JOIN base b ON b.event_type = c.event_type
+            FROM cur c LEFT JOIN base b ON b.event_type = c.event_type
         )
         SELECT event_type,
                ROUND(current_value, 4) AS current_value,
                ROUND(m, 4) AS baseline_mean,
                ROUND(s, 4) AS baseline_std,
                n_history, z_score, magnitude_pct,
-               CAST(n_history >= 3 AND z_score > 2.0
+               CAST(n_history >= 3 AND ABS(z_score) > 2.0
                     AND ABS(magnitude_pct) > 10.0 AS INT) AS is_regression
         FROM j
     """,

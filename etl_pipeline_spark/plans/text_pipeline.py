@@ -998,8 +998,15 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     est = cms_estimate(sketch, cand, "l_partkey", _CMS_DEPTH, _CMS_WIDTH)
-    exact = li.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    # Exact counts ONLY for the bounded candidate set: semi-join the fact
+    # table against the candidates BEFORE the groupBy, so the exact side
+    # aggregates a pruned scan instead of the full key space (the unbounded
+    # distinct-key shuffle the CMS exists to avoid). The downstream inner
+    # join already filtered to candidates, so the result is unchanged.
+    exact = (
+        li.join(F.broadcast(cand), "l_partkey", "semi")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     )
     return (
         est.filter(F.col("est") >= _HH_SUPPORT)

@@ -35,7 +35,9 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import re
+import tempfile
 import urllib.parse
 import xml.etree.ElementTree as ET
 from collections.abc import Callable, Iterator
@@ -120,7 +122,10 @@ def download_file(
     server-driven path traversal), and derived names land in a per-URL
     subdirectory so two URLs sharing a basename can never serve each
     other's cached bytes. A partial download never lands: chunks stream
-    to `<name>.part`, atomically renamed only on success."""
+    to a per-invocation unique temp file (mkstemp in the destination
+    directory — two concurrent downloads of the same URL can never
+    interleave writes or unlink each other's in-progress temp), atomically
+    renamed only on success."""
     if filename is not None:
         dest = Path(landing_dir) / _safe_landing_name(filename)
     else:
@@ -130,9 +135,12 @@ def download_file(
     dest.parent.mkdir(parents=True, exist_ok=True)
     if dest.exists() and not overwrite:
         return dest
-    tmp = dest.with_name(dest.name + ".part")
+    fd, tmp_name = tempfile.mkstemp(
+        prefix=dest.name + ".", suffix=".part", dir=dest.parent
+    )
+    tmp = Path(tmp_name)
     try:
-        with tmp.open("wb") as fh:
+        with os.fdopen(fd, "wb") as fh:
             for chunk in transport.get_stream(url):
                 if chunk:
                     fh.write(chunk)

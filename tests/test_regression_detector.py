@@ -40,6 +40,51 @@ def test_detect_regressions_flags_only_true_regression(spark):
     assert out["young"].n_history == 2 and out["young"].is_regression == 0
 
 
+def test_detect_regressions_is_two_sided_by_default(spark):
+    # a collapse (current far BELOW baseline) is an anomaly too: |z| flags it
+    rows = [Row(run=r, series="collapse", value=100.0 + 0.5 * (r % 2)) for r in range(5)]
+    rows.append(Row(run=5, series="collapse", value=10.0))
+    out = detect_regressions(
+        spark.createDataFrame(rows), ["series"], "run", "value", current_run=5
+    ).collect()[0]
+    assert out.z_score < -2.0 and out.is_regression == 1
+
+
+def test_detect_regressions_direction_aware(spark):
+    # throughput-style series: LOWER is a regression (reference metric-
+    # direction logic); duration-style: HIGHER is a regression
+    rows = [Row(run=r, series="throughput", value=100.0 + 0.5 * (r % 2)) for r in range(5)]
+    rows.append(Row(run=5, series="throughput", value=10.0))
+    df = spark.createDataFrame(rows)
+    drop_flagged = detect_regressions(
+        df, ["series"], "run", "value", current_run=5, direction=-1
+    ).collect()[0]
+    assert drop_flagged.is_regression == 1
+    # with direction=+1 (higher is worse) the same collapse is NOT a regression
+    drop_ignored = detect_regressions(
+        df, ["series"], "run", "value", current_run=5, direction=1
+    ).collect()[0]
+    assert drop_ignored.is_regression == 0
+
+
+def test_detect_regressions_reports_series_with_no_history(spark):
+    # a series first seen in the current run surfaces with n_history=0
+    # (instead of silently dropping out of the report) and is never flagged
+    rows = [Row(run=r, series="old", value=1.0) for r in range(5)]
+    rows.append(Row(run=5, series="old", value=1.0))
+    rows.append(Row(run=5, series="brand_new", value=42.0))
+    out = {
+        r.series: r
+        for r in detect_regressions(
+            spark.createDataFrame(rows), ["series"], "run", "value", current_run=5
+        ).collect()
+    }
+    nb = out["brand_new"]
+    assert nb.n_history == 0 and nb.is_regression == 0
+    assert nb.baseline_mean is None and nb.baseline_std is None
+    assert nb.z_score == 0.0 and nb.magnitude_pct == 0.0
+
+
 def test_detect_regressions_zero_std_baseline(spark):
     rows = [Row(run=r, series="const", value=2.0) for r in range(4)]
     rows.append(Row(run=4, series="const", value=2.0))

@@ -250,6 +250,15 @@ def test_relational_ann_no_python_and_broadcast_candidates(spark):
         assert "SortMergeJoin" not in plan, q
 
 
+def test_heavy_hitters_exact_side_prunes_key_space(spark):
+    """The exact-count annotation in cms_heavy_hitters must aggregate only
+    the bounded candidate set (semi-join BEFORE the groupBy) — never the
+    full key space, which is exactly the unbounded distinct-key shuffle
+    the CMS exists to avoid."""
+    plan = _plan(spark, REGISTRY["cms_heavy_hitters"].spark_fn(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
 def test_ann_encode_is_zero_exchange(spark):
     """The IVF cell assignment and PQ code assignment — the parts that touch
     the WHOLE corpus — must be narrow projections over the broadcast

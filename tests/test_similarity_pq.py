@@ -77,3 +77,26 @@ def test_ivfpq_planted_pair(spark, emb):
     for qid, partner in planted:
         got = ivfpq_topk(emb, F.col("vec_id") == qid, ncells=8, nprobe=2, k=3).collect()
         assert partner in [r.neighbor_id for r in got]
+
+
+def test_relational_ann_misuse_raises_clear_errors(spark):
+    """Degenerate index parameters fail with a ValueError at build time —
+    not an opaque SQL divide-by-zero (or a None TypeError on an empty
+    corpus) at execution time."""
+    import pytest
+
+    from etl_pipeline_spark.operators.similarity import (
+        _codebook_entries,
+        _ordered_sample,
+        _pivot_array,
+    )
+
+    with pytest.raises(ValueError, match="ncells"):
+        _pivot_array(spark, [[1.0, 2.0]], ncells=1)
+    with pytest.raises(ValueError, match="ksub"):
+        _codebook_entries([[1.0] * 64], m=8, ksub=1)
+    with pytest.raises(ValueError, match="divisible"):
+        _codebook_entries([[1.0] * 10], m=3, ksub=4)
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="no rows"):
+        _ordered_sample(empty, "vec_id", "embedding", 16)

@@ -151,8 +151,11 @@ def test_hll_inclusion_exclusion_intersection(spark):
 # --------------------------------------------------------------------------
 # Fast-decode parity: the Spark-only conv() decode and the engine-portable
 # instr-chain decode must produce the same BIGINT for every input — the
-# invariant that lets Spark plans hash once per occurrence while DuckDB
-# oracles keep the portable form with unchanged SQL text.
+# invariant that lets both engines share the digest-chunk hash family
+# (hex8_at_expr) while each keeps its own decode dialect: Spark uses one
+# conv() per occurrence, DuckDB oracles keep the portable instr-chain.
+# (The hash-family SQL itself changed when digest-chunk hashing landed —
+# oracle text is NOT frozen across rounds; only the decode form is shared.)
 # --------------------------------------------------------------------------
 
 
