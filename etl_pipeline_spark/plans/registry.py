@@ -48,47 +48,70 @@ def register(
     return deco
 
 
-# Export order. The driver's correctness run has processed exactly the
-# first 50 registered queries (CORRECTNESS_r01 truncated there), so the
-# export dicts present a curated priority order: the first 50 cover the
-# full TPC-H set, the sketch family, the streaming-batch windows, the
-# ANN index family, and one representative of every §2.5 relational
-# family. Everything else follows (tier 2 = the LLM dedup family and
-# remaining stream-shape queries, then registration order). Ordering
-# only — every query stays registered and locally parity-checked.
+# Export order. The driver's correctness run processes exactly the first
+# 50 registered queries per round (CORRECTNESS_r01 truncated there), so
+# the export dicts present a curated priority order that ROTATES each
+# round: rounds 1+2 drove 85 distinct queries green (TPC-H, sketches,
+# streaming windows, ANN, the §2.5 relational families, the LLM dedup
+# family); round 3's window leads with the 44 queries that have never had
+# a driver row — the whole sql_surface family (the stats/drift/checksum
+# queries a real user runs on every load), the text/BM25/decontamination
+# family, SCD2/resample/snapshot/incremental, PageRank and the HLL
+# approx-distinct (both first-time oracle-checked this round), and the
+# new windowed_heavy_hitters — plus regression_detect_metrics (oracle
+# semantics changed this round: direction-aware two-sided flags,
+# left-join n_history=0) and five representatives of already-proven
+# families as cross-round regression signal. Ordering only — every query
+# stays registered and locally parity-checked at three scale factors.
 PRIORITY: tuple[str, ...] = (
-    # full TPC-H
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_top_unshipped_orders",
-    "q4_order_priority_check", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
-    "q10_returned_items", "q11_important_stock", "q12_priority_class_counts",
-    "q13_customer_distribution", "q14_promo_revenue_share", "q15_top_supplier",
-    "q16_supplier_part_buckets", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_disjunctive_revenue",
-    "q20_excess_stock_suppliers", "q21_waiting_supplier", "q22_idle_balance_by_country",
-    # sketch family
-    "cms_partkey_estimates", "bloom_supplier_prune", "hll_orderkey_cardinality",
-    "hll_orders_by_flag", "profile_approx_orders", "hll_intersect_cohorts",
-    # streaming-batch window shapes
-    "events_tumbling_1h", "events_sliding_30m15m", "events_sessionize_30m",
-    "asof_purchase_last_view", "range_join_click_attribution",
-    # ANN index family (full-output oracles)
-    "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-    # §2.5 family representatives
-    "semi_join_include_filter", "anti_join_missing",
-    "window_rank_running", "lead_lag_order_gaps", "window_range_trailing_spend",
-    "rollup_order_counts", "cube_lineitem_flags", "pivot_orders_status",
-    "grouping_sets_status_priority", "percentile_event_values",
-    "set_ops_union_except", "distinct_dedupe", "pagination_page_slice",
-    # §2.9 R10 — regression detector over metrics history
+    # --- the full sql_surface family (never driver-checked before r3)
+    "sql_not_in_null_aware", "sql_correlated_scalar_count", "sql_keep_first_per_key",
+    "sql_histogram_event_values", "sql_intersect_except_all",
+    "sql_unpivot_status_totals", "sql_last_value_ignore_nulls",
+    "sql_top_customer_per_segment", "sql_monthly_revenue_ma3",
+    "sql_funnel_view_click_purchase", "sql_ewma_user_values",
+    "sql_equidepth_value_deciles", "sql_pii_redaction", "sql_outlier_iqr_fences",
+    "sql_ntile_balance_quartiles", "sql_table_checksum_orders",
+    "sql_lateral_top2_orders", "sql_conditional_agg_filter", "sql_fuzzy_name_pairs",
+    "sql_zscore_normalize_events", "sql_regression_price_trend",
+    "sql_mode_priority_by_status", "sql_entropy_event_types",
+    "sql_drift_psi_event_values",
+    # --- text / LLM-pipeline queries without a driver row yet
+    "dedup_simhash_hamming", "decontaminate_eval_overlap", "unigram_surprisal_quality",
+    "repetition_quality", "doc_chunk_overlap", "bm25_keyword_topk",
+    "keyword_and_search", "weighted_sample_docs", "cms_heavy_hitters",
+    # --- timeseries / state / diff family
+    "resample_ffill_user_6h", "scd2_state_at_purchase", "snapshot_diff_orders",
+    "incremental_agg_orders", "key_skew_partkey", "profile_orders",
+    "collect_order_years", "window_balance_distribution",
+    # --- first-time oracles and new queries this round
+    "pagerank_part_supplier", "approx_distinct_users", "windowed_heavy_hitters",
+    # --- changed semantics this round (oracle updated in lockstep)
     "regression_detect_metrics",
-    # ---- tier 2 (51+): dedup/similarity family, remaining stream shapes
-    "sql_ntile_balance_quartiles", "resample_ffill_user_6h", "scd2_state_at_purchase",
+    # --- representatives of already-proven families (regression signal)
+    "q1_pricing_summary", "q9_product_type_profit", "cms_partkey_estimates",
+    "events_sessionize_30m", "ann_ivfpq_topk",
+    # ---- tier 2 (51+): previously driver-green, kept in a stable order
+    "q2_min_cost_supplier", "q3_top_unshipped_orders", "q4_order_priority_check",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q10_returned_items", "q11_important_stock",
+    "q12_priority_class_counts", "q13_customer_distribution",
+    "q14_promo_revenue_share", "q15_top_supplier", "q16_supplier_part_buckets",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_revenue", "q20_excess_stock_suppliers", "q21_waiting_supplier",
+    "q22_idle_balance_by_country",
+    "bloom_supplier_prune", "hll_orderkey_cardinality", "hll_orders_by_flag",
+    "profile_approx_orders", "hll_intersect_cohorts",
+    "events_tumbling_1h", "events_sliding_30m15m", "asof_purchase_last_view",
+    "range_join_click_attribution", "ann_ivf_topk", "ann_pq_topk",
+    "semi_join_include_filter", "anti_join_missing", "window_rank_running",
+    "lead_lag_order_gaps", "window_range_trailing_spend", "rollup_order_counts",
+    "cube_lineitem_flags", "pivot_orders_status", "grouping_sets_status_priority",
+    "percentile_event_values", "set_ops_union_except", "distinct_dedupe",
+    "pagination_page_slice",
     "dedup_exact_hash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_cluster_assign", "dedup_embedding_cosine", "simhash_fingerprints",
-    "dedup_simhash_hamming",
-    "ann_cosine_topk", "ann_bucketed_sign_lsh", "decontaminate_eval_overlap",
-    "unigram_surprisal_quality", "cms_heavy_hitters",
+    "ann_cosine_topk", "ann_bucketed_sign_lsh",
 )
 
 

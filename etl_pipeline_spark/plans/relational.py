@@ -807,20 +807,45 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Approximate distinct (HyperLogLog++) — the cardinality sketch a metrics
 # layer uses at 100 TB where exact COUNT(DISTINCT) would shuffle every key.
-# Approximate by design → no cell-exact oracle; registered rows-only (the
-# driver records the weaker check) and accuracy-bounded in pytest against
-# the exact count (rel_error <= 0.05 declared, asserted at 2x margin).
+# The approx VALUE has no DuckDB twin (different HLL implementations), so
+# the driver-checkable contract is the accuracy CLAIM instead: the output
+# carries the exact count plus approx_in_bounds = |approx − exact| ≤
+# 3·rsd·exact, and the oracle recomputes n_events + exact_users cell-exact
+# and asserts the bound column is 1 for every group. If Spark's estimate
+# ever drifts out of tolerance the hash mismatches — the weaker rows-only
+# check is gone. (The exact twin exists to make the claim checkable; the
+# production pattern at 100 TB is the approx column alone, or the
+# engine's own mergeable HLL relation — hll_orderkey_cardinality /
+# hll_orders_by_flag — when cell-exact oracle parity is required.)
 # --------------------------------------------------------------------------
 @register(
     "approx_distinct_users",
-    oracle=None,
-    tags=("agg", "approx", "rows-only"),
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               CAST(1 AS INT) AS approx_in_bounds
+        FROM events GROUP BY 1
+    """,
+    tags=("agg", "approx"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    rsd = 0.05
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("exact_users"),
+    ).select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 3 * rsd * F.col("exact_users")
+        )
+        .cast("int")
+        .alias("approx_in_bounds"),
     )
 
 

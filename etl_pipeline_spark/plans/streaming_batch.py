@@ -359,3 +359,139 @@ def scd2_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("purchase_value"),
         F.col("is_current").cast("int").alias("at_current_state"),
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed heavy hitters — the READ path of the streaming count-min sketch
+# (streaming/frequency.py::windowed_cms_cells). The cell relation built
+# here in batch — (win_start_epoch, d, bucket, cnt), 6 h tumbling windows,
+# depth 3 × width 256, digest-chunk hashing — is exactly what the
+# Structured Streaming aggregate maintains incrementally (equality pinned
+# per-window in test_streaming.py); reading estimates is then pure
+# arithmetic over the drained cells: min over depth rows per (window,
+# candidate key), support-filtered, annotated with the exact count (the
+# candidate-pruned scan only — same semi-join discipline as
+# cms_heavy_hitters) and the CMS overestimate guarantee as a checkable
+# column. State stays ≤ windows × depth × width cells at any event volume.
+# --------------------------------------------------------------------------
+_H6_NS = 21_600_000_000_000
+_WHH_DEPTH, _WHH_WIDTH = 3, 256
+_WHH_SUPPORT, _WHH_SAMPLE = 4, 500
+
+
+def _whh_oracle() -> str:
+    from etl_pipeline_spark.operators.sketch import hex8_at_expr
+
+    def bucket(d: int) -> str:
+        return f"{hex8_at_expr('CAST(user_id AS VARCHAR)', d)} % {_WHH_WIDTH}"
+
+    win = f"(epoch_ns(ts) // {_H6_NS}) * 21600"
+    cell_rows = "\n            UNION ALL ".join(
+        f"SELECT {win} AS w, {d} AS d, {bucket(d)} AS bucket FROM events"
+        for d in range(_WHH_DEPTH)
+    )
+    probe_rows = "\n            UNION ALL ".join(
+        f"SELECT user_id, {d} AS d, {bucket(d)} AS bucket FROM cand"
+        for d in range(_WHH_DEPTH)
+    )
+    return f"""
+        WITH cells AS (
+            SELECT w, d, bucket, COUNT(*) AS cnt FROM (
+            {cell_rows}
+            ) GROUP BY 1, 2, 3
+        ),
+        cand AS (
+            SELECT DISTINCT user_id FROM events WHERE event_id <= {_WHH_SAMPLE}
+        ),
+        probe_cells AS (
+            {probe_rows}
+        ),
+        wins AS (SELECT DISTINCT {win} AS w FROM events),
+        est AS (
+            SELECT p.w, p.user_id, MIN(COALESCE(c.cnt, 0)) AS est
+            FROM (SELECT wins.w, pc.user_id, pc.d, pc.bucket
+                  FROM wins CROSS JOIN probe_cells pc) p
+            LEFT JOIN cells c
+              ON c.w = p.w AND c.d = p.d AND c.bucket = p.bucket
+            GROUP BY 1, 2
+        ),
+        ex AS (
+            SELECT {win} AS w, user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+            FROM events
+            WHERE user_id IN (SELECT user_id FROM cand)
+            GROUP BY 1, 2
+        )
+        SELECT e.w AS win_start_epoch, e.user_id,
+               CAST(e.est AS BIGINT) AS est,
+               COALESCE(x.n_exact, CAST(0 AS BIGINT)) AS n_exact,
+               CAST(e.est >= COALESCE(x.n_exact, 0) AS INT) AS is_overestimate
+        FROM est e
+        LEFT JOIN ex x ON x.w = e.w AND x.user_id = e.user_id
+        WHERE e.est >= {_WHH_SUPPORT}
+    """
+
+
+@register(
+    "windowed_heavy_hitters",
+    oracle=_whh_oracle(),
+    tags=("streaming", "sketch", "heavy-hitters", "window"),
+)
+def windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.sketch import _digest_sql, digest_chunk_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    win = F.expr(f"(ts div {_H6_NS}) * 21600")
+    key_sql = "CAST(user_id AS STRING)"
+    depth_cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(digest_chunk_sql(d, _WHH_WIDTH)).alias("bucket"),
+                )
+                for d in range(_WHH_DEPTH)
+            ]
+        )
+    ).alias("cell")
+    # batch twin of the streaming cell relation (digest projected below the
+    # explode — no subexpression elimination under Generate)
+    cells = (
+        ev.select(win.alias("win_start_epoch"), F.expr(_digest_sql(key_sql, 0)).alias("m0"))
+        .select("win_start_epoch", depth_cells)
+        .select("win_start_epoch", "cell.d", "cell.bucket")
+        .groupBy("win_start_epoch", "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cand = ev.filter(F.col("event_id") <= _WHH_SAMPLE).select("user_id").distinct()
+    wins = ev.select(win.alias("win_start_epoch")).distinct()
+    probe_cells = (
+        cand.select("user_id", F.expr(_digest_sql(key_sql, 0)).alias("m0"))
+        .select("user_id", depth_cells)
+        .select("user_id", "cell.d", "cell.bucket")
+    )
+    est = (
+        wins.crossJoin(F.broadcast(probe_cells))
+        .join(cells, ["win_start_epoch", "d", "bucket"], "left")
+        .select(
+            "win_start_epoch", "user_id", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+        .groupBy("win_start_epoch", "user_id")
+        .agg(F.min("cnt").alias("est"))
+        .filter(F.col("est") >= _WHH_SUPPORT)
+    )
+    exact = (
+        ev.join(F.broadcast(cand), "user_id", "semi")
+        .groupBy(win.alias("win_start_epoch"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    return (
+        est.join(exact, ["win_start_epoch", "user_id"], "left")
+        .withColumn("n_exact", F.coalesce("n_exact", F.lit(0).cast("bigint")))
+        .select(
+            "win_start_epoch",
+            "user_id",
+            F.col("est").cast("bigint").alias("est"),
+            "n_exact",
+            (F.col("est") >= F.col("n_exact")).cast("int").alias("is_overestimate"),
+        )
+    )

@@ -248,15 +248,64 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # PageRank over the bipartite part↔supplier graph derived from lineitem
 # (node ids: 2*partkey for parts, 2*suppkey+1 for suppliers; edges
-# symmetrized). Iterative — not SQL-expressible → rows-only driver check;
-# exactness is pinned by test_graph.py's numpy power-iteration equality.
-# Each round is one degree-weighted join + one groupBy shuffle with
+# symmetrized). Iterative with a FIXED iteration count — which makes it
+# SQL-expressible after all: the oracle unrolls the 5 synchronous rounds
+# as chained CTEs (r0 → c1/r1 → … → r5) with the same arithmetic shape
+# ((1.0 − d)/n + d·contrib, left join + COALESCE for no-inbound nodes).
+# The symmetrized graph has no dangling nodes (every edge contributes
+# both directions), so the dangling-mass term is exactly 0.0 in both
+# engines. Ranks are rounded to 8 dp before the final ordering; exactness
+# vs numpy power iteration is separately pinned by test_graph.py.
+# Each Spark round is one degree-weighted join + one groupBy shuffle with
 # lineage truncated per round (operators/graph.py::pagerank).
 # --------------------------------------------------------------------------
+def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""
+        c{i} AS (
+            SELECT e.dst AS node, SUM(r.rank / e.out_deg) AS contrib
+            FROM ew e JOIN r{i - 1} r ON r.node = e.src
+            GROUP BY 1
+        ),
+        r{i} AS (
+            SELECT nodes.node,
+                   (1.0 - {damping}) / nn.n + {damping} * COALESCE(c{i}.contrib, 0.0)
+                       AS rank
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN c{i} ON c{i}.node = nodes.node
+        )""")
+    chain = ",".join(rounds)
+    return f"""
+        WITH rel AS (
+            SELECT DISTINCT l_partkey * 2 AS part_node,
+                            l_suppkey * 2 + 1 AS supp_node
+            FROM lineitem
+        ),
+        edges AS (
+            SELECT part_node AS src, supp_node AS dst FROM rel
+            UNION ALL
+            SELECT supp_node AS src, part_node AS dst FROM rel
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+                FROM edges GROUP BY 1),
+        ew AS (SELECT edges.src, edges.dst, deg.out_deg
+               FROM edges JOIN deg USING (src)),
+        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+        {chain}
+        SELECT node, ROUND(rank, 8) AS rank
+        FROM r{n_iter}
+        ORDER BY rank DESC, node
+        LIMIT 20
+    """
+
+
 @register(
     "pagerank_part_supplier",
-    oracle=None,
-    tags=("graph", "iterative", "rows-only"),
+    oracle=_pagerank_oracle(5),
+    tags=("graph", "iterative"),
 )
 def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_spark.operators.graph import pagerank

