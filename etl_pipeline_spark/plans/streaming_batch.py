@@ -431,6 +431,41 @@ def _whh_oracle() -> str:
     """
 
 
+def windowed_cms_cells_batch(
+    ev: DataFrame,
+    key_col: str = "user_id",
+    depth: int = _WHH_DEPTH,
+    width: int = _WHH_WIDTH,
+    win_ns: int = _H6_NS,
+) -> DataFrame:
+    """Batch twin of streaming/frequency.py::windowed_cms_cells —
+    (win_start_epoch, d, bucket, cnt) over epoch-ns `ts`, digest projected
+    below the explode (no subexpression elimination under Generate).
+    test_streaming.py pins this equal to the drained streaming cells."""
+    from etl_pipeline_spark.operators.sketch import _digest_sql, digest_chunk_sql
+
+    win = F.expr(f"(ts div {win_ns}) * {win_ns // 1_000_000_000}")
+    key_sql = f"CAST({key_col} AS STRING)"
+    depth_cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(digest_chunk_sql(d, width)).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("cell")
+    return (
+        ev.select(win.alias("win_start_epoch"), F.expr(_digest_sql(key_sql, 0)).alias("m0"))
+        .select("win_start_epoch", depth_cells)
+        .select("win_start_epoch", "cell.d", "cell.bucket")
+        .groupBy("win_start_epoch", "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 @register(
     "windowed_heavy_hitters",
     oracle=_whh_oracle(),
@@ -453,15 +488,7 @@ def windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     ).alias("cell")
-    # batch twin of the streaming cell relation (digest projected below the
-    # explode — no subexpression elimination under Generate)
-    cells = (
-        ev.select(win.alias("win_start_epoch"), F.expr(_digest_sql(key_sql, 0)).alias("m0"))
-        .select("win_start_epoch", depth_cells)
-        .select("win_start_epoch", "cell.d", "cell.bucket")
-        .groupBy("win_start_epoch", "d", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cells = windowed_cms_cells_batch(ev)
     cand = ev.filter(F.col("event_id") <= _WHH_SAMPLE).select("user_id").distinct()
     wins = ev.select(win.alias("win_start_epoch")).distinct()
     probe_cells = (

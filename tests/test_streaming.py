@@ -288,3 +288,26 @@ def test_streaming_cms_cells_equal_batch_build(spark):
         )
         w_all.extend((w0, r.d, r.bucket, r.cnt) for r in batch.collect())
     assert g_all == sorted(w_all) and len(g_all) > 0
+
+
+def test_windowed_heavy_hitters_reads_the_streaming_cell_store(spark):
+    """The registered windowed_heavy_hitters query estimates from a cell
+    relation that must be EXACTLY what the streaming CMS maintains: pin
+    the query's batch cell builder cell-for-cell against the drained
+    Structured Streaming aggregate at the same (depth, width, window)."""
+    from etl_pipeline_spark.plans.streaming_batch import windowed_cms_cells_batch
+    from etl_pipeline_spark.sources.star import load_table
+    from etl_pipeline_spark.streaming.frequency import windowed_cms_cells
+    from etl_pipeline_spark.streaming.windows import events_stream, run_available_now
+
+    stream = events_stream(spark, SF_DIR)
+    streamed = run_available_now(
+        windowed_cms_cells(stream, key_col="user_id", depth=3, width=256, window="6 hours"),
+        "whh_cells_test",
+    )
+    batch = windowed_cms_cells_batch(
+        load_table(spark, SF_DIR, "events"), "user_id", depth=3, width=256
+    )
+    s = sorted(map(tuple, streamed.select("win_start_epoch", "d", "bucket", "cnt").collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b and len(s) > 0
