@@ -57,6 +57,10 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "unigram_surprisal_quality",
     "regression_detect_metrics",
+    "windowed_heavy_hitters",
+    "pagerank_part_supplier",
+    "sql_drift_psi_event_values",
+    "sql_table_checksum_orders",
 ]
 
 

@@ -595,21 +595,29 @@ def _norm_unrolled_sql(v: str, dim: int) -> str:
     return f"sqrt(CAST(0.0 AS DOUBLE) + {terms})"
 
 
-def _pivot_array(spark, sample: list[list[float]], ncells: int) -> DataFrame:
-    """ONE broadcast row holding array<struct<cell, pe, pn>> sorted by
-    cell: the linspace pivots with norms precomputed. Cross-joining this
-    single row onto the corpus makes cell scoring a narrow projection —
-    no corpus-side Exchange (and no repeated sample jobs) in the encode."""
+def _pivot_rows(
+    sample: list[list[float]], ncells: int
+) -> list[tuple[int, list[float], float]]:
+    """(cell, pe, pn) linspace pivots with norms precomputed — the
+    engine's op order (sqrt of the left-assoc square sum)."""
     if ncells < 2:
         raise ValueError(f"ncells must be >= 2, got {ncells}")
     mx = len(sample) - 1
-    pivs = []
-    for cell in range(ncells):
-        pe = sample[(cell * mx) // (ncells - 1)]
-        pivs.append((cell, pe, math.sqrt(_py_dot(pe, pe))))
+    return [
+        (cell, pe, math.sqrt(_py_dot(pe, pe)))
+        for cell in range(ncells)
+        for pe in [sample[(cell * mx) // (ncells - 1)]]
+    ]
+
+
+def _pivot_array(spark, pivots: list[tuple[int, list[float], float]]) -> DataFrame:
+    """ONE broadcast row holding array<struct<cell, pe, pn>> sorted by
+    cell. Cross-joining this single row onto the corpus makes cell
+    scoring a narrow projection — no corpus-side Exchange (and no
+    repeated sample jobs) in the encode."""
     return F.broadcast(
         spark.createDataFrame(
-            [(pivs,)], "pivs array<struct<cell:int, pe:array<double>, pn:double>>"
+            [(pivots,)], "pivs array<struct<cell:int, pe:array<double>, pn:double>>"
         )
     )
 
@@ -672,8 +680,8 @@ def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
 
 
 def _probe_local(
-    spark, qrows, id_type, sample: list[list[float]], ncells: int, nprobe: int,
-    keep_vec: bool,
+    spark, qrows, id_type, pivots: list[tuple[int, list[float], float]],
+    nprobe: int, keep_vec: bool,
 ) -> DataFrame:
     """(query_id[, qe], cell) as a broadcast local relation — the query-side
     probe list computed on the driver with the engine's op order (round(cos,
@@ -684,11 +692,6 @@ def _probe_local(
         ArrayType, DoubleType, IntegerType, StructField, StructType,
     )
 
-    mx = len(sample) - 1
-    pivots = []
-    for cell in range(ncells):
-        pe = sample[(cell * mx) // (ncells - 1)]
-        pivots.append((cell, pe, math.sqrt(_py_dot(pe, pe))))
     rows = []
     for qid, qe in qrows:
         qn = math.sqrt(_py_dot(qe, qe))
@@ -730,12 +733,13 @@ def ivf_topk_relational(
     spark = corpus.sparkSession
     sample = _ordered_sample(corpus, id_col, vec_col, sample_limit)
     dim = len(sample[0])
-    piv1 = _pivot_array(spark, sample, ncells)
+    pivots = _pivot_rows(sample, ncells)
+    piv1 = _pivot_array(spark, pivots)
     cells = _assign_cells_narrow(
         corpus, piv1, id_col, vec_col, "neighbor_id", keep_vec=True, dim=dim
     )
     id_type, qrows = _collect_queries(corpus.filter(query_filter), id_col, vec_col)
-    probes = _probe_local(spark, qrows, id_type, sample, ncells, nprobe, keep_vec=True)
+    probes = _probe_local(spark, qrows, id_type, pivots, nprobe, keep_vec=True)
     cand = probes.join(cells, "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -980,7 +984,8 @@ def ivfpq_topk_relational(
     sample = _ordered_sample(corpus, id_col, vec_col, sample_limit)
     dim = len(sample[0])
     dsub = dim // m
-    piv1 = _pivot_array(spark, sample, ncells)
+    pivots = _pivot_rows(sample, ncells)
+    piv1 = _pivot_array(spark, pivots)
     entries = _codebook_entries(sample, m, ksub)
     # one corpus scan computes BOTH the cell id and the m code columns in
     # a single narrow projection — each vector is encoded exactly once
@@ -998,11 +1003,120 @@ def ivfpq_topk_relational(
         .select("nid", "cell", *_code_col_exprs(m, ksub, dsub))
     )
     id_type, qrows = _collect_queries(corpus.filter(query_filter), id_col, vec_col)
-    probes = _probe_local(spark, qrows, id_type, sample, ncells, nprobe, keep_vec=False)
+    probes = _probe_local(spark, qrows, id_type, pivots, nprobe, keep_vec=False)
     qdt = _pq_query_tables(spark, qrows, id_type, entries, m, ksub)
     lookup = " + ".join(f"dt[{j * ksub} + _c{j}]" for j in range(m))
     scored = (
         probes.join(encoded, "cell")
+        .filter(F.col("nid") != F.col("query_id"))
+        .join(qdt, "query_id")
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(F.lit(1.0) - F.expr(f"({lookup})") / 2, 6).alias("approx_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "approx_cosine"
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF-PQ index — the write-once / pruned-read layout the query
+# functions above only simulate in one plan. At 100 TB the encode pass
+# runs ONCE: the corpus is written partitioned by cell with m small-int
+# code columns per row (~32× smaller than raw float32 vectors), and the
+# tiny quantizer artifacts (pivots + codebook) persist beside it. A query
+# session then rebuilds the broadcast tables from the artifacts WITHOUT
+# touching the corpus and scans only its probed cells — partition pruning
+# at the file-listing level, guarded by test_similarity_pq.py.
+# --------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ncells: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    sample_limit: int = 4096,
+) -> None:
+    """Materialize the IVF-PQ index at `path`: `codes/` (id, m code
+    columns; partitioned by cell), `pivots/`, `codebook/`. The encode is
+    the same zero-exchange narrow projection as ivfpq_topk_relational, so
+    a query over the persisted index returns exactly what the inline plan
+    returns (equality pinned in tests)."""
+    spark = corpus.sparkSession
+    sample = _ordered_sample(corpus, id_col, vec_col, sample_limit)
+    dim = len(sample[0])
+    dsub = dim // m
+    pivots = _pivot_rows(sample, ncells)
+    entries = _codebook_entries(sample, m, ksub)
+    norm_elems = ", ".join(f"(CAST(ce[{i}] AS DOUBLE) / _nrm)" for i in range(dim))
+    encoded = (
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("ce"))
+        .crossJoin(_pivot_array(spark, pivots))
+        .crossJoin(_codebook_array(spark, entries))
+        .withColumn("_nrm", F.expr(_NORM.format(v="ce")))
+        .withColumn("cell", _nearest_cell_expr("ce", "_nrm", dim))
+        .withColumn("ne", F.expr(f"array({norm_elems})"))
+        .select("nid", "cell", *_code_col_exprs(m, ksub, dsub))
+    )
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        pivots, "cell int, pe array<double>, pn double"
+    ).write.mode("overwrite").parquet(f"{path}/pivots")
+    spark.createDataFrame(
+        entries, "sub int, code int, cc double, center array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k over a persisted IVF-PQ index: rebuild the broadcast
+    quantizer tables from the (tiny) persisted artifacts, compute each
+    query's probe list on the driver, and scan ONLY the probed cell
+    partitions of the code table (`cell IN (...)` reaches the parquet
+    partition filter). ADC scoring and ranking are identical to
+    ivfpq_topk_relational — same values, same ordering."""
+    pivots = [
+        (r.cell, [float(x) for x in r.pe], r.pn)
+        for r in sorted(
+            spark.read.parquet(f"{path}/pivots").collect(), key=lambda r: r.cell
+        )
+    ]
+    entries = [
+        (r.sub, r.code, r.cc, [float(x) for x in r.center])
+        for r in sorted(
+            spark.read.parquet(f"{path}/codebook").collect(),
+            key=lambda r: (r.sub, r.code),
+        )
+    ]
+    m = entries[-1][0] + 1
+    ksub = entries[-1][1] + 1
+    id_type, qrows = _collect_queries(queries, id_col, vec_col)
+    probes = _probe_local(spark, qrows, id_type, pivots, nprobe, keep_vec=False)
+    qdt = _pq_query_tables(spark, qrows, id_type, entries, m, ksub)
+    probed = sorted({r.cell for r in probes.collect()})
+    codes = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(probed))
+    lookup = " + ".join(f"dt[{j * ksub} + _c{j}]" for j in range(m))
+    scored = (
+        probes.join(codes, "cell")
         .filter(F.col("nid") != F.col("query_id"))
         .join(qdt, "query_id")
         .select(

@@ -274,6 +274,7 @@ def test_ann_encode_is_zero_exchange(spark):
         _normalized,
         _ordered_sample,
         _pivot_array,
+        _pivot_rows,
         _pq_codes,
     )
     from etl_pipeline_spark.sources.star import load_table
@@ -281,7 +282,7 @@ def test_ann_encode_is_zero_exchange(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     sample = _ordered_sample(emb, "vec_id", "embedding", 4096)
     dim = len(sample[0])
-    piv1 = _pivot_array(spark, sample, 8)
+    piv1 = _pivot_array(spark, _pivot_rows(sample, 8))
     cells = _assign_cells_narrow(
         emb, piv1, "vec_id", "embedding", "nid", keep_vec=False, dim=dim
     )

@@ -88,11 +88,11 @@ def test_relational_ann_misuse_raises_clear_errors(spark):
     from etl_pipeline_spark.operators.similarity import (
         _codebook_entries,
         _ordered_sample,
-        _pivot_array,
+        _pivot_rows,
     )
 
     with pytest.raises(ValueError, match="ncells"):
-        _pivot_array(spark, [[1.0, 2.0]], ncells=1)
+        _pivot_rows([[1.0, 2.0]], ncells=1)
     with pytest.raises(ValueError, match="ksub"):
         _codebook_entries([[1.0] * 64], m=8, ksub=1)
     with pytest.raises(ValueError, match="divisible"):
@@ -100,3 +100,34 @@ def test_relational_ann_misuse_raises_clear_errors(spark):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
     with pytest.raises(ValueError, match="no rows"):
         _ordered_sample(empty, "vec_id", "embedding", 16)
+
+
+def test_persisted_ivfpq_index_roundtrip_and_pruning(spark, emb, tmp_path):
+    """build_ivfpq_index + query_ivfpq_index must return exactly what the
+    inline ivfpq_topk_relational plan returns (same quantizer artifacts,
+    same ADC arithmetic), and the code-table scan must read only the
+    probed cell partitions (partition pruning at the file level — the
+    write-once / pruned-read layout the 100 TB claims rest on)."""
+    from etl_pipeline_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk_relational,
+        query_ivfpq_index,
+    )
+
+    path = str(tmp_path / "ivfpq_index")
+    build_ivfpq_index(emb, path, ncells=8, m=8, ksub=16, sample_limit=4096)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = query_ivfpq_index(spark, path, queries, nprobe=2, k=3)
+    want = ivfpq_topk_relational(
+        emb, F.col("vec_id") < 5, ncells=8, nprobe=2, m=8, ksub=16, k=3,
+        sample_limit=4096,
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [cell" in plan  # probed-cells IN filter pushed to listing
