@@ -91,13 +91,17 @@ def sessionized(stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drain the stream with an availableNow trigger into a memory sink and
-    return the materialized result (test/validation helper)."""
+    return the materialized result (test/validation helper). Aggregations
+    use the default 'complete'; row-level operators (dedup, maps) need
+    output_mode='append'."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

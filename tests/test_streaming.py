@@ -311,3 +311,47 @@ def test_windowed_heavy_hitters_reads_the_streaming_cell_store(spark):
     s = sorted(map(tuple, streamed.select("win_start_epoch", "d", "bucket", "cnt").collect()))
     b = sorted(map(tuple, batch.collect()))
     assert s == b and len(s) > 0
+
+
+def test_streaming_dedup_exact_equals_batch_first_seen(spark):
+    """Streamed dropDuplicates(user_id) must keep exactly one row per user;
+    the KEY SET must equal the batch distinct key set over the same slice
+    (which row survives per key is an ordering artifact in both engines —
+    the set of survivors' keys is the defined semantics)."""
+    from etl_pipeline_spark.sources.star import load_table
+    from etl_pipeline_spark.streaming.dedup import dedup_stream_exact
+    from etl_pipeline_spark.streaming.windows import events_stream, run_available_now
+
+    stream = events_stream(spark, SF_DIR)
+    got = run_available_now(
+        dedup_stream_exact(stream, ["user_id"]), "dedup_exact_test",
+        output_mode="append",
+    )
+    assert got.count() == got.select("user_id").distinct().count()
+    s_keys = {r.user_id for r in got.select("user_id").collect()}
+    b_keys = {
+        r.user_id
+        for r in load_table(spark, SF_DIR, "events").select("user_id").distinct().collect()
+    }
+    assert s_keys == b_keys and len(s_keys) > 0
+
+
+def test_streaming_dedup_within_watermark_bounded_state(spark):
+    """dropDuplicatesWithinWatermark: still at most one row per key within
+    the horizon for this bounded slice, and every key survives — the
+    bounded-state variant must not drop keys, only duplicates."""
+    from etl_pipeline_spark.sources.star import load_table
+    from etl_pipeline_spark.streaming.dedup import dedup_stream_within_watermark
+    from etl_pipeline_spark.streaming.windows import events_stream, run_available_now
+
+    stream = events_stream(spark, SF_DIR)
+    got = run_available_now(
+        dedup_stream_within_watermark(stream, ["user_id"], watermark="10 days"),
+        "dedup_wm_test",
+        output_mode="append",
+    )
+    n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert got.select("user_id").distinct().count() == n_users
+    # availableNow over one static slice: watermark only advances between
+    # triggers, so every duplicate inside the slice is suppressed
+    assert got.count() == n_users
