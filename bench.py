@@ -61,6 +61,7 @@ HEADLINE = [
     "pagerank_part_supplier",
     "sql_drift_psi_event_values",
     "sql_table_checksum_orders",
+    "quantile_sketch_values",
 ]
 
 

@@ -427,3 +427,72 @@ def hll_estimate_corrected(registers: DataFrame, p: int = 8) -> DataFrame:
     return agg.select(
         "n_set", F.expr(hll_est_sql("sum_set", "n_set", p)).alias("est")
     )
+
+
+# --------------------------------------------------------------------------
+# Histogram-quantile sketch — the QUANTILE member of the sketch family
+# (CMS = frequency, HLL = cardinality, this = quantiles). Exact quantiles
+# need a global sort (or percentile's full value buffer per group); the
+# equal-width histogram is a mergeable bounded-state summary — ≤ `bins`
+# cells whatever the row count, cells from disjoint slices merge by
+# summing — and a quantile is linear interpolation inside the covering
+# bin. Deterministic arithmetic end-to-end (no sampling), so the DuckDB
+# oracle recomputes cells AND estimates cell-for-cell.
+# --------------------------------------------------------------------------
+
+
+def _bin_sql(value_col: str, bins: int) -> str:
+    """Equal-width bin id over [mn, mx] with the top edge clamped into the
+    last bin — identical text in both engines modulo floor's return type."""
+    width = f"((mx - mn) / {bins})"
+    return (
+        f"CASE WHEN mx = mn THEN CAST(0 AS BIGINT) "
+        f"ELSE least(CAST({bins - 1} AS BIGINT), "
+        f"CAST(floor(({value_col} - mn) / {width}) AS BIGINT)) END"
+    )
+
+
+def histogram_sketch(df: DataFrame, value_col: str, bins: int = 128):
+    """(cells, stats): the bounded-state quantile sketch. `cells` =
+    (bin, cnt), ≤ bins rows; `stats` = one row (mn, mx, n). The stats row
+    broadcasts; binning is a narrow projection over the scan."""
+    stats = df.agg(
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cells = (
+        df.crossJoin(F.broadcast(stats))
+        .select(F.expr(_bin_sql(value_col, bins)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return cells, stats
+
+
+def histogram_quantiles(
+    cells: DataFrame, stats: DataFrame, qs: list[float], bins: int = 128
+) -> DataFrame:
+    """(q, est): quantile estimates from the sketch — cumulative counts
+    over the ≤ bins cells, then linear interpolation inside the first bin
+    whose cumulative count covers q·n. All arithmetic over the tiny cell
+    relation; the same formula text runs in the DuckDB oracle."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bin")
+    cum = cells.withColumn("cum", F.sum("cnt").over(w))
+    q_rows = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    covering = (
+        cum.crossJoin(F.broadcast(stats))
+        .select("bin", "cnt", "cum", "mn", "mx", "n", q_rows)
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .withColumn(
+            "r", F.row_number().over(Window.partitionBy("q").orderBy("bin"))
+        )
+        .filter(F.col("r") == 1)
+    )
+    est = (
+        "CASE WHEN mx = mn THEN mn ELSE "
+        f"mn + ((mx - mn) / {bins}) * (bin + (q * n - (cum - cnt)) / cnt) END"
+    )
+    return covering.select("q", F.round(F.expr(est), 6).alias("est"))

@@ -86,12 +86,15 @@ PRIORITY: tuple[str, ...] = (
     "collect_order_years", "window_balance_distribution",
     # --- first-time oracles and new queries this round
     "pagerank_part_supplier", "approx_distinct_users", "windowed_heavy_hitters",
+    "quantile_sketch_values",
     # --- changed semantics this round (oracle updated in lockstep)
     "regression_detect_metrics",
-    # --- representatives of already-proven families (regression signal)
-    "q1_pricing_summary", "q9_product_type_profit", "cms_partkey_estimates",
+    # --- representatives of already-proven families (regression signal;
+    # q1 is additionally smoke-checked every round as the entry() flagship)
+    "q9_product_type_profit", "cms_partkey_estimates",
     "events_sessionize_30m", "ann_ivfpq_topk",
     # ---- tier 2 (51+): previously driver-green, kept in a stable order
+    "q1_pricing_summary",
     "q2_min_cost_supplier", "q3_top_unshipped_orders", "q4_order_priority_check",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "q10_returned_items", "q11_important_stock",

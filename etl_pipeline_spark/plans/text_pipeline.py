@@ -1067,3 +1067,96 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") >= F.col("n_exact")).cast("int").alias("is_overestimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Histogram-quantile sketch (operators/sketch.py::histogram_sketch) — the
+# quantile member of the sketch family: exact percentiles buffer every
+# value per group (percentile_event_values is that baseline); the
+# equal-width histogram is the bounded-state alternative — ≤ bins cells
+# whatever the row count, mergeable by summing — and the estimate is
+# linear interpolation inside the covering bin. Deterministic end-to-end,
+# so the oracle recomputes cells AND estimates cell-for-cell; the exact
+# quantile rides along with the absolute error as value-checked columns.
+# --------------------------------------------------------------------------
+_QS_BINS = 128
+_QS_QS = (0.5, 0.9, 0.99)
+
+
+def _quantile_sketch_oracle() -> str:
+    from etl_pipeline_spark.operators.sketch import _bin_sql
+
+    q_list = ", ".join(f"CAST({q} AS DOUBLE)" for q in _QS_QS)
+    ex_rows = "\n            UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, quantile_cont(value, {q}) AS e FROM events"
+        for q in _QS_QS
+    )
+    return f"""
+        WITH stats AS (
+            SELECT MIN(value) AS mn, MAX(value) AS mx,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+        ),
+        cells AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+                SELECT {_bin_sql("value", _QS_BINS)} AS bin
+                FROM events CROSS JOIN stats
+            ) GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM cells
+        ),
+        qs AS (SELECT UNNEST([{q_list}]) AS q),
+        covering AS (
+            SELECT q, bin, cnt, cum, mn, mx, n,
+                   ROW_NUMBER() OVER (PARTITION BY q ORDER BY bin) AS r
+            FROM qs CROSS JOIN cum CROSS JOIN stats
+            WHERE cum >= q * n
+        ),
+        est AS (
+            SELECT q,
+                   ROUND(CASE WHEN mx = mn THEN mn ELSE
+                         mn + ((mx - mn) / {_QS_BINS})
+                            * (bin + (q * n - (cum - cnt)) / cnt) END, 6) AS est
+            FROM covering WHERE r = 1
+        ),
+        ex AS (
+            {ex_rows}
+        )
+        SELECT e.q, e.est, ROUND(x.e, 6) AS exact,
+               ROUND(ABS(e.est - ROUND(x.e, 6)), 6) AS abs_err
+        FROM est e JOIN ex x ON x.q = e.q
+    """
+
+
+@register(
+    "quantile_sketch_values",
+    oracle=_quantile_sketch_oracle(),
+    tags=("sketch", "quantile", "agg"),
+)
+def quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cells, stats = histogram_sketch(ev, "value", bins=_QS_BINS)
+    est = histogram_quantiles(cells, stats, list(_QS_QS), bins=_QS_BINS)
+    stack_args = ", ".join(f"CAST({q} AS DOUBLE), e{i}" for i, q in enumerate(_QS_QS))
+    exact = ev.agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"e{i}")
+            for i, q in enumerate(_QS_QS)
+        ]
+    ).select(F.expr(f"stack({len(_QS_QS)}, {stack_args}) AS (q, e)"))
+    return (
+        est.join(F.broadcast(exact), "q")
+        .withColumn("exact", F.round("e", 6))
+        .select(
+            "q",
+            "est",
+            "exact",
+            F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+        )
+    )

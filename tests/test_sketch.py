@@ -193,3 +193,62 @@ def test_hll_cell_from_h_equals_embedded_form(spark):
         (F.col("idx_e") != F.col("idx_f")) | (F.col("rho_e") != F.col("rho_f"))
     )
     assert bad.count() == 0
+
+
+def test_histogram_sketch_mergeable_and_bounded(spark):
+    """The quantile sketch must behave like the other sketches: cells from
+    disjoint slices merge by summing into exactly the whole-table cells,
+    and the state never exceeds `bins` rows."""
+    from etl_pipeline_spark.operators.sketch import histogram_sketch
+    from etl_pipeline_spark.sources.star import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    cells_all, stats = histogram_sketch(ev, "value", bins=64)
+    assert cells_all.count() <= 64
+    # merge of halves == whole, PROVIDED the same (mn, mx) domain is used:
+    # bin ids depend on the global stats row, so slices bin against it
+    lo = ev.filter(F.col("event_id") % 2 == 0)
+    hi = ev.filter(F.col("event_id") % 2 == 1)
+    import etl_pipeline_spark.operators.sketch as sk
+
+    def cells_with_domain(df):
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .select(F.expr(sk._bin_sql("value", 64)).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    merged = (
+        cells_with_domain(lo)
+        .unionByName(cells_with_domain(hi))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = sorted(map(tuple, cells_all.collect()))
+    b = sorted((r.bin, r.cnt) for r in merged.collect())
+    assert a == b
+
+
+def test_histogram_quantiles_within_bin_width(spark):
+    """The interpolated estimate can be off by at most one bin width."""
+    from etl_pipeline_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+    from etl_pipeline_spark.sources.star import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    cells, stats = histogram_sketch(ev, "value", bins=128)
+    est = {r.q: r.est for r in histogram_quantiles(cells, stats, [0.5, 0.9, 0.99]).collect()}
+    s = stats.collect()[0]
+    width = (s.mx - s.mn) / 128
+    exact = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("a"),
+        F.expr("percentile(value, 0.9)").alias("b"),
+        F.expr("percentile(value, 0.99)").alias("c"),
+    ).collect()[0]
+    for q, ex in ((0.5, exact.a), (0.9, exact.b), (0.99, exact.c)):
+        assert abs(est[q] - ex) <= width, (q, est[q], ex, width)
