@@ -1134,3 +1134,87 @@ def query_ivfpq_index(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): per-dimension uint8 codes — the cheapest
+# compression tier of a vector index (4x smaller than float32, exact ADC
+# arithmetic; the entry tier below PQ in faiss-style index taxonomies).
+#
+# Scale shape: the per-dim min/max "codebook" is ONE full-scan aggregate
+# with 2*dim scalar min/max columns (map-side partial agg, single-row
+# result — no explode, no shuffle of row-multiplied data), and encode +
+# asymmetric scoring is a NARROW unrolled projection over the broadcast
+# stats, so the only exchange in the whole query is the final top-k
+# (TakeOrderedAndProject). Mirrors the zero-exchange encode rule the
+# PQ/IVF family follows.
+# ---------------------------------------------------------------------------
+def sq8_stats(corpus: DataFrame, vec_col: str, dim: int) -> list[tuple[float, float]]:
+    """[(vmin, vmax)] per dimension — one aggregate pass, single-row result.
+
+    Bounded metadata collect (2*dim scalars), same class as the ANN pivot
+    tables: at 100 TB this row IS the persisted index header.
+    """
+    aggs = []
+    for i in range(dim):
+        v = F.col(vec_col).getItem(i).cast("double")
+        aggs.append(F.min(v).alias(f"mn{i}"))
+        aggs.append(F.max(v).alias(f"mx{i}"))
+    row = corpus.agg(*aggs).collect()[0]
+    return [(row[f"mn{i}"], row[f"mx{i}"]) for i in range(dim)]
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric top-k under SQ8: dequantized corpus x raw query vector.
+
+    The query is the lowest-id vector (raw, unquantized — ADC style); every
+    corpus vector is scored through its uint8 reconstruction:
+
+        code_i = clamp(floor((v_i - mn_i) / (mx_i - mn_i) * 255), 0, 255)
+        dq_i   = mn_i + code_i * (mx_i - mn_i) / 255
+        score  = sum_i dq_i * q_i      (left-to-right, double precision)
+
+    Constant dimensions (mx == mn) reconstruct to the constant. All
+    arithmetic is engine-portable: the DuckDB oracle evaluates the same
+    parenthesization, so scores hash-match cell-for-cell.
+    """
+    qrow = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
+    )
+    if not qrow:
+        raise ValueError("corpus has no rows — cannot run SQ8 top-k")
+    qid = qrow[0][id_col]
+    qvec = [float(x) for x in qrow[0][vec_col]]
+    dim = len(qvec)
+    stats = sq8_stats(corpus, vec_col, dim)
+
+    score = F.lit(0.0)
+    for i, (mn, mx) in enumerate(stats):
+        v = F.col(vec_col).getItem(i).cast("double")
+        if mx == mn:
+            dq = F.lit(mn)
+        else:
+            ratio = (v - F.lit(mn)) / (F.lit(mx) - F.lit(mn)) * F.lit(255.0)
+            code = F.floor(F.least(F.greatest(ratio, F.lit(0.0)), F.lit(255.0)))
+            dq = F.lit(mn) + code * (F.lit(mx) - F.lit(mn)) / F.lit(255.0)
+        score = score + dq * F.lit(qvec[i])
+
+    scored = (
+        corpus.filter(F.col(id_col) != F.lit(qid))
+        .select(
+            F.lit(qid).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(score, 6).alias("score_sq8"),
+        )
+        .orderBy(F.desc("score_sq8"), F.asc("neighbor_id"))
+        .limit(k)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_sq8"), F.asc("neighbor_id"))
+    return scored.select(
+        "query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "score_sq8"
+    )

@@ -93,7 +93,11 @@ PRIORITY: tuple[str, ...] = (
     # q1 is additionally smoke-checked every round as the entry() flagship)
     "q9_product_type_profit", "cms_partkey_estimates",
     "events_sessionize_30m", "ann_ivfpq_topk",
-    # ---- tier 2 (51+): previously driver-green, kept in a stable order
+    # ---- tier 2 (51+): new round-3 queries first (next in line for a
+    # future driver window; locally parity-checked now), then previously
+    # driver-green queries in a stable order
+    "winnow_fingerprint_pairs", "dedup_chunk_exact", "cdc_merge_orders",
+    "embedding_sq8_topk", "ann_recall_eval",
     "q1_pricing_summary",
     "q2_min_cost_supplier", "q3_top_unshipped_orders", "q4_order_priority_check",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
@@ -148,6 +152,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from etl_pipeline_spark.plans import (  # noqa: F401
+        corpus_ops,
         kernel,
         llm,
         multimodal_plan,
