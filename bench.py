@@ -58,6 +58,11 @@ HEADLINE = [
     "unigram_surprisal_quality",
     "regression_detect_metrics",
     "windowed_heavy_hitters",
+    "winnow_fingerprint_pairs",
+    "dedup_chunk_exact",
+    "cdc_merge_orders",
+    "embedding_sq8_topk",
+    "ann_recall_eval",
     "pagerank_part_supplier",
     "sql_drift_psi_event_values",
     "sql_table_checksum_orders",
