@@ -7,10 +7,11 @@ of each window, dedupe. Guarantees any shared substring of length
 selected set is ~2/(w+1) of all grams — a bounded, content-addressed
 signature.
 
-Spark-first shape (everything is column expressions + one window):
-- gram hashing is a narrow per-row `transform(sequence(...))` projection —
-  zero exchange;
-- the window min partitions by doc_id — ONE shuffle, sized by |grams|;
+Spark-first shape:
+- fingerprint selection is one narrow Arrow-batched `mapInPandas` pass
+  (per-document sequential rolling min — see the function docstring for
+  why the column algebra can't express this efficiently) — ZERO exchange
+  before the fingerprint join;
 - shared-fingerprint pairing is an equi-join on the fingerprint value with
   a document-frequency cap (fingerprints present in more than `max_df`
   docs are dropped, the standard stop-fingerprint rule) — so the join has
@@ -26,7 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
@@ -35,27 +35,56 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     ``docs`` needs (doc_id, text). Documents shorter than k chars still
     yield one fingerprint (the hash of their full text), so every doc is
     represented.
+
+    Physical strategy: Arrow-batched ``mapInPandas`` (the §2.7 surface) —
+    a narrow, partition-parallel pass with ZERO exchange between the
+    corpus scan and the (doc_id, fp) output; the only shuffles left in a
+    winnowing pipeline are the ones keyed on the fingerprint value.
+    Winnowing is the rare operator where the built-in column algebra
+    genuinely can't express the efficient plan: the rolling minimum needs
+    the gram-hash array bound to a variable, and every SQL formulation
+    measured re-evaluates it per window position (``slice`` inside a
+    ``transform`` lambda collapses to O(n²·k) md5 calls; an
+    ``aggregate`` fold copies the accumulator array per step; ``zip_with``
+    doubling pays 2^log₂(w) tree duplication) — all 2.5-70× slower than
+    this pass at sf0.1, and the posexplode + ``min() OVER (PARTITION BY
+    doc_id)`` fallback shuffles every gram hash (|corpus text| × 32-char
+    rows) to compute row-local minima. Values are pinned to the relational
+    form by the DuckDB oracle (exploded grams + windowed min), which the
+    driver hash-matches cell-for-cell.
     """
-    grams = docs.select(
-        "doc_id",
-        F.expr(f"greatest(length(text) - {k - 1}, 1)").alias("n_grams"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
-                f" i -> md5(substring(text, i, {k})))"
-            )
-        ).alias("pos", "h"),
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_field = docs.schema["doc_id"]
+    schema = StructType(
+        [StructField("doc_id", id_field.dataType, id_field.nullable),
+         StructField("fp", StringType(), False)]
     )
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    fps = (
-        grams.withColumn("fp", F.min("h").over(win))
-        # only full windows: n_grams - w + 1 of them (>= 1 for short docs);
-        # pos is 0-based from posexplode
-        .filter(F.col("pos") < F.greatest(F.col("n_grams") - F.lit(w - 1), F.lit(1)))
-        .select("doc_id", "fp")
-        .distinct()
-    )
-    return fps
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            fps: list[str] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                ng = max(len(text) - k + 1, 1)
+                grams = [
+                    hashlib.md5(text[i : i + k].encode("utf-8")).hexdigest()
+                    for i in range(ng)
+                ]
+                seen: set[str] = set()
+                for p in range(max(ng - w + 1, 1)):
+                    m = min(grams[p : p + w])
+                    if m not in seen:
+                        seen.add(m)
+                        ids.append(did)
+                        fps.append(m)
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema)
 
 
 def shared_fingerprint_pairs(
