@@ -67,6 +67,12 @@ HEADLINE = [
     "sql_drift_psi_event_values",
     "sql_table_checksum_orders",
     "quantile_sketch_values",
+    "quality_filter_gopher",
+    "anomaly_mad_events",
+    "pack_sequences_budget",
+    "temperature_sampled_mix",
+    "dedup_lsh_recall_eval",
+    "triangle_cosupplier_stats",
 ]
 
 

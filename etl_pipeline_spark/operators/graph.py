@@ -210,3 +210,117 @@ def pagerank(
     nodes.unpersist()
     weighted.unpersist()
     return ranks
+
+
+def cooccurrence_pairs(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """(item_a, item_b, n_shared) — distinct items co-occurring per group.
+
+    ``item_a < item_b`` normalizes the undirected pair. The self-join is
+    keyed on the group id, so cost is Σ per-group k·(k-1)/2 — bounded
+    when groups are small (orders hold a handful of line items); for
+    hot groups you'd cap or sample the group first.
+    """
+    g = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("item")).distinct()
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def topk_neighbor_edges(pairs: DataFrame, k: int = 3) -> DataFrame:
+    """Sparsify a weighted pair relation to each node's top-k neighbors.
+
+    Dense co-occurrence graphs (every supplier eventually co-occurs with
+    every other) make triangle counting Σ deg² — quadratic blowup. The
+    standard sparsification keeps, per node, only its k strongest
+    neighbors (count DESC, partner id ASC for determinism), then unions
+    both directions back into an undirected edge set. |E| <= k·|V| (each
+    node nominates at most k edges), so average degree is <= 2k and every
+    downstream join is linear in |nodes|; a single node CAN still be many
+    nodes' nearest neighbor (unbounded in-degree) — if that happens,
+    degree-ordered orientation in the triangle join is the standard fix
+    (see ``triangle_stats``).
+    """
+    directed = pairs.select("item_a", "item_b", "n_shared").unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_shared",
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.desc("n_shared"), F.asc("item_b")
+    )
+    top = directed.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    return (
+        top.select(
+            F.least("item_a", "item_b").alias("src"),
+            F.greatest("item_a", "item_b").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One row: n_nodes, n_edges, n_wedges, n_triangles, gcc.
+
+    ``edges`` must be undirected-normalized (src < dst, distinct). The
+    triangle join orients by node id (src < dst < far): e1=(x,y) ⋈
+    e2=(y,z) builds wedges, e3=(x,z) closes them — each triangle counted
+    exactly once. Wedge count Σ deg·(deg-1)/2 comes from the degree
+    relation. gcc = 3·triangles / wedges (the global clustering
+    coefficient).
+
+    Scale: on bounded-degree graphs (see ``topk_neighbor_edges``) the
+    wedge join is linear in nodes. On skewed graphs the classic fix is
+    degree-ordered orientation (orient each edge toward the higher-degree
+    endpoint) so no vertex fans out more than O(sqrt(|E|)); id-orientation
+    keeps the oracle simple and is safe post-sparsification.
+    """
+    e = edges.select("src", "dst").persist()
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    counts = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = (
+        counts.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("gcc"),
+        )
+    )
+    return out

@@ -98,6 +98,9 @@ PRIORITY: tuple[str, ...] = (
     # driver-green queries in a stable order
     "winnow_fingerprint_pairs", "dedup_chunk_exact", "cdc_merge_orders",
     "embedding_sq8_topk", "ann_recall_eval",
+    "quality_filter_gopher", "anomaly_mad_events", "pack_sequences_budget",
+    "temperature_sampled_mix", "dedup_lsh_recall_eval",
+    "triangle_cosupplier_stats",
     "q1_pricing_summary",
     "q2_min_cost_supplier", "q3_top_unshipped_orders", "q4_order_priority_check",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
@@ -153,6 +156,7 @@ def _ensure_loaded() -> None:
         return
     from etl_pipeline_spark.plans import (  # noqa: F401
         corpus_ops,
+        corpus_quality,
         kernel,
         llm,
         multimodal_plan,

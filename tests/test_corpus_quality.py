@@ -1,0 +1,149 @@
+"""Semantics tests for the wave-2 corpus-quality operators (packing,
+triangles, gopher rules, MAD anomalies, temperature sampling) — oracle
+parity is covered by test_oracle_parity; these pin the algorithmic
+guarantees on hand-built inputs."""
+
+from __future__ import annotations
+
+import math
+
+from etl_pipeline_spark.operators.graph import (
+    cooccurrence_pairs,
+    topk_neighbor_edges,
+    triangle_stats,
+)
+from etl_pipeline_spark.operators.packing import (
+    exclusive_prefix_sum,
+    pack_sequences,
+)
+
+
+# ------------------------------------------------------------ prefix sum
+def test_exclusive_prefix_sum_matches_sequential(spark):
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, n bigint")
+    # tiny bucket width so the two-level scan crosses many bucket borders
+    out = {
+        r["id"]: r["cum_excl"]
+        for r in exclusive_prefix_sum(df, "id", "n", bucket_width=16).collect()
+    }
+    acc = 0
+    for i, n in rows:
+        assert out[i] == acc, f"id {i}"
+        acc += n
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    # sizes 100 each, budget 256: docs 0,1,2 start at 0,100,200 -> seq 0;
+    # doc 3 starts at 300 -> seq 1 (straddlers belong to their start block)
+    df = spark.createDataFrame([(i, 100) for i in range(6)], "id bigint, n bigint")
+    out = {r["id"]: r["seq_id"] for r in pack_sequences(df, "id", "n", 256).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+
+
+def test_prefix_sum_independent_of_bucket_width(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(50)], "id bigint, n bigint")
+    a = {r["id"]: r["cum_excl"] for r in exclusive_prefix_sum(df, "id", "n", 7).collect()}
+    b = {r["id"]: r["cum_excl"] for r in exclusive_prefix_sum(df, "id", "n", 4096).collect()}
+    assert a == b
+
+
+# ------------------------------------------------------------- triangles
+def test_triangle_stats_on_k4(spark):
+    # complete graph on 4 nodes: 6 edges, C(4,3)=4 triangles,
+    # wedges = 4 * C(3,2) = 12, gcc = 3*4/12 = 1.0
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "src bigint, dst bigint"
+    )
+    row = triangle_stats(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (4, 6, 12, 4)
+    assert row.gcc == 1.0
+
+
+def test_triangle_stats_triangle_free(spark):
+    # path graph 0-1-2-3: 3 edges, 2 wedges, no triangles
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint")
+    row = triangle_stats(edges).collect()[0]
+    assert (row.n_edges, row.n_wedges, row.n_triangles, row.gcc) == (3, 2, 0, 0.0)
+
+
+def test_cooccurrence_and_topk_sparsify(spark):
+    # groups: {1,2,3} twice, {1,4} once -> pair (1,2),(1,3),(2,3) n=2; (1,4) n=1
+    rows = [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2), (11, 3), (12, 1), (12, 4)]
+    df = spark.createDataFrame(rows, "g bigint, item bigint")
+    pairs = {
+        (r.item_a, r.item_b): r.n_shared
+        for r in cooccurrence_pairs(df, "g", "item").collect()
+    }
+    assert pairs == {(1, 2): 2, (1, 3): 2, (2, 3): 2, (1, 4): 1}
+    # k=1: 1 keeps (1,2) [tie 2 vs 3 broken by id]; 2 and 4 both keep
+    # node 1; 3 keeps (1,3) -> exactly the nominations, |E| <= k*|V|
+    edges = {
+        (r.src, r.dst)
+        for r in topk_neighbor_edges(cooccurrence_pairs(df, "g", "item"), k=1).collect()
+    }
+    assert edges == {(1, 2), (1, 3), (1, 4)}
+    assert len(edges) <= 1 * 4  # k * n_nodes
+
+
+# ------------------------------------------- gopher rules / MAD / sampling
+def test_gopher_rules_discriminate(spark, sf_dir):
+    from etl_pipeline_spark.plans.corpus_quality import quality_filter_gopher
+
+    rows = quality_filter_gopher(spark, sf_dir).collect()
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows)  # rules actually split the corpus
+    for r in rows:
+        assert r.keep == (
+            r.r_nwords and r.r_wordlen and r.r_ttr and r.r_stop and r.r_symbol
+        )
+
+
+def test_mad_flags_planted_outlier(spark):
+    vals = [float(v) for v in (10, 11, 12, 13, 14, 9, 10, 500)]
+    df = spark.createDataFrame([("a", v) for v in vals], "event_type string, value double")
+    df.createOrReplaceTempView("ev_tiny")
+    out = spark.sql(
+        """
+        WITH med AS (SELECT event_type, percentile(value, 0.5) AS med
+                     FROM ev_tiny GROUP BY event_type),
+        dev AS (SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+                FROM ev_tiny e JOIN med m USING (event_type)),
+        stats AS (SELECT event_type, MIN(med) AS med,
+                         percentile(adev, 0.5) AS mad FROM dev GROUP BY event_type)
+        SELECT SUM(CASE WHEN d.adev > 3.0*1.4826*s.mad THEN 1 ELSE 0 END) AS n
+        FROM dev d JOIN stats s USING (event_type)
+        """
+    ).collect()
+    assert out[0].n == 1  # only the planted 500 is flagged
+
+
+def test_temperature_sampling_upweights_rare_langs(spark, sf_dir):
+    from etl_pipeline_spark.plans.corpus_quality import temperature_sampled_mix
+
+    rows = {r.lang: r for r in temperature_sampled_mix(spark, sf_dir).collect()}
+    big = max(rows.values(), key=lambda r: r.n_total)
+    small = min(rows.values(), key=lambda r: r.n_total)
+    # temperature < 1 compresses the mixture: rare langs keep a HIGHER
+    # fraction of their docs than dominant ones
+    assert small.keep_prob > big.keep_prob
+    # keep_prob matches the closed form
+    tot = sum(r.n_total for r in rows.values())
+    wsum = sum(math.sqrt(r.n_total) for r in rows.values())
+    for r in rows.values():
+        expect = min(1.0, 0.5 * tot * (math.sqrt(r.n_total) / wsum) / r.n_total)
+        assert abs(r.keep_prob - expect) < 1e-6
+    # sampled count is binomial-close to expectation (hash uniformity)
+    for r in rows.values():
+        exp_n = r.keep_prob * r.n_total
+        assert abs(r.n_sampled - exp_n) <= 4 * math.sqrt(max(exp_n, 1.0))
+
+
+def test_lsh_recall_eval_bounds(spark, sf_dir):
+    from etl_pipeline_spark.plans.corpus_quality import dedup_lsh_recall_eval
+
+    row = dedup_lsh_recall_eval(spark, sf_dir).collect()[0]
+    assert row.n_hits <= min(row.n_truth, row.n_candidates)
+    assert 0.0 <= row.precision <= 1.0 and 0.0 <= row.recall <= 1.0
+    # the planted near-dups are high-Jaccard: banded LSH should find most
+    assert row.recall >= 0.5
