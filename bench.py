@@ -73,6 +73,9 @@ HEADLINE = [
     "temperature_sampled_mix",
     "dedup_lsh_recall_eval",
     "triangle_cosupplier_stats",
+    "feature_rolling_events",
+    "target_encode_priority",
+    "lpa_cosupplier_communities",
 ]
 
 

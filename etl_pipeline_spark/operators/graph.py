@@ -324,3 +324,60 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         )
     )
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """(node, label) after ``n_iter`` synchronous label-propagation rounds.
+
+    Community detection (Raghavan et al., Phys. Rev. E 76, 036106):
+    every node adopts, each round, the most frequent label among its
+    neighbors. The textbook algorithm breaks frequency ties randomly;
+    this implementation is DETERMINISTIC — ties go to the smallest
+    label — and runs a fixed round count, which is what makes the result
+    oracle-checkable (the DuckDB twin unrolls the rounds as chained CTEs,
+    the same device the PageRank oracle uses).
+
+    The per-round argmax(count, then min label) is encoded as one MAX
+    over ``cnt·2³² + (2³²−1−label)`` — a single groupBy aggregate instead
+    of a row_number window, so a round is exactly two shuffles (neighbor
+    label counts, per-node max). Requires node ids < 2³² and degree
+    < 2³¹. Lineage is truncated per round.
+
+    Nodes are taken from the symmetrized edge set (isolated nodes have no
+    neighbors and no label pressure — callers union them back unchanged
+    if needed).
+    """
+    enc = 4294967296  # 2^32
+    sym = symmetrize(edges, src, dst).persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        counts = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.col("cnt") * F.lit(enc) + (F.lit(enc - 1) - F.col("label"))
+                ).alias("score")
+            )
+            .select(
+                "node",
+                (F.lit(enc - 1) - F.col("score") % F.lit(enc)).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return labels

@@ -454,10 +454,10 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # linear in |nodes| instead of Σ deg². See operators/graph.py for the
 # degree-ordered-orientation note on skewed graphs.
 # ---------------------------------------------------------------------------
-@register(
-    "triangle_cosupplier_stats",
-    oracle="""
-        WITH li AS (
+# Shared CTE prefix: the top-3 co-supplier edge set (used by the triangle
+# stats here and the label-propagation communities in plans/features.py).
+COSUPPLIER_EDGE_CTES = """
+        li AS (
             SELECT DISTINCT l_orderkey AS g, l_suppkey AS item FROM lineitem
         ),
         pairs AS (
@@ -482,7 +482,14 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT DISTINCT LEAST(item_a, item_b) AS src,
                             GREATEST(item_a, item_b) AS dst
             FROM top
-        ),
+        )
+"""
+
+
+@register(
+    "triangle_cosupplier_stats",
+    oracle=f"""
+        WITH {COSUPPLIER_EDGE_CTES},
         deg AS (
             SELECT node, COUNT(*) AS deg FROM (
                 SELECT src AS node FROM edges

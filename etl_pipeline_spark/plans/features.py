@@ -1,0 +1,221 @@
+"""Feature-engineering and community-detection queries.
+
+ML-adjacent primitives a training-data pipeline runs between raw tables
+and model input (no reference analog — beyond-reference components from
+the LLM-pipeline mandate):
+
+- rolling window features — per-entity lag / delta / trailing mean & std,
+  the bread-and-butter temporal feature block. One window shuffle keyed
+  on the entity; variance uses the explicit sum-of-squares form with
+  identical parenthesization in both engines (engine-internal Welford
+  variants would not hash-match);
+- leave-one-out target encoding — category → mean(target) with the row's
+  own target excluded (the standard leakage guard) plus an m-estimate
+  smoothed variant. One tiny grouped aggregate broadcast back over the
+  fact table: the encode itself is a narrow projection;
+- label-propagation communities (Raghavan et al. 2007) over the top-3
+  co-supplier graph — deterministic tie-breaking, fixed rounds, DuckDB
+  oracle unrolls the rounds as chained CTEs (the PageRank-oracle device).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.operators.graph import (
+    cooccurrence_pairs,
+    label_propagation,
+    topk_neighbor_edges,
+)
+from etl_pipeline_spark.plans.corpus_quality import COSUPPLIER_EDGE_CTES
+from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.star import load_table
+
+
+# ---------------------------------------------------------------------------
+# Rolling features per user: lag-1 value, delta, trailing 3-event mean and
+# sample std. Only rows with a FULL 3-event history are emitted, so every
+# output cell is non-null (engines disagree on null stringification, and a
+# warm-up row's features are garbage anyway). At 150 users the window
+# partitioning is coarse; at real scale the entity key is high-cardinality
+# and this is the canonical one-shuffle feature block.
+# ---------------------------------------------------------------------------
+@register(
+    "feature_rolling_events",
+    oracle="""
+        WITH w AS (
+            SELECT event_id, user_id, value,
+                   ROW_NUMBER() OVER win AS rn,
+                   LAG(value, 1) OVER win AS lag1,
+                   SUM(value) OVER win3 AS s3,
+                   SUM(value * value) OVER win3 AS ss3
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id),
+                   win3 AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, value,
+               lag1,
+               ROUND(value - lag1, 6) AS delta,
+               ROUND(s3 / 3.0, 6) AS roll_mean,
+               ROUND(SQRT(GREATEST((ss3 - s3 * s3 / 3.0) / 2.0, 0.0)), 6)
+                   AS roll_std
+        FROM w WHERE rn >= 3
+    """,
+    tags=("features", "window"),
+)
+def feature_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    win3 = win.rowsBetween(-2, 0)
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(win).alias("rn"),
+        F.lag("value", 1).over(win).alias("lag1"),
+        F.sum("value").over(win3).alias("s3"),
+        F.sum(F.col("value") * F.col("value")).over(win3).alias("ss3"),
+    )
+    return w.filter(F.col("rn") >= 3).select(
+        "event_id",
+        "user_id",
+        "value",
+        "lag1",
+        F.round(F.col("value") - F.col("lag1"), 6).alias("delta"),
+        F.round(F.col("s3") / 3.0, 6).alias("roll_mean"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (F.col("ss3") - F.col("s3") * F.col("s3") / 3.0) / 2.0,
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("roll_std"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding of order priority against order value,
+# with an m-estimate smoothed variant (m=10 pseudo-observations of the
+# global mean). The grouped sums are a 5-row relation broadcast back over
+# the fact scan — the encoding itself never shuffles the facts.
+# ---------------------------------------------------------------------------
+_TE_M = 10
+
+
+@register(
+    "target_encode_priority",
+    oracle=f"""
+        WITH g AS (
+            SELECT o_orderpriority,
+                   SUM(o_totalprice) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_orderpriority
+        ),
+        gm AS (SELECT SUM(o_totalprice) / COUNT(*) AS gmean FROM orders)
+        SELECT o.o_orderkey, o.o_orderpriority,
+               ROUND((g.s - o.o_totalprice) / (g.n - 1), 6) AS te_loo,
+               ROUND((g.s - o.o_totalprice + {_TE_M} * gm.gmean)
+                     / (g.n - 1 + {_TE_M}), 6) AS te_smoothed
+        FROM orders o JOIN g USING (o_orderpriority) CROSS JOIN gm
+    """,
+    tags=("features", "narrow"),
+)
+def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    glob = o.agg(
+        (F.sum("o_totalprice") / F.count(F.lit(1))).alias("gmean")
+    )
+    return (
+        o.join(F.broadcast(g), "o_orderpriority")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.col("s") - F.col("o_totalprice")) / (F.col("n") - 1), 6
+            ).alias("te_loo"),
+            F.round(
+                (F.col("s") - F.col("o_totalprice") + _TE_M * F.col("gmean"))
+                / (F.col("n") - 1 + _TE_M),
+                6,
+            ).alias("te_smoothed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the top-3 co-supplier graph.
+# Deterministic LPA (ties -> smallest label), 3 synchronous rounds; the
+# oracle unrolls each round as a counts-CTE + argmax-CTE pair using the
+# same cnt·2³² + (2³²−1−label) encoding the Spark operator aggregates.
+# Output: the 20 largest communities (size DESC, community ASC).
+# ---------------------------------------------------------------------------
+_LPA_ITER = 3
+_ENC = 4294967296  # 2^32
+
+
+def _lpa_oracle(n_iter: int = _LPA_ITER) -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, n_iter + 1):
+        rounds.append(
+            f"""
+        c{i} AS (
+            SELECT s.dst AS node, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM sym s JOIN {prev} l ON l.node = s.src
+            GROUP BY s.dst, l.label
+        ),
+        l{i} AS (
+            SELECT node,
+                   {_ENC - 1} - (MAX(cnt * {_ENC} + ({_ENC - 1} - label))
+                                 % {_ENC}) AS label
+            FROM c{i} GROUP BY node
+        )"""
+        )
+        prev = f"l{i}"
+    return f"""
+        WITH {COSUPPLIER_EDGE_CTES},
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+        {",".join(rounds)}
+        SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM {prev}
+        GROUP BY label
+        ORDER BY n_members DESC, community ASC
+        LIMIT 20
+    """
+
+
+@register(
+    "lpa_cosupplier_communities",
+    oracle=_lpa_oracle(),
+    tags=("graph", "iterative"),
+)
+def lpa_cosupplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = topk_neighbor_edges(
+        cooccurrence_pairs(li, "l_orderkey", "l_suppkey"), k=3
+    )
+    labels = label_propagation(edges, n_iter=_LPA_ITER)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(20)
+    )

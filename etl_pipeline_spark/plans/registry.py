@@ -101,6 +101,8 @@ PRIORITY: tuple[str, ...] = (
     "quality_filter_gopher", "anomaly_mad_events", "pack_sequences_budget",
     "temperature_sampled_mix", "dedup_lsh_recall_eval",
     "triangle_cosupplier_stats",
+    "feature_rolling_events", "target_encode_priority",
+    "lpa_cosupplier_communities",
     "q1_pricing_summary",
     "q2_min_cost_supplier", "q3_top_unshipped_orders", "q4_order_priority_check",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
@@ -157,6 +159,7 @@ def _ensure_loaded() -> None:
     from etl_pipeline_spark.plans import (  # noqa: F401
         corpus_ops,
         corpus_quality,
+        features,
         kernel,
         llm,
         multimodal_plan,

@@ -147,3 +147,59 @@ def test_lsh_recall_eval_bounds(spark, sf_dir):
     assert 0.0 <= row.precision <= 1.0 and 0.0 <= row.recall <= 1.0
     # the planted near-dups are high-Jaccard: banded LSH should find most
     assert row.recall >= 0.5
+
+
+# --------------------------------------------------------- label propagation
+def test_label_propagation_two_cliques(spark):
+    from etl_pipeline_spark.operators.graph import label_propagation
+
+    # two 3-cliques joined by nothing: each collapses to its min label
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12)],
+        "src bigint, dst bigint",
+    )
+    labels = {r.node: r.label for r in label_propagation(edges, n_iter=3).collect()}
+    assert len({labels[0], labels[1], labels[2]}) == 1
+    assert len({labels[10], labels[11], labels[12]}) == 1
+    assert labels[0] != labels[10]
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    from etl_pipeline_spark.operators.graph import label_propagation
+
+    # star: center 5 with leaves 1,2 — round 1: center sees labels {1,2}
+    # (tie, count 1 each) -> smallest label 1 wins deterministically
+    edges = spark.createDataFrame([(5, 1), (5, 2)], "src bigint, dst bigint")
+    labels = {r.node: r.label for r in label_propagation(edges, n_iter=1).collect()}
+    assert labels[5] == 1
+    # leaves see only the center's label
+    assert labels[1] == 5 and labels[2] == 5
+
+
+def test_rolling_features_window_math(spark):
+    # one user, values 1..5: at rn=3 the trailing-3 mean is 2, std is 1
+    df = spark.createDataFrame(
+        [(i, 1, i * 1000, float(i)) for i in range(1, 6)],
+        "event_id bigint, user_id bigint, ts bigint, value double",
+    )
+    df.createOrReplaceTempView("ev_roll")
+    rows = spark.sql(
+        """
+        SELECT * FROM (
+          SELECT event_id, value,
+                 ROW_NUMBER() OVER win AS rn,
+                 SUM(value) OVER win3 / 3.0 AS m,
+                 SQRT(GREATEST((SUM(value*value) OVER win3
+                       - SUM(value) OVER win3 * SUM(value) OVER win3 / 3.0) / 2.0,
+                      0.0)) AS sd
+          FROM ev_roll
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id),
+                 win3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ) WHERE rn >= 3
+        """
+    ).collect()
+    by_id = {r.event_id: r for r in rows}
+    assert set(by_id) == {3, 4, 5}
+    assert abs(by_id[3].m - 2.0) < 1e-12 and abs(by_id[3].sd - 1.0) < 1e-9
+    assert abs(by_id[5].m - 4.0) < 1e-12
