@@ -588,7 +588,8 @@ def _ivf_oracle() -> str:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk_relational(
-        emb, F.col("vec_id") < 10, ncells=8, nprobe=2, k=3, sample_limit=_ANN_SAMPLE
+        emb, F.col("vec_id") < 10, ncells=8, nprobe=2, k=3, sample_limit=_ANN_SAMPLE,
+        index_cache_key=sf_dir,
     )
 
 
@@ -620,7 +621,8 @@ def _pq_oracle() -> str:
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk_relational(
-        emb, F.col("vec_id") < 10, m=8, ksub=16, k=3, sample_limit=_ANN_SAMPLE
+        emb, F.col("vec_id") < 10, m=8, ksub=16, k=3, sample_limit=_ANN_SAMPLE,
+        index_cache_key=sf_dir,
     )
 
 
@@ -661,7 +663,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_topk_relational(
         emb, F.col("vec_id") < 10, ncells=8, nprobe=2, m=8, ksub=16, k=3,
-        sample_limit=_ANN_SAMPLE,
+        sample_limit=_ANN_SAMPLE, index_cache_key=sf_dir,
     )
 
 
