@@ -76,6 +76,7 @@ HEADLINE = [
     "feature_rolling_events",
     "target_encode_priority",
     "lpa_cosupplier_communities",
+    "join_size_estimate",
 ]
 
 

@@ -518,7 +518,22 @@ COSUPPLIER_EDGE_CTES = """
     tags=("graph",),
 )
 def triangle_cosupplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = cooccurrence_pairs(li, "l_orderkey", "l_suppkey")
-    edges = topk_neighbor_edges(pairs, k=3)
-    return triangle_stats(edges)
+    return triangle_stats(cosupplier_edges(spark, sf_dir))
+
+
+# Memoized per (session, sf_dir): the triangle stats above and the
+# label-propagation communities (plans/features.py) both consume this
+# edge set, and triangle_stats alone references it four times (degree
+# union sides + three join aliases) — one materialization instead of ~7
+# recomputes of the order-pair self-join. Same discipline as the shingle
+# cache in plans/llm.py; at scale this is a written-once edge table.
+_EDGE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _EDGE_CACHE:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        pairs = cooccurrence_pairs(li, "l_orderkey", "l_suppkey")
+        _EDGE_CACHE[key] = topk_neighbor_edges(pairs, k=3).persist()
+    return _EDGE_CACHE[key]

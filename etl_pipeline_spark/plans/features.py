@@ -23,11 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_spark.operators.graph import (
-    cooccurrence_pairs,
-    label_propagation,
-    topk_neighbor_edges,
-)
+from etl_pipeline_spark.operators.graph import label_propagation
 from etl_pipeline_spark.plans.corpus_quality import COSUPPLIER_EDGE_CTES
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
@@ -208,14 +204,74 @@ def _lpa_oracle(n_iter: int = _LPA_ITER) -> str:
     tags=("graph", "iterative"),
 )
 def lpa_cosupplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = topk_neighbor_edges(
-        cooccurrence_pairs(li, "l_orderkey", "l_suppkey"), k=3
-    )
-    labels = label_propagation(edges, n_iter=_LPA_ITER)
+    from etl_pipeline_spark.plans.corpus_quality import cosupplier_edges
+
+    labels = label_propagation(cosupplier_edges(spark, sf_dir), n_iter=_LPA_ITER)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
         .orderBy(F.desc("n_members"), F.asc("community"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation — the cost-based-optimizer primitive: predict the
+# row count of a key-equi self-join (Σ cnt(k)²) from a deterministic 1/16
+# hash-sample of the KEY SPACE, scaled by 1/p. Key-space sampling (not
+# row sampling) keeps per-key counts exact inside the sample, which is
+# what makes Σ cnt² estimable at all — row sampling biases cnt² by p².
+# One grouped count + one aggregate; the estimate costs a fraction of the
+# join it predicts.
+# ---------------------------------------------------------------------------
+_JSE_P_INV = 16  # sample 1/16 of keys
+_JSE_THRESH = 4294967296 // _JSE_P_INV
+
+
+def _jse_sums() -> tuple[str, str]:
+    from etl_pipeline_spark.operators.sampling import hash_u32_sql
+
+    exact = "SUM(cnt * cnt)"
+    est = (
+        f"SUM(CASE WHEN {hash_u32_sql('k', 'jse')} < {_JSE_THRESH} "
+        f"THEN cnt * cnt * {_JSE_P_INV} ELSE 0 END)"
+    )
+    return exact, est
+
+
+def _jse_oracle() -> str:
+    ex, es = _jse_sums()
+    return f"""
+        WITH c AS (
+            SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST({ex} AS BIGINT) AS exact_pairs,
+               CAST({es} AS BIGINT) AS est_pairs,
+               ROUND(ABS(CAST({es} AS BIGINT) * 1.0
+                         - CAST({ex} AS BIGINT))
+                     / CAST({ex} AS BIGINT), 6) AS rel_err
+        FROM c
+    """
+
+
+@register(
+    "join_size_estimate",
+    oracle=_jse_oracle(),
+    tags=("optimizer", "sketch"),
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex, es = _jse_sums()
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return c.agg(
+        F.expr(f"CAST({ex} AS BIGINT)").alias("exact_pairs"),
+        F.expr(f"CAST({es} AS BIGINT)").alias("est_pairs"),
+        F.expr(
+            f"ROUND(ABS(CAST({es} AS BIGINT) * 1.0"
+            f" - CAST({ex} AS BIGINT))"
+            f" / CAST({ex} AS BIGINT), 6)"
+        ).alias("rel_err"),
     )
