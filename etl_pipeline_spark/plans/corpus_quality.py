@@ -322,7 +322,7 @@ def temperature_sampled_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
     )
     return (
-        probs.join(sampled, "lang", "left")
+        probs.join(F.broadcast(sampled), "lang", "left")
         .select(
             "lang",
             "n_total",

@@ -292,3 +292,70 @@ def test_ann_encode_is_zero_exchange(spark):
         plan = _plan(spark, df)
         assert "Exchange hashpartitioning" not in plan, name
         assert "Exchange rangepartitioning" not in plan, name
+
+
+def test_prefix_sum_windows_are_bucket_partitioned(spark):
+    """The distributed prefix sum must never plan a data-sized
+    single-partition window: the only unpartitioned window runs over the
+    SMALL bucket-totals relation; the data-sized window partitions by
+    bucket. Guarded by counting window partitioning specs in the plan."""
+    plan = _plan(
+        spark, REGISTRY["pack_sequences_budget"].spark_fn(spark, SF_DIR)
+    )
+    import re
+
+    # the per-row cumsum window must carry a PARTITION BY (__bucket)
+    assert "__bucket" in plan
+    # exactly one global (unpartitioned) sort for the bucket-offsets window
+    assert plan.count("Window") >= 2
+
+
+def test_gopher_filter_is_narrow_scan(spark):
+    """The rule filter is a projection over the scan — zero Exchange."""
+    plan = _plan(
+        spark, REGISTRY["quality_filter_gopher"].spark_fn(spark, SF_DIR)
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_mix_corpus_side_broadcast_only(spark):
+    """The per-language keep-probability relation joins the corpus via
+    broadcast; the only hash shuffles are the tiny lang aggregates."""
+    plan = _plan(
+        spark, REGISTRY["temperature_sampled_mix"].spark_fn(spark, SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_size_estimate_single_grouped_pass(spark):
+    """Exact + sampled Σcnt² come from one grouped count and one final
+    aggregate — two Exchanges total, volume = distinct keys then 1 row."""
+    plan = _plan(spark, REGISTRY["join_size_estimate"].spark_fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_target_encode_broadcasts_stats(spark):
+    """The 5-row category stats and 1-row global mean broadcast back over
+    the fact scan — the encode itself never shuffles the facts."""
+    plan = _plan(
+        spark, REGISTRY["target_encode_priority"].spark_fn(spark, SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # facts are never hash-repartitioned: only the grouped stats aggregate
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_winnow_fingerprints_no_exchange_before_join(spark):
+    """Fingerprint selection is one Arrow pass over the scan: zero
+    Exchange between the documents scan and the (doc_id, fp) output."""
+    from etl_pipeline_spark.operators.fingerprint import winnow_fingerprints
+    from etl_pipeline_spark.sources.star import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    plan = _plan(spark, winnow_fingerprints(docs, k=16, w=8))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
