@@ -77,6 +77,7 @@ HEADLINE = [
     "target_encode_priority",
     "lpa_cosupplier_communities",
     "join_size_estimate",
+    "windowed_quantiles",
 ]
 
 

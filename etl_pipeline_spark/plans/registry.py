@@ -102,7 +102,7 @@ PRIORITY: tuple[str, ...] = (
     "temperature_sampled_mix", "dedup_lsh_recall_eval",
     "triangle_cosupplier_stats",
     "feature_rolling_events", "target_encode_priority",
-    "lpa_cosupplier_communities", "join_size_estimate",
+    "lpa_cosupplier_communities", "join_size_estimate", "windowed_quantiles",
     "q1_pricing_summary",
     "q2_min_cost_supplier", "q3_top_unshipped_orders", "q4_order_priority_check",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",

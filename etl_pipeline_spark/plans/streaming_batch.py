@@ -522,3 +522,116 @@ def windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") >= F.col("n_exact")).cast("int").alias("is_overestimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed quantiles from histogram state — the read path of the
+# streaming distribution sketch: streaming/drift.py::value_histogram
+# maintains the same windows × bins cell state incrementally (keyed per
+# event_type there, global-range here).
+# Per 6h window: p50/p90/p99 of `value` interpolated from equal-width bin
+# counts over the GLOBAL [min, max] range (one 1-row aggregate,
+# broadcast). All post-scan arithmetic runs on windows × bins rows —
+# never on events — so the state is bounded at any event volume, the
+# same property the mergeable histogram sketch (`quantile_sketch_values`)
+# provides unwindowed.
+# --------------------------------------------------------------------------
+_WQ_BINS = 32
+_WQ_QS = (0.5, 0.9, 0.99)
+
+
+def _wq_oracle() -> str:
+    win = f"(epoch_ns(ts) // {_H6_NS}) * 21600"
+    q_vals = ", ".join(f"(CAST({q} AS DOUBLE))" for q in _WQ_QS)
+    return f"""
+        WITH stats AS (
+            SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+        ),
+        cells AS (
+            SELECT {win} AS w,
+                   CASE WHEN s.hi = s.lo THEN 0
+                        ELSE LEAST({_WQ_BINS - 1}, GREATEST(0,
+                             CAST(FLOOR((e.value - s.lo)
+                                  / ((s.hi - s.lo) / {_WQ_BINS}.0)) AS INT)))
+                   END AS bin,
+                   COUNT(*) AS cnt
+            FROM events e, stats s
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT w, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY w ORDER BY bin) AS cum,
+                   SUM(cnt) OVER (PARTITION BY w) AS n
+            FROM cells
+        ),
+        covering AS (
+            SELECT w, q, bin, cnt, cum, n,
+                   ROW_NUMBER() OVER (PARTITION BY w, q ORDER BY bin) AS r
+            FROM cum, (SELECT unnest(ARRAY[{q_vals}]) AS q)
+            WHERE cum >= q * n
+        )
+        SELECT c.w AS win_start_epoch, c.q,
+               CAST(c.n AS BIGINT) AS n_events,
+               -- portable half-up at 6 dp: native ROUND() tie semantics
+               -- differ between engines on interpolated values
+               FLOOR((CASE WHEN s.hi = s.lo THEN s.lo
+                           ELSE s.lo + ((s.hi - s.lo) / {_WQ_BINS}.0)
+                                * (c.bin + (c.q * c.n - (c.cum - c.cnt)) / c.cnt)
+                      END) * 1e6 + 0.5) / 1e6 AS est
+        FROM covering c, stats s
+        WHERE c.r = 1
+    """
+
+
+@register(
+    "windowed_quantiles",
+    oracle=_wq_oracle(),
+    tags=("streaming", "sketch", "quantile", "window"),
+)
+def windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    win = F.expr(f"(ts div {_H6_NS}) * 21600")
+    stats = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bin_col = F.expr(
+        f"CASE WHEN hi = lo THEN 0"
+        f" ELSE LEAST({_WQ_BINS - 1}, GREATEST(0,"
+        f" CAST(FLOOR((value - lo) / ((hi - lo) / {_WQ_BINS}.0)) AS INT)))"
+        f" END"
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(stats))
+        .groupBy(win.alias("w"), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = cells.select(
+        "w",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("w").orderBy("bin")).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("w")).alias("n"),
+    )
+    qs = F.explode(F.array(*[F.lit(float(q)) for q in _WQ_QS])).alias("q")
+    covering = (
+        cum.select("w", "bin", "cnt", "cum", "n", qs)
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("w", "q").orderBy("bin")),
+        )
+        .filter(F.col("r") == 1)
+    )
+    est = (
+        f"CASE WHEN hi = lo THEN lo"
+        f" ELSE lo + ((hi - lo) / {_WQ_BINS}.0)"
+        f" * (bin + (q * n - (cum - cnt)) / cnt)"
+        f" END"
+    )
+    # portable half-up at 6 dp — see the oracle comment
+    return covering.crossJoin(F.broadcast(stats)).select(
+        F.col("w").alias("win_start_epoch"),
+        "q",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.expr(f"FLOOR(({est}) * 1e6 + 0.5) / 1e6").alias("est"),
+    )
