@@ -78,6 +78,9 @@ HEADLINE = [
     "lpa_cosupplier_communities",
     "join_size_estimate",
     "windowed_quantiles",
+    "cohort_retention_users",
+    "chisq_event_daypart",
+    "corr_lineitem_moments",
 ]
 
 

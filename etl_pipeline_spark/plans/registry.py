@@ -103,6 +103,7 @@ PRIORITY: tuple[str, ...] = (
     "triangle_cosupplier_stats",
     "feature_rolling_events", "target_encode_priority",
     "lpa_cosupplier_communities", "join_size_estimate", "windowed_quantiles",
+    "cohort_retention_users", "chisq_event_daypart", "corr_lineitem_moments",
     "q1_pricing_summary",
     "q2_min_cost_supplier", "q3_top_unshipped_orders", "q4_order_priority_check",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
@@ -157,6 +158,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from etl_pipeline_spark.plans import (  # noqa: F401
+        analytics,
         corpus_ops,
         corpus_quality,
         features,

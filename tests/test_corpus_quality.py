@@ -203,3 +203,55 @@ def test_rolling_features_window_math(spark):
     assert set(by_id) == {3, 4, 5}
     assert abs(by_id[3].m - 2.0) < 1e-12 and abs(by_id[3].sd - 1.0) < 1e-9
     assert abs(by_id[5].m - 4.0) < 1e-12
+
+
+# ----------------------------------------------------------- analytics
+def test_cohort_retention_offsets_nonnegative(spark, sf_dir):
+    from etl_pipeline_spark.plans.analytics import cohort_retention_users
+
+    rows = cohort_retention_users(spark, sf_dir).collect()
+    assert rows and all(r.offset_weeks >= 0 for r in rows)
+    # offset 0 must exist for every cohort (a user is active in their
+    # first-seen week by definition)
+    cohorts = {r.cohort_week_epoch for r in rows}
+    zero = {r.cohort_week_epoch for r in rows if r.offset_weeks == 0}
+    assert cohorts == zero
+
+
+def test_chisq_contributions_independent_data(spark):
+    # uniform 2x2 table -> expected == observed -> zero chi2 everywhere
+    rows = [(t, b * 6 * 3_600_000_000_000) for t in ("a", "b") for b in (0, 1) for _ in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, ts bigint")
+    df.createOrReplaceTempView("ev_chi")
+    out = spark.sql(
+        """
+        WITH obs AS (
+            SELECT event_type,
+                   CAST(((ts div 3600000000000) % 24) div 6 AS INT) AS daypart,
+                   CAST(COUNT(*) AS BIGINT) AS obs
+            FROM ev_chi GROUP BY 1, 2
+        ),
+        r AS (SELECT event_type, SUM(obs) AS row_tot FROM obs GROUP BY 1),
+        c AS (SELECT daypart, SUM(obs) AS col_tot FROM obs GROUP BY 1),
+        t AS (SELECT SUM(obs) AS n FROM obs)
+        SELECT SUM((obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+                   * (obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+                   / (CAST(row_tot AS DOUBLE) * col_tot / n)) AS chi2
+        FROM obs JOIN r USING (event_type) JOIN c USING (daypart) CROSS JOIN t
+        """
+    ).collect()
+    assert abs(out[0].chi2) < 1e-12
+
+
+def test_corr_moments_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from etl_pipeline_spark.plans.analytics import corr_lineitem_moments
+
+    row = corr_lineitem_moments(spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    ).toPandas()
+    np_r = np.corrcoef(li.l_quantity, li.l_extendedprice)[0, 1]
+    assert abs(row.r_qty_price - np_r) < 1e-5
+    assert abs(row.r_qty_discount) < 0.1  # independent columns
