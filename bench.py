@@ -81,6 +81,7 @@ HEADLINE = [
     "cohort_retention_users",
     "chisq_event_daypart",
     "corr_lineitem_moments",
+    "multimodal_ahash_neardup",
 ]
 
 

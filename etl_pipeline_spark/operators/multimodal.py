@@ -238,3 +238,66 @@ def sample_frames(
     return media.filter(F.col("kind") == "video").mapInPandas(
         _frames, schema=FRAME_SCHEMA
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ahash_hi", LongType(), False),
+        StructField("ahash_lo", LongType(), False),
+    ]
+)
+
+
+def perceptual_ahash(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """64-bit average-hash per image payload, as two 32-bit halves.
+
+    The aHash recipe (8×8 downsample → bit = pixel > mean) is the cheapest
+    perceptual image fingerprint; similar images differ in a few bits, so
+    near-duplicate detection is banded-LSH + Hamming verify — the exact
+    machinery the SimHash text path uses, applied to the image modality.
+
+    ``codec="real"`` is where PIL decoding + true 8×8 luma downsampling
+    plug in (unavailable in this container); ``codec="fake"`` derives the
+    64 "pixels" by sampling the raw payload bytes at 64 evenly-spaced
+    offsets — deterministic, recomputable in SQL (the oracle), and
+    similarity-preserving for near-identical payloads (most sampled bytes
+    agree, so most bits agree — the property the LSH banding needs).
+
+    Two 32-bit halves (not one 64-bit value) keep every integer positive:
+    bit 63 of a single BIGINT hash flips its sign and makes shift/sum
+    behavior engine-dependent.
+    """
+    if codec == "real":
+        raise NotImplementedError(
+            "real image decoding (PIL) is not available in this environment; "
+            "use codec='fake' for the deterministic byte-sampling kernel"
+        )
+    if codec != "fake":
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def _ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = len(data)
+                pixels = [data[(i * n) // 64] for i in range(64)]
+                mean = sum(pixels) / 64.0
+                hi = lo = 0
+                for i, p in enumerate(pixels):
+                    if p > mean:
+                        if i < 32:
+                            lo |= 1 << i
+                        else:
+                            hi |= 1 << (i - 32)
+                ids.append(mid)
+                his.append(hi)
+                los.append(lo)
+            yield _pd.DataFrame(
+                {"media_id": ids, "ahash_hi": his, "ahash_lo": los}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_ahash, AHASH_SCHEMA)

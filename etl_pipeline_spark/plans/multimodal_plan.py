@@ -47,3 +47,144 @@ _H = " + ".join(
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_media(media_table_from_documents(docs), codec="fake")
+
+
+# --------------------------------------------------------------------------
+# Perceptual near-duplicate images: 64-bit aHash (two 32-bit halves) →
+# 4×16-bit banded LSH → Hamming verify on candidates only — the SimHash
+# text machinery applied to the image modality. The fake kernel samples
+# payload bytes at 64 evenly-spaced offsets (similarity-preserving for
+# length-preserving edits and SQL-recomputable); `codec="real"` swaps in
+# PIL luma downsampling with zero plan changes. Corpus is ASCII so byte
+# offsets == char offsets in the oracle's substr-based pixel sampling.
+# The corpus' planted near-dups change text LENGTH, which shifts every
+# sampling offset (the fake analog of a rescaled image) — so the query
+# plants its own length-preserving perturbations: each image payload is
+# duplicated at media_id+100000 with 3 bytes overwritten ('zzz' at
+# offset 4), the image analog of a small local edit. Every planted pair
+# must come back with small Hamming distance; unrelated images must not.
+# --------------------------------------------------------------------------
+_AHASH_HAMMING_MAX = 8
+
+
+def _ahash_oracle() -> str:
+    bands = "\n            UNION ALL ".join(
+        f"SELECT media_id, {b} AS band_id, "
+        f"({src} >> {16 * (b % 2)}) & 65535 AS band_val FROM h"
+        for b, src in ((0, "ahash_lo"), (1, "ahash_lo"), (2, "ahash_hi"), (3, "ahash_hi"))
+    )
+    return f"""
+        WITH imgs AS (
+            SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + 100000 AS media_id,
+                   substr(text, 1, 4) || 'zzz' || substr(text, 8) AS text
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        px AS (
+            SELECT media_id, i.i,
+                   ascii(substr(text,
+                        CAST((i.i * len(text)) // 64 AS INT) + 1, 1)) AS p
+            FROM imgs,
+                 (SELECT unnest(generate_series(0, 63)) AS i) i
+        ),
+        m AS (SELECT media_id, SUM(p) / 64.0 AS mean FROM px GROUP BY media_id),
+        h AS (
+            SELECT px.media_id,
+                   CAST(SUM(CASE WHEN p > m.mean AND i >= 32
+                            THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+                        AS BIGINT) AS ahash_hi,
+                   CAST(SUM(CASE WHEN p > m.mean AND i < 32
+                            THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                        AS BIGINT) AS ahash_lo
+            FROM px JOIN m USING (media_id)
+            GROUP BY px.media_id
+        ),
+        bands AS (
+            {bands}
+        ),
+        cand AS (
+            SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                        AND a.media_id < b.media_id
+        )
+        SELECT c.media_a, c.media_b,
+               CAST(bit_count(xor(ha.ahash_hi, hb.ahash_hi))
+                    + bit_count(xor(ha.ahash_lo, hb.ahash_lo)) AS INT) AS hamming
+        FROM cand c
+        JOIN h ha ON ha.media_id = c.media_a
+        JOIN h hb ON hb.media_id = c.media_b
+        WHERE bit_count(xor(ha.ahash_hi, hb.ahash_hi))
+              + bit_count(xor(ha.ahash_lo, hb.ahash_lo)) <= {_AHASH_HAMMING_MAX}
+    """
+
+
+@register(
+    "multimodal_ahash_neardup",
+    oracle=_ahash_oracle(),
+    tags=("llm", "multimodal", "dedup", "lsh"),
+)
+def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.operators.multimodal import perceptual_ahash
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_table_from_documents(docs).filter(F.col("kind") == "image")
+    perturbed = media.select(
+        (F.col("media_id") + 100000).alias("media_id"),
+        F.expr(
+            "cast(concat(substring(payload, 1, 4), encode('zzz', 'UTF-8'),"
+            " substring(payload, 8, 2147483647)) as binary)"
+        ).alias("payload"),
+    )
+    both = media.select("media_id", "payload").unionByName(perturbed)
+    h = perceptual_ahash(both, codec="fake").persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.expr(f"shiftright({src}, {16 * (b % 2)}) & 65535").alias(
+                    "band_val"
+                ),
+            )
+            for b, src in (
+                (0, "ahash_lo"), (1, "ahash_lo"), (2, "ahash_hi"), (3, "ahash_hi"),
+            )
+        ]
+    )
+    bands = h.select("media_id", F.explode(band_structs).alias("b")).select(
+        "media_id", "b.band_id", "b.band_val"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    ha = h.select(
+        F.col("media_id").alias("media_a"),
+        F.col("ahash_hi").alias("hi_a"),
+        F.col("ahash_lo").alias("lo_a"),
+    )
+    hb = h.select(
+        F.col("media_id").alias("media_b"),
+        F.col("ahash_hi").alias("hi_b"),
+        F.col("ahash_lo").alias("lo_b"),
+    )
+    hamming = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
+    return (
+        cand.join(ha, "media_a")
+        .join(hb, "media_b")
+        .filter(hamming <= _AHASH_HAMMING_MAX)
+        .select("media_a", "media_b", hamming.cast("int").alias("hamming"))
+    )

@@ -117,3 +117,31 @@ def test_real_codecs_are_explicit_stubs(spark):
         resize_media(media, 8, 8, codec="real")
     with _pytest.raises(NotImplementedError):
         sample_frames(media, codec="real")
+
+
+def test_ahash_planted_neardups_recovered(spark):
+    """Length-preserving 3-byte edits must come back as small-Hamming
+    pairs via the banded LSH; unrelated images must not pair up."""
+    import os
+
+    from etl_pipeline_spark.plans.multimodal_plan import multimodal_ahash_neardup
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    rows = multimodal_ahash_neardup(spark, sf_dir).collect()
+    planted = [r for r in rows if r.media_b == r.media_a + 100000]
+    n_images = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id % 3 = 0"
+    ).count()
+    assert len(planted) >= 0.9 * n_images  # high recall on planted pairs
+    assert all(r.hamming <= 8 for r in rows)
+    assert not [r for r in rows if r.media_b != r.media_a + 100000]  # no FPs
+
+
+def test_ahash_real_codec_stubbed(spark):
+    import pytest as _pytest
+
+    from etl_pipeline_spark.operators.multimodal import perceptual_ahash
+
+    df = spark.createDataFrame([(1, bytearray(b"x" * 64))], "media_id long, payload binary")
+    with _pytest.raises(NotImplementedError):
+        perceptual_ahash(df, codec="real")
