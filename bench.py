@@ -82,6 +82,7 @@ HEADLINE = [
     "chisq_event_daypart",
     "corr_lineitem_moments",
     "multimodal_ahash_neardup",
+    "multimodal_video_frame_dedup",
 ]
 
 

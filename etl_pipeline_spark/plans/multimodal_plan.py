@@ -188,3 +188,68 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= _AHASH_HAMMING_MAX)
         .select("media_a", "media_b", hamming.cast("int").alias("hamming"))
     )
+
+
+# --------------------------------------------------------------------------
+# Content-addressed video dedup: two videos are duplicates when they share
+# their sampled keyframe content hashes — the frame-level analog of
+# exact-hash text dedup (a real pipeline stores per-keyframe hashes and
+# dedups on them; frame extraction is the only codec-dependent step).
+# The Spark side joins on the fake kernel's md5 frame digests; the oracle
+# states the SEMANTIC truth the digests encode — frames match iff
+# (payload, frame_idx) match — so it needs no BLOB md5 (DuckDB's md5 is
+# VARCHAR-only) and simultaneously documents the no-collision assumption
+# every hash-dedup relies on. Exact-copy videos are planted at
+# media_id+100000, mirroring the image query's planted perturbations.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_video_frame_dedup",
+    oracle="""
+        WITH vids AS (
+            SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
+            UNION ALL
+            SELECT doc_id + 100000 AS media_id, text
+            FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT a.media_id AS video_a, b.media_id AS video_b,
+               CAST(1 + (octet_length(encode(a.text)) % 4) AS INT)
+                   AS n_shared_frames
+        FROM vids a
+        JOIN vids b ON a.text = b.text AND a.media_id < b.media_id
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_table_from_documents(docs).filter(F.col("kind") == "video")
+    planted = media.select(
+        (F.col("media_id") + 100000).alias("media_id"),
+        F.col("kind"),
+        F.col("payload"),
+    )
+    both = media.select("media_id", "kind", "payload").unionByName(planted)
+    frames = sample_frames(both, max_frames=4, codec="fake")
+    a = frames.select(
+        F.col("media_id").alias("video_a"),
+        F.col("frame_idx").alias("idx_a"),
+        F.col("frame_payload").alias("fa"),
+    )
+    b = frames.select(
+        F.col("media_id").alias("video_b"),
+        F.col("frame_idx").alias("idx_b"),
+        F.col("frame_payload").alias("fb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("fa") == F.col("fb"))
+            & (F.col("idx_a") == F.col("idx_b"))
+            & (F.col("video_a") < F.col("video_b")),
+        )
+        .groupBy("video_a", "video_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_frames"))
+    )
