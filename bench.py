@@ -83,6 +83,7 @@ HEADLINE = [
     "corr_lineitem_moments",
     "multimodal_ahash_neardup",
     "multimodal_video_frame_dedup",
+    "multimodal_audio_features",
 ]
 
 

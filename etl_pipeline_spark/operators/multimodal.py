@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -301,3 +302,74 @@ def perceptual_ahash(media: DataFrame, codec: str = "fake") -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(_ahash, AHASH_SCHEMA)
+
+
+AUDIO_BANDS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("band", IntegerType(), False),
+        StructField("n_in_band", IntegerType(), False),
+        StructField("energy", DoubleType(), False),
+    ]
+)
+
+
+def audio_band_energies(
+    media: DataFrame, n_bands: int = 8, codec: str = "fake"
+) -> DataFrame:
+    """Per-band mean signal energy per audio payload — the feature block
+    a speech/music pipeline extracts before filtering (silence, clipping,
+    bandwidth checks).
+
+    ``codec="real"`` is where torchaudio/librosa STFT band energies plug
+    in (unavailable in this container); ``codec="fake"`` treats the raw
+    payload bytes as 8-bit samples and partitions them into ``n_bands``
+    contiguous segments (sample i → band (i·n_bands)//n) — deterministic
+    and SQL-recomputable, with the mean computed as Σ/| | in both engines.
+    Energies use the portable FLOOR(x·1e6+0.5)/1e6 half-up (small-integer
+    rationals land exactly on native ROUND() tie boundaries).
+    """
+    if codec == "real":
+        raise NotImplementedError(
+            "real audio decoding (torchaudio/librosa) is not available in "
+            "this environment; use codec='fake' for the byte-sample kernel"
+        )
+    if codec != "fake":
+        raise ValueError(f"unknown codec {codec!r}")
+
+    import math as _math
+
+    def _bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, bands, counts, energies = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = len(data)
+                sums = [0] * n_bands
+                cnts = [0] * n_bands
+                for i, byte in enumerate(data):
+                    b = (i * n_bands) // n
+                    sums[b] += byte
+                    cnts[b] += 1
+                for b in range(n_bands):
+                    if cnts[b] == 0:
+                        continue
+                    mean = sums[b] / cnts[b]
+                    ids.append(mid)
+                    bands.append(b)
+                    counts.append(cnts[b])
+                    energies.append(_math.floor(mean * 1e6 + 0.5) / 1e6)
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "band": bands,
+                    "n_in_band": counts,
+                    "energy": energies,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _bands, AUDIO_BANDS_SCHEMA
+    )

@@ -253,3 +253,39 @@ def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("video_a", "video_b")
         .agg(F.count(F.lit(1)).cast("int").alias("n_shared_frames"))
     )
+
+
+# --------------------------------------------------------------------------
+# Audio band energies — completes the modality trio (image: perceptual
+# aHash; video: content-addressed keyframes; audio: per-band energy
+# features). The fake kernel reads payload bytes as 8-bit samples split
+# into 8 contiguous bands; the oracle recomputes Σ/| | per band from
+# substr/ascii over generated positions. At scale the per-row work is a
+# single Arrow pass; the oracle's position explosion is DuckDB-only.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_audio_features",
+    oracle="""
+        WITH px AS (
+            SELECT doc_id AS media_id,
+                   CAST((i.i * 8) // len(text) AS INT) AS band,
+                   ascii(substr(text, i.i + 1, 1)) AS p
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(0, len(text) - 1)) AS i) i
+            WHERE doc_id % 3 = 1
+        )
+        SELECT media_id, band,
+               CAST(COUNT(*) AS INT) AS n_in_band,
+               FLOOR((SUM(p) * 1.0 / COUNT(*)) * 1e6 + 0.5) / 1e6 AS energy
+        FROM px GROUP BY media_id, band
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.operators.multimodal import audio_band_energies
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_table_from_documents(docs).filter(F.col("kind") == "audio")
+    return audio_band_energies(media, n_bands=8, codec="fake")

@@ -145,3 +145,18 @@ def test_ahash_real_codec_stubbed(spark):
     df = spark.createDataFrame([(1, bytearray(b"x" * 64))], "media_id long, payload binary")
     with _pytest.raises(NotImplementedError):
         perceptual_ahash(df, codec="real")
+
+
+def test_audio_band_energies_partition_payload(spark):
+    from etl_pipeline_spark.operators.multimodal import audio_band_energies
+
+    # 16 bytes of known values -> 8 bands of 2 bytes each
+    payload = bytes(range(16))
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = {r.band: r for r in audio_band_energies(df, n_bands=8).collect()}
+    assert set(rows) == set(range(8))
+    for b in range(8):
+        assert rows[b].n_in_band == 2
+        assert rows[b].energy == (2 * b + (2 * b + 1)) / 2.0
