@@ -84,6 +84,7 @@ HEADLINE = [
     "multimodal_ahash_neardup",
     "multimodal_video_frame_dedup",
     "multimodal_audio_features",
+    "embedding_outliers_topk",
 ]
 
 

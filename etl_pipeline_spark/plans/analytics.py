@@ -183,3 +183,64 @@ def corr_lineitem_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, (x, y) in cols.items()
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space outliers — distance to the corpus centroid, the cheap
+# embedding-quality gate (mis-embedded or off-distribution vectors rank
+# first). The centroid is a 64-row per-dimension mean relation, rounded
+# to 6 dp BEFORE use so both engines proceed from bit-identical
+# centroids (raw double means differ in the last ulps between partial-
+# aggregation orders); distances then use the portable floor half-up.
+# Plan: one explode + two grouped aggregates + a broadcast join — no
+# all-pairs anything, and the final top-k is TakeOrdered.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_outliers_topk",
+    oracle="""
+        WITH px AS (
+            SELECT vec_id, i.i AS pos,
+                   CAST(embedding[i.i + 1] AS DOUBLE) AS v
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(0, 63)) AS i) i
+        ),
+        cen AS (
+            SELECT pos,
+                   FLOOR((SUM(v) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS c
+            FROM px GROUP BY pos
+        ),
+        d AS (
+            SELECT px.vec_id,
+                   SUM((px.v - cen.c) * (px.v - cen.c)) AS d2
+            FROM px JOIN cen USING (pos)
+            GROUP BY px.vec_id
+        )
+        SELECT vec_id,
+               FLOOR(SQRT(d2) * 1e6 + 0.5) / 1e6 AS centroid_dist
+        FROM d
+        ORDER BY centroid_dist DESC, vec_id ASC
+        LIMIT 20
+    """,
+    tags=("llm", "similarity", "quality"),
+)
+def embedding_outliers_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    px = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "v0")
+    ).select("vec_id", "pos", F.col("v0").cast("double").alias("v"))
+    cen = px.groupBy("pos").agg(
+        F.expr("FLOOR((SUM(v) / COUNT(*)) * 1e6 + 0.5) / 1e6").alias("c")
+    )
+    d = (
+        px.join(F.broadcast(cen), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
+    )
+    return (
+        d.select(
+            "vec_id",
+            F.expr("FLOOR(SQRT(d2) * 1e6 + 0.5) / 1e6").alias("centroid_dist"),
+        )
+        .orderBy(F.desc("centroid_dist"), F.asc("vec_id"))
+        .limit(20)
+    )
