@@ -85,6 +85,8 @@ HEADLINE = [
     "multimodal_video_frame_dedup",
     "multimodal_audio_features",
     "embedding_outliers_topk",
+    "split_leakage_check",
+    "novelty_rate_docs",
 ]
 
 

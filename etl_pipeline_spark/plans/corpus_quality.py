@@ -537,3 +537,128 @@ def cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = cooccurrence_pairs(li, "l_orderkey", "l_suppkey")
         _EDGE_CACHE[key] = topk_neighbor_edges(pairs, k=3).persist()
     return _EDGE_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage check: near-duplicate pairs that CROSS the train/valid/
+# test boundary are evaluation leakage — a test doc whose near-dup sits
+# in train inflates every benchmark number. The canonical pre-training
+# audit: near-dup pairs (exact Jaccard >= 0.5, LSH-gated at scale) joined
+# to both endpoints' deterministic split labels, counted per (split_a,
+# split_b) cell. Off-diagonal cells are the leakage report. Reuses the
+# shared shingle relation and the hash-bucket split assignment verbatim.
+# ---------------------------------------------------------------------------
+def _leakage_oracle() -> str:
+    from etl_pipeline_spark.operators.sampling import split_label_sql
+    from etl_pipeline_spark.plans.llm import _JACCARD_PAIRS_DUCK, _SPLIT_WEIGHTS
+
+    split = split_label_sql("doc_id", "r1", _SPLIT_WEIGHTS)
+    return f"""
+        WITH pairs AS ({_JACCARD_PAIRS_DUCK}),
+        splits AS (SELECT doc_id, {split} AS split FROM documents)
+        SELECT sa.split AS split_a, sb.split AS split_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(sa.split <> sb.split AS INT) AS is_leakage
+        FROM pairs p
+        JOIN splits sa ON sa.doc_id = p.doc_a
+        JOIN splits sb ON sb.doc_id = p.doc_b
+        GROUP BY sa.split, sb.split
+    """
+
+
+@register(
+    "split_leakage_check",
+    oracle=_leakage_oracle(),
+    tags=("llm", "dedup", "eval", "splits"),
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.sampling import assign_splits
+    from etl_pipeline_spark.plans.llm import (
+        _SPLIT_WEIGHTS,
+        _jaccard_pairs,
+    )
+
+    pairs = _jaccard_pairs(spark, sf_dir, threshold=0.5)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    splits = assign_splits(docs, "doc_id", _SPLIT_WEIGHTS, seed="r1").select(
+        "doc_id", "split"
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn(
+            "is_leakage", (F.col("split_a") != F.col("split_b")).cast("int")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Novelty rate: the fraction of each document's 16-token chunks that no
+# EARLIER document (smaller doc_id = earlier ingest) already contains —
+# the freshness metric an incremental pretraining pipeline tracks per
+# batch (a crawl whose novelty collapses is re-crawling what it has).
+# First-seen owner per chunk is one min-aggregate on the chunk hash; the
+# per-doc ratio is a second grouped aggregate. Distinct chunks per doc
+# (a doc repeating its own chunk is not "seen elsewhere").
+# ---------------------------------------------------------------------------
+@register(
+    "novelty_rate_docs",
+    oracle="""
+        WITH chunks AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(
+                       list_slice(string_split(text, ' '), c * 16 + 1, c * 16 + 16),
+                       ' ')) AS chash
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(
+                           0, CAST(ceil(len(string_split(text, ' ')) / 16.0) AS BIGINT) - 1
+                       )) AS c
+                FROM documents
+            )
+        ),
+        firstseen AS (
+            SELECT chash, MIN(doc_id) AS first_doc FROM chunks GROUP BY chash
+        )
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN f.first_doc = c.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               ROUND(SUM(CASE WHEN f.first_doc = c.doc_id THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS novelty
+        FROM chunks c JOIN firstseen f USING (chash)
+        GROUP BY c.doc_id
+    """,
+    tags=("llm", "dedup", "quality"),
+)
+def novelty_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform("
+                " sequence(0, CAST(ceil(size(split(text, ' ')) / 16.0) AS INT) - 1),"
+                " c -> md5(concat_ws(' ', slice(split(text, ' '), c * 16 + 1, 16)))))"
+            )
+        ).alias("chash"),
+    )
+    firstseen = chunks.groupBy("chash").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        chunks.join(firstseen, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel) * 1.0 / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )
