@@ -247,6 +247,8 @@ def topk_neighbor_edges(pairs: DataFrame, k: int = 3) -> DataFrame:
     degree-ordered orientation in the triangle join is the standard fix
     (see ``triangle_stats``).
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     directed = pairs.select("item_a", "item_b", "n_shared").unionByName(
         pairs.select(
             F.col("item_b").alias("item_a"),
@@ -352,6 +354,8 @@ def label_propagation(
     neighbors and no label pressure — callers union them back unchanged
     if needed).
     """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     enc = 4294967296  # 2^32
     sym = symmetrize(edges, src, dst).persist()
     labels = (

@@ -285,6 +285,11 @@ def perceptual_ahash(media: DataFrame, codec: str = "fake") -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
                 n = len(data)
+                if n == 0:  # empty payload: all-zero hash, no crash
+                    ids.append(mid)
+                    his.append(0)
+                    los.append(0)
+                    continue
                 pixels = [data[(i * n) // 64] for i in range(64)]
                 mean = sum(pixels) / 64.0
                 hi = lo = 0
@@ -337,6 +342,9 @@ def audio_band_energies(
     if codec != "fake":
         raise ValueError(f"unknown codec {codec!r}")
 
+    if n_bands < 1:
+        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
+
     import math as _math
 
     def _bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -347,6 +355,8 @@ def audio_band_energies(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
                 n = len(data)
+                if n == 0:  # empty payload: no bands, no crash
+                    continue
                 sums = [0] * n_bands
                 cnts = [0] * n_bands
                 for i, byte in enumerate(data):

@@ -45,6 +45,8 @@ def exclusive_prefix_sum(
     `id_col` must be unique non-negative integers (the deterministic
     corpus order). Output keeps all input columns.
     """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
     bucket = (F.col(id_col) / F.lit(bucket_width)).cast("bigint").alias("__bucket")
     rows = df.withColumn("__bucket", bucket)
 
@@ -86,6 +88,8 @@ def pack_sequences(
     standard pretraining convention — the tail spills into the next
     block).
     """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
     with_cum = exclusive_prefix_sum(df, id_col, size_col, bucket_width)
     return with_cum.withColumn(
         "seq_id", F.expr(f"cum_excl DIV {budget}").cast("bigint")

@@ -255,3 +255,33 @@ def test_corr_moments_match_numpy(spark, sf_dir):
     np_r = np.corrcoef(li.l_quantity, li.l_extendedprice)[0, 1]
     assert abs(row.r_qty_price - np_r) < 1e-5
     assert abs(row.r_qty_discount) < 0.1  # independent columns
+
+
+def test_operator_guards(spark):
+    import pytest as _pytest
+
+    from etl_pipeline_spark.operators.graph import (
+        label_propagation,
+        topk_neighbor_edges,
+    )
+    from etl_pipeline_spark.operators.multimodal import (
+        audio_band_energies,
+        perceptual_ahash,
+    )
+    from etl_pipeline_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 2)], "id bigint, n bigint")
+    with _pytest.raises(ValueError):
+        pack_sequences(df, "id", "n", budget=0)
+    pairs = spark.createDataFrame([(1, 2, 3)], "item_a bigint, item_b bigint, n_shared bigint")
+    with _pytest.raises(ValueError):
+        topk_neighbor_edges(pairs, k=0)
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with _pytest.raises(ValueError):
+        label_propagation(edges, n_iter=0)
+    media = spark.createDataFrame([(1, bytearray(b""))], "media_id long, payload binary")
+    with _pytest.raises(ValueError):
+        audio_band_energies(media, n_bands=0)
+    # empty payloads don't crash the Arrow kernels
+    assert perceptual_ahash(media).collect()[0].ahash_hi == 0
+    assert audio_band_energies(media).count() == 0
