@@ -364,24 +364,36 @@ def label_propagation(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(n_iter):
-        counts = (
-            sym.join(labels, sym["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        labels = (
-            counts.groupBy("node")
-            .agg(
-                F.max(
-                    F.col("cnt") * F.lit(enc) + (F.lit(enc - 1) - F.col("label"))
-                ).alias("score")
+    n = labels.count()
+    sess = edges.sparkSession
+    old_sp = sess.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # state-sized rounds with a parallelism floor — same rule (and
+        # rationale) as pagerank above
+        floor = min(8, sess.sparkContext.defaultParallelism)
+        sess.conf.set("spark.sql.shuffle.partitions", str(max(floor, n // 100_000)))
+        for _ in range(n_iter):
+            counts = (
+                sym.join(labels, sym["src"] == labels["node"])
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            .select(
-                "node",
-                (F.lit(enc - 1) - F.col("score") % F.lit(enc)).alias("label"),
+            labels = (
+                counts.groupBy("node")
+                .agg(
+                    F.max(
+                        F.col("cnt") * F.lit(enc) + (F.lit(enc - 1) - F.col("label"))
+                    ).alias("score")
+                )
+                .select(
+                    "node",
+                    (F.lit(enc - 1) - F.col("score") % F.lit(enc)).alias("label"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
+    finally:
+        # every round is materialized above, so restoring the session's
+        # shuffle sizing here cannot retroactively change the result
+        sess.conf.set("spark.sql.shuffle.partitions", old_sp)
     sym.unpersist()
     return labels
