@@ -285,3 +285,28 @@ def test_operator_guards(spark):
     # empty payloads don't crash the Arrow kernels
     assert perceptual_ahash(media).collect()[0].ahash_hi == 0
     assert audio_band_energies(media).count() == 0
+
+
+def test_prefix_sum_property_random(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=60),
+        width=st.integers(min_value=1, max_value=16),
+    )
+    def check(sizes, width):
+        df = spark.createDataFrame(
+            list(enumerate(sizes)), "id bigint, n bigint"
+        )
+        out = {
+            r["id"]: r["cum_excl"]
+            for r in exclusive_prefix_sum(df, "id", "n", bucket_width=width).collect()
+        }
+        acc = 0
+        for i, n in enumerate(sizes):
+            assert out[i] == acc
+            acc += n
+
+    check()

@@ -355,3 +355,28 @@ def test_streaming_dedup_within_watermark_bounded_state(spark):
     # availableNow over one static slice: watermark only advances between
     # triggers, so every duplicate inside the slice is suppressed
     assert got.count() == n_users
+
+
+def test_streaming_quantile_cells_equal_batch(spark):
+    """windowed_quantiles consumes a windows × bins cell relation; the
+    streaming value histogram maintains exactly that state incrementally.
+    Pinned equal per (window, bin) under fixed lo/hi and one global key."""
+    from etl_pipeline_spark.sources.star import load_table
+    from etl_pipeline_spark.streaming.drift import bin_expr, value_histogram
+    from etl_pipeline_spark.streaming.windows import events_stream, run_available_now
+
+    ev = load_table(spark, SF_DIR, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    stream = events_stream(spark, SF_DIR).withColumn("k", F.lit("all"))
+    streamed = run_available_now(
+        value_histogram(stream, lo, hi, nbins=32, window="6 hours", key_col="k"),
+        "wq_cells_test",
+    )
+    got = {(r.win_start_epoch, r.bin): r.n for r in streamed.collect()}
+    batch = ev.groupBy(
+        F.expr("(ts div 21600000000000) * 21600").alias("w"),
+        bin_expr("value", lo, hi, 32).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    want = {(r.w, r.bin): r.n for r in batch.collect()}
+    assert got == want
+    assert len(want) > 100  # non-trivial state
