@@ -87,6 +87,7 @@ HEADLINE = [
     "embedding_outliers_topk",
     "split_leakage_check",
     "novelty_rate_docs",
+    "kmeans_embedding_clusters",
 ]
 
 

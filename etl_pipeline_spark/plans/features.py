@@ -275,3 +275,82 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / CAST({ex} AS BIGINT), 6)"
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational k-means (Lloyd's, fixed 3 rounds, k=4) over the embedding
+# corpus — the classic iterative-ML primitive with the full engine
+# treatment: zero-exchange assignment over a one-row broadcast centroid
+# array, k·dim-cell update shuffles, per-round 6-dp centroid rounding so
+# both engines (whose raw double means differ in final ulps) proceed from
+# bit-identical centroids, and a DuckDB oracle that unrolls the rounds as
+# chained CTEs. Output: cluster sizes + the smallest member id.
+# ---------------------------------------------------------------------------
+_KM_K = 4
+_KM_ITER = 3
+
+
+def _kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
+    parts = [
+        f"""
+        px AS (
+            SELECT vec_id, i.i AS pos,
+                   CAST(embedding[i.i + 1] AS DOUBLE) AS v
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(0, 63)) AS i) i
+        ),
+        init AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}),
+        c0 AS (
+            SELECT r.j, p.pos, FLOOR(p.v * 1e6 + 0.5) / 1e6 AS c
+            FROM (SELECT vec_id,
+                         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+                  FROM init) r
+            JOIN px p USING (vec_id)
+        )"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""
+        a{t} AS (
+            SELECT vec_id, j AS cluster FROM (
+                SELECT p.vec_id, c.j,
+                       ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                           ORDER BY FLOOR(SUM((p.v - c.c) * (p.v - c.c))
+                                          * 1e6 + 0.5), c.j) AS r
+                FROM px p JOIN c{t - 1} c USING (pos)
+                GROUP BY p.vec_id, c.j
+            ) WHERE r = 1
+        )"""
+        )
+        if t < n_iter:
+            parts.append(
+                f"""
+        c{t} AS (
+            SELECT a.cluster AS j, p.pos,
+                   FLOOR((SUM(p.v) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS c
+            FROM a{t} a JOIN px p USING (vec_id)
+            GROUP BY a.cluster, p.pos
+        )"""
+            )
+    return f"""
+        WITH {",".join(parts)}
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+               MIN(vec_id) AS min_vec
+        FROM a{n_iter} GROUP BY cluster
+    """
+
+
+@register(
+    "kmeans_embedding_clusters",
+    oracle=_kmeans_oracle(),
+    tags=("ml", "iterative", "similarity"),
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.clustering import kmeans_fit_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit_assign(emb, k=_KM_K, n_iter=_KM_ITER)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("vec_id").alias("min_vec"),
+    )

@@ -310,3 +310,43 @@ def test_prefix_sum_property_random(spark):
             acc += n
 
     check()
+
+
+# ----------------------------------------------------------------- k-means
+def test_kmeans_separates_planted_blobs(spark):
+    from etl_pipeline_spark.operators.clustering import kmeans_fit_assign
+
+    # two tight 4-d blobs around (0,...) and (10,...): k=2 must split them
+    rows = []
+    for i in range(20):
+        base = 0.0 if i < 10 else 10.0
+        rows.append((i, [base + 0.01 * (i % 5), base, base, base]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r.cluster for r in kmeans_fit_assign(df, k=2, n_iter=3).collect()}
+    lo = {out[i] for i in range(10)}
+    hi = {out[i] for i in range(10, 20)}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi
+
+
+def test_kmeans_deterministic(spark):
+    from etl_pipeline_spark.operators.clustering import kmeans_fit_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted((r.vec_id, r.cluster) for r in kmeans_fit_assign(emb).collect())
+    b = sorted((r.vec_id, r.cluster) for r in kmeans_fit_assign(emb).collect())
+    assert a == b
+
+
+def test_kmeans_guards(spark):
+    import pytest as _pytest
+
+    from etl_pipeline_spark.operators.clustering import kmeans_fit_assign
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id bigint, embedding array<double>")
+    with _pytest.raises(ValueError):
+        kmeans_fit_assign(df, k=0)
+    with _pytest.raises(ValueError):
+        kmeans_fit_assign(df, n_iter=0)
+    empty = df.filter("vec_id < 0")
+    with _pytest.raises(ValueError):
+        kmeans_fit_assign(empty)
