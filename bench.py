@@ -88,6 +88,7 @@ HEADLINE = [
     "split_leakage_check",
     "novelty_rate_docs",
     "kmeans_embedding_clusters",
+    "nb_lang_classifier_eval",
 ]
 
 

@@ -354,3 +354,119 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.min("vec_id").alias("min_vec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier — train on even doc_ids,
+# score the odd half, report the confusion matrix. The learned
+# counterpart of the heuristic lang_id_confusion: per-(token, lang)
+# Laplace-smoothed log-likelihoods + log priors, argmax over languages.
+# The model relation is vocab × langs (broadcast — a model IS a small
+# relation); scoring joins each test token against it map-side, so the
+# only shuffle is the per-(doc, lang) score sum, test-volume-sized.
+# Scores are scaled to integers (FLOOR(score·1e6 + 0.5)) before the
+# argmax so both engines break near-ties identically (ties -> smaller
+# lang). The synthetic corpus shares one vocabulary across languages
+# (only marker-token densities differ), so accuracy sits near the prior
+# — as with lang_id_confusion, the point is the operator shape
+# (train relation -> broadcast model -> score -> argmax -> confusion),
+# not model quality on word-soup fixtures.
+# ---------------------------------------------------------------------------
+@register(
+    "nb_lang_classifier_eval",
+    oracle="""
+        WITH train AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        test_toks AS (
+            SELECT doc_id, lang AS true_lang,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        cnt AS (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM train GROUP BY lang, tok
+        ),
+        lang_tot AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM train GROUP BY lang
+        ),
+        vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM train),
+        total AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d FROM train),
+        scored AS (
+            SELECT t.doc_id, t.true_lang, lt.lang,
+                   FLOOR((LN(CAST(lt.n_docs AS DOUBLE) / tot.d)
+                          + SUM(LN((COALESCE(c.c, 0) + 1.0)
+                                   / (lt.n_tok + vb.v))))
+                         * 1e6 + 0.5) AS s
+            FROM test_toks t
+            CROSS JOIN lang_tot lt
+            CROSS JOIN vocab vb
+            CROSS JOIN total tot
+            LEFT JOIN cnt c ON c.lang = lt.lang AND c.tok = t.tok
+            GROUP BY t.doc_id, t.true_lang, lt.lang, lt.n_docs, lt.n_tok,
+                     vb.v, tot.d
+        ),
+        pred AS (
+            SELECT doc_id, true_lang, lang AS predicted FROM (
+                SELECT doc_id, true_lang, lang,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY s DESC, lang ASC) AS r
+                FROM scored
+            ) WHERE r = 1
+        )
+        SELECT true_lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY true_lang, predicted
+    """,
+    tags=("ml", "text", "nb"),
+)
+def nb_lang_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    test_toks = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    cnt = train.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    lang_tot = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    vocab = train.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    total = train.agg(F.countDistinct("doc_id").cast("bigint").alias("d"))
+    scored = (
+        test_toks.crossJoin(F.broadcast(lang_tot))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(cnt).withColumnRenamed("lang", "c_lang"),
+            (F.col("c_lang") == F.col("lang")) & (cnt["tok"] == test_toks["tok"]),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "lang", "n_docs", "n_tok", "v", "d")
+        .agg(
+            F.expr(
+                "FLOOR((LN(CAST(n_docs AS DOUBLE) / d)"
+                " + SUM(LN((COALESCE(c, 0) + 1.0) / (n_tok + v))))"
+                " * 1e6 + 0.5)"
+            ).alias("s")
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("lang"))
+    pred = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("doc_id", "true_lang", F.col("lang").alias("predicted"))
+    )
+    return pred.groupBy("true_lang", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
