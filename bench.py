@@ -89,6 +89,7 @@ HEADLINE = [
     "novelty_rate_docs",
     "kmeans_embedding_clusters",
     "nb_lang_classifier_eval",
+    "bpe_top_merges",
 ]
 
 

@@ -470,3 +470,128 @@ def nb_lang_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", "predicted").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training, in-engine: the first 3 byte-pair-encoding merges
+# learned from the corpus (Sennrich et al., arXiv:1508.07909) — the
+# tokenizer-training primitive. The state is the (word, freq) VOCABULARY
+# relation, not the corpus: the corpus appears only in the initial word
+# count (exactly how production BPE trainers work), so every round's pair
+# count and merge application run on vocab-sized data. Each round:
+# adjacent-symbol pair counts weighted by word frequency → argmax pair
+# (count DESC, pair ASC) → merge applied as left-to-right non-overlapping
+# replacement iterated to fixpoint (6 nested replace() calls — both
+# engines share Java/C++ replace semantics, and fixpoint equals BPE's
+# greedy application; corpus words are <= 12 symbols). Rounds compose
+# into ONE lazy plan — no driver actions between merges.
+# ---------------------------------------------------------------------------
+_BPE_STEPS = 3
+_BPE_REP_DEPTH = 6
+
+
+def _bpe_rep(seq: str, x: str, y: str) -> str:
+    """Nested replace-to-fixpoint of ' x y ' -> ' xy ' in `seq`."""
+    out = seq
+    for _ in range(_BPE_REP_DEPTH):
+        out = (
+            f"replace({out}, ' ' || {x} || ' ' || {y} || ' ',"
+            f" ' ' || {x} || {y} || ' ')"
+        )
+    return out
+
+
+def _bpe_oracle(steps: int = _BPE_STEPS) -> str:
+    parts = [
+        """
+        v0 AS (
+            SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq,
+                   CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word
+        )"""
+    ]
+    for t in range(1, steps + 1):
+        prev = f"v{t - 1}"
+        parts.append(
+            f"""
+        p{t} AS (
+            SELECT pr.x, pr.y, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT freq,
+                       unnest(list_transform(
+                           generate_series(1, len(string_split(trim(seq), ' ')) - 1),
+                           i -> struct_pack(
+                               x := string_split(trim(seq), ' ')[i],
+                               y := string_split(trim(seq), ' ')[i + 1])
+                       )) AS pr
+                FROM {prev}
+            )
+            GROUP BY pr.x, pr.y
+        ),
+        b{t} AS (
+            SELECT x, y, cnt FROM p{t} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
+        ),
+        v{t} AS (
+            SELECT {_bpe_rep("v.seq", "b.x", "b.y")} AS seq, v.freq
+            FROM {prev} v CROSS JOIN b{t} b
+        )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {t} AS step, x AS left_sym, y AS right_sym, cnt AS pair_count FROM b{t}"
+        for t in range(1, steps + 1)
+    )
+    return f"WITH {','.join(parts)} {selects}"
+
+
+@register(
+    "bpe_top_merges",
+    oracle=_bpe_oracle(),
+    tags=("ml", "text", "tokenizer", "iterative"),
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            F.expr(
+                "' ' || array_join(split(word, ''), ' ') || ' '"
+            ).alias("seq"),
+            "freq",
+        )
+    )
+    # NB sequence(1, 0) DESCENDS in Spark — the 1-symbol case needs an
+    # explicit empty array, not a greatest() clamp
+    pair_expr = (
+        "explode(CASE WHEN size(split(trim(seq), ' ')) < 2"
+        " THEN CAST(array() AS array<struct<x: string, y: string>>)"
+        " ELSE transform("
+        " sequence(1, size(split(trim(seq), ' ')) - 1),"
+        " i -> struct(element_at(split(trim(seq), ' '), i) AS x,"
+        "             element_at(split(trim(seq), ' '), i + 1) AS y))"
+        " END)"
+    )
+    bests = []
+    for _t in range(1, _BPE_STEPS + 1):
+        pairs = (
+            v.select("freq", F.expr(pair_expr).alias("pr"))
+            .groupBy(F.col("pr.x").alias("x"), F.col("pr.y").alias("y"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("x"), F.asc("y")).limit(1)
+        bests.append(best)
+        v = v.crossJoin(F.broadcast(best.select("x", "y"))).select(
+            F.expr(_bpe_rep("seq", "x", "y")).alias("seq"), "freq"
+        )
+    out = None
+    for t, b in enumerate(bests, start=1):
+        row = b.select(
+            F.lit(t).alias("step"),
+            F.col("x").alias("left_sym"),
+            F.col("y").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -106,7 +106,7 @@ PRIORITY: tuple[str, ...] = (
     "cohort_retention_users", "chisq_event_daypart", "corr_lineitem_moments",
     "multimodal_ahash_neardup", "multimodal_video_frame_dedup",
     "multimodal_audio_features", "embedding_outliers_topk",
-    "split_leakage_check", "novelty_rate_docs", "kmeans_embedding_clusters", "nb_lang_classifier_eval",
+    "split_leakage_check", "novelty_rate_docs", "kmeans_embedding_clusters", "nb_lang_classifier_eval", "bpe_top_merges",
     "q1_pricing_summary",
     "q2_min_cost_supplier", "q3_top_unshipped_orders", "q4_order_priority_check",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
