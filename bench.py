@@ -143,7 +143,19 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Truncation-proofing (BENCH_r03's single line overflowed the
+    # driver's tail capture): persist the full JSON to bench_out.json
+    # FIRST, then print the line with an explicit flush.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError as exc:
+        print(f"BENCH-WARN could not write bench_out.json: {exc}", file=sys.stderr)
+    print(line, flush=True)
     if errors:
         sys.exit(1)
 

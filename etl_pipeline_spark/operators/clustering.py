@@ -11,13 +11,16 @@ The classic iterative ML primitive, Spark-first:
   (cluster, pos) — the exchange carries k·dim cells after map-side
   partial aggregation, never the corpus.
 - Rounds run a FIXED iteration count and every round's centroids are
-  rounded to 6 dp (portable FLOOR half-up) before use, so two engines
-  (or two cluster topologies) proceed from bit-identical centroids each
-  round — raw double means differ in final ulps across partial-agg
-  orders, and k-means assignment is discontinuous in the centroids. This
-  is what makes the whole fit oracle-checkable: the DuckDB twin unrolls
-  the rounds as chained CTEs (the PageRank-oracle device) and the final
-  assignment matches row-for-row.
+  rounded to 6 dp (portable FLOOR half-up) before use. The rounding
+  collapses the sub-ulp differences partial-agg summation order
+  introduces between engines/topologies, so cross-engine parity is
+  STABLE AWAY FROM ROUNDING BOUNDARIES — a grouped double SUM landing
+  within ~1 ulp of a 0.5e-6 boundary could still round differently and
+  (k-means being discontinuous in its centroids) flip an assignment.
+  Probability ~0 per cell on real data, and the oracle-parity tests
+  would catch it; noted because "bit-identical" would overclaim. The
+  DuckDB twin unrolls the rounds as chained CTEs (the PageRank-oracle
+  device) and the final assignment matches row-for-row.
 
 Determinism: init = first k vectors by id; distance ties break toward
 the smaller cluster id (struct comparison on (rounded d², j)).

@@ -70,6 +70,10 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
             ids: list = []
             fps: list[str] = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
+                # SQL null semantics: null text/id rows produce nothing
+                # (matches the relational form the oracle pins)
+                if did is None or not isinstance(text, str):
+                    continue
                 ng = max(len(text) - k + 1, 1)
                 grams = [
                     hashlib.md5(text[i : i + k].encode("utf-8")).hexdigest()

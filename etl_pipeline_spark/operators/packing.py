@@ -47,7 +47,10 @@ def exclusive_prefix_sum(
     """
     if bucket_width < 1:
         raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
-    bucket = (F.col(id_col) / F.lit(bucket_width)).cast("bigint").alias("__bucket")
+    # integer DIV, not double division: (id / w).cast('bigint') loses
+    # exactness for ids >= 2^53 (the 10B+-row regime this targets); ids
+    # are documented non-negative so DIV == floor
+    bucket = F.expr(f"{id_col} DIV {bucket_width}").alias("__bucket")
     rows = df.withColumn("__bucket", bucket)
 
     totals = rows.groupBy("__bucket").agg(F.sum(size_col).alias("__bucket_total"))

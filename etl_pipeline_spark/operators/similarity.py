@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_pipeline_spark.utils.session_cache import register_cache, session_key
 from etl_pipeline_spark.utils.udfpickle import pickle_module_by_value
 
 pickle_module_by_value(__name__)
@@ -714,7 +715,7 @@ def _probe_local(
 # persisted and the driver-side quantizer artifacts are reused across
 # invocations in the same session; `build_ivfpq_index` is the durable
 # parquet equivalent for real deployments.
-_INDEX_MEMO: dict[tuple, tuple] = {}
+_INDEX_MEMO: dict[tuple, tuple] = register_cache({})
 
 
 def _index_artifacts(key: tuple | None, builder):
@@ -769,7 +770,7 @@ def ivf_topk_relational(
     memo_key = (
         None
         if index_cache_key is None
-        else (id(spark), index_cache_key, "ivf", id_col, vec_col, ncells, sample_limit)
+        else (session_key(spark), index_cache_key, "ivf", id_col, vec_col, ncells, sample_limit)
     )
     pivots, cells = _index_artifacts(memo_key, build)
     id_type, qrows = _collect_queries(corpus.filter(query_filter), id_col, vec_col)
@@ -978,7 +979,7 @@ def pq_topk_relational(
     memo_key = (
         None
         if index_cache_key is None
-        else (id(spark), index_cache_key, "pq", id_col, vec_col, m, ksub, sample_limit)
+        else (session_key(spark), index_cache_key, "pq", id_col, vec_col, m, ksub, sample_limit)
     )
     entries, wide = _index_artifacts(memo_key, build)
     id_type, qrows = _collect_queries(corpus.filter(query_filter), id_col, vec_col)
@@ -1059,7 +1060,7 @@ def ivfpq_topk_relational(
         None
         if index_cache_key is None
         else (
-            id(spark), index_cache_key, "ivfpq",
+            session_key(spark), index_cache_key, "ivfpq",
             id_col, vec_col, ncells, m, ksub, sample_limit,
         )
     )
@@ -1230,6 +1231,15 @@ def sq8_stats(corpus: DataFrame, vec_col: str, dim: int) -> list[tuple[float, fl
         .collect()
     )
     by_pos = {r["pos"]: (r["mn"], r["mx"]) for r in rows}
+    missing = [i for i in range(dim) if i not in by_pos]
+    if missing:
+        # empty corpus or ragged/short vectors: fail with the cause, not
+        # a bare KeyError from the comprehension below
+        raise ValueError(
+            f"sq8_stats: no values observed for dimension(s) {missing[:8]}"
+            f"{'...' if len(missing) > 8 else ''} of {dim} — corpus is empty "
+            f"or vectors are shorter than dim={dim}"
+        )
     return [by_pos[i] for i in range(dim)]
 
 

@@ -40,6 +40,7 @@ from etl_pipeline_spark.operators.graph import (
 )
 from etl_pipeline_spark.operators.packing import pack_sequences
 from etl_pipeline_spark.operators.sampling import hash_u32_sql
+from etl_pipeline_spark.utils.session_cache import register_cache, session_key
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
 
@@ -527,11 +528,11 @@ def triangle_cosupplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # union sides + three join aliases) — one materialization instead of ~7
 # recomputes of the order-pair self-join. Same discipline as the shingle
 # cache in plans/llm.py; at scale this is a written-once edge table.
-_EDGE_CACHE: dict[tuple, DataFrame] = {}
+_EDGE_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
 def cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _EDGE_CACHE:
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         pairs = cooccurrence_pairs(li, "l_orderkey", "l_suppkey")
@@ -543,10 +544,16 @@ def cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Split-leakage check: near-duplicate pairs that CROSS the train/valid/
 # test boundary are evaluation leakage — a test doc whose near-dup sits
 # in train inflates every benchmark number. The canonical pre-training
-# audit: near-dup pairs (exact Jaccard >= 0.5, LSH-gated at scale) joined
-# to both endpoints' deterministic split labels, counted per (split_a,
-# split_b) cell. Off-diagonal cells are the leakage report. Reuses the
-# shared shingle relation and the hash-bucket split assignment verbatim.
+# audit: near-dup pairs (exact Jaccard >= 0.5, LSH-gated at scale) with
+# both endpoints' deterministic split labels, counted per (split_a,
+# split_b) cell. Off-diagonal cells are the leakage report.
+#
+# Scale shape: the split label is a PURE HASH EXPRESSION of the id
+# (operators/sampling.py::split_label_sql), so it is computed as a
+# narrow projection directly on the pair endpoints — zero joins, zero
+# broadcast. (The previous revision joined two corpus-sized broadcast
+# relations of per-doc labels; at 100 TB that broadcast is a driver OOM.
+# The oracle keeps its DuckDB-side join — same hash either way.)
 # ---------------------------------------------------------------------------
 def _leakage_oracle() -> str:
     from etl_pipeline_spark.operators.sampling import split_label_sql
@@ -572,26 +579,20 @@ def _leakage_oracle() -> str:
     tags=("llm", "dedup", "eval", "splits"),
 )
 def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_pipeline_spark.operators.sampling import assign_splits
+    from etl_pipeline_spark.operators.sampling import split_label_sql
     from etl_pipeline_spark.plans.llm import (
         _SPLIT_WEIGHTS,
         _jaccard_pairs,
     )
 
     pairs = _jaccard_pairs(spark, sf_dir, threshold=0.5)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    splits = assign_splits(docs, "doc_id", _SPLIT_WEIGHTS, seed="r1").select(
-        "doc_id", "split"
-    )
-    sa = splits.select(
-        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
-    )
-    sb = splits.select(
-        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
-    )
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.withColumn(
+            "split_a", F.expr(split_label_sql("doc_a", "r1", _SPLIT_WEIGHTS))
+        )
+        .withColumn(
+            "split_b", F.expr(split_label_sql("doc_b", "r1", _SPLIT_WEIGHTS))
+        )
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .withColumn(

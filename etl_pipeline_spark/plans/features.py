@@ -281,10 +281,12 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Relational k-means (Lloyd's, fixed 3 rounds, k=4) over the embedding
 # corpus — the classic iterative-ML primitive with the full engine
 # treatment: zero-exchange assignment over a one-row broadcast centroid
-# array, k·dim-cell update shuffles, per-round 6-dp centroid rounding so
-# both engines (whose raw double means differ in final ulps) proceed from
-# bit-identical centroids, and a DuckDB oracle that unrolls the rounds as
-# chained CTEs. Output: cluster sizes + the smallest member id.
+# array, k·dim-cell update shuffles, per-round 6-dp centroid rounding
+# that absorbs the final-ulp differences between engines' partial-agg
+# orders (parity is stable away from rounding boundaries — see the
+# operators/clustering.py docstring for the exact caveat), and a DuckDB
+# oracle that unrolls the rounds as chained CTEs. Output: cluster sizes
+# + the smallest member id.
 # ---------------------------------------------------------------------------
 _KM_K = 4
 _KM_ITER = 3
@@ -364,6 +366,22 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The model relation is vocab × langs (broadcast — a model IS a small
 # relation); scoring joins each test token against it map-side, so the
 # only shuffle is the per-(doc, lang) score sum, test-volume-sized.
+#
+# Scale rule (the unbounded-vocab fix): raw crawl vocabulary is
+# unbounded (10^7+ tokens × langs exceeds broadcast limits), so the
+# vocabulary is HARD-BOUNDED before the model is built — min-df >= 2
+# drops hapax legomena (by Zipf's law roughly half of any real corpus's
+# distinct tokens), then an exact top-``_NB_MAX_VOCAB`` by total count
+# (ties broken by token) caps the rest. The top-k is orderBy+limit =
+# TakeOrderedAndProject (per-partition heaps, driver merges k rows) —
+# NOT a global row_number window, which would collapse the vocabulary
+# relation to one partition. At the cap the model broadcast is a few MB
+# regardless of corpus size; raising the cap past the broadcast
+# threshold degrades gracefully — drop the two F.broadcast hints and the
+# joins become shuffle joins. Out-of-vocabulary test tokens score the
+# Laplace floor 1/(n_tok+v), standard NB practice; priors stay computed
+# over the FULL training split (pruning token features must not change
+# class priors).
 # Scores are scaled to integers (FLOOR(score·1e6 + 0.5)) before the
 # argmax so both engines break near-ties identically (ties -> smaller
 # lang). The synthetic corpus shares one vocabulary across languages
@@ -372,9 +390,13 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (train relation -> broadcast model -> score -> argmax -> confusion),
 # not model quality on word-soup fixtures.
 # ---------------------------------------------------------------------------
+_NB_MIN_DF = 2
+_NB_MAX_VOCAB = 20_000
+
+
 @register(
     "nb_lang_classifier_eval",
-    oracle="""
+    oracle=f"""
         WITH train AS (
             SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
             FROM documents WHERE doc_id % 2 = 0
@@ -384,16 +406,28 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                    unnest(string_split(text, ' ')) AS tok
             FROM documents WHERE doc_id % 2 = 1
         ),
+        kept AS (
+            SELECT tok FROM (
+                SELECT tok, CAST(COUNT(*) AS BIGINT) AS s,
+                       COUNT(DISTINCT doc_id) AS df
+                FROM train GROUP BY tok
+            ) WHERE df >= {_NB_MIN_DF}
+            ORDER BY s DESC, tok ASC LIMIT {_NB_MAX_VOCAB}
+        ),
         cnt AS (
             SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
-            FROM train GROUP BY lang, tok
+            FROM train JOIN kept USING (tok) GROUP BY lang, tok
         ),
         lang_tot AS (
-            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
-                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-            FROM train GROUP BY lang
+            SELECT p.lang, k.n_tok, p.n_docs FROM
+            (SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+             FROM train GROUP BY lang) p
+            JOIN
+            (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tok
+             FROM train JOIN kept USING (tok) GROUP BY lang) k
+            USING (lang)
         ),
-        vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM train),
+        vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM kept),
         total AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d FROM train),
         scored AS (
             SELECT t.doc_id, t.true_lang, lt.lang,
@@ -432,14 +466,35 @@ def nb_lang_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("true_lang"),
         F.explode(F.split("text", " ")).alias("tok"),
     )
-    cnt = train.groupBy("lang", "tok").agg(
+    # min-df + exact top-k prune: TakeOrderedAndProject, never a global
+    # row_number window (see the scale rule in the block comment above)
+    kept = (
+        train.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("s"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("df") >= _NB_MIN_DF)
+        .orderBy(F.desc("s"), F.asc("tok"))
+        .limit(_NB_MAX_VOCAB)
+        .select("tok")
+    )
+    train_kept = train.join(F.broadcast(kept), "tok")
+    cnt = train_kept.groupBy("lang", "tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    lang_tot = train.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tok"),
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    lang_tot = (
+        train.groupBy("lang")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+        .join(
+            train_kept.groupBy("lang").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_tok")
+            ),
+            "lang",
+        )
+        .select("lang", "n_tok", "n_docs")
     )
-    vocab = train.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    vocab = kept.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
     total = train.agg(F.countDistinct("doc_id").cast("bigint").alias("d"))
     scored = (
         test_toks.crossJoin(F.broadcast(lang_tot))

@@ -48,6 +48,7 @@ from etl_pipeline_spark.operators.similarity import (
     pq_topk_relational,
     sign_lsh_topk,
 )
+from etl_pipeline_spark.utils.session_cache import register_cache, session_key
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
 
@@ -70,7 +71,7 @@ _SHINGLES_DUCK = """
 """
 
 
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,7 +83,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes. At true 100 TB scale you'd checkpoint shingles to parquet
     instead of memory-persisting; the plan shape is identical.
     """
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _SHINGLE_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         _SHINGLE_CACHE[key] = shingles(docs, "doc_id", "text", 3).persist()

@@ -359,3 +359,31 @@ def test_winnow_fingerprints_no_exchange_before_join(spark):
     plan = _plan(spark, winnow_fingerprints(docs, k=16, w=8))
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_split_leakage_adds_no_joins_beyond_pair_build(spark):
+    """Split labels are narrow hash projections on the pair endpoints —
+    the leakage rollup adds ZERO joins and ZERO scans on top of the
+    near-dup pair build (the old corpus-sized split broadcasts are a
+    driver OOM at 100 TB)."""
+    from etl_pipeline_spark.plans.llm import _jaccard_pairs
+
+    pairs_plan = _plan(spark, _jaccard_pairs(spark, SF_DIR, threshold=0.5))
+    leak_plan = _plan(
+        spark, REGISTRY["split_leakage_check"].spark_fn(spark, SF_DIR)
+    )
+    for node in ("BroadcastHashJoin", "SortMergeJoin", "Scan parquet"):
+        assert leak_plan.count(node) == pairs_plan.count(node), node
+
+
+def test_nb_vocab_prune_is_topk_and_model_broadcasts(spark):
+    """The NB vocabulary cap is an exact top-k (TakeOrderedAndProject),
+    never a single-partition global window, and the pruned model joins
+    the test tokens via broadcast only."""
+    plan = _plan(
+        spark, REGISTRY["nb_lang_classifier_eval"].spark_fn(spark, SF_DIR)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    # a global row_number over the vocab would show as a 1-partition sort
+    assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[0]
