@@ -90,6 +90,23 @@ HEADLINE = [
     "kmeans_embedding_clusters",
     "nb_lang_classifier_eval",
     "bpe_top_merges",
+    "tfidf_top_terms",
+    "bigram_pmi_top",
+    "bigram_perplexity_quality",
+    "inverted_index_postings",
+    "dedup_canonical_pick",
+    "token_budget_allocation",
+    "jl_projection_distortion",
+    "stratified_kfold_assign",
+    "adamic_adar_link_prediction",
+    "entity_resolution_customers",
+    "interval_merge_sessions",
+    "seasonal_baseline_events",
+    "bootstrap_revenue_ci",
+    "windowed_distinct_users",
+    "skew_salted_join",
+    "k_anonymity_audit",
+    "assoc_rules_events",
 ]
 
 

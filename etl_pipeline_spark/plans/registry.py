@@ -51,20 +51,43 @@ def register(
 # Export order. The driver's correctness run processes exactly the first
 # 50 registered queries per round (CORRECTNESS_r01 truncated there), so
 # the export dicts present a curated priority order that ROTATES each
-# round: rounds 1+2 drove 85 distinct queries green (TPC-H, sketches,
-# streaming windows, ANN, the §2.5 relational families, the LLM dedup
-# family); round 3's window leads with the 44 queries that have never had
-# a driver row — the whole sql_surface family (the stats/drift/checksum
-# queries a real user runs on every load), the text/BM25/decontamination
-# family, SCD2/resample/snapshot/incremental, PageRank and the HLL
-# approx-distinct (both first-time oracle-checked this round), and the
-# new windowed_heavy_hitters — plus regression_detect_metrics (oracle
-# semantics changed this round: direction-aware two-sided flags,
-# left-join n_history=0) and five representatives of already-proven
-# families as cross-round regression signal. Ordering only — every query
-# stays registered and locally parity-checked at three scale factors.
+# round: rounds 1-3 drove 130/158 distinct queries green. Round 4's
+# window leads with the 28 round-3 queries that have never had a driver
+# row (the clustering/NB/BPE/winnowing/CDC/packing/analytics/modality
+# wave), then round 4's NEW queries (driver-checked in their debut
+# round), then five representatives of already-proven families as
+# cross-round regression signal (q1 is additionally smoke-checked every
+# round as the entry() flagship; split_leakage_check and
+# nb_lang_classifier_eval re-prove this round's scale rework, and
+# regression_detect_metrics / cms_partkey_estimates / events_sessionize
+# guard prior rounds). Ordering only — every query stays registered and
+# locally parity-checked at three scale factors.
 PRIORITY: tuple[str, ...] = (
-    # --- the full sql_surface family (never driver-checked before r3)
+    # --- round-3 wave: first driver row this round (28)
+    "winnow_fingerprint_pairs", "dedup_chunk_exact", "cdc_merge_orders",
+    "embedding_sq8_topk", "ann_recall_eval",
+    "quality_filter_gopher", "anomaly_mad_events", "pack_sequences_budget",
+    "temperature_sampled_mix", "dedup_lsh_recall_eval",
+    "triangle_cosupplier_stats",
+    "feature_rolling_events", "target_encode_priority",
+    "lpa_cosupplier_communities", "join_size_estimate", "windowed_quantiles",
+    "cohort_retention_users", "chisq_event_daypart", "corr_lineitem_moments",
+    "multimodal_ahash_neardup", "multimodal_video_frame_dedup",
+    "multimodal_audio_features", "embedding_outliers_topk",
+    "split_leakage_check", "novelty_rate_docs", "kmeans_embedding_clusters",
+    "nb_lang_classifier_eval", "bpe_top_merges",
+    # --- round-4 debut queries (driver-checked in their first round)
+    "tfidf_top_terms", "bigram_pmi_top", "bigram_perplexity_quality",
+    "adamic_adar_link_prediction", "entity_resolution_customers",
+    "interval_merge_sessions", "seasonal_baseline_events",
+    "bootstrap_revenue_ci", "windowed_distinct_users", "skew_salted_join",
+    "dedup_canonical_pick", "token_budget_allocation", "k_anonymity_audit",
+    "inverted_index_postings", "jl_projection_distortion",
+    "assoc_rules_events", "stratified_kfold_assign",
+    # --- representatives of already-proven families (regression signal)
+    "q9_product_type_profit", "cms_partkey_estimates",
+    "events_sessionize_30m", "ann_ivfpq_topk", "regression_detect_metrics",
+    # ---- tier 2 (51+): previously driver-green queries in a stable order
     "sql_not_in_null_aware", "sql_correlated_scalar_count", "sql_keep_first_per_key",
     "sql_histogram_event_values", "sql_intersect_except_all",
     "sql_unpivot_status_totals", "sql_last_value_ignore_nulls",
@@ -76,37 +99,14 @@ PRIORITY: tuple[str, ...] = (
     "sql_zscore_normalize_events", "sql_regression_price_trend",
     "sql_mode_priority_by_status", "sql_entropy_event_types",
     "sql_drift_psi_event_values",
-    # --- text / LLM-pipeline queries without a driver row yet
     "dedup_simhash_hamming", "decontaminate_eval_overlap", "unigram_surprisal_quality",
     "repetition_quality", "doc_chunk_overlap", "bm25_keyword_topk",
     "keyword_and_search", "weighted_sample_docs", "cms_heavy_hitters",
-    # --- timeseries / state / diff family
     "resample_ffill_user_6h", "scd2_state_at_purchase", "snapshot_diff_orders",
     "incremental_agg_orders", "key_skew_partkey", "profile_orders",
     "collect_order_years", "window_balance_distribution",
-    # --- first-time oracles and new queries this round
     "pagerank_part_supplier", "approx_distinct_users", "windowed_heavy_hitters",
     "quantile_sketch_values",
-    # --- changed semantics this round (oracle updated in lockstep)
-    "regression_detect_metrics",
-    # --- representatives of already-proven families (regression signal;
-    # q1 is additionally smoke-checked every round as the entry() flagship)
-    "q9_product_type_profit", "cms_partkey_estimates",
-    "events_sessionize_30m", "ann_ivfpq_topk",
-    # ---- tier 2 (51+): new round-3 queries first (next in line for a
-    # future driver window; locally parity-checked now), then previously
-    # driver-green queries in a stable order
-    "winnow_fingerprint_pairs", "dedup_chunk_exact", "cdc_merge_orders",
-    "embedding_sq8_topk", "ann_recall_eval",
-    "quality_filter_gopher", "anomaly_mad_events", "pack_sequences_budget",
-    "temperature_sampled_mix", "dedup_lsh_recall_eval",
-    "triangle_cosupplier_stats",
-    "feature_rolling_events", "target_encode_priority",
-    "lpa_cosupplier_communities", "join_size_estimate", "windowed_quantiles",
-    "cohort_retention_users", "chisq_event_daypart", "corr_lineitem_moments",
-    "multimodal_ahash_neardup", "multimodal_video_frame_dedup",
-    "multimodal_audio_features", "embedding_outliers_topk",
-    "split_leakage_check", "novelty_rate_docs", "kmeans_embedding_clusters", "nb_lang_classifier_eval", "bpe_top_merges",
     "q1_pricing_summary",
     "q2_min_cost_supplier", "q3_top_unshipped_orders", "q4_order_priority_check",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
@@ -169,8 +169,10 @@ def _ensure_loaded() -> None:
         llm,
         multimodal_plan,
         relational,
+        relational_analytics,
         sql_surface,
         streaming_batch,
+        text_analytics,
         text_pipeline,
         tpch_extended,
     )

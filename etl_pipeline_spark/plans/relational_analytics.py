@@ -1,0 +1,724 @@
+"""Round-4 relational/graph/timeseries analytics wave: link prediction,
+entity resolution, gaps-and-islands interval merging, seasonal baselines,
+deterministic Poisson bootstrap, windowed HLL distinct, salted skew joins,
+k-anonymity auditing, and association rules.
+
+Beyond-reference components (the reference pipeline has none of these);
+each is the Spark-first relational expression of a standard warehouse /
+data-science primitive:
+
+- Adamic–Adar link prediction (Adamic & Adar 2003) — common-neighbor
+  scoring over the top-k-sparsified co-supplier graph;
+- multi-rule entity resolution — union of match-rule edge sets closed by
+  distributed connected components, canonical = min id;
+- interval merge (gaps-and-islands) — overlapping activity intervals
+  coalesced per user with two window passes;
+- seasonal baseline — hour-of-day seasonal index per event type, the
+  deseasonalization every ops dashboard needs;
+- Poisson bootstrap CI (Chamandy et al. 2012, "Estimating uncertainty
+  for massive data streams") — B replicates in ONE pass: per-row
+  Poisson(1) weights from the deterministic portable hash, no
+  resampling shuffle; CI from order statistics (no interpolation — the
+  only quantile form two engines reproduce bit-for-bit);
+- windowed distinct via HLL register cells — per-window cardinality
+  whose 24h rollup MERGES the 6h cells (max per register) instead of
+  re-scanning: the mergeability that makes sketch state reusable;
+- salted skew join — the explicit skew-mitigation pattern
+  (operators/skew.py), value-checked against the plain join it replaces;
+- k-anonymity audit — equivalence-class sizes over quasi-identifiers,
+  the governance gate before any data release;
+- association rules (support/confidence/lift) over per-user event-type
+  baskets — market-basket co-occurrence with a support floor.
+
+Floats round 6 dp (money 2 dp, bootstrap 4 dp) on identical
+parenthesization; every query carries a complete-output DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_spark.operators.sampling import hash_u32_sql
+from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.star import load_table
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction over the top-3 co-supplier graph: for every
+# non-edge pair (u, v) with ≥1 common neighbor, score = Σ_z 1/ln(deg z).
+# The wedge join is the same degree-bounded self-join triangle counting
+# uses (|E| ≤ 3·|V| after sparsification); existing edges drop via one
+# anti-join; top-50 by (rounded score DESC, u, v) via orderBy+limit =
+# TakeOrderedAndProject. Common neighbors always have deg ≥ 2, so
+# ln(deg) > 0 — the deg ≥ 2 filter makes that explicit.
+# ---------------------------------------------------------------------------
+_AA_TOPK = 50
+
+
+def _aa_oracle() -> str:
+    from etl_pipeline_spark.plans.corpus_quality import COSUPPLIER_EDGE_CTES
+
+    return f"""
+        WITH {COSUPPLIER_EDGE_CTES},
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges
+        ),
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM sym GROUP BY 1),
+        wedges AS (
+            SELECT s1.src AS node_a, s2.src AS node_b, s1.dst AS z
+            FROM sym s1 JOIN sym s2
+              ON s1.dst = s2.dst AND s1.src < s2.src
+            WHERE NOT EXISTS (
+                SELECT 1 FROM edges e
+                WHERE e.src = s1.src AND e.dst = s2.src
+            )
+        )
+        SELECT w.node_a, w.node_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               ROUND(SUM(1.0 / LN(d.deg)), 6) AS aa_score
+        FROM wedges w JOIN deg d ON d.node = w.z AND d.deg >= 2
+        GROUP BY 1, 2
+        ORDER BY aa_score DESC, node_a ASC, node_b ASC
+        LIMIT {_AA_TOPK}
+    """
+
+
+@register(
+    "adamic_adar_link_prediction",
+    oracle=_aa_oracle(),
+    tags=("graph", "similarity"),
+)
+def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.graph import symmetrize
+    from etl_pipeline_spark.plans.corpus_quality import cosupplier_edges
+
+    edges = cosupplier_edges(spark, sf_dir)
+    sym = symmetrize(edges)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    a = sym.select(F.col("src").alias("node_a"), F.col("dst").alias("z"))
+    b = sym.select(F.col("src").alias("node_b"), F.col("dst").alias("z"))
+    wedges = a.join(b, ["z"]).filter(F.col("node_a") < F.col("node_b"))
+    non_edges = wedges.join(
+        edges,
+        (edges["src"] == wedges["node_a"]) & (edges["dst"] == wedges["node_b"]),
+        "anti",
+    )
+    return (
+        non_edges.join(deg, non_edges["z"] == deg["node"])
+        .filter(F.col("deg") >= 2)
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.round(F.sum(1.0 / F.log("deg")), 6).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), F.asc("node_a"), F.asc("node_b"))
+        .limit(_AA_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-rule entity resolution over customers + injected variant copies
+# (every third customer reappears with an upper-cased name and shifted
+# id — the raw table has no duplicates to resolve). Match rules:
+#   r1: case-insensitive exact name;
+#   r2: same (nationkey, acctbal) — the "same account" heuristic.
+# Edge sets union (any rule links) and close under distributed connected
+# components; canonical entity = min id. The oracle closes the same
+# edges with a recursive CTE (the dedup_cluster_assign device).
+# Unmatched singletons carry no edge and are not emitted — the report
+# lists only entities that RESOLVED to something.
+# ---------------------------------------------------------------------------
+_ER_SHIFT = 1_000_000
+
+
+def _er_oracle() -> str:
+    return f"""
+        WITH RECURSIVE
+        corpus AS (
+            SELECT c_custkey AS id, c_name, c_nationkey, c_acctbal
+            FROM customer
+            UNION ALL
+            SELECT c_custkey + {_ER_SHIFT} AS id, upper(c_name) AS c_name,
+                   c_nationkey, c_acctbal
+            FROM customer WHERE c_custkey % 3 = 0
+        ),
+        e1 AS (
+            SELECT a.id AS src, b.id AS dst
+            FROM corpus a JOIN corpus b
+              ON lower(a.c_name) = lower(b.c_name) AND a.id < b.id
+        ),
+        e2 AS (
+            SELECT a.id AS src, b.id AS dst
+            FROM corpus a JOIN corpus b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_acctbal = b.c_acctbal AND a.id < b.id
+        ),
+        edges AS (
+            SELECT src, dst FROM (
+                SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2
+            )
+            UNION
+            SELECT dst AS src, src AS dst FROM (
+                SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2
+            )
+        ),
+        reach(node, peer) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer
+        ),
+        comp AS (
+            SELECT node, LEAST(node, MIN(peer)) AS component
+            FROM reach GROUP BY node
+        )
+        SELECT node                          AS entity_id,
+               component                     AS canonical_id,
+               CAST(node = component AS INT) AS is_canonical,
+               CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+                                             AS cluster_size
+        FROM comp
+    """
+
+
+@register(
+    "entity_resolution_customers",
+    oracle=_er_oracle(),
+    tags=("dedup", "graph", "er"),
+)
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.graph import cluster_assignments
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    corpus = cust.select(
+        F.col("c_custkey").alias("id"), "c_name", "c_nationkey", "c_acctbal"
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 3 == 0).select(
+            (F.col("c_custkey") + _ER_SHIFT).alias("id"),
+            F.upper("c_name").alias("c_name"),
+            "c_nationkey",
+            "c_acctbal",
+        )
+    )
+    a = corpus.select(
+        F.col("id").alias("id_a"),
+        F.lower("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    b = corpus.select(
+        F.col("id").alias("id_b"),
+        F.lower("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk_b"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    e1 = a.join(
+        b, (F.col("name_a") == F.col("name_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    e2 = a.join(
+        b,
+        (F.col("nk_a") == F.col("nk_b"))
+        & (F.col("bal_a") == F.col("bal_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b")
+    pairs = e1.unionByName(e2).distinct()
+    return cluster_assignments(pairs, "id_a", "id_b").select(
+        F.col("doc_id").alias("entity_id"),
+        F.col("cluster_id").alias("canonical_id"),
+        "is_canonical",
+        "cluster_size",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval merge (gaps-and-islands): each event opens a 30-minute
+# activity interval; overlapping/touching-from-inside intervals per user
+# coalesce into islands. Island break = this event starts at/after the
+# running max end of all previous intervals (two window passes over one
+# user-keyed shuffle — the canonical sessionize-by-overlap, distinct
+# from the gap-based sessionize which keys on inter-event spacing).
+# Epoch-ns integer arithmetic throughout (timezone-proof).
+# ---------------------------------------------------------------------------
+_IV_NS = 30 * 60 * 1_000_000_000  # 30-minute interval per event
+
+
+@register(
+    "interval_merge_sessions",
+    oracle=f"""
+        WITH iv AS (
+            SELECT user_id, event_id, epoch_ns(ts) AS t
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, t,
+                   CASE WHEN MAX(t + {_IV_NS}) OVER (
+                            PARTITION BY user_id ORDER BY t, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) IS NULL
+                        OR t >= MAX(t + {_IV_NS}) OVER (
+                            PARTITION BY user_id ORDER BY t, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) THEN 1 ELSE 0 END AS is_new
+            FROM iv
+        ),
+        islands AS (
+            SELECT user_id, t,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS island
+            FROM flagged
+        )
+        SELECT user_id, island,
+               MIN(t) // 1000000000 AS island_start_epoch,
+               (MAX(t) + {_IV_NS}) // 1000000000 AS island_end_epoch,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM islands
+        GROUP BY user_id, island
+    """,
+    tags=("timeseries", "window", "sessionize"),
+)
+def interval_merge_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    order = [F.col("ts"), F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("ts") + _IV_NS).over(w_prev)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(prev_end.isNull() | (F.col("ts") >= prev_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("is_new").over(w_run).cast("bigint")
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.expr("MIN(ts) DIV 1000000000").alias("island_start_epoch"),
+        F.expr(f"(MAX(ts) + {_IV_NS}) DIV 1000000000").alias("island_end_epoch"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal baseline: mean value per (event_type, hour-of-day) and the
+# seasonal index vs the type's overall mean — the deseasonalization
+# table every anomaly detector consults before flagging a "spike" that
+# is just 9am. Hour from integer epoch arithmetic (UTC, tz-proof); two
+# tiny grouped aggregates (types × 24 cells), broadcast re-join.
+# ---------------------------------------------------------------------------
+_HOUR_NS = 3_600_000_000_000
+
+
+@register(
+    "seasonal_baseline_events",
+    oracle=f"""
+        WITH hod AS (
+            SELECT event_type,
+                   (epoch_ns(ts) // {_HOUR_NS}) % 24 AS hour_of_day,
+                   value
+            FROM events
+        ),
+        cell AS (
+            SELECT event_type, hour_of_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   SUM(value) AS s
+            FROM hod GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t, SUM(value) AS s_t
+            FROM hod GROUP BY 1
+        )
+        SELECT c.event_type, c.hour_of_day, c.n_events,
+               ROUND(c.s / c.n_events, 6) AS mean_value,
+               ROUND((c.s / c.n_events) / (t.s_t / t.n_t), 6) AS seasonal_idx
+        FROM cell c JOIN tot t ON t.event_type = c.event_type
+    """,
+    tags=("timeseries", "agg", "quality"),
+)
+def seasonal_baseline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"(ts DIV {_HOUR_NS}) % 24").alias("hour_of_day"),
+        "value",
+    )
+    cell = ev.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("value").alias("s"),
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t"),
+        F.sum("value").alias("s_t"),
+    )
+    return cell.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        F.round(F.col("s") / F.col("n_events"), 6).alias("mean_value"),
+        F.round(
+            (F.col("s") / F.col("n_events")) / (F.col("s_t") / F.col("n_t")), 6
+        ).alias("seasonal_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI for mean order value — B = 32 replicates in ONE
+# pass over the data: each (row, replicate) gets a Poisson(1) weight
+# drawn deterministically by inverting the Poisson CDF at a uniform
+# derived from the portable md5 hash. No resampling shuffle — the
+# exchange after the narrow explode carries 32 partial sums per
+# partition. The CI uses ORDER STATISTICS (2nd smallest / 2nd largest
+# replicate mean ≈ the 3.1/96.9 band for B = 32) — no interpolation, the
+# only quantile form two engines reproduce exactly. Replicate means are
+# rounded to 4 dp before ranking so ties break identically.
+# ---------------------------------------------------------------------------
+_BOOT_B = 32
+
+
+def _poisson_w_sql(u_sql: str) -> str:
+    """Poisson(1) inverse-CDF of a uniform, as a shared CASE expression."""
+    cdf, cum, fact = [], 0.0, 1.0
+    for k in range(7):
+        if k:
+            fact *= k
+        cum += math.exp(-1.0) / fact
+        cdf.append(f"WHEN {u_sql} < {cum!r} THEN {k}")
+    return f"CASE {' '.join(cdf)} ELSE 7 END"
+
+
+def _boot_u_sql() -> str:
+    key = "concat(CAST(b AS STRING), '#', CAST(o_orderkey AS STRING))"
+    return f"((CAST({hash_u32_sql(key, 'boot')} AS DOUBLE) + 0.5) / 4294967296.0)"
+
+
+def _boot_oracle() -> str:
+    u = _boot_u_sql()
+    w = _poisson_w_sql(u)
+    return f"""
+        WITH rep AS (
+            SELECT o.o_orderkey, o.o_totalprice, b.b, {w} AS w
+            FROM orders o
+            CROSS JOIN (
+                SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b
+            ) b
+        ),
+        reps AS (
+            SELECT b, ROUND(SUM(w * o_totalprice) / SUM(w), 4) AS m
+            FROM rep GROUP BY b
+        ),
+        ranked AS (
+            SELECT b, m,
+                   ROW_NUMBER() OVER (ORDER BY m ASC, b ASC) AS r_asc,
+                   ROW_NUMBER() OVER (ORDER BY m DESC, b DESC) AS r_desc
+            FROM reps
+        )
+        SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+               (SELECT ROUND(AVG(m), 4) FROM reps) AS boot_mean,
+               (SELECT m FROM ranked WHERE r_asc = 2) AS ci_lo,
+               (SELECT m FROM ranked WHERE r_desc = 2) AS ci_hi
+    """
+
+
+@register(
+    "bootstrap_revenue_ci",
+    oracle=_boot_oracle(),
+    tags=("stats", "sampling", "agg"),
+)
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rep = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
+    ).withColumn("w", F.expr(_poisson_w_sql(_boot_u_sql())))
+    reps = rep.groupBy("b").agg(
+        F.round(
+            F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w"), 4
+        ).alias("m")
+    )
+    # 32 rows from here down — the global windows are bounded by B
+    ranked = reps.withColumn(
+        "r_asc", F.row_number().over(Window.orderBy(F.asc("m"), F.asc("b")))
+    ).withColumn(
+        "r_desc", F.row_number().over(Window.orderBy(F.desc("m"), F.desc("b")))
+    )
+    stats = reps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+    )
+    lo = ranked.filter(F.col("r_asc") == 2).select(F.col("m").alias("ci_lo"))
+    hi = ranked.filter(F.col("r_desc") == 2).select(F.col("m").alias("ci_hi"))
+    return stats.crossJoin(lo).crossJoin(hi)
+
+
+# ---------------------------------------------------------------------------
+# Windowed distinct users via HLL register cells — and the point of
+# sketches: the 24h estimate MERGES the four 6h register relations (max
+# per register) instead of re-scanning events. Both grains carry the
+# exact distinct count beside the estimate (the eval column); the
+# corrected estimator (linear counting in the low band) is hll_est_sql,
+# identical SQL text in both engines.
+# ---------------------------------------------------------------------------
+_H6_NS = 6 * 3_600_000_000_000
+_WD_P = 8
+
+
+def _wd_oracle() -> str:
+    from etl_pipeline_spark.operators.sketch import hll_cell_sql, hll_est_sql
+
+    idx, rho = hll_cell_sql("CAST(user_id AS STRING)", _WD_P)
+    est = hll_est_sql("SUM(pow(2.0, -rho_max))", "COUNT(*)", _WD_P)
+    return f"""
+        WITH cells AS (
+            SELECT (epoch_ns(ts) // {_H6_NS}) * 21600 AS win6,
+                   user_id, {idx} AS idx, {rho} AS rho
+            FROM events
+        ),
+        regs6 AS (
+            SELECT win6, idx, MAX(rho) AS rho_max FROM cells GROUP BY 1, 2
+        ),
+        regs24 AS (
+            SELECT (win6 // 86400) * 86400 AS win24, idx,
+                   MAX(rho_max) AS rho_max
+            FROM regs6 GROUP BY 1, 2
+        ),
+        est6 AS (
+            SELECT win6 AS win_start_epoch, {est} AS est
+            FROM regs6 GROUP BY win6
+        ),
+        est24 AS (
+            SELECT win24 AS win_start_epoch, {est} AS est
+            FROM regs24 GROUP BY win24
+        ),
+        ex6 AS (
+            SELECT (epoch_ns(ts) // {_H6_NS}) * 21600 AS win_start_epoch,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY 1
+        ),
+        ex24 AS (
+            SELECT (epoch_ns(ts) // {4 * _H6_NS}) * 86400 AS win_start_epoch,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY 1
+        )
+        SELECT '6h' AS grain, e.win_start_epoch, e.est, x.n_exact
+        FROM est6 e JOIN ex6 x USING (win_start_epoch)
+        UNION ALL
+        SELECT '24h' AS grain, e.win_start_epoch, e.est, x.n_exact
+        FROM est24 e JOIN ex24 x USING (win_start_epoch)
+    """
+
+
+@register(
+    "windowed_distinct_users",
+    oracle=_wd_oracle(),
+    tags=("streaming", "sketch", "cardinality", "window"),
+)
+def windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.sketch import (
+        hll_build_grouped,
+        hll_est_sql,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"(ts DIV {_H6_NS}) * 21600").alias("win6"), "user_id"
+    )
+    regs6 = hll_build_grouped(ev, ["win6"], "user_id", p=_WD_P)
+    regs24 = regs6.groupBy(
+        F.expr("(win6 DIV 86400) * 86400").alias("win24"), F.col("idx")
+    ).agg(F.max("rho_max").alias("rho_max"))
+
+    def estimate(regs: DataFrame, win_col: str) -> DataFrame:
+        agg = regs.groupBy(win_col).agg(
+            F.sum(F.expr("pow(2.0, -rho_max)")).alias("sum_set"),
+            F.count(F.lit(1)).cast("bigint").alias("n_set"),
+        )
+        return agg.select(
+            F.col(win_col).alias("win_start_epoch"),
+            F.expr(hll_est_sql("sum_set", "n_set", _WD_P)).alias("est"),
+        )
+
+    ex6 = ev.groupBy(F.col("win6").alias("win_start_epoch")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    ex24 = ev.groupBy(
+        F.expr("(win6 DIV 86400) * 86400").alias("win_start_epoch")
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    six = (
+        estimate(regs6, "win6")
+        .join(ex6, "win_start_epoch")
+        .select(F.lit("6h").alias("grain"), "win_start_epoch", "est", "n_exact")
+    )
+    day = (
+        estimate(regs24, "win24")
+        .join(ex24, "win_start_epoch")
+        .select(F.lit("24h").alias("grain"), "win_start_epoch", "est", "n_exact")
+    )
+    return six.unionByName(day)
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join (operators/skew.py): revenue per brand through a
+# lineitem⋈part join whose fact side is salted across 8 buckets and
+# whose dim side is exploded ×8 — the explicit skew-mitigation pattern
+# for when AQE's runtime splitting isn't available (streaming) or one
+# key dominates past what splitting fixes. Value-checked against the
+# plain join (the oracle): salting must be invisible in the result.
+# ---------------------------------------------------------------------------
+_SALTS = 8
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+        SELECT p.p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    """,
+    tags=("join", "skew", "agg"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, part, "p_partkey", n_salts=_SALTS, tiebreak="l_orderkey")
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: equivalence-class sizes over the quasi-identifier
+# tuple (segment, nation, acctbal-kilobucket). Classes below k = 5 are
+# re-identification risks the release gate must suppress or generalize.
+# One grouped count at scan speed — the governance primitive is cheap;
+# acting on it isn't.
+# ---------------------------------------------------------------------------
+_K_ANON = 5
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+        SELECT c_mktsegment, c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) < {_K_ANON} AS INT) AS is_violation
+        FROM customer
+        GROUP BY 1, 2, 3
+    """,
+    tags=("governance", "agg", "privacy"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.expr("CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)").alias(
+                "bal_bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn("is_violation", (F.col("n_rows") < _K_ANON).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules over per-user event-type baskets: support,
+# confidence and lift for every type pair above the support floor.
+# Baskets are the DISTINCT (user, type) relation; the pair count is a
+# user-keyed self-join (bounded: ≤ T² pairs per user, T = event-type
+# cardinality); totals broadcast. Lift > 1 = genuinely co-occurring.
+# ---------------------------------------------------------------------------
+_AR_MIN_SUPPORT = 20
+
+
+@register(
+    "assoc_rules_events",
+    oracle=f"""
+        WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+        n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM u),
+        tc AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1
+        ),
+        pc AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM u a JOIN u b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b, ta.c AS n_a, tb.c AS n_b, p.n_ab,
+               ROUND(p.n_ab * 1.0 / ta.c, 6) AS confidence,
+               ROUND(((p.n_ab * 1.0) * n.n) / ((ta.c * 1.0) * tb.c), 6) AS lift
+        FROM pc p
+        JOIN tc ta ON ta.event_type = p.type_a
+        JOIN tc tb ON tb.event_type = p.type_b
+        CROSS JOIN n
+        WHERE p.n_ab >= {_AR_MIN_SUPPORT}
+    """,
+    tags=("agg", "join", "basket"),
+)
+def assoc_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    n = u.agg(F.countDistinct("user_id").cast("bigint").alias("n"))
+    tc = u.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = u.select("user_id", F.col("event_type").alias("type_a"))
+    b = u.select("user_id", F.col("event_type").alias("type_b"))
+    pc = (
+        a.join(b, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= _AR_MIN_SUPPORT)
+    )
+    ta = tc.select(F.col("event_type").alias("type_a"), F.col("c").alias("n_a"))
+    tb = tc.select(F.col("event_type").alias("type_b"), F.col("c").alias("n_b"))
+    return (
+        pc.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            F.round(F.col("n_ab") * 1.0 / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                ((F.col("n_ab") * 1.0) * F.col("n"))
+                / ((F.col("n_a") * 1.0) * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1,0 +1,719 @@
+"""Round-4 text/corpus analytics wave: TF-IDF, collocations, bigram-LM
+quality, inverted indexing, canonical dedup, curriculum budgeting,
+random-projection dimensionality reduction, and stratified k-fold CV.
+
+Beyond-reference components from the LLM-training-pipeline mandate (the
+reference pipeline has no text analytics at all); each is the Spark-first
+relational expression of a standard corpus primitive:
+
+- TF-IDF top terms (Spärck Jones 1972) — per-document keyword extraction;
+- bigram PMI collocations (Church & Hanks 1990) — the corpus-statistics
+  phrase detector;
+- bigram-LM cross-entropy (Laplace smoothing) — the language-model
+  quality score that upgrades the unigram surprisal filter;
+- inverted-index posting lists — the retrieval build step (df-capped, the
+  stop/hapax prune every index applies);
+- canonical pick per near-dup cluster — dedup's KEEP decision: the
+  highest-quality member survives, the rest are the drop set;
+- token-budget allocation by largest remainder (Hamilton apportionment) —
+  exact integer curriculum mixing: quotas sum to the budget by
+  construction;
+- Johnson–Lindenstrauss sign random projection + distortion audit
+  (Achlioptas 2003: ±1 entries suffice) — embedding compression with the
+  measured quality gate;
+- deterministic stratified k-fold assignment — exact per-stratum balance
+  (fold sizes differ by ≤1 inside every stratum).
+
+All corpus-sized relations stay in shuffle joins keyed on token/doc (a
+vocabulary is unbounded at crawl scale — broadcast would OOM); 1-row
+totals cross-join broadcast. Floats round 6 dp on identical
+parenthesization; every query carries a complete-output DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.star import load_table
+
+# ---------------------------------------------------------------------------
+# Shared token / bigram extraction. Documents are whitespace-tokenized
+# (≥10 words by the corpus contract, so the bigram sequence() bound never
+# goes negative — same contract the shingle family relies on).
+# Spark arrays are 0-indexed, DuckDB lists 1-indexed: the Spark transform
+# runs i in 1..n-1 over toks[i-1],toks[i]; DuckDB runs i in 1..n-1 over
+# [i],[i+1] — the same bigrams in the same order.
+# ---------------------------------------------------------------------------
+_TOKS_DUCK = """
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+"""
+
+_BIGRAMS_DUCK = """
+        SELECT doc_id,
+               string_split(text, ' ')[i]     AS w1,
+               string_split(text, ' ')[i + 1] AS w2
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+            FROM documents
+        )
+"""
+
+
+def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+
+
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pair = F.explode(
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> struct(split(text, ' ')[i-1] AS w1, split(text, ' ')[i] AS w2))"
+        )
+    ).alias("bg")
+    return docs.select("doc_id", pair).select("doc_id", "bg.w1", "bg.w2")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document. tf from one grouped count; df is a
+# second grouped count OVER the tf relation (a (doc, term) row is one
+# containing doc); idf = ln((N+1)/(df+1)) + 1 (the smoothed form —
+# defined even for df = N). Ranking happens on the ROUNDED score so both
+# engines break near-ties identically (then term ASC). The tf→df join
+# shuffles on term — the vocabulary is unbounded at crawl scale, so no
+# broadcast; N is a 1-row broadcast cross join.
+# ---------------------------------------------------------------------------
+_TFIDF_K = 5
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH toks AS ({_TOKS_DUCK}),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2
+        ),
+        df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.term, t.tf, d.df,
+                   ROUND(t.tf * (LN((n.n + 1.0) / (d.df + 1.0)) + 1.0), 6)
+                       AS tfidf
+            FROM tf t JOIN df d USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, tfidf, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {_TFIDF_K}
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _doc_terms(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI collocations: pmi = ln(p(ab) / (p(a)·p(b))) with p(ab) over
+# bigram count T2 and unigram probabilities over token count T. Support
+# floor (c_ab ≥ 5) kills the hapax noise PMI is notorious for; top-20 by
+# (rounded pmi DESC, w1, w2) via orderBy+limit = TakeOrderedAndProject —
+# never a global window. Counts join on the word columns (shuffle;
+# vocabulary unbounded), totals broadcast.
+# ---------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+@register(
+    "bigram_pmi_top",
+    oracle=f"""
+        WITH bg AS ({_BIGRAMS_DUCK}),
+        cab AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM bg GROUP BY 1, 2
+        ),
+        uni AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM ({_TOKS_DUCK})
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_TOKS_DUCK})) AS t,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM bg) AS t2
+        )
+        SELECT p.w1, p.w2, p.n_ab,
+               ROUND(LN((p.n_ab * 1.0 / tot.t2)
+                        / ((a.c * 1.0 / tot.t) * (b.c * 1.0 / tot.t))), 6)
+                   AS pmi
+        FROM cab p
+        JOIN uni a ON a.term = p.w1
+        JOIN uni b ON b.term = p.w2
+        CROSS JOIN tot
+        WHERE p.n_ab >= {_PMI_MIN_COUNT}
+        ORDER BY pmi DESC, p.w1 ASC, p.w2 ASC
+        LIMIT {_PMI_TOPK}
+    """,
+    tags=("llm", "text", "collocation"),
+)
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bg = _doc_bigrams(spark, sf_dir)
+    cab = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")
+    )
+    uni = _doc_terms(spark, sf_dir).groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = (
+        _doc_terms(spark, sf_dir)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .crossJoin(bg.agg(F.count(F.lit(1)).cast("bigint").alias("t2")))
+    )
+    a = uni.select(F.col("term").alias("w1"), F.col("c").alias("ca"))
+    b = uni.select(F.col("term").alias("w2"), F.col("c").alias("cb"))
+    return (
+        cab.filter(F.col("n_ab") >= _PMI_MIN_COUNT)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * 1.0 / F.col("t2"))
+                    / ((F.col("ca") * 1.0 / F.col("t")) * (F.col("cb") * 1.0 / F.col("t")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(_PMI_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality: per-document cross-entropy under the corpus bigram
+# model with Laplace smoothing — p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V).
+# The LM-score upgrade of unigram surprisal (context-aware: word salad
+# with plausible unigrams scores poorly). Perplexity = exp(H) computed
+# from the ROUNDED H so the exp sees identical input in both engines.
+# Doc bigrams join the corpus counts on (w1, w2) — shuffle, vocabulary
+# unbounded; V is a 1-row broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_perplexity_quality",
+    oracle=f"""
+        WITH bg AS ({_BIGRAMS_DUCK}),
+        cab AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM bg GROUP BY 1, 2
+        ),
+        cw AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_w FROM bg GROUP BY 1),
+        v AS (
+            SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM ({_TOKS_DUCK})
+        ),
+        perdoc AS (
+            SELECT b.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(-SUM(LN((c.n_ab + 1.0) / (w.n_w + v.v)))
+                         / COUNT(*), 6) AS cross_entropy
+            FROM bg b
+            JOIN cab c ON c.w1 = b.w1 AND c.w2 = b.w2
+            JOIN cw w ON w.w1 = b.w1
+            CROSS JOIN v
+            GROUP BY b.doc_id
+        )
+        SELECT doc_id, n_bigrams, cross_entropy,
+               ROUND(EXP(cross_entropy), 6) AS perplexity
+        FROM perdoc
+    """,
+    tags=("llm", "text", "quality", "lm"),
+)
+def bigram_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bg = _doc_bigrams(spark, sf_dir)
+    cab = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")
+    )
+    cw = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+    v = _doc_terms(spark, sf_dir).agg(
+        F.countDistinct("term").cast("bigint").alias("v")
+    )
+    perdoc = (
+        bg.join(cab, ["w1", "w2"])
+        .join(cw, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.log((F.col("n_ab") + 1.0) / (F.col("n_w") + F.col("v"))))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cross_entropy"),
+        )
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_bigrams",
+        "cross_entropy",
+        F.round(F.exp("cross_entropy"), 6).alias("perplexity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index posting lists, df-capped: terms in <2 docs are useless
+# for retrieval (hapax), terms in >100 are stopwords (posting list too
+# hot) — the standard index prune. Postings emit as a sorted
+# comma-joined string so the value hash is representation-independent
+# across engines (the collect_order_years device). At scale the posting
+# list per surviving term is bounded by the df cap itself.
+# ---------------------------------------------------------------------------
+_IDX_MIN_DF, _IDX_MAX_DF = 2, 100
+
+
+@register(
+    "inverted_index_postings",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ({_TOKS_DUCK}) GROUP BY 1, 2
+        )
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(n) AS BIGINT) AS cf,
+               array_to_string(list_sort(list(doc_id)), ',') AS postings
+        FROM tf
+        GROUP BY term
+        HAVING COUNT(*) BETWEEN {_IDX_MIN_DF} AND {_IDX_MAX_DF}
+    """,
+    tags=("llm", "text", "index", "array"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _doc_terms(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("n").cast("bigint").alias("cf"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df").between(_IDX_MIN_DF, _IDX_MAX_DF))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical pick per near-dup cluster — the KEEP decision dedup must
+# make: within each connected component of the exact-Jaccard pair graph,
+# keep the doc with the most distinct words (ties → smallest doc_id);
+# everything else is the drop set. Clusters via the same distributed
+# connected components as dedup_cluster_assign; the oracle reuses its
+# recursive-CTE closure. Quality join is doc-keyed (cluster membership
+# is a tiny relation vs the corpus).
+# ---------------------------------------------------------------------------
+def _canonical_pick_oracle() -> str:
+    from etl_pipeline_spark.plans.llm import _JACCARD_PAIRS_DUCK
+
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({_JACCARD_PAIRS_DUCK}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(node, peer) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer
+        ),
+        comp AS (
+            SELECT node, LEAST(node, MIN(peer)) AS component
+            FROM reach GROUP BY node
+        ),
+        quality AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                       AS quality
+            FROM documents
+        ),
+        ranked AS (
+            SELECT c.component AS cluster_id, c.node AS doc_id, q.quality,
+                   ROW_NUMBER() OVER (PARTITION BY c.component
+                       ORDER BY q.quality DESC, c.node ASC) AS r,
+                   CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
+                       AS n_members
+            FROM comp c JOIN quality q ON q.doc_id = c.node
+        )
+        SELECT cluster_id, doc_id AS kept_doc_id, quality AS kept_quality,
+               n_members, n_members - 1 AS n_dropped
+        FROM ranked WHERE r = 1
+    """
+
+
+@register(
+    "dedup_canonical_pick",
+    oracle=_canonical_pick_oracle(),
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.graph import cluster_assignments
+    from etl_pipeline_spark.plans.llm import _jaccard_pairs
+
+    pairs = _jaccard_pairs(spark, sf_dir, threshold=0.5).select("doc_a", "doc_b")
+    members = cluster_assignments(pairs, "doc_a", "doc_b")
+    quality = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("bigint")
+        .alias("quality"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        members.join(quality, "doc_id")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("quality").alias("kept_quality"),
+            F.col("cluster_size").alias("n_members"),
+            (F.col("cluster_size") - 1).alias("n_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget allocation by largest remainder (Hamilton apportionment):
+# integer per-language quotas proportional to token supply that sum to
+# the budget EXACTLY — floor(B·c/C) plus one extra token-share for the
+# largest remainders (ties → lang ASC). Everything past the one grouped
+# token count runs on a #languages-sized relation (the window is bounded
+# by stratum count, not data size). Pure integer arithmetic — no float
+# division anywhere, so parity is exact by construction.
+# ---------------------------------------------------------------------------
+_BUDGET = 100_000
+
+
+@register(
+    "token_budget_allocation",
+    oracle=f"""
+        WITH c AS (
+            SELECT lang,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS c_tokens
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT CAST(SUM(c_tokens) AS BIGINT) AS total FROM c),
+        base AS (
+            SELECT c.lang, c.c_tokens,
+                   ({_BUDGET} * c.c_tokens) // tot.total AS base_quota,
+                   ({_BUDGET} * c.c_tokens) % tot.total AS remainder
+            FROM c CROSS JOIN tot
+        ),
+        short AS (
+            SELECT {_BUDGET} - CAST(SUM(base_quota) AS BIGINT) AS n_extra
+            FROM base
+        )
+        SELECT lang, c_tokens, base_quota, remainder,
+               CAST(rk <= s.n_extra AS INT) AS extra,
+               base_quota + CAST(rk <= s.n_extra AS INT) AS quota
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY remainder DESC, lang ASC) AS rk
+            FROM base
+        ) CROSS JOIN short s
+    """,
+    tags=("llm", "sampling", "curriculum"),
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    c = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("c_tokens")
+    )
+    tot = c.agg(F.sum("c_tokens").cast("bigint").alias("total"))
+    base = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "c_tokens",
+        F.expr(f"({_BUDGET} * c_tokens) DIV total").alias("base_quota"),
+        F.expr(f"({_BUDGET} * c_tokens) % total").alias("remainder"),
+    )
+    short = base.agg(
+        (F.lit(_BUDGET) - F.sum("base_quota")).cast("bigint").alias("n_extra")
+    )
+    w = Window.orderBy(F.desc("remainder"), F.asc("lang"))  # #langs rows
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(short))
+        .select(
+            "lang",
+            "c_tokens",
+            "base_quota",
+            "remainder",
+            (F.col("rk") <= F.col("n_extra")).cast("int").alias("extra"),
+            (F.col("base_quota") + (F.col("rk") <= F.col("n_extra")).cast("int")).alias(
+                "quota"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss sign projection + distortion audit. The sign
+# matrix is DETERMINISTIC — s(i,j) = ±1 from the parity of the shared
+# md5 hash family (the same md5(seed:id) construction the sampling
+# module uses), so Spark inlines the matrix as literals in a NARROW
+# zip_with/aggregate projection (zero exchange over the corpus — the
+# scale path), while the oracle rebuilds the identical matrix
+# relationally from generate_series + the portable hash SQL. Distortion
+# is measured on the bounded first-50 pair sample: ratio of projected to
+# original squared L2, the JL quality gate.
+# ---------------------------------------------------------------------------
+_JL_IN, _JL_OUT = 64, 16
+_JL_SAMPLE = 50  # vec_id < 50 → 1225 audit pairs
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """+1/-1 from md5('jl:i_j') parity — must equal the oracle's SQL hash."""
+    h = int(hashlib.md5(f"jl:{i}_{j}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def _jl_oracle() -> str:
+    from etl_pipeline_spark.operators.sampling import hash_u32_sql
+
+    ij = "concat(CAST(i AS STRING), '_', CAST(j AS STRING))"
+    sign = (
+        f"CASE WHEN ({hash_u32_sql(ij, 'jl')}"
+        f" % 2) = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    return f"""
+        WITH signs AS (
+            SELECT j, i, {sign} AS s
+            FROM (SELECT unnest(generate_series(0, {_JL_OUT - 1})) AS j)
+            CROSS JOIN (SELECT unnest(generate_series(0, {_JL_IN - 1})) AS i)
+        ),
+        sample AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_JL_SAMPLE}
+        ),
+        vx AS (
+            SELECT vec_id,
+                   unnest(generate_series(0, {_JL_IN - 1})) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM sample
+        ),
+        proj AS (
+            SELECT v.vec_id, s.j, SUM(v.x * s.s) * 0.25 AS p
+            FROM vx v JOIN signs s ON s.i = v.i
+            GROUP BY 1, 2
+        ),
+        prs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+        ),
+        d2o AS (
+            SELECT p.vec_a, p.vec_b,
+                   SUM((xa.x - xb.x) * (xa.x - xb.x)) AS d2_orig
+            FROM prs p
+            JOIN vx xa ON xa.vec_id = p.vec_a
+            JOIN vx xb ON xb.vec_id = p.vec_b AND xb.i = xa.i
+            GROUP BY 1, 2
+        ),
+        d2p AS (
+            SELECT p.vec_a, p.vec_b,
+                   SUM((pa.p - pb.p) * (pa.p - pb.p)) AS d2_proj
+            FROM prs p
+            JOIN proj pa ON pa.vec_id = p.vec_a
+            JOIN proj pb ON pb.vec_id = p.vec_b AND pb.j = pa.j
+            GROUP BY 1, 2
+        )
+        SELECT o.vec_a, o.vec_b,
+               ROUND(o.d2_orig, 6) AS d2_orig,
+               ROUND(j.d2_proj, 6) AS d2_proj,
+               ROUND(j.d2_proj / o.d2_orig, 6) AS distortion
+        FROM d2o o JOIN d2p j ON j.vec_a = o.vec_a AND j.vec_b = o.vec_b
+    """
+
+
+def jl_project(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, proj array<double>) — narrow sign projection, zero exchange.
+
+    Each output dim j folds zip_with(vec, ±1-literal array) left-to-right
+    and scales by 1/sqrt(m) = 0.25 (m = 16). The whole projection is one
+    Project over the scan — the shape that runs at scan speed on 100 TB.
+    """
+    cols = []
+    for j in range(_JL_OUT):
+        lits = ", ".join(
+            "1.0D" if _jl_sign(i, j) == 1 else "-1.0D" for i in range(_JL_IN)
+        )
+        cols.append(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, array({lits}),"
+                f" (x, s) -> CAST(x AS DOUBLE) * s),"
+                f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) * 0.25"
+            )
+        )
+    return corpus.select(F.col(id_col), F.array(*cols).alias("proj"))
+
+
+@register(
+    "jl_projection_distortion",
+    oracle=_jl_oracle(),
+    tags=("similarity", "embedding", "narrow"),
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _JL_SAMPLE
+    )
+    proj = jl_project(emb)
+    both = emb.select("vec_id", "embedding").join(proj, "vec_id")
+    a = both.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("proj").alias("pa"),
+    )
+    b = both.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("proj").alias("pb"),
+    )
+    d2 = (
+        "aggregate(zip_with({u}, {v}, (x, y) ->"
+        " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(d2.format(u="ea", v="eb")).alias("o"),
+            F.expr(d2.format(u="pa", v="pb")).alias("p"),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round("o", 6).alias("d2_orig"),
+            F.round("p", 6).alias("d2_proj"),
+            F.round(F.col("p") / F.col("o"), 6).alias("distortion"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified k-fold assignment: within each stratum (lang)
+# docs are ranked by the portable md5 hash (ties → doc_id) and folds
+# dealt round-robin — EXACT balance (fold sizes differ by ≤1 per
+# stratum), unlike hash-mod assignment which only balances in
+# expectation. One shuffle keyed on the stratum; at crawl scale strata
+# are languages (bounded) but members are huge — the rank window is the
+# price of exactness, and the hash-mod fallback (assign_splits) is the
+# zero-shuffle approximate path. The balance guarantee is asserted as an
+# output column both engines must agree on.
+# ---------------------------------------------------------------------------
+_KFOLD = 5
+
+
+def _kfold_oracle() -> str:
+    from etl_pipeline_spark.operators.sampling import hash_u32_sql
+
+    h = hash_u32_sql("doc_id", "cv")
+    return f"""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY {h} ASC, doc_id ASC) AS rn
+            FROM documents
+        ),
+        folds AS (
+            SELECT lang, (rn - 1) % {_KFOLD} AS fold,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(doc_id) AS min_doc
+            FROM ranked GROUP BY 1, 2
+        )
+        SELECT lang, fold, n_docs, min_doc,
+               CAST(MAX(n_docs) OVER (PARTITION BY lang)
+                    - MIN(n_docs) OVER (PARTITION BY lang) <= 1 AS INT)
+                   AS is_balanced
+        FROM folds
+    """
+
+
+@register(
+    "stratified_kfold_assign",
+    oracle=_kfold_oracle(),
+    tags=("ml", "sampling", "splits"),
+)
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.sampling import hash_u32_sql
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.expr(hash_u32_sql("doc_id", "cv"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    folds = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .select(
+            "lang", ((F.col("rn") - 1) % _KFOLD).alias("fold"), "doc_id"
+        )
+        .groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+    wl = Window.partitionBy("lang")
+    return folds.select(
+        "lang",
+        "fold",
+        "n_docs",
+        "min_doc",
+        ((F.max("n_docs").over(wl) - F.min("n_docs").over(wl)) <= 1)
+        .cast("int")
+        .alias("is_balanced"),
+    )
