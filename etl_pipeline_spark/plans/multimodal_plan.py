@@ -63,8 +63,19 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicated at media_id+100000 with 3 bytes overwritten ('zzz' at
 # offset 4), the image analog of a small local edit. Every planted pair
 # must come back with small Hamming distance; unrelated images must not.
+#
+# Scale guard: band buckets shared by more than _AHASH_MAX_DF images are
+# stop-buckets (low-information band values — uniform or common luma
+# patterns) and are dropped BEFORE the pair join, the same hot-key cap
+# winnowing applies to stop-fingerprints. Without it, candidate cost is
+# Σ cnt² over buckets — measured 55× growth at an 8× corpus whose
+# replicas share correlated band values. The cap does not bind at any
+# tested SF (max bucket 38 at sf0.1 vs cap 64), so recall on planted
+# pairs is unchanged; on a pathological corpus it trades recall inside
+# degenerate buckets for a bounded join, which is the standard LSH dial.
 # --------------------------------------------------------------------------
 _AHASH_HAMMING_MAX = 8
+_AHASH_MAX_DF = 64
 
 
 def _ahash_oracle() -> str:
@@ -103,10 +114,18 @@ def _ahash_oracle() -> str:
         bands AS (
             {bands}
         ),
+        bfreq AS (
+            SELECT band_id, band_val FROM bands
+            GROUP BY 1, 2 HAVING COUNT(*) <= {_AHASH_MAX_DF}
+        ),
+        kept AS (
+            SELECT b.media_id, b.band_id, b.band_val
+            FROM bands b JOIN bfreq USING (band_id, band_val)
+        ),
         cand AS (
             SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
-            FROM bands a
-            JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+            FROM kept a
+            JOIN kept b ON a.band_id = b.band_id AND a.band_val = b.band_val
                         AND a.media_id < b.media_id
         )
         SELECT c.media_a, c.media_b,
@@ -157,6 +176,13 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = h.select("media_id", F.explode(band_structs).alias("b")).select(
         "media_id", "b.band_id", "b.band_val"
     )
+    bfreq = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _AHASH_MAX_DF)
+        .select("band_id", "band_val")
+    )
+    bands = bands.join(bfreq, ["band_id", "band_val"])
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -42,7 +42,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_pipeline_spark.operators.sampling import hash_u32_sql
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
 
@@ -379,13 +378,17 @@ def seasonal_baseline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Poisson bootstrap CI for mean order value — B = 32 replicates in ONE
 # pass over the data: each (row, replicate) gets a Poisson(1) weight
-# drawn deterministically by inverting the Poisson CDF at a uniform
-# derived from the portable md5 hash. No resampling shuffle — the
-# exchange after the narrow explode carries 32 partial sums per
-# partition. The CI uses ORDER STATISTICS (2nd smallest / 2nd largest
-# replicate mean ≈ the 3.1/96.9 band for B = 32) — no interpolation, the
-# only quantile form two engines reproduce exactly. Replicate means are
-# rounded to 4 dp before ranking so ties break identically.
+# drawn deterministically by inverting the Poisson CDF at a uniform from
+# the chunked md5 family (the CMS/MinHash device: 32 independent 32-bit
+# hashes cost 8 md5 evaluations per row — digests projected once, chunks
+# decoded from the projection; the first version hashed per (row,
+# replicate) and spent 4× the digests plus the portable instr decode,
+# 8.3 s → this shape). No resampling shuffle — the exchange after the
+# narrow explode carries 32 partial sums per partition. The CI uses
+# ORDER STATISTICS (2nd smallest / 2nd largest replicate mean ≈ the
+# 3.1/96.9 band for B = 32) — no interpolation, the only quantile form
+# two engines reproduce exactly. Replicate means are rounded to 4 dp
+# before ranking so ties break identically.
 # ---------------------------------------------------------------------------
 _BOOT_B = 32
 
@@ -401,21 +404,24 @@ def _poisson_w_sql(u_sql: str) -> str:
     return f"CASE {' '.join(cdf)} ELSE 7 END"
 
 
-def _boot_u_sql() -> str:
-    key = "concat(CAST(b AS STRING), '#', CAST(o_orderkey AS STRING))"
-    return f"((CAST({hash_u32_sql(key, 'boot')} AS DOUBLE) + 0.5) / 4294967296.0)"
+def _boot_u_from_hash(h_sql: str) -> str:
+    return f"((CAST({h_sql} AS DOUBLE) + 0.5) / 4294967296.0)"
 
 
 def _boot_oracle() -> str:
-    u = _boot_u_sql()
-    w = _poisson_w_sql(u)
+    from etl_pipeline_spark.operators.sketch import hex8_at_expr
+
+    weight_rows = "\n            UNION ALL ".join(
+        f"SELECT o_orderkey, o_totalprice, {b} AS b, "
+        + _poisson_w_sql(
+            _boot_u_from_hash(hex8_at_expr("CAST(o_orderkey AS VARCHAR)", b))
+        )
+        + " AS w FROM orders"
+        for b in range(_BOOT_B)
+    )
     return f"""
         WITH rep AS (
-            SELECT o.o_orderkey, o.o_totalprice, b.b, {w} AS w
-            FROM orders o
-            CROSS JOIN (
-                SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b
-            ) b
+            {weight_rows}
         ),
         reps AS (
             SELECT b, ROUND(SUM(w * o_totalprice) / SUM(w), 4) AS m
@@ -427,10 +433,11 @@ def _boot_oracle() -> str:
                    ROW_NUMBER() OVER (ORDER BY m DESC, b DESC) AS r_desc
             FROM reps
         )
-        SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicates,
-               (SELECT ROUND(AVG(m), 4) FROM reps) AS boot_mean,
-               (SELECT m FROM ranked WHERE r_asc = 2) AS ci_lo,
-               (SELECT m FROM ranked WHERE r_desc = 2) AS ci_hi
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+               ROUND(AVG(m), 4) AS boot_mean,
+               MAX(CASE WHEN r_asc = 2 THEN m END) AS ci_lo,
+               MAX(CASE WHEN r_desc = 2 THEN m END) AS ci_hi
+        FROM ranked
     """
 
 
@@ -440,30 +447,54 @@ def _boot_oracle() -> str:
     tags=("stats", "sampling", "agg"),
 )
 def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.sketch import _CHUNKS_PER_MD5, _digest_sql
+
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    rep = o.select(
-        "o_orderkey",
+    key_sql = "CAST(o_orderkey AS STRING)"
+    n_groups = (_BOOT_B + _CHUNKS_PER_MD5 - 1) // _CHUNKS_PER_MD5
+    hashed = o.select(
         "o_totalprice",
-        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
-    ).withColumn("w", F.expr(_poisson_w_sql(_boot_u_sql())))
+        *[F.expr(_digest_sql(key_sql, g)).alias(f"m{g}") for g in range(n_groups)],
+    )
+
+    def u_from_digest(b: int) -> str:
+        g, c = divmod(b, _CHUNKS_PER_MD5)
+        h = f"CAST(conv(substr(m{g}, {8 * c + 1}, 8), 16, 10) AS BIGINT)"
+        return _boot_u_from_hash(h)
+
+    # posexplode the 32-element uniform array (each u decoded exactly
+    # once inside the array constructor), then apply the 7-branch Poisson
+    # CASE to the SCALAR u below the Generate. Measured shapes: inlining
+    # the u-decode inside each CASE branch re-evaluates it per branch
+    # (4.3 s); a struct-array explode re-evaluates element expressions
+    # past the Generate (10.2 s); this explode-then-CASE shape is 2.8 s.
+    rep = hashed.select(
+        "o_totalprice",
+        F.posexplode(
+            F.array(*[F.expr(u_from_digest(b)) for b in range(_BOOT_B)])
+        ).alias("b", "u"),
+    ).select("o_totalprice", "b", F.expr(_poisson_w_sql("u")).alias("w"))
     reps = rep.groupBy("b").agg(
         F.round(
             F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w"), 4
         ).alias("m")
     )
-    # 32 rows from here down — the global windows are bounded by B
+    # 32 rows from here down — the global windows are bounded by B, and
+    # the CI band comes out of ONE conditional aggregate over the ranked
+    # rows so the whole query scans orders exactly once (a crossJoin of
+    # separately-derived stats/lo/hi would recompute the replicate pass
+    # per branch — three full scans at 100 TB; plan-guarded)
     ranked = reps.withColumn(
         "r_asc", F.row_number().over(Window.orderBy(F.asc("m"), F.asc("b")))
     ).withColumn(
         "r_desc", F.row_number().over(Window.orderBy(F.desc("m"), F.desc("b")))
     )
-    stats = reps.agg(
+    return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
         F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.max(F.when(F.col("r_asc") == 2, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("r_desc") == 2, F.col("m"))).alias("ci_hi"),
     )
-    lo = ranked.filter(F.col("r_asc") == 2).select(F.col("m").alias("ci_lo"))
-    hi = ranked.filter(F.col("r_desc") == 2).select(F.col("m").alias("ci_hi"))
-    return stats.crossJoin(lo).crossJoin(hi)
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,7 @@ from pyspark.sql.window import Window
 
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
+from etl_pipeline_spark.utils.session_cache import register_cache, session_key
 
 # ---------------------------------------------------------------------------
 # Shared token / bigram extraction. Documents are whitespace-tokenized
@@ -65,22 +66,40 @@ _BIGRAMS_DUCK = """
 """
 
 
+# Memoized per (session, sf_dir) like the shingle relation in plans/llm.py:
+# TF-IDF, PMI, the bigram LM and the inverted index all re-tokenize the
+# same corpus (PMI alone references the token relation three times).
+# One materialization replaces ~7 re-tokenizations; at true scale you'd
+# checkpoint the tokenized relation to parquet once — the standard
+# tokenize-once corpus layout — and these queries would read it.
+_TOKEN_CACHE: dict[tuple, DataFrame] = register_cache({})
+_BIGRAM_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
 def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    )
+    key = (session_key(spark), sf_dir)
+    if key not in _TOKEN_CACHE:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        _TOKEN_CACHE[key] = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        ).persist()
+    return _TOKEN_CACHE[key]
 
 
 def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pair = F.explode(
-        F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 1),"
-            " i -> struct(split(text, ' ')[i-1] AS w1, split(text, ' ')[i] AS w2))"
+    key = (session_key(spark), sf_dir)
+    if key not in _BIGRAM_CACHE:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        pair = F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> struct(split(text, ' ')[i-1] AS w1, split(text, ' ')[i] AS w2))"
+            )
+        ).alias("bg")
+        _BIGRAM_CACHE[key] = (
+            docs.select("doc_id", pair).select("doc_id", "bg.w1", "bg.w2").persist()
         )
-    ).alias("bg")
-    return docs.select("doc_id", pair).select("doc_id", "bg.w1", "bg.w2")
+    return _BIGRAM_CACHE[key]
 
 
 # ---------------------------------------------------------------------------

@@ -376,6 +376,70 @@ def test_split_leakage_adds_no_joins_beyond_pair_build(spark):
         assert leak_plan.count(node) == pairs_plan.count(node), node
 
 
+def test_jl_projection_is_narrow_zero_exchange(spark):
+    """The sign projection is one Project over the scan — zero Exchange,
+    no Python eval (the literal matrix folds inside codegen)."""
+    from etl_pipeline_spark.plans.text_analytics import jl_project
+    from etl_pipeline_spark.sources.star import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(spark, jl_project(emb))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_salted_join_spreads_key_and_matches_plain(spark):
+    """The salted join's keys carry BOTH the join key and the salt, and
+    the dim side is exploded (Generate) — the skew-spread shape."""
+    plan = _plan(spark, REGISTRY["skew_salted_join"].spark_fn(spark, SF_DIR))
+    assert "Generate" in plan
+    assert "__salt" in plan
+
+
+def test_bootstrap_single_pass_no_resample_shuffle(spark):
+    """B=32 replicates from ONE scan of orders (formatted mode prints
+    each node twice: tree + detail). A crossJoin of separately-derived
+    stats would triple the scan count — the regression this pins."""
+    plan = _plan(spark, REGISTRY["bootstrap_revenue_ci"].spark_fn(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # one scan, printed twice
+
+
+def test_tfidf_no_python_and_rank_window(spark):
+    """TF-IDF stays JVM-side; the per-doc top-k is a rank window (the
+    df-side join may auto-broadcast at LOCAL sizes — what matters at
+    scale is that no broadcast HINT pins the unbounded vocab side, so
+    Spark's size-based planner flips it to a shuffle join on real data)."""
+    plan = _plan(spark, REGISTRY["tfidf_top_terms"].spark_fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+    import inspect
+
+    from etl_pipeline_spark.plans import text_analytics
+
+    src = inspect.getsource(text_analytics.tfidf_top_terms)
+    # the only broadcast hint allowed is the 1-row doc count
+    assert src.count("F.broadcast") == 1 and "F.broadcast(n)" in src
+
+
+def test_windowed_distinct_day_grain_reuses_cells(spark):
+    """The 24h register relation merges the 6h cells — one events scan
+    (printed twice in formatted mode), no second pass."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.operators.sketch import hll_build_grouped
+    from etl_pipeline_spark.sources.star import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.expr("(ts DIV 21600000000000) * 21600").alias("win6"), "user_id"
+    )
+    regs6 = hll_build_grouped(ev, ["win6"], "user_id", p=8)
+    regs24 = regs6.groupBy(
+        F.expr("(win6 DIV 86400) * 86400").alias("win24"), F.col("idx")
+    ).agg(F.max("rho_max").alias("rho_max"))
+    plan = _plan(spark, regs24)
+    assert plan.count("Scan parquet") == 2  # one scan, printed twice
+
+
 def test_nb_vocab_prune_is_topk_and_model_broadcasts(spark):
     """The NB vocabulary cap is an exact top-k (TakeOrderedAndProject),
     never a single-partition global window, and the pruned model joins
