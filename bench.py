@@ -107,6 +107,13 @@ HEADLINE = [
     "skew_salted_join",
     "k_anonymity_audit",
     "assoc_rules_events",
+    "rfm_customer_segments",
+    "pareto_abc_revenue",
+    "benford_first_digit",
+    "markov_transition_events",
+    "quantile_normalize_values",
+    "change_point_cusum_events",
+    "late_data_accounting",
 ]
 
 

@@ -1,0 +1,511 @@
+"""Round-4 wave-2 operational analytics: RFM segmentation, Pareto/ABC
+concentration, Benford auditing, Markov transitions, quantile
+normalization, CUSUM change points, and watermark late-data accounting.
+
+Beyond-reference components; each is the Spark-first relational form of a
+standard warehouse/ops primitive:
+
+- RFM segmentation — recency/frequency/monetary quintile scores against
+  percentile thresholds (broadcast 1-row threshold relation, no global
+  NTILE window over customers);
+- Pareto/ABC classification — cumulative revenue share over the customer
+  AGGREGATE (never the fact table); the single-partition cumsum over
+  n_customers rows is the documented local form — at 10⁹ customers the
+  two-level distributed prefix sum (operators/packing.py) is the same
+  plan with bucketed offsets;
+- Benford first-digit audit — the classic fabricated-numbers screen;
+- Markov transition matrix over per-user event sequences — one LAG
+  window + one grouped count;
+- quantile normalization — within-group percent_rank, the
+  distribution-free feature transform;
+- CUSUM change-point detection — cumulative deviation of daily means
+  from the series mean, argmax |S|; day/series means are ROUNDED to 6 dp
+  before the cumsum so both engines accumulate identical inputs in
+  identical order (raw grouped means differ in final ulps across
+  partial-agg orders);
+- watermark late-data accounting — the batch twin of streaming
+  watermarks: running max event-time per stream minus the allowed
+  lateness, events behind it counted per window (what a Structured
+  Streaming job would have dropped).
+
+Floats round 6 dp (money 2 dp) on identical parenthesization; every
+query carries a complete-output DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.star import load_table
+
+_EPOCH_DAY_DUCK = (
+    "CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)"
+    " AS BIGINT)"
+)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation. Quintile thresholds (p20/p40/p60/p80 of each metric
+# over the customer aggregate) live in ONE broadcast row; each customer
+# scores 1-5 per metric by threshold comparison — no global NTILE window
+# over the customer population (single-partition at 10⁹ customers).
+# Thresholds are rounded to 6 dp so both engines compare against
+# identical values (interpolated percentiles differ in final ulps).
+# R score: higher = more recent; F/M: higher = more/larger.
+# ---------------------------------------------------------------------------
+def _score_sql(metric: str, t: str) -> str:
+    """1-5 score by comparison against rounded quintile thresholds."""
+    return (
+        f"CASE WHEN {metric} <= {t}_20 THEN 1"
+        f" WHEN {metric} <= {t}_40 THEN 2"
+        f" WHEN {metric} <= {t}_60 THEN 3"
+        f" WHEN {metric} <= {t}_80 THEN 4 ELSE 5 END"
+    )
+
+
+@register(
+    "rfm_customer_segments",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_custkey,
+                   MAX({_EPOCH_DAY_DUCK}) AS last_day,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   ROUND(SUM(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        th AS (
+            SELECT
+                ROUND(quantile_cont(last_day, 0.20), 6) AS r_20,
+                ROUND(quantile_cont(last_day, 0.40), 6) AS r_40,
+                ROUND(quantile_cont(last_day, 0.60), 6) AS r_60,
+                ROUND(quantile_cont(last_day, 0.80), 6) AS r_80,
+                ROUND(quantile_cont(freq, 0.20), 6) AS f_20,
+                ROUND(quantile_cont(freq, 0.40), 6) AS f_40,
+                ROUND(quantile_cont(freq, 0.60), 6) AS f_60,
+                ROUND(quantile_cont(freq, 0.80), 6) AS f_80,
+                ROUND(quantile_cont(monetary, 0.20), 6) AS m_20,
+                ROUND(quantile_cont(monetary, 0.40), 6) AS m_40,
+                ROUND(quantile_cont(monetary, 0.60), 6) AS m_60,
+                ROUND(quantile_cont(monetary, 0.80), 6) AS m_80
+            FROM base
+        )
+        SELECT b.o_custkey, b.last_day, b.freq, b.monetary,
+               {_score_sql('b.last_day', 'r')} AS r_score,
+               {_score_sql('b.freq', 'f')} AS f_score,
+               {_score_sql('b.monetary', 'm')} AS m_score,
+               {_score_sql('b.last_day', 'r')} * 100
+                 + {_score_sql('b.freq', 'f')} * 10
+                 + {_score_sql('b.monetary', 'm')} AS rfm
+        FROM base b CROSS JOIN th
+    """,
+    tags=("agg", "segmentation", "window-free"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz")
+            )
+            .cast("bigint")
+            .alias("day"),
+            "o_totalprice",
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("day").alias("last_day"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    th = base.agg(
+        *[
+            F.round(F.expr(f"percentile({m}, {p / 100})"), 6).alias(
+                f"{m[0]}_{p}"
+            )
+            for m in ("last_day", "freq", "monetary")
+            for p in (20, 40, 60, 80)
+        ]
+    ).withColumnsRenamed({"l_20": "r_20", "l_40": "r_40", "l_60": "r_60", "l_80": "r_80"})
+    scored = base.crossJoin(F.broadcast(th))
+    r = F.expr(_score_sql("last_day", "r"))
+    f_ = F.expr(_score_sql("freq", "f"))
+    m = F.expr(_score_sql("monetary", "m"))
+    return scored.select(
+        "o_custkey",
+        "last_day",
+        "freq",
+        "monetary",
+        r.alias("r_score"),
+        f_.alias("f_score"),
+        m.alias("m_score"),
+        (r * 100 + f_ * 10 + m).alias("rfm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC revenue concentration: customers sorted by revenue
+# (descending, custkey tiebreak), cumulative share classifies A (first
+# 80% of revenue), B (next 15%), C (tail). The cumsum runs over the
+# CUSTOMER AGGREGATE in one deterministic order, so both engines
+# accumulate the identical fp sequence. Output is the 3-row class
+# summary. The single-partition cumsum is bounded by the customer count;
+# at 10⁹ customers the two-level distributed prefix sum
+# (operators/packing.py::exclusive_prefix_sum over revenue-rank buckets)
+# is the same plan shape with bucketed offsets.
+# ---------------------------------------------------------------------------
+@register(
+    "pareto_abc_revenue",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey, SUM(o_totalprice) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        tot AS (SELECT SUM(rev) AS total FROM cust),
+        ranked AS (
+            SELECT o_custkey, rev,
+                   SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM cust
+        ),
+        classed AS (
+            SELECT o_custkey, rev,
+                   CASE WHEN cum / t.total <= 0.80 THEN 'A'
+                        WHEN cum / t.total <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM ranked CROSS JOIN tot t
+        )
+        SELECT abc,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(SUM(rev), 2) AS revenue,
+               ROUND(SUM(rev) / MIN(t.total), 6) AS revenue_share
+        FROM classed CROSS JOIN tot t
+        GROUP BY abc
+    """,
+    tags=("agg", "window", "concentration"),
+)
+def pareto_abc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    tot = cust.agg(F.sum("rev").alias("total"))
+    w = (
+        Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = cust.withColumn("cum", F.sum("rev").over(w))
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "rev",
+        "total",
+        F.when(F.col("cum") / F.col("total") <= 0.80, "A")
+        .when(F.col("cum") / F.col("total") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.round(F.sum("rev") / F.min("total"), 6).alias("revenue_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: distribution of the leading digit of order
+# totals vs Benford's law p(d) = log10(1 + 1/d) — the classic screen
+# for fabricated or truncated numeric columns. One grouped count over a
+# narrow projection; 9 output rows.
+# ---------------------------------------------------------------------------
+@register(
+    "benford_first_digit",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+        SELECT digit,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(COUNT(*) * 1.0 / t.n, 6) AS observed_p,
+               ROUND(LOG10(1.0 + 1.0 / digit), 6) AS expected_p,
+               ROUND(ABS(COUNT(*) * 1.0 / t.n
+                         - LOG10(1.0 + 1.0 / digit)), 6) AS abs_dev
+        FROM d CROSS JOIN tot t
+        GROUP BY digit, t.n
+    """,
+    tags=("quality", "agg", "audit"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)"
+            " AS STRING), 1, 1) AS INT)"
+        ).alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("digit", "n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(F.col("n_orders") * 1.0 / F.col("n"), 6).alias("observed_p"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("expected_p"),
+            F.round(
+                F.abs(
+                    F.col("n_orders") * 1.0 / F.col("n")
+                    - F.log10(1.0 + 1.0 / F.col("digit"))
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences: LAG the event
+# type within each user's (ts, event_id) order, count (from, to) pairs,
+# normalize per source state. One user-keyed window shuffle + one
+# grouped count over a type²-bounded relation.
+# ---------------------------------------------------------------------------
+@register(
+    "markov_transition_events",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id) AS prev_type
+            FROM events
+        ),
+        trans AS (
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_trans
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        out_tot AS (
+            SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+            FROM trans GROUP BY 1
+        )
+        SELECT t.from_type, t.to_type, t.n_trans,
+               ROUND(t.n_trans * 1.0 / o.n_from, 6) AS p_trans
+        FROM trans t JOIN out_tot o ON o.from_type = t.from_type
+    """,
+    tags=("timeseries", "window", "markov"),
+)
+def markov_transition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    out_tot = trans.groupBy("from_type").agg(
+        F.sum("n_trans").cast("bigint").alias("n_from")
+    )
+    return trans.join(F.broadcast(out_tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(F.col("n_trans") * 1.0 / F.col("n_from"), 6).alias("p_trans"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization: within-type percent_rank of `value` — the
+# distribution-free transform that makes heterogeneous metrics
+# comparable. percent_rank = (rank-1)/(n-1) with ties sharing rank, a
+# definition both engines implement identically; one group-keyed window
+# shuffle (partition count = event types — at real scale the stream key
+# is high-cardinality and this is the standard one-shuffle transform).
+# ---------------------------------------------------------------------------
+@register(
+    "quantile_normalize_values",
+    oracle="""
+        SELECT event_id, event_type, value,
+               ROUND(PERCENT_RANK() OVER (
+                   PARTITION BY event_type ORDER BY value), 6) AS pct_rank
+        FROM events
+    """,
+    tags=("window", "features", "normalize"),
+)
+def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection per event type: S_d = Σ_{days ≤ d}
+# (mean_day − mean_series); the day with max |S| is the most likely
+# level-shift point. Day and series means are ROUNDED to 6 dp BEFORE the
+# cumsum so both engines accumulate identical inputs (raw grouped means
+# carry partial-agg-order ulps); the cumsum itself runs in identical
+# (day ASC) order. Everything after the first grouped aggregate runs on
+# types × days rows.
+# ---------------------------------------------------------------------------
+_DAY_NS = 86_400_000_000_000
+
+
+@register(
+    "change_point_cusum_events",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   (epoch_ns(ts) // {_DAY_NS}) * 86400 AS day_epoch,
+                   ROUND(SUM(value) / COUNT(*), 6) AS day_mean
+            FROM events GROUP BY 1, 2
+        ),
+        series AS (
+            SELECT event_type, ROUND(SUM(value) / COUNT(*), 6) AS series_mean
+            FROM events GROUP BY 1
+        ),
+        cusum AS (
+            SELECT d.event_type, d.day_epoch,
+                   ROUND(SUM(d.day_mean - s.series_mean) OVER (
+                       PARTITION BY d.event_type ORDER BY d.day_epoch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) AS s
+            FROM daily d JOIN series s ON s.event_type = d.event_type
+        )
+        SELECT event_type, day_epoch AS cp_day_epoch, s AS cusum_s,
+               n_days FROM (
+            SELECT event_type, day_epoch, s,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY ABS(s) DESC, day_epoch ASC) AS r,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n_days
+            FROM cusum
+        ) WHERE r = 1
+    """,
+    tags=("timeseries", "window", "changepoint"),
+)
+def change_point_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"(ts DIV {_DAY_NS}) * 86400").alias("day_epoch"),
+        "value",
+    )
+    daily = ev.groupBy("event_type", "day_epoch").agg(
+        F.round(F.sum("value") / F.count(F.lit(1)), 6).alias("day_mean")
+    )
+    series = ev.groupBy("event_type").agg(
+        F.round(F.sum("value") / F.count(F.lit(1)), 6).alias("series_mean")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = (
+        daily.join(F.broadcast(series), "event_type")
+        .withColumn(
+            "s",
+            F.round(
+                F.sum(F.col("day_mean") - F.col("series_mean")).over(w), 6
+            ),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.asc("day_epoch")
+    )
+    wc = Window.partitionBy("event_type")
+    return (
+        cusum.withColumn("r", F.row_number().over(wr))
+        .withColumn("n_days", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("day_epoch").alias("cp_day_epoch"),
+            F.col("s").alias("cusum_s"),
+            "n_days",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data accounting — the batch twin of streaming
+# watermarks: per stream (event type), the watermark after each arrival
+# (arrival order = event_id) is the running max event-time minus the
+# allowed lateness; an event arriving behind the watermark is what a
+# Structured Streaming job would drop. Counted per 6h window: the
+# lateness profile that sizes `withWatermark` before a stream goes live.
+# ---------------------------------------------------------------------------
+_LATE_NS = 30 * 60 * 1_000_000_000
+_H6_NS = 6 * 3_600_000_000_000
+
+
+@register(
+    "late_data_accounting",
+    oracle=f"""
+        WITH marked AS (
+            SELECT event_type, epoch_ns(ts) AS t,
+                   MAX(epoch_ns(ts)) OVER (
+                       PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) - {_LATE_NS} AS wm
+            FROM events
+        )
+        SELECT event_type,
+               (t // {_H6_NS}) * 21600 AS win_start_epoch,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN wm IS NOT NULL AND t < wm
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               ROUND(SUM(CASE WHEN wm IS NOT NULL AND t < wm
+                              THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+                   AS late_share
+        FROM marked
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "watermark"),
+)
+def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.select(
+        "event_type",
+        F.col("ts").alias("t"),
+        (F.max("ts").over(w) - _LATE_NS).alias("wm"),
+    )
+    late = F.when(
+        F.col("wm").isNotNull() & (F.col("t") < F.col("wm")), 1
+    ).otherwise(0)
+    return (
+        marked.groupBy(
+            "event_type",
+            F.expr(f"(t DIV {_H6_NS}) * 21600").alias("win_start_epoch"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(late).cast("bigint").alias("n_late"),
+            F.round(F.sum(late) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "late_share"
+            ),
+        )
+    )

@@ -87,7 +87,12 @@ PRIORITY: tuple[str, ...] = (
     # --- representatives of already-proven families (regression signal)
     "q9_product_type_profit", "cms_partkey_estimates",
     "events_sessionize_30m", "ann_ivfpq_topk", "regression_detect_metrics",
-    # ---- tier 2 (51+): previously driver-green queries in a stable order
+    # ---- tier 2 (51+): round-4 wave-2 first (next in line for a future
+    # driver window; locally parity-checked now), then previously
+    # driver-green queries in a stable order
+    "rfm_customer_segments", "pareto_abc_revenue", "benford_first_digit",
+    "markov_transition_events", "quantile_normalize_values",
+    "change_point_cusum_events", "late_data_accounting",
     "sql_not_in_null_aware", "sql_correlated_scalar_count", "sql_keep_first_per_key",
     "sql_histogram_event_values", "sql_intersect_except_all",
     "sql_unpivot_status_totals", "sql_last_value_ignore_nulls",
@@ -168,6 +173,7 @@ def _ensure_loaded() -> None:
         kernel,
         llm,
         multimodal_plan,
+        ops_analytics,
         relational,
         relational_analytics,
         sql_surface,
