@@ -114,6 +114,11 @@ HEADLINE = [
     "quantile_normalize_values",
     "change_point_cusum_events",
     "late_data_accounting",
+    "textrank_keywords",
+    "theil_sen_price_trend",
+    "attribution_credit_events",
+    "stickiness_dau_mau",
+    "funnel_latency_quantiles",
 ]
 
 

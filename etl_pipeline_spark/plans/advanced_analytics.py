@@ -1,0 +1,510 @@
+"""Round-4 wave-3: TextRank keyword extraction, Theil–Sen robust trend,
+multi-touch attribution, DAU/MAU stickiness, and funnel latency
+quantiles.
+
+Beyond-reference components; Spark-first expressions of standard
+analytics primitives:
+
+- TextRank (Mihalcea & Tarau 2004) — PageRank over the word
+  co-occurrence graph (window ≤ 2 positions) extracts corpus keywords;
+  REUSES the distributed `operators/graph.py::pagerank` (persisted
+  degree-weighted edges, state-sized rounds) on word nodes, and the
+  unrolled-CTE oracle device proves every rank cell;
+- Theil–Sen estimator — median of pairwise slopes over monthly revenue
+  means: robust to outlier months where OLS is not; the pair set is
+  bounded (months², not rows²), and the median is an ORDER-STATISTIC
+  (rank-selected, no interpolation — exactly reproducible across
+  engines); the OLS slope is emitted beside it for contrast;
+- multi-touch attribution — position-based (40/20/40) credit of each
+  purchase to the user's view/click touches in the preceding 30 min:
+  the marketing-attribution kernel; per-conversion windows over a
+  user-keyed range join;
+- DAU/MAU stickiness — daily distinct over monthly distinct, the
+  engagement ratio every product dashboard tracks;
+- funnel latency quantiles — view→purchase time-to-convert p50/p90 as
+  rank-selected order statistics (type-1 quantiles, integer seconds —
+  exact in both engines).
+
+Floats round 6 dp on identical parenthesization; ranks 8 dp (the
+PageRank convention); every query carries a complete-output oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.star import load_table
+
+# ---------------------------------------------------------------------------
+# TextRank keywords. Word nodes are frequency-pruned (count ≥ _TR_MIN_C
+# — rare words carry no graph signal and bloat the node set); candidate
+# edges are co-occurrences within 2 positions, weighted by count, then
+# TOP-K SPARSIFIED per node (each word keeps its _TR_TOPK strongest
+# co-occurrence partners — the same |E| ≤ k·|V| bound the co-supplier
+# graph uses). Without it the word-soup corpus yields average degree
+# ~400 and each PageRank round joins a million-edge relation (measured
+# 14 s); sparsified rounds are state-sized (≈3 s). Every node has
+# out-edges by construction (symmetry), so no dangling-mass term.
+# ---------------------------------------------------------------------------
+_TR_MIN_C = 10
+_TR_TOPK = 8
+_TR_ITER = 5
+_TR_D = 0.85
+
+
+def _textrank_oracle(n_iter: int = _TR_ITER, damping: float = _TR_D) -> str:
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""
+        c{i} AS (
+            SELECT e.dst AS node, SUM(r.rank / e.out_deg) AS contrib
+            FROM ew e JOIN r{i - 1} r ON r.node = e.src
+            GROUP BY 1
+        ),
+        r{i} AS (
+            SELECT nodes.node,
+                   (1.0 - {damping}) / nn.n + {damping} * COALESCE(c{i}.contrib, 0.0)
+                       AS rank
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN c{i} ON c{i}.node = nodes.node
+        )""")
+    chain = ",".join(rounds)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        kept AS (
+            SELECT term FROM toks GROUP BY term
+            HAVING COUNT(*) >= {_TR_MIN_C}
+        ),
+        prs AS (
+            SELECT string_split(text, ' ')[i] AS wa,
+                   string_split(text, ' ')[i + d] AS wb
+            FROM (
+                SELECT text,
+                       unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+                FROM documents
+            ), (SELECT unnest(generate_series(1, 2)) AS d)
+            WHERE i + d <= len(string_split(text, ' '))
+        ),
+        weighted AS (
+            SELECT LEAST(p.wa, p.wb) AS item_a,
+                   GREATEST(p.wa, p.wb) AS item_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM prs p
+            JOIN kept ka ON ka.term = p.wa
+            JOIN kept kb ON kb.term = p.wb
+            WHERE p.wa <> p.wb
+            GROUP BY 1, 2
+        ),
+        directed AS (
+            SELECT item_a, item_b, n_shared FROM weighted
+            UNION ALL
+            SELECT item_b AS item_a, item_a AS item_b, n_shared FROM weighted
+        ),
+        top AS (
+            SELECT item_a, item_b FROM (
+                SELECT item_a, item_b,
+                       ROW_NUMBER() OVER (PARTITION BY item_a
+                           ORDER BY n_shared DESC, item_b ASC) AS rnk
+                FROM directed
+            ) WHERE rnk <= {_TR_TOPK}
+        ),
+        rel AS (
+            SELECT DISTINCT LEAST(item_a, item_b) AS wa,
+                            GREATEST(item_a, item_b) AS wb
+            FROM top
+        ),
+        edges AS (
+            SELECT wa AS src, wb AS dst FROM rel
+            UNION ALL
+            SELECT wb AS src, wa AS dst FROM rel
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+                FROM edges GROUP BY 1),
+        ew AS (SELECT edges.src, edges.dst, deg.out_deg
+               FROM edges JOIN deg USING (src)),
+        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+        {chain}
+        SELECT node AS keyword, ROUND(rank, 8) AS rank
+        FROM r{n_iter}
+        ORDER BY rank DESC, keyword
+        LIMIT 20
+    """
+
+
+@register(
+    "textrank_keywords",
+    oracle=_textrank_oracle(),
+    tags=("graph", "iterative", "text"),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.graph import pagerank
+    from etl_pipeline_spark.plans.text_analytics import _doc_terms
+
+    kept = (
+        _doc_terms(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _TR_MIN_C)
+        .select("term")
+    )
+    # bind the token array ONCE: inlining split(text,' ') into every
+    # lambda element access re-splits the string per access — O(n²)
+    # splitting per document, measured 7.8 s for this extraction alone
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    prs = docs.select(
+        F.explode(
+            F.expr(
+                "concat("
+                " transform(sequence(1, size(toks) - 1),"
+                "   i -> struct(toks[i-1] AS wa, toks[i] AS wb)),"
+                " transform(sequence(1, size(toks) - 2),"
+                "   i -> struct(toks[i-1] AS wa, toks[i+1] AS wb)))"
+            )
+        ).alias("p")
+    ).select("p.wa", "p.wb")
+    ka = kept.select(F.col("term").alias("wa"))
+    kb = kept.select(F.col("term").alias("wb"))
+    weighted = (
+        prs.filter(F.col("wa") != F.col("wb"))
+        .join(ka, "wa")
+        .join(kb, "wb")
+        .groupBy(
+            F.least("wa", "wb").alias("item_a"),
+            F.greatest("wa", "wb").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    from etl_pipeline_spark.operators.graph import topk_neighbor_edges
+
+    rel = topk_neighbor_edges(weighted, k=_TR_TOPK)  # (src<dst distinct)
+    edges = rel.unionByName(
+        rel.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, n_iter=_TR_ITER, damping=_TR_D)
+    return (
+        ranks.select(
+            F.col("node").alias("keyword"), F.round("rank", 8).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("keyword"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend over monthly revenue means. The slope estimate
+# is the LOWER MEDIAN of all pairwise slopes — rank-selected, never
+# interpolated, so both engines pick the identical pair. Slopes are
+# rounded to 6 dp before ranking (tie-break by the month pair) so the
+# selection order is identical too. Pair count is months² — bounded by
+# the calendar, not the data. OLS slope from moment sums for contrast.
+# ---------------------------------------------------------------------------
+@register(
+    "theil_sen_price_trend",
+    oracle="""
+        WITH monthly AS (
+            SELECT (EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) - 1) AS m,
+                   ROUND(SUM(o_totalprice) / COUNT(*), 6) AS v
+            FROM orders GROUP BY 1
+        ),
+        prs AS (
+            SELECT a.m AS ma, b.m AS mb,
+                   ROUND((b.v - a.v) / (b.m - a.m), 6) AS slope
+            FROM monthly a JOIN monthly b ON a.m < b.m
+        ),
+        ranked AS (
+            SELECT slope,
+                   ROW_NUMBER() OVER (ORDER BY slope ASC, ma ASC, mb ASC) AS r,
+                   COUNT(*) OVER () AS k
+            FROM prs
+        ),
+        ts AS (
+            SELECT slope AS theil_sen_slope FROM ranked
+            WHERE r = CAST(CEIL(k / 2.0) AS BIGINT)
+        ),
+        ols AS (
+            SELECT ROUND(
+                (COUNT(*) * SUM(m * v) - SUM(m) * SUM(v))
+                / (COUNT(*) * SUM(m * m) - SUM(m) * SUM(m)), 6) AS ols_slope,
+                   CAST(COUNT(*) AS BIGINT) AS n_months
+            FROM monthly
+        )
+        SELECT o.n_months,
+               CAST(o.n_months * (o.n_months - 1) / 2 AS BIGINT) AS n_pairs,
+               t.theil_sen_slope, o.ols_slope
+        FROM ols o CROSS JOIN ts t
+    """,
+    tags=("stats", "timeseries", "robust"),
+)
+def theil_sen_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+            "o_totalprice",
+        )
+        .groupBy("m")
+        .agg(F.round(F.sum("o_totalprice") / F.count(F.lit(1)), 6).alias("v"))
+    )
+    a = monthly.select(F.col("m").alias("ma"), F.col("v").alias("va"))
+    b = monthly.select(F.col("m").alias("mb"), F.col("v").alias("vb"))
+    prs = a.join(b, F.col("ma") < F.col("mb")).select(
+        "ma",
+        "mb",
+        F.round((F.col("vb") - F.col("va")) / (F.col("mb") - F.col("ma")), 6).alias(
+            "slope"
+        ),
+    )
+    wr = Window.orderBy(F.asc("slope"), F.asc("ma"), F.asc("mb"))  # months² rows
+    ranked = prs.withColumn("r", F.row_number().over(wr)).withColumn(
+        "k", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    ts = ranked.filter(
+        F.col("r") == F.expr("CAST(CEIL(k / 2.0) AS BIGINT)")
+    ).select(F.col("slope").alias("theil_sen_slope"))
+    ols = monthly.agg(
+        F.round(
+            (
+                F.count(F.lit(1)) * F.sum(F.col("m") * F.col("v"))
+                - F.sum("m") * F.sum("v")
+            )
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("m") * F.col("m"))
+                - F.sum("m") * F.sum("m")
+            ),
+            6,
+        ).alias("ols_slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+    )
+    return ols.crossJoin(ts).select(
+        "n_months",
+        (F.col("n_months") * (F.col("n_months") - 1) / 2)
+        .cast("bigint")
+        .alias("n_pairs"),
+        "theil_sen_slope",
+        "ols_slope",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (40/20/40) multi-touch attribution: each purchase
+# credits the user's view/click touches in the preceding 30 minutes —
+# first touch 0.4, last touch 0.4, middles share 0.2 evenly (single
+# touch gets 1.0; two touches 0.5/0.5 — the standard U-shape
+# degeneration). The touch↔conversion pairing is a user-keyed hash join
+# with a time-range residual (never a nested loop; same device as the
+# click-attribution range join), and the per-conversion position window
+# is bounded by the 30-minute horizon.
+# ---------------------------------------------------------------------------
+_ATTR_NS = 30 * 60 * 1_000_000_000
+
+
+@register(
+    "attribution_credit_events",
+    oracle=f"""
+        WITH purchases AS (
+            SELECT event_id AS p_id, user_id, epoch_ns(ts) AS tp
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touches AS (
+            SELECT event_id AS t_id, user_id, event_type, epoch_ns(ts) AS tt
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        paired AS (
+            SELECT p.p_id, t.t_id, t.event_type,
+                   ROW_NUMBER() OVER (PARTITION BY p.p_id
+                       ORDER BY t.tt, t.t_id) AS pos,
+                   COUNT(*) OVER (PARTITION BY p.p_id) AS n_t
+            FROM purchases p JOIN touches t
+              ON t.user_id = p.user_id
+             AND t.tt < p.tp AND t.tt >= p.tp - {_ATTR_NS}
+        ),
+        credited AS (
+            SELECT event_type,
+                   CASE WHEN n_t = 1 THEN 1.0
+                        WHEN pos = 1 OR pos = n_t THEN
+                            CASE WHEN n_t = 2 THEN 0.5 ELSE 0.4 END
+                        ELSE 0.2 / (n_t - 2) END AS credit
+            FROM paired
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               ROUND(SUM(credit), 6) AS credit
+        FROM credited GROUP BY event_type
+    """,
+    tags=("timeseries", "join", "attribution"),
+)
+def attribution_credit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("tp")
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        "event_type",
+        F.col("ts").alias("tt"),
+    )
+    paired = purchases.join(
+        touches,
+        (purchases["user_id"] == touches["user_id"])
+        & (F.col("tt") < F.col("tp"))
+        & (F.col("tt") >= F.col("tp") - _ATTR_NS),
+    )
+    w = Window.partitionBy("p_id").orderBy("tt", "t_id")
+    wc = Window.partitionBy("p_id")
+    pos = paired.select(
+        "p_id",
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wc).alias("n_t"),
+    )
+    credit = (
+        F.when(F.col("n_t") == 1, 1.0)
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n_t")),
+            F.when(F.col("n_t") == 2, 0.5).otherwise(0.4),
+        )
+        .otherwise(0.2 / (F.col("n_t") - 2))
+    )
+    return (
+        pos.select("event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(F.sum("credit"), 6).alias("credit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness: daily distinct users over the month's distinct
+# users — the engagement ratio. Two grouped distinct aggregates (the
+# HLL register path is the approximate swap at unbounded user counts —
+# see windowed_distinct_users); the month total broadcasts back over
+# the 30 daily rows.
+# ---------------------------------------------------------------------------
+_DAY_NS = 86_400_000_000_000
+
+
+@register(
+    "stickiness_dau_mau",
+    oracle=f"""
+        WITH dau AS (
+            SELECT (epoch_ns(ts) // {_DAY_NS}) * 86400 AS day_epoch,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+            FROM events GROUP BY 1
+        ),
+        mau AS (
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM events
+        )
+        SELECT d.day_epoch, d.dau, m.mau,
+               ROUND(d.dau * 1.0 / m.mau, 6) AS stickiness
+        FROM dau d CROSS JOIN mau m
+    """,
+    tags=("agg", "engagement", "cardinality"),
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"(ts DIV {_DAY_NS}) * 86400").alias("day_epoch"), "user_id"
+    )
+    dau = ev.groupBy("day_epoch").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    mau = ev.agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    return dau.crossJoin(F.broadcast(mau)).select(
+        "day_epoch",
+        "dau",
+        "mau",
+        F.round(F.col("dau") * 1.0 / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency quantiles: view→purchase time-to-convert per user (the
+# latest view before each purchase, as-of style), p50/p90 as TYPE-1
+# (rank-selected) quantiles in integer seconds — exact and identical in
+# both engines, no interpolation. The as-of pairing is the user-keyed
+# range join + per-purchase max, the same device as the click
+# attribution; the final selection runs on the conversion relation.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_latency_quantiles",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id AS p_id, user_id, epoch_ns(ts) AS tp
+            FROM events WHERE event_type = 'purchase'
+        ),
+        views AS (
+            SELECT user_id, epoch_ns(ts) AS tv
+            FROM events WHERE event_type = 'view'
+        ),
+        conv AS (
+            SELECT p.p_id, (p.tp - MAX(v.tv)) // 1000000000 AS latency_sec
+            FROM purchases p JOIN views v
+              ON v.user_id = p.user_id AND v.tv < p.tp
+            GROUP BY p.p_id, p.tp
+        ),
+        ranked AS (
+            SELECT latency_sec,
+                   ROW_NUMBER() OVER (ORDER BY latency_sec ASC, p_id ASC) AS r,
+                   COUNT(*) OVER () AS k
+            FROM conv
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_conversions,
+               MAX(CASE WHEN r = CAST(CEIL(k * 0.5) AS BIGINT)
+                        THEN latency_sec END) AS p50_latency_sec,
+               MAX(CASE WHEN r = CAST(CEIL(k * 0.9) AS BIGINT)
+                        THEN latency_sec END) AS p90_latency_sec
+        FROM ranked
+    """,
+    tags=("timeseries", "join", "funnel"),
+)
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("tp")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("tv")
+    )
+    conv = (
+        purchases.join(
+            views,
+            (purchases["user_id"] == views["user_id"])
+            & (F.col("tv") < F.col("tp")),
+        )
+        .groupBy("p_id", "tp")
+        .agg(F.expr("(MAX(tp) - MAX(tv)) DIV 1000000000").alias("latency_sec"))
+        .select("p_id", "latency_sec")
+    )
+    wr = Window.orderBy(F.asc("latency_sec"), F.asc("p_id"))
+    ranked = conv.withColumn("r", F.row_number().over(wr)).withColumn(
+        "k", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    n = conv.agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+    sel = ranked.agg(
+        F.max(
+            F.when(
+                F.col("r") == F.expr("CAST(CEIL(k * 0.5) AS BIGINT)"),
+                F.col("latency_sec"),
+            )
+        ).alias("p50_latency_sec"),
+        F.max(
+            F.when(
+                F.col("r") == F.expr("CAST(CEIL(k * 0.9) AS BIGINT)"),
+                F.col("latency_sec"),
+            )
+        ).alias("p90_latency_sec"),
+    )
+    return n.crossJoin(sel)

@@ -55,6 +55,13 @@ _EPOCH_DAY_DUCK = (
 # Thresholds are rounded to 6 dp so both engines compare against
 # identical values (interpolated percentiles differ in final ulps).
 # R score: higher = more recent; F/M: higher = more/larger.
+#
+# Scale note: the exact percentile() buffers the customer-aggregate
+# values in one aggregation state — the oracle-checkable demo form (the
+# same trade anomaly_mad_events documents). At 10⁹ customers the
+# thresholds — the ONLY global state here — come from the mergeable
+# histogram-quantile sketch (operators/sketch.py::histogram_quantiles)
+# instead; scoring is unchanged (a broadcast-threshold CASE either way).
 # ---------------------------------------------------------------------------
 def _score_sql(metric: str, t: str) -> str:
     """1-5 score by comparison against rounded quintile thresholds."""

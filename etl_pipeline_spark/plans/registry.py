@@ -93,6 +93,9 @@ PRIORITY: tuple[str, ...] = (
     "rfm_customer_segments", "pareto_abc_revenue", "benford_first_digit",
     "markov_transition_events", "quantile_normalize_values",
     "change_point_cusum_events", "late_data_accounting",
+    "textrank_keywords", "theil_sen_price_trend",
+    "attribution_credit_events", "stickiness_dau_mau",
+    "funnel_latency_quantiles",
     "sql_not_in_null_aware", "sql_correlated_scalar_count", "sql_keep_first_per_key",
     "sql_histogram_event_values", "sql_intersect_except_all",
     "sql_unpivot_status_totals", "sql_last_value_ignore_nulls",
@@ -166,6 +169,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from etl_pipeline_spark.plans import (  # noqa: F401
+        advanced_analytics,
         analytics,
         corpus_ops,
         corpus_quality,
