@@ -461,7 +461,7 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) OVER () AS k
             FROM conv
         )
-        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_conversions,
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
                MAX(CASE WHEN r = CAST(CEIL(k * 0.5) AS BIGINT)
                         THEN latency_sec END) AS p50_latency_sec,
                MAX(CASE WHEN r = CAST(CEIL(k * 0.9) AS BIGINT)
@@ -488,12 +488,14 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("(MAX(tp) - MAX(tv)) DIV 1000000000").alias("latency_sec"))
         .select("p_id", "latency_sec")
     )
+    # one aggregate over the ranked relation delivers count AND both
+    # order statistics — the conversion join is evaluated exactly once
     wr = Window.orderBy(F.asc("latency_sec"), F.asc("p_id"))
     ranked = conv.withColumn("r", F.row_number().over(wr)).withColumn(
         "k", F.count(F.lit(1)).over(Window.partitionBy())
     )
-    n = conv.agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
-    sel = ranked.agg(
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
         F.max(
             F.when(
                 F.col("r") == F.expr("CAST(CEIL(k * 0.5) AS BIGINT)"),
@@ -507,4 +509,3 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p90_latency_sec"),
     )
-    return n.crossJoin(sel)

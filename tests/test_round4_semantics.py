@@ -208,3 +208,86 @@ def test_adamic_adar_excludes_existing_edges(spark):
     for r in rows:
         assert (r.node_a, r.node_b) not in edges
         assert r.n_common >= 1 and r.aa_score > 0
+
+
+def test_textrank_ranks_sum_to_one(spark):
+    rows = _rows(spark, "textrank_keywords")
+    assert len(rows) == 20
+    # top-20 of a rank distribution that sums to 1 over all nodes
+    assert 0 < sum(r.rank for r in rows) <= 1.0 + 1e-6
+    assert all(r.rank > 0 for r in rows)
+
+
+def test_theil_sen_robust_to_outlier_month(spark):
+    """Injecting one absurd month moves OLS but barely moves Theil-Sen —
+    the robustness property the estimator exists for."""
+    from pyspark.sql.window import Window as W
+
+    from etl_pipeline_spark.sources.star import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    monthly = (
+        orders.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+            "o_totalprice",
+        )
+        .groupBy("m")
+        .agg((F.sum("o_totalprice") / F.count(F.lit(1))).alias("v"))
+        .collect()
+    )
+    import statistics
+
+    def theil_sen(pts):
+        slopes = sorted(
+            (b[1] - a[1]) / (b[0] - a[0])
+            for i, a in enumerate(pts)
+            for b in pts[i + 1 :]
+        )
+        return slopes[(len(slopes) - 1) // 2]
+
+    def ols(pts):
+        n = len(pts)
+        sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts); sxy = sum(p[0] * p[1] for p in pts)
+        return (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    pts = sorted((r.m, r.v) for r in monthly)
+    spoiled = pts[:-1] + [(pts[-1][0], pts[-1][1] * 100)]
+    ts_shift = abs(theil_sen(spoiled) - theil_sen(pts))
+    ols_shift = abs(ols(spoiled) - ols(pts))
+    assert ts_shift < ols_shift / 10
+
+
+def test_attribution_credit_sums_to_attributed_purchases(spark):
+    from etl_pipeline_spark.plans.advanced_analytics import _ATTR_NS
+    from etl_pipeline_spark.sources.star import load_table
+
+    rows = _rows(spark, "attribution_credit_events")
+    total_credit = sum(r.credit for r in rows)
+    ev = load_table(spark, SF_DIR, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("tp")
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("tt")
+    )
+    n_attributed = (
+        purchases.join(
+            touches,
+            (purchases["user_id"] == touches["user_id"])
+            & (F.col("tt") < F.col("tp"))
+            & (F.col("tt") >= F.col("tp") - _ATTR_NS),
+            "semi",
+        ).count()
+    )
+    # every attributed purchase hands out exactly 1.0 credit in total
+    assert abs(total_credit - n_attributed) < 1e-3
+
+
+def test_stickiness_bounded_and_funnel_ordered(spark):
+    srows = _rows(spark, "stickiness_dau_mau")
+    assert all(0 < r.stickiness <= 1 for r in srows)
+    assert all(r.dau <= r.mau for r in srows)
+    frow = _rows(spark, "funnel_latency_quantiles")[0]
+    assert frow.p50_latency_sec <= frow.p90_latency_sec
+    assert frow.n_conversions > 0
