@@ -119,6 +119,9 @@ HEADLINE = [
     "attribution_credit_events",
     "stickiness_dau_mau",
     "funnel_latency_quantiles",
+    "corpus_curation_e2e",
+    "dsir_importance_select",
+    "ccnet_perplexity_buckets",
 ]
 
 

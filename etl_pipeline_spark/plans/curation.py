@@ -1,0 +1,345 @@
+"""Round-4 wave-4: the LLM corpus-curation compositions — the end-to-end
+funnel, DSIR importance selection, and CCNet perplexity bucketing.
+
+These compose the engine's curation primitives the way production
+pretraining pipelines chain them (RedPajama/Dolma-shape):
+
+- `corpus_curation_e2e` — ONE query walking the whole funnel:
+  input → Gopher rules → exact dedup → near-dup drop → hash sample,
+  reporting per-stage survivor counts. Every stage is the registered
+  operator's logic (rule flags from the gopher filter, md5 keep-first,
+  exact-Jaccard pairs over the shared shingle relation, deterministic
+  hash threshold), composed lazily — Catalyst sees one plan;
+- `dsir_importance_select` — Data Selection via Importance Resampling
+  (Xie et al. 2023, arXiv:2302.03169): score every document by the
+  average log-ratio of target-domain vs corpus unigram likelihoods
+  (Laplace-smoothed), select the top-k. The target LM here is the 'en'
+  slice (the high-quality-domain stand-in); both LMs are token-keyed
+  count relations, scoring is one token join + per-doc aggregate,
+  selection is TakeOrderedAndProject;
+- `ccnet_perplexity_buckets` — CCNet's head/middle/tail split (Wenzek
+  et al. 2020, arXiv:1911.00359): per language, documents rank into
+  perplexity terciles under the corpus bigram LM (reusing the
+  bigram_perplexity cross-entropy relation); bucket stats out. Rank
+  cutoffs are integer comparisons (3·rn ≤ n), exact in both engines.
+
+Floats round 6 dp on identical parenthesization; complete-output DuckDB
+oracles throughout (the funnel oracle chains the same stage CTEs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_pipeline_spark.operators.sampling import hash_bucket_sql
+from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.star import load_table
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel. Near-dup stage uses the single-pass greedy
+# rule — drop every doc that near-duplicates a SMALLER-id survivor —
+# which is the standard LSH-dedup keep-min-representative shape without
+# the iterative chain resolution (that full closure is
+# dedup_cluster_assign / dedup_canonical_pick). Sampling is a
+# deterministic 50% hash threshold (the temperature-weighted variant is
+# temperature_sampled_mix). Stage counts land in one 5-row result.
+# ---------------------------------------------------------------------------
+_CUR_SAMPLE_BUCKETS = 5000  # of 10_000 → 50% keep
+
+
+def _gopher_keep_duck() -> str:
+    from etl_pipeline_spark.plans.corpus_quality import _STOPS_SQL
+
+    return f"""
+            len(string_split(text, ' ')) BETWEEN 20 AND 90
+        AND len(replace(text, ' ', '')) * 1.0
+                / len(string_split(text, ' ')) BETWEEN 4.0 AND 7.0
+        AND len(list_distinct(string_split(text, ' '))) * 1.0
+                / len(string_split(text, ' ')) >= 0.35
+        AND len(list_intersect(string_split(text, ' '),
+                               [{_STOPS_SQL}])) >= 1
+        AND len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
+                / greatest(len(text), 1) <= 0.1
+    """
+
+
+def _curation_oracle() -> str:
+    from etl_pipeline_spark.plans.llm import _JACCARD_PAIRS_DUCK
+
+    sample = f"{hash_bucket_sql('doc_id', 'cur')} < {_CUR_SAMPLE_BUCKETS}"
+    return f"""
+        WITH s1 AS (
+            SELECT doc_id, text FROM documents WHERE {_gopher_keep_duck()}
+        ),
+        firsts AS (
+            SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+            FROM s1 GROUP BY md5(text)
+        ),
+        s2 AS (
+            SELECT s1.doc_id FROM s1
+            JOIN firsts f ON f.h = md5(s1.text) AND f.keep_id = s1.doc_id
+        ),
+        pairs AS ({_JACCARD_PAIRS_DUCK}),
+        dropped AS (
+            SELECT DISTINCT p.doc_b AS doc_id FROM pairs p
+            JOIN s2 a ON a.doc_id = p.doc_a
+            JOIN s2 b ON b.doc_id = p.doc_b
+        ),
+        s3 AS (
+            SELECT doc_id FROM s2
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        ),
+        s4 AS (SELECT doc_id FROM s3 WHERE {sample}),
+        n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        stages AS (
+            SELECT 0 AS stage_idx, 'input' AS stage,
+                   (SELECT n FROM n0) AS n_docs
+            UNION ALL SELECT 1, 'quality_rules',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)
+            UNION ALL SELECT 2, 'exact_dedup',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+            UNION ALL SELECT 3, 'near_dedup',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+            UNION ALL SELECT 4, 'sampled',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s4)
+        )
+        SELECT stage_idx, stage, n_docs,
+               ROUND(n_docs * 1.0 / (SELECT n FROM n0), 6) AS frac_of_input
+        FROM stages
+    """
+
+
+@register(
+    "corpus_curation_e2e",
+    oracle=_curation_oracle(),
+    tags=("llm", "dedup", "quality", "sampling", "e2e"),
+)
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.plans.corpus_quality import quality_filter_gopher
+    from etl_pipeline_spark.plans.llm import _jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = (
+        quality_filter_gopher(spark, sf_dir)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+        .join(docs, "doc_id")
+    )
+    firsts = s1.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    s2 = s1.join(
+        firsts,
+        (F.md5(s1["text"]) == firsts["h"]) & (s1["doc_id"] == firsts["keep_id"]),
+        "semi",
+    ).select("doc_id")
+    pairs = _jaccard_pairs(spark, sf_dir, threshold=0.5).select("doc_a", "doc_b")
+    dropped = (
+        pairs.join(s2.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi")
+        .join(s2.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(dropped, "doc_id", "anti")
+    s4 = s3.filter(
+        F.expr(f"{hash_bucket_sql('doc_id', 'cur')} < {_CUR_SAMPLE_BUCKETS}")
+    )
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+
+    counts = (
+        stage(0, "input", docs)
+        .unionByName(stage(1, "quality_rules", s1))
+        .unionByName(stage(2, "exact_dedup", s2))
+        .unionByName(stage(3, "near_dedup", s3))
+        .unionByName(stage(4, "sampled", s4))
+    )
+    n0 = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
+    return counts.crossJoin(F.broadcast(n0)).select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.col("n0"), 6).alias("frac_of_input"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection. score(doc) = avg over tokens of
+# ln(p_target(w) / p_source(w)) with Laplace smoothing over the SHARED
+# vocabulary (so OOV-in-target tokens get the floor, and the ratio is
+# defined everywhere). Target = the 'en' slice; source = the corpus.
+# Token LMs are count relations (token-keyed shuffle joins — vocabulary
+# unbounded); the doc score is one grouped aggregate; selection is
+# orderBy+limit = TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+_DSIR_K = 500
+
+
+@register(
+    "dsir_importance_select",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        src AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+        tgt AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+            WHERE lang = 'en' GROUP BY 1
+        ),
+        tots AS (
+            SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM src) AS n_src,
+                   (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM tgt) AS n_tgt,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS v
+        ),
+        scored AS (
+            SELECT t.doc_id, MIN(t.lang) AS lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_toks,
+                   ROUND(SUM(LN(((COALESCE(g.c, 0) + 1.0) / (tots.n_tgt + tots.v))
+                               / ((s.c + 1.0) / (tots.n_src + tots.v))))
+                         / COUNT(*), 6) AS dsir_weight
+            FROM toks t
+            JOIN src s ON s.term = t.term
+            LEFT JOIN tgt g ON g.term = t.term
+            CROSS JOIN tots
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, lang, n_toks, dsir_weight FROM scored
+        ORDER BY dsir_weight DESC, doc_id ASC
+        LIMIT {_DSIR_K}
+    """,
+    tags=("llm", "sampling", "lm", "curation"),
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    src = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tots = (
+        src.agg(
+            F.sum("c").cast("bigint").alias("n_src"),
+            F.count(F.lit(1)).cast("bigint").alias("v"),
+        )
+        .crossJoin(
+            tgt.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_tgt"))
+        )
+    )
+    s = src.withColumnRenamed("c", "c_src")
+    g = tgt.withColumnRenamed("c", "c_tgt")
+    scored = (
+        toks.join(s, "term")
+        .join(g, "term", "left")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.round(
+                F.sum(
+                    F.log(
+                        ((F.coalesce("c_tgt", F.lit(0)) + 1.0)
+                         / (F.col("n_tgt") + F.col("v")))
+                        / ((F.col("c_src") + 1.0) / (F.col("n_src") + F.col("v")))
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dsir_weight"),
+        )
+    )
+    return (
+        scored.select("doc_id", "lang", "n_toks", "dsir_weight")
+        .orderBy(F.desc("dsir_weight"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets: per language, docs rank by bigram-LM
+# cross-entropy (ascending — fluent first) and split into terciles.
+# Cutoffs are exact integer comparisons (3·rn ≤ n, 3·rn ≤ 2n), so the
+# bucket boundary never rides a float. The per-doc entropy relation is
+# the shared bigram-LM CTE (text_analytics), reused verbatim.
+# ---------------------------------------------------------------------------
+def _ccnet_oracle() -> str:
+    from etl_pipeline_spark.plans.text_analytics import _PERDOC_CE_DUCK
+
+    return f"""
+        WITH {_PERDOC_CE_DUCK},
+        ranked AS (
+            SELECT p.doc_id, d.lang, p.cross_entropy,
+                   ROW_NUMBER() OVER (PARTITION BY d.lang
+                       ORDER BY p.cross_entropy ASC, p.doc_id ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY d.lang) AS n
+            FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+        ),
+        bucketed AS (
+            SELECT lang, cross_entropy,
+                   CASE WHEN 3 * rn <= n THEN 'head'
+                        WHEN 3 * rn <= 2 * n THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ranked
+        )
+        SELECT lang, bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(cross_entropy), 6) AS mean_ce,
+               ROUND(MIN(cross_entropy), 6) AS min_ce,
+               ROUND(MAX(cross_entropy), 6) AS max_ce
+        FROM bucketed
+        GROUP BY lang, bucket
+    """
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=_ccnet_oracle(),
+    tags=("llm", "text", "quality", "curation"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.plans.text_analytics import (
+        bigram_perplexity_quality,
+    )
+
+    ce = bigram_perplexity_quality(spark, sf_dir).select(
+        "doc_id", "cross_entropy"
+    )
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("cross_entropy"), F.asc("doc_id")
+    )
+    wn = Window.partitionBy("lang")
+    ranked = (
+        ce.join(langs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    bucket = (
+        F.when(3 * F.col("rn") <= F.col("n"), "head")
+        .when(3 * F.col("rn") <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("cross_entropy"), 6).alias("mean_ce"),
+            F.round(F.min("cross_entropy"), 6).alias("min_ce"),
+            F.round(F.max("cross_entropy"), 6).alias("max_ce"),
+        )
+    )
+
+

@@ -96,6 +96,8 @@ PRIORITY: tuple[str, ...] = (
     "textrank_keywords", "theil_sen_price_trend",
     "attribution_credit_events", "stickiness_dau_mau",
     "funnel_latency_quantiles",
+    "corpus_curation_e2e", "dsir_importance_select",
+    "ccnet_perplexity_buckets",
     "sql_not_in_null_aware", "sql_correlated_scalar_count", "sql_keep_first_per_key",
     "sql_histogram_event_values", "sql_intersect_except_all",
     "sql_unpivot_status_totals", "sql_last_value_ignore_nulls",
@@ -173,6 +175,7 @@ def _ensure_loaded() -> None:
         analytics,
         corpus_ops,
         corpus_quality,
+        curation,
         features,
         kernel,
         llm,

@@ -257,10 +257,9 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Doc bigrams join the corpus counts on (w1, w2) — shuffle, vocabulary
 # unbounded; V is a 1-row broadcast.
 # ---------------------------------------------------------------------------
-@register(
-    "bigram_perplexity_quality",
-    oracle=f"""
-        WITH bg AS ({_BIGRAMS_DUCK}),
+# shared CTE chain ending in perdoc(doc_id, n_bigrams, cross_entropy) —
+# also consumed by the CCNet-style bucket query (plans/curation.py)
+_PERDOC_CE_DUCK = f"""bg AS ({_BIGRAMS_DUCK}),
         cab AS (
             SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
             FROM bg GROUP BY 1, 2
@@ -279,7 +278,13 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN cw w ON w.w1 = b.w1
             CROSS JOIN v
             GROUP BY b.doc_id
-        )
+        )"""
+
+
+@register(
+    "bigram_perplexity_quality",
+    oracle=f"""
+        WITH {_PERDOC_CE_DUCK}
         SELECT doc_id, n_bigrams, cross_entropy,
                ROUND(EXP(cross_entropy), 6) AS perplexity
         FROM perdoc
