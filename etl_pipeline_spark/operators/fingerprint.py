@@ -71,8 +71,10 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
             fps: list[str] = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 # SQL null semantics: null text/id rows produce nothing
-                # (matches the relational form the oracle pins)
-                if did is None or not isinstance(text, str):
+                # (matches the relational form the oracle pins). NULL
+                # numeric ids arrive as float NaN through Arrow, so the
+                # check must be pd.isna, not `is None`
+                if pd.isna(did) or not isinstance(text, str):
                     continue
                 ng = max(len(text) - k + 1, 1)
                 grams = [

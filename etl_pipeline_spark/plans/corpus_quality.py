@@ -54,6 +54,40 @@ from etl_pipeline_spark.sources.star import load_table
 # ---------------------------------------------------------------------------
 _STOPS_SQL = "'the','a','of','value','data'"
 
+# rule thresholds — the single source for BOTH the gopher oracle below
+# and the curation funnel's stage-1 oracle (plans/curation.py); a tweak
+# here updates every oracle (the Spark side flows through
+# quality_filter_gopher, which the funnel calls)
+G_WORDS_LO, G_WORDS_HI = 20, 90
+G_WLEN_LO, G_WLEN_HI = 4.0, 7.0
+G_TTR_MIN = 0.35
+G_STOPS_MIN = 1
+G_SYMBOL_MAX = 0.1
+
+_G_RULES_DUCK = f"""n_words BETWEEN {G_WORDS_LO} AND {G_WORDS_HI}
+                    AND mean_word_len BETWEEN {G_WLEN_LO} AND {G_WLEN_HI}
+                    AND ttr >= {G_TTR_MIN}
+                    AND n_stop_kinds >= {G_STOPS_MIN}
+                    AND symbol_ratio <= {G_SYMBOL_MAX}"""
+
+
+def gopher_keep_predicate_duck(table: str = "documents") -> str:
+    """DuckDB predicate over raw `text` — true iff all five rules pass.
+    Formula-identical to the oracle's per-column form below."""
+    return f"""
+            len(string_split(text, ' '))
+                BETWEEN {G_WORDS_LO} AND {G_WORDS_HI}
+        AND len(replace(text, ' ', '')) * 1.0
+                / len(string_split(text, ' '))
+                BETWEEN {G_WLEN_LO} AND {G_WLEN_HI}
+        AND len(list_distinct(string_split(text, ' '))) * 1.0
+                / len(string_split(text, ' ')) >= {G_TTR_MIN}
+        AND len(list_intersect(string_split(text, ' '),
+                               [{_STOPS_SQL}])) >= {G_STOPS_MIN}
+        AND len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
+                / greatest(len(text), 1) <= {G_SYMBOL_MAX}
+    """
+
 
 @register(
     "quality_filter_gopher",
@@ -75,16 +109,14 @@ _STOPS_SQL = "'the','a','of','value','data'"
                ROUND(mean_word_len, 6) AS mean_word_len,
                ROUND(ttr, 6) AS ttr,
                ROUND(symbol_ratio, 6) AS symbol_ratio,
-               CAST(n_words BETWEEN 20 AND 90 AS INT) AS r_nwords,
-               CAST(mean_word_len BETWEEN 4.0 AND 7.0 AS INT) AS r_wordlen,
-               CAST(ttr >= 0.35 AS INT) AS r_ttr,
-               CAST(n_stop_kinds >= 1 AS INT) AS r_stop,
-               CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol,
-               CAST(n_words BETWEEN 20 AND 90
-                    AND mean_word_len BETWEEN 4.0 AND 7.0
-                    AND ttr >= 0.35
-                    AND n_stop_kinds >= 1
-                    AND symbol_ratio <= 0.1 AS INT) AS keep
+               CAST(n_words BETWEEN {G_WORDS_LO} AND {G_WORDS_HI} AS INT)
+                   AS r_nwords,
+               CAST(mean_word_len BETWEEN {G_WLEN_LO} AND {G_WLEN_HI} AS INT)
+                   AS r_wordlen,
+               CAST(ttr >= {G_TTR_MIN} AS INT) AS r_ttr,
+               CAST(n_stop_kinds >= {G_STOPS_MIN} AS INT) AS r_stop,
+               CAST(symbol_ratio <= {G_SYMBOL_MAX} AS INT) AS r_symbol,
+               CAST({_G_RULES_DUCK} AS INT) AS keep
         FROM t
     """,
     tags=("llm", "text", "quality", "narrow"),
@@ -111,11 +143,11 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         symbol_ratio.alias("symbol_ratio"),
         n_stop_kinds.alias("n_stop_kinds"),
     )
-    r_nwords = F.col("n_words").between(20, 90)
-    r_wordlen = F.col("mean_word_len").between(4.0, 7.0)
-    r_ttr = F.col("ttr") >= 0.35
-    r_stop = F.col("n_stop_kinds") >= 1
-    r_symbol = F.col("symbol_ratio") <= 0.1
+    r_nwords = F.col("n_words").between(G_WORDS_LO, G_WORDS_HI)
+    r_wordlen = F.col("mean_word_len").between(G_WLEN_LO, G_WLEN_HI)
+    r_ttr = F.col("ttr") >= G_TTR_MIN
+    r_stop = F.col("n_stop_kinds") >= G_STOPS_MIN
+    r_symbol = F.col("symbol_ratio") <= G_SYMBOL_MAX
     return t.select(
         "doc_id",
         "n_words",

@@ -49,29 +49,16 @@ from etl_pipeline_spark.sources.star import load_table
 _CUR_SAMPLE_BUCKETS = 5000  # of 10_000 → 50% keep
 
 
-def _gopher_keep_duck() -> str:
-    from etl_pipeline_spark.plans.corpus_quality import _STOPS_SQL
-
-    return f"""
-            len(string_split(text, ' ')) BETWEEN 20 AND 90
-        AND len(replace(text, ' ', '')) * 1.0
-                / len(string_split(text, ' ')) BETWEEN 4.0 AND 7.0
-        AND len(list_distinct(string_split(text, ' '))) * 1.0
-                / len(string_split(text, ' ')) >= 0.35
-        AND len(list_intersect(string_split(text, ' '),
-                               [{_STOPS_SQL}])) >= 1
-        AND len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
-                / greatest(len(text), 1) <= 0.1
-    """
-
-
 def _curation_oracle() -> str:
+    from etl_pipeline_spark.plans.corpus_quality import (
+        gopher_keep_predicate_duck,
+    )
     from etl_pipeline_spark.plans.llm import _JACCARD_PAIRS_DUCK
 
     sample = f"{hash_bucket_sql('doc_id', 'cur')} < {_CUR_SAMPLE_BUCKETS}"
     return f"""
         WITH s1 AS (
-            SELECT doc_id, text FROM documents WHERE {_gopher_keep_duck()}
+            SELECT doc_id, text FROM documents WHERE {gopher_keep_predicate_duck()}
         ),
         firsts AS (
             SELECT md5(text) AS h, MIN(doc_id) AS keep_id
@@ -120,53 +107,89 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_spark.plans.corpus_quality import quality_filter_gopher
     from etl_pipeline_spark.plans.llm import _jaccard_pairs
 
+    # Stage membership as PER-DOC BOOLEAN FLAGS built up in one lineage,
+    # then every count from a SINGLE aggregate — five independently
+    # unioned stage counts would re-run the whole upstream funnel per
+    # branch (Spark shares no subtrees across union arms: ~10 document
+    # scans; the bootstrap query plan-guards the same rule).
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    s1 = (
-        quality_filter_gopher(spark, sf_dir)
-        .filter(F.col("keep") == 1)
-        .select("doc_id")
-        .join(docs, "doc_id")
+    g = quality_filter_gopher(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep1")
     )
-    firsts = s1.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("keep_id")
+    # the flag relation is SLIM (doc_id, h, keep1 — text dropped after
+    # hashing) and localCheckpoint'ed because it feeds two consumers:
+    # DataFrame reuse duplicates logical subtrees, and runtime exchange
+    # reuse only dedupes from the first shuffle up — without the barrier
+    # the funnel re-scanned documents ~12x (measured; the CC/pagerank
+    # operators apply the same discipline to their round state)
+    flagged = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .join(g, "doc_id")
+        .localCheckpoint(eager=True)
     )
-    s2 = s1.join(
-        firsts,
-        (F.md5(s1["text"]) == firsts["h"]) & (s1["doc_id"] == firsts["keep_id"]),
-        "semi",
-    ).select("doc_id")
+    firsts = (
+        flagged.filter(F.col("keep1") == 1)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    f2 = (
+        flagged.join(firsts, "h", "left")
+        .withColumn(
+            "keep2",
+            ((F.col("keep1") == 1) & (F.col("doc_id") == F.col("keep_id")))
+            .cast("int"),
+        )
+        .select("doc_id", "keep1", "keep2")
+        .localCheckpoint(eager=True)
+    )
     pairs = _jaccard_pairs(spark, sf_dir, threshold=0.5).select("doc_a", "doc_b")
+    survivors2 = f2.filter(F.col("keep2") == 1).select("doc_id")
     dropped = (
-        pairs.join(s2.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi")
-        .join(s2.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
+        pairs.join(survivors2.withColumnRenamed("doc_id", "doc_a"), "doc_a", "semi")
+        .join(survivors2.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
+        .withColumn("is_dropped", F.lit(1))
     )
-    s3 = s2.join(dropped, "doc_id", "anti")
-    s4 = s3.filter(
-        F.expr(f"{hash_bucket_sql('doc_id', 'cur')} < {_CUR_SAMPLE_BUCKETS}")
-    )
-
-    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    f3 = (
+        f2.join(dropped, "doc_id", "left")
+        .withColumn(
+            "keep3",
+            ((F.col("keep2") == 1) & F.col("is_dropped").isNull()).cast("int"),
         )
-
-    counts = (
-        stage(0, "input", docs)
-        .unionByName(stage(1, "quality_rules", s1))
-        .unionByName(stage(2, "exact_dedup", s2))
-        .unionByName(stage(3, "near_dedup", s3))
-        .unionByName(stage(4, "sampled", s4))
+        .withColumn(
+            "keep4",
+            (
+                (F.col("keep3") == 1)
+                & F.expr(
+                    f"{hash_bucket_sql('doc_id', 'cur')} < {_CUR_SAMPLE_BUCKETS}"
+                )
+            ).cast("int"),
+        )
     )
-    n0 = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
-    return counts.crossJoin(F.broadcast(n0)).select(
-        "stage_idx",
-        "stage",
-        "n_docs",
-        F.round(F.col("n_docs") * 1.0 / F.col("n0"), 6).alias("frac_of_input"),
+    agg = f3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum("keep1").cast("bigint").alias("n1"),
+        F.sum("keep2").cast("bigint").alias("n2"),
+        F.sum("keep3").cast("bigint").alias("n3"),
+        F.sum("keep4").cast("bigint").alias("n4"),
+    )
+    stages = agg.select(
+        F.expr(
+            "explode(array("
+            " struct(0 AS stage_idx, 'input' AS stage, n0 AS n_docs),"
+            " struct(1 AS stage_idx, 'quality_rules' AS stage, n1 AS n_docs),"
+            " struct(2 AS stage_idx, 'exact_dedup' AS stage, n2 AS n_docs),"
+            " struct(3 AS stage_idx, 'near_dedup' AS stage, n3 AS n_docs),"
+            " struct(4 AS stage_idx, 'sampled' AS stage, n4 AS n_docs)))"
+        ).alias("s"),
+        F.col("n0"),
+    )
+    return stages.select(
+        "s.stage_idx",
+        "s.stage",
+        "s.n_docs",
+        F.round(F.col("s.n_docs") * 1.0 / F.col("n0"), 6).alias("frac_of_input"),
     )
 
 

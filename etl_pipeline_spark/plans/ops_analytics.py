@@ -169,7 +169,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pareto_abc_revenue",
     oracle="""
         WITH cust AS (
-            SELECT o_custkey, SUM(o_totalprice) AS rev
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev
             FROM orders GROUP BY o_custkey
         ),
         tot AS (SELECT SUM(rev) AS total FROM cust),
@@ -198,7 +198,12 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pareto_abc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    cust = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    # rev rounds to 2dp BEFORE the running sum: the cumsum then
+    # accumulates identical inputs in identical (rev DESC, custkey) order
+    # in both engines, so no A/B/C boundary can ride a partial-agg ulp
+    cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
     tot = cust.agg(F.sum("rev").alias("total"))
     w = (
         Window.orderBy(F.desc("rev"), F.asc("o_custkey"))

@@ -33,10 +33,13 @@ def test_token_budget_quotas_sum_exactly(spark):
     assert sum(r.quota for r in rows) == 100_000
     # largest-remainder: every extra went to a larger remainder than any
     # non-extra arm (ties by lang, so compare keyed tuples)
-    got = sorted((r.remainder, r.lang) for r in rows if r.extra == 1)
-    skipped = sorted(((r.remainder, r.lang) for r in rows if r.extra == 0), reverse=True)
+    got = [(r.remainder, r.lang) for r in rows if r.extra == 1]
+    skipped = [(r.remainder, r.lang) for r in rows if r.extra == 0]
     if got and skipped:
-        assert min((-r, l) for r, l in got) <= min((-r, l) for r, l in skipped)
+        # EVERY extra arm must outrank EVERY skipped arm in the
+        # (remainder DESC, lang ASC) order — compare worst-extra vs
+        # best-skipped, not best vs best
+        assert max((-r, l) for r, l in got) < min((-r, l) for r, l in skipped)
 
 
 def test_bootstrap_ci_brackets_mean(spark):

@@ -440,6 +440,25 @@ def test_windowed_distinct_day_grain_reuses_cells(spark):
     assert plan.count("Scan parquet") == 2  # one scan, printed twice
 
 
+def test_curation_funnel_single_lineage(spark):
+    """Stage counts come from per-doc flags + one aggregate, with the
+    twice-consumed flag relations checkpointed — the final plan reads
+    materialized flag state (ExistingRDD) and the memoized shingle
+    relation, NEVER the documents parquet again, and contains no Union
+    of re-derived stage branches."""
+    import re
+
+    plan = _plan(
+        spark, REGISTRY["corpus_curation_e2e"].spark_fn(spark, SF_DIR)
+    )
+    # the only parquet scan node is the one INSIDE the persisted shingle
+    # relation's printed definition (materialized once per session)
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) <= 1, scan_ids
+    assert "Union" not in plan
+    assert "ExistingRDD" in plan
+
+
 def test_nb_vocab_prune_is_topk_and_model_broadcasts(spark):
     """The NB vocabulary cap is an exact top-k (TakeOrderedAndProject),
     never a single-partition global window, and the pruned model joins
