@@ -122,6 +122,7 @@ HEADLINE = [
     "corpus_curation_e2e",
     "dsir_importance_select",
     "ccnet_perplexity_buckets",
+    "session_path_topk",
 ]
 
 

@@ -509,3 +509,91 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p90_latency_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top session paths: sessionize (30-min gap), take each session's first
+# 5 event types in order, count path strings, top-20. The product-
+# analytics "what do users actually do" report. Path assembly sorts the
+# bounded (rn, type) structs INSIDE the aggregate (array_sort on ≤5
+# elements) — collect_list order is partition-dependent, the sort makes
+# it deterministic; DuckDB's ordered string_agg is the same contract.
+# One user-keyed window shuffle + one path-keyed count;
+# TakeOrderedAndProject for the top-k.
+# ---------------------------------------------------------------------------
+_SP_GAP_NS = 30 * 60 * 1_000_000_000
+_SP_LEN = 5
+_SP_TOPK = 20
+
+
+@register(
+    "session_path_topk",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type, epoch_ns(ts) AS t, event_id,
+                   CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {_SP_GAP_NS}
+                        OR LAG(epoch_ns(ts)) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        ),
+        tagged AS (
+            SELECT user_id, event_type, t, event_id,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_nr
+            FROM seq
+        ),
+        numbered AS (
+            SELECT user_id, session_nr, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, session_nr
+                       ORDER BY t, event_id) AS rn
+            FROM tagged
+        ),
+        paths AS (
+            SELECT user_id, session_nr,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM numbered WHERE rn <= {_SP_LEN}
+            GROUP BY user_id, session_nr
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path ASC
+        LIMIT {_SP_TOPK}
+    """,
+    tags=("timeseries", "session", "funnel"),
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(order_w)
+    new_session = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > _SP_GAP_NS), 1
+    ).otherwise(0)
+    cum_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = ev.withColumn(
+        "session_nr", F.sum(new_session).over(cum_w)
+    )
+    rn_w = Window.partitionBy("user_id", "session_nr").orderBy("ts", "event_id")
+    numbered = tagged.withColumn("rn", F.row_number().over(rn_w)).filter(
+        F.col("rn") <= _SP_LEN
+    )
+    paths = numbered.groupBy("user_id", "session_nr").agg(
+        F.expr(
+            "concat_ws('>', transform(array_sort(collect_list("
+            "struct(rn, event_type))), s -> s.event_type))"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(_SP_TOPK)
+    )

@@ -98,6 +98,7 @@ PRIORITY: tuple[str, ...] = (
     "funnel_latency_quantiles",
     "corpus_curation_e2e", "dsir_importance_select",
     "ccnet_perplexity_buckets",
+    "session_path_topk",
     "sql_not_in_null_aware", "sql_correlated_scalar_count", "sql_keep_first_per_key",
     "sql_histogram_event_values", "sql_intersect_except_all",
     "sql_unpivot_status_totals", "sql_last_value_ignore_nulls",

@@ -63,3 +63,21 @@ def test_shingle_and_edge_caches_round_trip(spark):
     assert not sh.storageLevel.useMemory and not ed.storageLevel.useMemory
     # rebuild works after eviction
     assert _doc_shingles(spark, SF_DIR).count() == sh.count()
+
+
+def test_token_and_bigram_caches_participate_in_lifecycle(spark):
+    from etl_pipeline_spark.plans.text_analytics import (
+        _BIGRAM_CACHE,
+        _TOKEN_CACHE,
+        _doc_bigrams,
+        _doc_terms,
+    )
+
+    tk = _doc_terms(spark, SF_DIR)
+    bg = _doc_bigrams(spark, SF_DIR)
+    tk.count(), bg.count()
+    key = (session_key(spark), SF_DIR)
+    assert key in _TOKEN_CACHE and key in _BIGRAM_CACHE
+    clear_caches(spark)
+    assert key not in _TOKEN_CACHE and key not in _BIGRAM_CACHE
+    assert not tk.storageLevel.useMemory and not bg.storageLevel.useMemory
