@@ -292,7 +292,10 @@ _KM_K = 4
 _KM_ITER = 3
 
 
-def _kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
+def kmeans_assign_ctes(k: int, n_iter: int) -> str:
+    """The unrolled-CTE k-means assignment chain, reusable by any oracle
+    that needs cluster ids (``a{n_iter}`` is the final (vec_id, cluster)
+    relation). Kept in lockstep with ``operators/clustering.py``."""
     parts = [
         f"""
         px AS (
@@ -334,8 +337,12 @@ def _kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
             GROUP BY a.cluster, p.pos
         )"""
             )
+    return ",".join(parts)
+
+
+def _kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
     return f"""
-        WITH {",".join(parts)}
+        WITH {kmeans_assign_ctes(k, n_iter)}
         SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
                MIN(vec_id) AS min_vec
         FROM a{n_iter} GROUP BY cluster

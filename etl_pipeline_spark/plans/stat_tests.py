@@ -1,0 +1,427 @@
+"""Round-4 wave-5: classical statistical hypothesis tests and privacy
+audits as distributed relational plans.
+
+The inference toolkit a data-platform team runs on event streams and
+fact tables (no reference analog — the reference logs row counts, it
+cannot test hypotheses; reference: etl/pipeline.py summary logging):
+
+- Kolmogorov–Smirnov two-sample test (Massey 1951) — the supremum gap
+  between two empirical CDFs. The ECDFs are cumulative counts over the
+  per-distinct-value grouped relation, computed with the same two-level
+  distributed scan ``operators/packing.py`` documents: per-value counts
+  shuffle once (map-side combined), bucket totals form a SMALL offsets
+  relation (one row per ``_KS_BUCKET`` value units), and the intra-
+  bucket window runs PARTITION BY bucket — no single-partition global
+  window over the data, the plan that cannot run at 100 TB.
+- Mann–Whitney U / ROC-AUC (Mann & Whitney 1947) — AUC is the rank-sum
+  statistic: for each distinct score, positives above it beat every
+  negative below and split ties in half. Same bucketed-scan shape over
+  the grouped (score → n_pos, n_neg) relation. U is a sum of exact
+  halves (integer·integer + 0.5·integer·integer), so both engines see
+  the identical double before the final division.
+- One-way ANOVA F (Fisher) — between/within sum-of-squares from one
+  map-side-combined moment pass (n, Σx, Σx² per group), the same
+  device as ``corr_lineitem_moments``. Only SCALE-FREE statistics are
+  emitted (F, η²): raw sums of squares at 100 TB magnitudes carry
+  partial-agg-order jitter larger than any fixed decimal rounding,
+  while the O(1) ratios' relative jitter is ~1e-12 and rounds stably.
+- Mutual information (Shannon) — per-cell PMI and MI contribution for
+  order status × priority; the contingency table is |status|×|priority|
+  cells, so everything after the first groupBy is tiny and broadcast.
+- l-diversity audit (Machanavajjhala et al. 2007) — the companion to
+  ``k_anonymity_audit``: per quasi-identifier group, the count AND
+  entropy of the sensitive attribute (a group can be k-anonymous yet
+  leak everything if all its rows share one sensitive value). Entropy
+  uses the single-agg identity  H = ln(Σc) − Σ c·ln(c) / Σc.
+
+Parity: counts exact integers; ratios of integers are IEEE-identical in
+both engines; ln/sqrt agree through the 6-dp portable floor rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.star import load_table
+
+# ---------------------------------------------------------------------------
+# KS two-sample: purchase vs view event values.
+# ---------------------------------------------------------------------------
+_KS_BUCKET = 50  # value units per cumulative-scan bucket (offsets
+# relation = value_range / _KS_BUCKET rows — bounded by the metric's
+# range, not the row count)
+_KS_CRIT_05 = 1.358  # c(alpha) for alpha = 0.05
+
+
+def _two_level_cumsum(
+    grouped: DataFrame, order_col: str, bucket_expr: str, sum_cols: list[str]
+) -> DataFrame:
+    """Inclusive cumulative sums of `sum_cols` in `order_col` order via
+    the bucketed two-level scan (see operators/packing.py): adds
+    ``cum_<col>`` for each input count column."""
+    rows = grouped.withColumn("__b", F.expr(bucket_expr))
+    totals = rows.groupBy("__b").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    off_w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b",
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(off_w), F.lit(0)).alias(f"__o_{c}")
+            for c in sum_cols
+        ],
+    )
+    intra_w = (
+        Window.partitionBy("__b")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = rows.join(F.broadcast(offsets), "__b")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", F.col(f"__o_{c}") + F.sum(c).over(intra_w)
+        )
+    return out.drop("__b", *[f"__o_{c}" for c in sum_cols])
+
+
+@register(
+    "ks_test_purchase_view",
+    oracle=f"""
+        WITH s AS (
+            SELECT value,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n2
+            FROM events
+            WHERE event_type IN ('purchase', 'view')
+            GROUP BY value
+        ),
+        t AS (SELECT CAST(SUM(n1) AS BIGINT) AS n1t,
+                     CAST(SUM(n2) AS BIGINT) AS n2t FROM s),
+        c AS (
+            SELECT SUM(n1) OVER w AS c1, SUM(n2) OVER w AS c2
+            FROM s
+            WINDOW w AS (ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        d AS (
+            SELECT MAX(ABS(CAST(c.c1 AS DOUBLE) / t.n1t
+                           - CAST(c.c2 AS DOUBLE) / t.n2t)) AS ksd
+            FROM c CROSS JOIN t
+        ),
+        r AS (
+            SELECT t.n1t, t.n2t,
+                   FLOOR(d.ksd * 1e6 + 0.5) / 1e6 AS ks_d
+            FROM t CROSS JOIN d
+        )
+        SELECT n1t AS n_purchase, n2t AS n_view, ks_d,
+               FLOOR(ks_d * SQRT(CAST(n1t AS DOUBLE) * n2t / (n1t + n2t))
+                     * 1e6 + 0.5) / 1e6 AS ks_scaled,
+               CAST(ks_d * SQRT(CAST(n1t AS DOUBLE) * n2t / (n1t + n2t))
+                    > {_KS_CRIT_05} AS INT) AS reject_05
+        FROM r
+    """,
+    tags=("stats", "hypothesis-test"),
+)
+def ks_test_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS two-sample D between purchase and view value distributions."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    s = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    cum = _two_level_cumsum(
+        s, "value", f"CAST(FLOOR(value / {_KS_BUCKET}) AS BIGINT)", ["n1", "n2"]
+    )
+    t = F.broadcast(
+        s.agg(
+            F.sum("n1").cast("bigint").alias("n1t"),
+            F.sum("n2").cast("bigint").alias("n2t"),
+        )
+    )
+    d = (
+        cum.crossJoin(t)
+        .select(
+            F.expr(
+                "ABS(CAST(cum_n1 AS DOUBLE) / n1t"
+                " - CAST(cum_n2 AS DOUBLE) / n2t)"
+            ).alias("gap")
+        )
+        .agg(F.expr("FLOOR(MAX(gap) * 1e6 + 0.5) / 1e6").alias("ks_d"))
+    )
+    scale = f"SQRT(CAST(n1t AS DOUBLE) * n2t / (n1t + n2t))"
+    return (
+        t.crossJoin(F.broadcast(d))
+        .select(
+            F.col("n1t").alias("n_purchase"),
+            F.col("n2t").alias("n_view"),
+            "ks_d",
+            F.expr(f"FLOOR(ks_d * {scale} * 1e6 + 0.5) / 1e6").alias("ks_scaled"),
+            F.expr(f"CAST(ks_d * {scale} > {_KS_CRIT_05} AS INT)").alias(
+                "reject_05"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney / ROC-AUC: first embedding component as the score,
+# label >= 5 as the positive class.
+# ---------------------------------------------------------------------------
+_AUC_POS_MIN = 5
+
+
+@register(
+    "auc_mann_whitney_embeddings",
+    oracle=f"""
+        WITH s AS (
+            SELECT CAST(embedding[1] AS DOUBLE) AS score,
+                   CAST(SUM(CASE WHEN label >= {_AUC_POS_MIN} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS np,
+                   CAST(SUM(CASE WHEN label >= {_AUC_POS_MIN} THEN 0 ELSE 1 END)
+                        AS BIGINT) AS nn
+            FROM embeddings GROUP BY 1
+        ),
+        c AS (
+            SELECT np, nn,
+                   COALESCE(SUM(nn) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS nn_below
+            FROM s
+        ),
+        u AS (
+            SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+                   CAST(SUM(nn) AS BIGINT) AS n_neg,
+                   SUM(np * (CAST(nn_below AS DOUBLE) + 0.5 * nn)) AS u_stat
+            FROM c
+        )
+        SELECT n_pos, n_neg,
+               FLOOR(u_stat * 10 + 0.5) / 10 AS u_stat,
+               FLOOR(u_stat / (CAST(n_pos AS DOUBLE) * n_neg) * 1e6 + 0.5) / 1e6
+                   AS auc
+        FROM u
+    """,
+    tags=("stats", "ml-eval", "ranking"),
+)
+def auc_mann_whitney_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the first embedding component predicting label >= 5.
+
+    U is the Mann–Whitney rank-sum with the tie-split convention; every
+    addend is an exact dyadic double (integers and halves), so the sum
+    is engine-identical before the one final division.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.groupBy(
+        F.expr("CAST(embedding[0] AS DOUBLE)").alias("score")
+    ).agg(
+        F.sum(F.when(F.col("label") >= _AUC_POS_MIN, 1).otherwise(0))
+        .cast("bigint")
+        .alias("np"),
+        F.sum(F.when(F.col("label") >= _AUC_POS_MIN, 0).otherwise(1))
+        .cast("bigint")
+        .alias("nn"),
+    )
+    cum = _two_level_cumsum(
+        s, "score", "CAST(FLOOR(score * 20) AS BIGINT)", ["nn"]
+    ).withColumn("nn_below", F.col("cum_nn") - F.col("nn"))
+    u = cum.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        F.expr("SUM(np * (CAST(nn_below AS DOUBLE) + 0.5 * nn))").alias("u_raw"),
+    )
+    return u.select(
+        "n_pos",
+        "n_neg",
+        F.expr("FLOOR(u_raw * 10 + 0.5) / 10").alias("u_stat"),
+        F.expr(
+            "FLOOR(u_raw / (CAST(n_pos AS DOUBLE) * n_neg) * 1e6 + 0.5) / 1e6"
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA: o_totalprice across order priorities.
+# ---------------------------------------------------------------------------
+_ANOVA_SSB = "(SUM(s * s / n) - SUM(s) * SUM(s) / SUM(n))"
+_ANOVA_SSW = "(SUM(q) - SUM(s * s / n))"
+
+
+@register(
+    "anova_f_totalprice_priority",
+    oracle=f"""
+        WITH g AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(o_totalprice AS DOUBLE)) AS s,
+                   SUM(CAST(o_totalprice AS DOUBLE)
+                       * CAST(o_totalprice AS DOUBLE)) AS q
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               FLOOR(({_ANOVA_SSB} / (COUNT(*) - 1))
+                     / ({_ANOVA_SSW} / (SUM(n) - COUNT(*)))
+                     * 1e6 + 0.5) / 1e6 AS f_stat,
+               FLOOR({_ANOVA_SSB} / ({_ANOVA_SSB} + {_ANOVA_SSW})
+                     * 1e6 + 0.5) / 1e6 AS eta_sq
+        FROM g
+    """,
+    tags=("stats", "hypothesis-test", "narrow"),
+)
+def anova_f_totalprice_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F and effect size η² from per-group moment sums.
+
+    Only the scale-free F and η² are emitted: raw SS magnitudes at
+    large scale carry summation-order jitter beyond fixed rounding,
+    while the ratios' relative jitter (~1e-12) rounds stably at 6 dp.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("SUM(CAST(o_totalprice AS DOUBLE))").alias("s"),
+        F.expr(
+            "SUM(CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE))"
+        ).alias("q"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.expr(
+            f"FLOOR(({_ANOVA_SSB} / (COUNT(*) - 1))"
+            f" / ({_ANOVA_SSW} / (SUM(n) - COUNT(*)))"
+            f" * 1e6 + 0.5) / 1e6"
+        ).alias("f_stat"),
+        F.expr(
+            f"FLOOR({_ANOVA_SSB} / ({_ANOVA_SSB} + {_ANOVA_SSW})"
+            f" * 1e6 + 0.5) / 1e6"
+        ).alias("eta_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information: order status × priority, per-cell PMI + MI
+# contribution (nats).
+# ---------------------------------------------------------------------------
+_MI_PMI = (
+    "LN((CAST(n_xy AS DOUBLE) * n)"
+    " / (CAST(n_x AS DOUBLE) * n_y))"
+)
+
+
+@register(
+    "mutual_info_status_priority",
+    oracle=f"""
+        WITH cells AS (
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_xy
+            FROM orders GROUP BY 1, 2
+        ),
+        mx AS (SELECT o_orderstatus, CAST(SUM(n_xy) AS BIGINT) AS n_x
+               FROM cells GROUP BY 1),
+        my AS (SELECT o_orderpriority, CAST(SUM(n_xy) AS BIGINT) AS n_y
+               FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells)
+        SELECT c.o_orderstatus, c.o_orderpriority, c.n_xy,
+               FLOOR({_MI_PMI} * 1e6 + 0.5) / 1e6 AS pmi,
+               FLOOR((CAST(n_xy AS DOUBLE) / n) * {_MI_PMI} * 1e6 + 0.5) / 1e6
+                   AS mi_contrib
+        FROM cells c
+        JOIN mx USING (o_orderstatus)
+        JOIN my USING (o_orderpriority)
+        CROSS JOIN tot
+    """,
+    tags=("stats", "feature-ranking"),
+)
+def mutual_info_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell pointwise MI and MI contribution for status × priority.
+
+    The driver sums ``mi_contrib`` for the total MI; emitting cells
+    keeps the dependence structure auditable (which cells drive it).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    )
+    mx = cells.groupBy("o_orderstatus").agg(
+        F.sum("n_xy").cast("bigint").alias("n_x")
+    )
+    my = cells.groupBy("o_orderpriority").agg(
+        F.sum("n_xy").cast("bigint").alias("n_y")
+    )
+    tot = cells.agg(F.sum("n_xy").cast("bigint").alias("n"))
+    return (
+        cells.join(F.broadcast(mx), "o_orderstatus")
+        .join(F.broadcast(my), "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_xy",
+            F.expr(f"FLOOR({_MI_PMI} * 1e6 + 0.5) / 1e6").alias("pmi"),
+            F.expr(
+                f"FLOOR((CAST(n_xy AS DOUBLE) / n) * {_MI_PMI}"
+                f" * 1e6 + 0.5) / 1e6"
+            ).alias("mi_contrib"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit: QI = (priority, order year), sensitive = status.
+# ---------------------------------------------------------------------------
+_L_DIVERSITY = 3
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+        WITH cells AS (
+            SELECT o_orderpriority,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+                   o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1, 2, 3
+        )
+        SELECT o_orderpriority, order_year,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS l_distinct,
+               FLOOR((LN(SUM(c)) - SUM(c * LN(c)) / SUM(c)) * 1e6 + 0.5) / 1e6
+                   AS sens_entropy,
+               CAST(COUNT(*) < {_L_DIVERSITY} AS INT) AS is_violation
+        FROM cells GROUP BY 1, 2
+    """,
+    tags=("governance", "privacy", "agg"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l and entropy-l diversity of order status per QI group.
+
+    Companion to ``k_anonymity_audit``: a group can be k-anonymous yet
+    reveal its sensitive attribute when all rows share one value.
+    Entropy via the single-agg identity H = ln(Σc) − Σ c·ln(c) / Σc —
+    no second pass, no per-group collection.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        "o_orderpriority",
+        F.expr("CAST(EXTRACT(year FROM o_orderdate) AS INT)").alias(
+            "order_year"
+        ),
+        "o_orderstatus",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return cells.groupBy("o_orderpriority", "order_year").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.expr(
+            "FLOOR((LN(SUM(c)) - SUM(c * LN(c)) / SUM(c)) * 1e6 + 0.5) / 1e6"
+        ).alias("sens_entropy"),
+        F.expr(f"CAST(COUNT(*) < {_L_DIVERSITY} AS INT)").alias("is_violation"),
+    )
