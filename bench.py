@@ -123,6 +123,11 @@ HEADLINE = [
     "dsir_importance_select",
     "ccnet_perplexity_buckets",
     "session_path_topk",
+    "ks_test_purchase_view",
+    "auc_mann_whitney_embeddings",
+    "anova_f_totalprice_priority",
+    "mutual_info_status_priority",
+    "l_diversity_audit",
 ]
 
 

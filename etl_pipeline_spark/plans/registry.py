@@ -51,45 +51,22 @@ def register(
 # Export order. The driver's correctness run processes exactly the first
 # 50 registered queries per round (CORRECTNESS_r01 truncated there), so
 # the export dicts present a curated priority order that ROTATES each
-# round: rounds 1-3 drove 130/158 distinct queries green. Round 4's
-# window leads with the 28 round-3 queries that have never had a driver
-# row (the clustering/NB/BPE/winnowing/CDC/packing/analytics/modality
-# wave), then round 4's NEW queries (driver-checked in their debut
-# round), then five representatives of already-proven families as
-# cross-round regression signal (q1 is additionally smoke-checked every
-# round as the entry() flagship; split_leakage_check and
-# nb_lang_classifier_eval re-prove this round's scale rework, and
-# regression_detect_metrics / cms_partkey_estimates / events_sessionize
-# guard prior rounds). Ordering only — every query stays registered and
-# locally parity-checked at three scale factors.
+# round: rounds 1-4 drove 175/191 distinct queries green. Round 5's
+# window closes the contract: it leads with the 16 round-4 wave-2/3
+# queries that have never had a driver row (RFM/Pareto/Benford/Markov/
+# CUSUM/TextRank/Theil-Sen/attribution/stickiness/funnel/session-path/
+# DSIR/CCNet/curation-e2e), then the 5 newly-wired stat_tests queries
+# (KS/AUC/ANOVA/MI/l-diversity — their debut), then the 3 queries whose
+# physical plans were re-expressed this round (the pagination pair's
+# two-level prefix sum; range_join re-proves the bucketed-interval
+# device that attribution now shares), then 26 representatives of
+# already-proven families as cross-round regression signal (q1 is
+# additionally smoke-checked every round as the entry() flagship;
+# dedup_chunk_exact re-proves the r4 timing-regression watch; the
+# bigram pair re-proves the short-doc sequence guard). Ordering only —
+# every query stays registered and locally parity-checked.
 PRIORITY: tuple[str, ...] = (
-    # --- round-3 wave: first driver row this round (28)
-    "winnow_fingerprint_pairs", "dedup_chunk_exact", "cdc_merge_orders",
-    "embedding_sq8_topk", "ann_recall_eval",
-    "quality_filter_gopher", "anomaly_mad_events", "pack_sequences_budget",
-    "temperature_sampled_mix", "dedup_lsh_recall_eval",
-    "triangle_cosupplier_stats",
-    "feature_rolling_events", "target_encode_priority",
-    "lpa_cosupplier_communities", "join_size_estimate", "windowed_quantiles",
-    "cohort_retention_users", "chisq_event_daypart", "corr_lineitem_moments",
-    "multimodal_ahash_neardup", "multimodal_video_frame_dedup",
-    "multimodal_audio_features", "embedding_outliers_topk",
-    "split_leakage_check", "novelty_rate_docs", "kmeans_embedding_clusters",
-    "nb_lang_classifier_eval", "bpe_top_merges",
-    # --- round-4 debut queries (driver-checked in their first round)
-    "tfidf_top_terms", "bigram_pmi_top", "bigram_perplexity_quality",
-    "adamic_adar_link_prediction", "entity_resolution_customers",
-    "interval_merge_sessions", "seasonal_baseline_events",
-    "bootstrap_revenue_ci", "windowed_distinct_users", "skew_salted_join",
-    "dedup_canonical_pick", "token_budget_allocation", "k_anonymity_audit",
-    "inverted_index_postings", "jl_projection_distortion",
-    "assoc_rules_events", "stratified_kfold_assign",
-    # --- representatives of already-proven families (regression signal)
-    "q9_product_type_profit", "cms_partkey_estimates",
-    "events_sessionize_30m", "ann_ivfpq_topk", "regression_detect_metrics",
-    # ---- tier 2 (51+): round-4 wave-2 first (next in line for a future
-    # driver window; locally parity-checked now), then previously
-    # driver-green queries in a stable order
+    # --- round-4 wave-2/3: first driver row this round (16)
     "rfm_customer_segments", "pareto_abc_revenue", "benford_first_digit",
     "markov_transition_events", "quantile_normalize_values",
     "change_point_cusum_events", "late_data_accounting",
@@ -97,15 +74,47 @@ PRIORITY: tuple[str, ...] = (
     "attribution_credit_events", "stickiness_dau_mau",
     "funnel_latency_quantiles",
     "corpus_curation_e2e", "dsir_importance_select",
-    "ccnet_perplexity_buckets",
-    "session_path_topk",
+    "ccnet_perplexity_buckets", "session_path_topk",
+    # --- stat_tests debut (5; newly wired into _ensure_loaded)
+    "ks_test_purchase_view", "auc_mann_whitney_embeddings",
+    "anova_f_totalprice_priority", "mutual_info_status_priority",
+    "l_diversity_audit",
+    # --- plans re-expressed this round: re-prove hashes unchanged (3)
+    "pagination_page_slice", "pagination_page_manifest",
+    "range_join_click_attribution",
+    # --- representatives of already-proven families (regression signal)
+    "q1_pricing_summary", "q9_product_type_profit",
+    "cms_partkey_estimates", "hll_orderkey_cardinality",
+    "events_sessionize_30m", "asof_purchase_last_view",
+    "ann_ivfpq_topk", "ann_cosine_topk", "regression_detect_metrics",
+    "dedup_chunk_exact", "dedup_minhash_lsh", "dedup_exact_hash",
+    "bigram_pmi_top", "bigram_perplexity_quality", "tfidf_top_terms",
+    "sql_table_checksum_orders", "quality_filter_gopher",
+    "pack_sequences_budget", "kmeans_embedding_clusters",
+    "nb_lang_classifier_eval", "multimodal_ahash_neardup",
+    "split_leakage_check", "bootstrap_revenue_ci",
+    "interval_merge_sessions", "window_rank_running", "cdc_merge_orders",
+    # ---- tier 2 (51+): previously driver-green queries, stable order
+    "winnow_fingerprint_pairs", "embedding_sq8_topk", "ann_recall_eval",
+    "anomaly_mad_events", "temperature_sampled_mix",
+    "dedup_lsh_recall_eval", "triangle_cosupplier_stats",
+    "feature_rolling_events", "target_encode_priority",
+    "lpa_cosupplier_communities", "join_size_estimate", "windowed_quantiles",
+    "cohort_retention_users", "chisq_event_daypart", "corr_lineitem_moments",
+    "multimodal_video_frame_dedup", "multimodal_audio_features",
+    "embedding_outliers_topk", "novelty_rate_docs", "bpe_top_merges",
+    "adamic_adar_link_prediction", "entity_resolution_customers",
+    "seasonal_baseline_events", "windowed_distinct_users", "skew_salted_join",
+    "dedup_canonical_pick", "token_budget_allocation", "k_anonymity_audit",
+    "inverted_index_postings", "jl_projection_distortion",
+    "assoc_rules_events", "stratified_kfold_assign",
     "sql_not_in_null_aware", "sql_correlated_scalar_count", "sql_keep_first_per_key",
     "sql_histogram_event_values", "sql_intersect_except_all",
     "sql_unpivot_status_totals", "sql_last_value_ignore_nulls",
     "sql_top_customer_per_segment", "sql_monthly_revenue_ma3",
     "sql_funnel_view_click_purchase", "sql_ewma_user_values",
     "sql_equidepth_value_deciles", "sql_pii_redaction", "sql_outlier_iqr_fences",
-    "sql_ntile_balance_quartiles", "sql_table_checksum_orders",
+    "sql_ntile_balance_quartiles",
     "sql_lateral_top2_orders", "sql_conditional_agg_filter", "sql_fuzzy_name_pairs",
     "sql_zscore_normalize_events", "sql_regression_price_trend",
     "sql_mode_priority_by_status", "sql_entropy_event_types",
@@ -118,7 +127,6 @@ PRIORITY: tuple[str, ...] = (
     "collect_order_years", "window_balance_distribution",
     "pagerank_part_supplier", "approx_distinct_users", "windowed_heavy_hitters",
     "quantile_sketch_values",
-    "q1_pricing_summary",
     "q2_min_cost_supplier", "q3_top_unshipped_orders", "q4_order_priority_check",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "q10_returned_items", "q11_important_stock",
@@ -127,18 +135,17 @@ PRIORITY: tuple[str, ...] = (
     "q17_small_quantity_revenue", "q18_large_volume_customers",
     "q19_disjunctive_revenue", "q20_excess_stock_suppliers", "q21_waiting_supplier",
     "q22_idle_balance_by_country",
-    "bloom_supplier_prune", "hll_orderkey_cardinality", "hll_orders_by_flag",
+    "bloom_supplier_prune", "hll_orders_by_flag",
     "profile_approx_orders", "hll_intersect_cohorts",
-    "events_tumbling_1h", "events_sliding_30m15m", "asof_purchase_last_view",
-    "range_join_click_attribution", "ann_ivf_topk", "ann_pq_topk",
-    "semi_join_include_filter", "anti_join_missing", "window_rank_running",
+    "events_tumbling_1h", "events_sliding_30m15m",
+    "ann_ivf_topk", "ann_pq_topk",
+    "semi_join_include_filter", "anti_join_missing",
     "lead_lag_order_gaps", "window_range_trailing_spend", "rollup_order_counts",
     "cube_lineitem_flags", "pivot_orders_status", "grouping_sets_status_priority",
     "percentile_event_values", "set_ops_union_except", "distinct_dedupe",
-    "pagination_page_slice",
-    "dedup_exact_hash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard",
     "dedup_cluster_assign", "dedup_embedding_cosine", "simhash_fingerprints",
-    "ann_cosine_topk", "ann_bucketed_sign_lsh",
+    "ann_bucketed_sign_lsh",
 )
 
 
@@ -185,6 +192,7 @@ def _ensure_loaded() -> None:
         relational,
         relational_analytics,
         sql_surface,
+        stat_tests,
         streaming_batch,
         text_analytics,
         text_pipeline,
