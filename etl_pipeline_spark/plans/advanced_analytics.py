@@ -158,17 +158,24 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bind the token array ONCE: inlining split(text,' ') into every
     # lambda element access re-splits the string per access — O(n²)
     # splitting per document, measured 7.8 s for this extraction alone
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.split("text", " ").alias("toks")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
     )
+    # size >= 2 filter + CASE on the distance-2 arm: Spark's
+    # sequence(1, 0) is a DESCENDING [1, 0] (spurious pairs / ANSI index
+    # error on short docs) where DuckDB's generate_series(1, 0) is empty
     prs = docs.select(
         F.explode(
             F.expr(
                 "concat("
                 " transform(sequence(1, size(toks) - 1),"
                 "   i -> struct(toks[i-1] AS wa, toks[i] AS wb)),"
-                " transform(sequence(1, size(toks) - 2),"
-                "   i -> struct(toks[i-1] AS wa, toks[i+1] AS wb)))"
+                " CASE WHEN size(toks) >= 3 THEN"
+                "   transform(sequence(1, size(toks) - 2),"
+                "     i -> struct(toks[i-1] AS wa, toks[i+1] AS wb))"
+                " ELSE CAST(array() AS array<struct<wa:string,wb:string>>) END)"
             )
         ).alias("p")
     ).select("p.wa", "p.wb")
@@ -301,10 +308,13 @@ def theil_sen_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # credits the user's view/click touches in the preceding 30 minutes —
 # first touch 0.4, last touch 0.4, middles share 0.2 evenly (single
 # touch gets 1.0; two touches 0.5/0.5 — the standard U-shape
-# degeneration). The touch↔conversion pairing is a user-keyed hash join
-# with a time-range residual (never a nested loop; same device as the
-# click-attribution range join), and the per-conversion position window
-# is bounded by the 30-minute horizon.
+# degeneration). The touch↔conversion pairing goes through
+# operators/rangejoin.py::bucketed_interval_join — a hash equi-join on
+# (user, 30-min time-bin) with the exact range as residual, the same
+# device as range_join_click_attribution (a bare user-keyed theta join
+# would materialize V·P candidate pairs per power user before the
+# residual filter) — and the per-conversion position window is bounded
+# by the 30-minute horizon.
 # ---------------------------------------------------------------------------
 _ATTR_NS = 30 * 60 * 1_000_000_000
 
@@ -345,21 +355,31 @@ _ATTR_NS = 30 * 60 * 1_000_000_000
     tags=("timeseries", "join", "attribution"),
 )
 def attribution_credit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.rangejoin import bucketed_interval_join
+
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("tp")
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("tp"),
     )
     touches = ev.filter(F.col("event_type").isin("view", "click")).select(
         F.col("event_id").alias("t_id"),
-        "user_id",
+        F.col("user_id").alias("t_user"),
         "event_type",
         F.col("ts").alias("tt"),
     )
-    paired = purchases.join(
+    # hash equi-join on (user, 30-min time-bin) with the exact range as
+    # residual — tt ∈ [tp - Δ, tp - 1] ns ⇔ tp - Δ <= tt < tp
+    paired = bucketed_interval_join(
+        purchases,
         touches,
-        (purchases["user_id"] == touches["user_id"])
-        & (F.col("tt") < F.col("tp"))
-        & (F.col("tt") >= F.col("tp") - _ATTR_NS),
+        left_ts="tp",
+        right_ts="tt",
+        lower_offset=-_ATTR_NS,
+        upper_offset=-1,
+        bucket_width=_ATTR_NS,
+        equi_keys=[("p_user", "t_user")],
     )
     w = Window.partitionBy("p_id").orderBy("tt", "t_id")
     wc = Window.partitionBy("p_id")
@@ -434,9 +454,17 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Funnel latency quantiles: view→purchase time-to-convert per user (the
 # latest view before each purchase, as-of style), p50/p90 as TYPE-1
 # (rank-selected) quantiles in integer seconds — exact and identical in
-# both engines, no interpolation. The as-of pairing is the user-keyed
-# range join + per-purchase max, the same device as the click
-# attribution; the final selection runs on the conversion relation.
+# both engines, no interpolation. The as-of pairing is ONE user-keyed
+# RANGE window (the asof_purchase_last_view device,
+# plans/streaming_batch.py — no join at all: a purchases×views theta
+# join is per-user quadratic under a power user/bot at 100×), and the
+# rank selection runs over the latency HISTOGRAM — state bounded by the
+# distinct-latency domain (the time range in seconds), never the
+# conversion count, so no single-partition sort of a fact-sized
+# relation. The oracle keeps the naive theta-join + global ROW_NUMBER
+# spelling (DuckDB at sf0.01): rank-at-ceil(k·q) over (latency, p_id)
+# equals the smallest latency whose cumulative count reaches the rank,
+# so both forms pick the identical value by construction.
 # ---------------------------------------------------------------------------
 @register(
     "funnel_latency_quantiles",
@@ -471,40 +499,47 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "join", "funnel"),
 )
 def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("tp")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").alias("tv")
+    # as-of pairing with ONE user-keyed window: ts is int64 ns, so the
+    # RANGE frame ending at -1 is exactly the strict tv < tp bound
+    w_asof = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
+    last_view = F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w_asof)
     conv = (
-        purchases.join(
-            views,
-            (purchases["user_id"] == views["user_id"])
-            & (F.col("tv") < F.col("tp")),
-        )
-        .groupBy("p_id", "tp")
-        .agg(F.expr("(MAX(tp) - MAX(tv)) DIV 1000000000").alias("latency_sec"))
-        .select("p_id", "latency_sec")
+        ev.select("event_type", "ts", last_view.alias("tv"))
+        .filter((F.col("event_type") == "purchase") & F.col("tv").isNotNull())
+        .select(F.expr("(ts - tv) DIV 1000000000").alias("latency_sec"))
     )
-    # one aggregate over the ranked relation delivers count AND both
-    # order statistics — the conversion join is evaluated exactly once
-    wr = Window.orderBy(F.asc("latency_sec"), F.asc("p_id"))
-    ranked = conv.withColumn("r", F.row_number().over(wr)).withColumn(
-        "k", F.count(F.lit(1)).over(Window.partitionBy())
+    # histogram cells: the only unpartitioned windows below run over the
+    # per-distinct-latency aggregate (bounded by the value domain)
+    hist = conv.groupBy("latency_sec").agg(F.count(F.lit(1)).alias("cnt"))
+    cum_w = Window.orderBy("latency_sec").rowsBetween(Window.unboundedPreceding, 0)
+    all_w = Window.orderBy("latency_sec").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return ranked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
-        F.max(
+    cells = hist.select(
+        "latency_sec",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(all_w).alias("k"),
+    )
+    # the rank-ceil(k·q) order statistic = smallest latency whose
+    # cumulative count reaches the rank
+    return cells.agg(
+        F.max("k").cast("bigint").alias("n_conversions"),
+        F.min(
             F.when(
-                F.col("r") == F.expr("CAST(CEIL(k * 0.5) AS BIGINT)"),
+                F.col("cum") >= F.expr("CAST(CEIL(k * 0.5) AS BIGINT)"),
                 F.col("latency_sec"),
             )
         ).alias("p50_latency_sec"),
-        F.max(
+        F.min(
             F.when(
-                F.col("r") == F.expr("CAST(CEIL(k * 0.9) AS BIGINT)"),
+                F.col("cum") >= F.expr("CAST(CEIL(k * 0.9) AS BIGINT)"),
                 F.col("latency_sec"),
             )
         ).alias("p90_latency_sec"),

@@ -182,8 +182,8 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         classed AS (
             SELECT o_custkey, rev,
-                   CASE WHEN cum / t.total <= 0.80 THEN 'A'
-                        WHEN cum / t.total <= 0.95 THEN 'B'
+                   CASE WHEN ROUND(cum / t.total, 6) <= 0.80 THEN 'A'
+                        WHEN ROUND(cum / t.total, 6) <= 0.95 THEN 'B'
                         ELSE 'C' END AS abc
             FROM ranked CROSS JOIN tot t
         )
@@ -210,12 +210,16 @@ def pareto_abc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     ranked = cust.withColumn("cum", F.sum("rev").over(w))
+    # classify on the 6-dp ROUNDED share (both engines): `total` is a
+    # plain float SUM whose partial-agg order differs per engine, so a
+    # customer landing exactly on the 0.80/0.95 boundary must not ride
+    # a low-order bit — the repo's round-before-compare parity rule
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "o_custkey",
         "rev",
         "total",
-        F.when(F.col("cum") / F.col("total") <= 0.80, "A")
-        .when(F.col("cum") / F.col("total") <= 0.95, "B")
+        F.when(F.round(F.col("cum") / F.col("total"), 6) <= 0.80, "A")
+        .when(F.round(F.col("cum") / F.col("total"), 6) <= 0.95, "B")
         .otherwise("C")
         .alias("abc"),
     )

@@ -275,6 +275,12 @@ def distinct_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LIMIT/OFFSET pagination — the reference pages REST results with
 # resultOffset/resultRecordCount (etl/handlers/rest_api.py:575-637). The
 # relational semantics: row_number over a total order, sliced to one page.
+# A bare ROW_NUMBER() OVER (ORDER BY key) funnels the whole table through
+# ONE task at 100×; the global row number is instead the two-level
+# distributed prefix sum (operators/packing.py): per-bucket counts, a
+# window over the SMALL bucket-offsets relation, broadcast back, local
+# intra-bucket cumsum — rn = exclusive_count_of_smaller_keys + 1. The
+# oracle keeps the ROW_NUMBER spelling; values identical by definition.
 # --------------------------------------------------------------------------
 @register(
     "pagination_page_slice",
@@ -290,22 +296,30 @@ def distinct_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "pagination"),
 )
 def pagination_page_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    return (
-        orders.select(
-            "o_orderkey", "o_custkey", "o_totalprice", F.row_number().over(w).alias("rn")
-        )
-        .filter((F.col("rn") > 300) & (F.col("rn") <= 400))
+    from etl_pipeline_spark.operators.packing import exclusive_prefix_sum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
     )
+    with_rn = exclusive_prefix_sum(
+        orders.withColumn("__one", F.lit(1)), "o_orderkey", "__one"
+    )
+    return with_rn.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (F.col("cum_excl") + 1).cast("int").alias("rn"),
+    ).filter((F.col("rn") > 300) & (F.col("rn") <= 400))
 
 
 # --------------------------------------------------------------------------
 # Page bucketing — the reference's pagination loop materializes page after
 # page of max_record_count features (etl/handlers/rest_api.py:252-298);
-# expressed as a single bucketing window: every row gets a page number, and
-# we emit per-page stats (the page manifest a distributed fetcher would plan
-# from).
+# expressed as sequence packing with budget = page size: page_nr =
+# floor(exclusive_prefix_count / 2000) + 1 via the same two-level
+# distributed prefix sum (operators/packing.py::pack_sequences), then
+# per-page stats (the page manifest a distributed fetcher would plan
+# from). No single-partition window over orders anywhere in the plan.
 # --------------------------------------------------------------------------
 @register(
     "pagination_page_manifest",
@@ -324,13 +338,15 @@ def pagination_page_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "pagination"),
 )
 def pagination_page_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
+    from etl_pipeline_spark.operators.packing import pack_sequences
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    packed = pack_sequences(
+        orders.withColumn("__one", F.lit(1)), "o_orderkey", "__one", budget=2000
+    )
     return (
-        orders.select("o_orderkey", F.row_number().over(w).alias("rn"))
-        .select(
-            "o_orderkey",
-            (F.floor((F.col("rn") - 1) / 2000) + 1).cast("bigint").alias("page_nr"),
+        packed.select(
+            "o_orderkey", (F.col("seq_id") + 1).cast("bigint").alias("page_nr")
         )
         .groupBy("page_nr")
         .agg(

@@ -43,9 +43,12 @@ from etl_pipeline_spark.sources.star import load_table
 from etl_pipeline_spark.utils.session_cache import register_cache, session_key
 
 # ---------------------------------------------------------------------------
-# Shared token / bigram extraction. Documents are whitespace-tokenized
-# (≥10 words by the corpus contract, so the bigram sequence() bound never
-# goes negative — same contract the shingle family relies on).
+# Shared token / bigram extraction. Documents are whitespace-tokenized.
+# Short docs are guarded explicitly (size >= 2 filter): Spark's
+# sequence(1, 0) yields a DESCENDING [1, 0] — spurious null-bearing
+# bigram rows (and an ANSI index error) on any sub-2-token doc — while
+# DuckDB's generate_series(1, 0) is empty. The testdata corpus contract
+# is ≥10 words, but the guard makes the operator total, not contractual.
 # Spark arrays are 0-indexed, DuckDB lists 1-indexed: the Spark transform
 # runs i in 1..n-1 over toks[i-1],toks[i]; DuckDB runs i in 1..n-1 over
 # [i],[i+1] — the same bigrams in the same order.
@@ -89,11 +92,20 @@ def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (session_key(spark), sf_dir)
     if key not in _BIGRAM_CACHE:
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        # bind the token array ONCE (inlining split() into the lambda
+        # re-splits per element access — the O(n²) trap named in
+        # advanced_analytics' textrank extraction), and filter out
+        # sub-2-token docs so sequence(1, size-1) never hits the
+        # descending sequence(1, 0) edge
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.split("text", " ").alias("toks"))
+            .filter(F.size("toks") >= 2)
+        )
         pair = F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> struct(split(text, ' ')[i-1] AS w1, split(text, ' ')[i] AS w2))"
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
             )
         ).alias("bg")
         _BIGRAM_CACHE[key] = (

@@ -470,3 +470,60 @@ def test_nb_vocab_prune_is_topk_and_model_broadcasts(spark):
     assert "SortMergeJoin" not in plan
     # a global row_number over the vocab would show as a 1-partition sort
     assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_funnel_latency_asof_window_and_histogram_quantiles(spark):
+    """The view→purchase pairing is ONE user-keyed window — no
+    purchases×views join anywhere in the plan (the old theta join is
+    per-user quadratic under a power user at 100×) — and the p50/p90
+    rank selection runs over the per-distinct-latency histogram
+    aggregate, never a single-partition sort of the conversion
+    relation."""
+    plan = _plan(
+        spark, REGISTRY["funnel_latency_quantiles"].spark_fn(spark, SF_DIR)
+    )
+    for join in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert join not in plan, join
+    # the data-sized as-of window is user-partitioned
+    assert "windowspecdefinition(user_id" in plan
+    # the quantile selection sits above the groupBy(latency_sec) histogram
+    assert "Keys [1]: [latency_sec" in plan
+
+
+def test_attribution_pairing_is_bucketed_hash_join(spark):
+    """The touch↔purchase pairing must go through
+    operators/rangejoin.py::bucketed_interval_join — a hash equi-join
+    keyed on (user, 30-min time-bin) with the range as residual, the
+    same device as range_join_click_attribution — not a user-only theta
+    join (per-user quadratic) or a nested loop."""
+    plan = _plan(
+        spark, REGISTRY["attribution_credit_events"].spark_fn(spark, SF_DIR)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+    # the time-bin is part of the join key (explode of the bin sequence
+    # on the probe side), proving the bucketed device, not a residual-only
+    # user join
+    assert "__bin" in plan
+
+
+def test_pagination_prefix_sum_no_single_partition_window(spark):
+    """Both pagination queries compute the global row number with the
+    two-level distributed prefix sum: the data-sized window partitions
+    by __bucket, and the only single-partition exchange feeds the SMALL
+    bucket-offsets window — never the orders scan."""
+    for name in ("pagination_page_slice", "pagination_page_manifest"):
+        plan = _plan(spark, REGISTRY[name].spark_fn(spark, SF_DIR))
+        assert "__bucket" in plan, name
+        # the bare ROW_NUMBER plan collapsed the whole scan into one
+        # partition; the prefix-sum form has no row_number at all
+        assert "row_number" not in plan, name
