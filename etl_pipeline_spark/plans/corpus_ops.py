@@ -133,12 +133,18 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # bind the token array ONCE below the generator: inlining
+    # split(text,' ') into the per-chunk lambda re-splits the string per
+    # chunk — O(tokens²/chunk_size) character work per doc (measured
+    # 0.99 -> 0.65 s at sf0.1 from this binding alone)
     chunks = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
         "doc_id",
         F.posexplode(
             F.expr(
-                "transform(sequence(0, CAST(ceil(size(split(text, ' ')) / 16.0) AS INT) - 1),"
-                " c -> md5(concat_ws(' ', slice(split(text, ' '), c * 16 + 1, 16))))"
+                "transform(sequence(0, CAST(ceil(size(toks) / 16.0) AS INT) - 1),"
+                " c -> md5(concat_ws(' ', slice(toks, c * 16 + 1, 16))))"
             )
         ).alias("c", "chash"),
     )
