@@ -128,6 +128,9 @@ HEADLINE = [
     "anova_f_totalprice_priority",
     "mutual_info_status_priority",
     "l_diversity_audit",
+    "kaplan_meier_retention",
+    "gini_revenue_concentration",
+    "zipf_alpha_terms",
 ]
 
 

@@ -525,3 +525,59 @@ def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of revenue concentration (the Lorenz-curve scalar
+# companion to pareto_abc_revenue): G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n
+# with x sorted ascending. All sums run in EXACT integer cents (bigint in
+# Spark, hugeint in DuckDB — both exact), so the only float operations
+# are on identical integers and the 6-dp round cannot ride a partial-agg
+# ulp. The rank window is customer-aggregate-sized (dimension, not fact);
+# at 10⁹ customers the two-level prefix sum (operators/packing.py) is the
+# same plan shape — the pareto_abc_revenue scale note applies verbatim.
+# ---------------------------------------------------------------------------
+@register(
+    "gini_revenue_concentration",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS rev_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        r AS (
+            SELECT rev_cents,
+                   ROW_NUMBER() OVER (ORDER BY rev_cents ASC, o_custkey ASC) AS rnk
+            FROM cust
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(CAST(SUM(rev_cents) AS DOUBLE) / 100.0, 2) AS total_revenue,
+               ROUND(2.0 * CAST(SUM(rnk * rev_cents) AS DOUBLE)
+                     / (COUNT(*) * CAST(SUM(rev_cents) AS DOUBLE))
+                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        FROM r
+    """,
+    tags=("agg", "window", "concentration"),
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.expr("CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT)").alias(
+            "rev_cents"
+        )
+    )
+    w = Window.orderBy(F.asc("rev_cents"), F.asc("o_custkey"))
+    r = cust.select(
+        "rev_cents", "o_custkey", F.row_number().over(w).alias("rnk")
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.expr("ROUND(CAST(SUM(rev_cents) AS DOUBLE) / 100.0, 2)").alias(
+            "total_revenue"
+        ),
+        F.expr(
+            "ROUND(2.0 * CAST(SUM(rnk * rev_cents) AS DOUBLE)"
+            " / (COUNT(*) * CAST(SUM(rev_cents) AS DOUBLE))"
+            " - (COUNT(*) + 1.0) / COUNT(*), 6)"
+        ).alias("gini"),
+    )

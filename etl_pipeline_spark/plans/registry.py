@@ -146,6 +146,9 @@ PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_cluster_assign", "dedup_embedding_cosine", "simhash_fingerprints",
     "ann_bucketed_sign_lsh",
+    # --- round-5 debuts (tier-2; next rotation's window)
+    "kaplan_meier_retention", "gini_revenue_concentration",
+    "zipf_alpha_terms",
 )
 
 

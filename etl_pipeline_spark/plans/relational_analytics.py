@@ -753,3 +753,132 @@ def assoc_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier retention curve (Kaplan & Meier 1958) over user lifetimes:
+# duration = days between a user's first and last event; users still
+# active in the final 3 days of the observation window are right-censored
+# (their lifetime is a lower bound, the standard churn-analysis setup).
+# S(t) = Π_{t_i <= t} (1 - d_i / n_i) over the per-distinct-duration
+# relation — d_i churns, n_i at risk. The product is exp of a cumulative
+# sum of per-row logs accumulated in one deterministic sorted order, so
+# both engines add the identical float sequence; a zero factor (everyone
+# at risk churns) is handled by a cumulative flag, not ln(0) (Spark's LN
+# returns NULL at 0 where DuckDB returns -inf). All windows below run
+# over the duration-domain-sized grouped relation (days, not users) —
+# the bounded-histogram discipline of funnel_latency_quantiles.
+# ---------------------------------------------------------------------------
+_KM_DAY_NS = 86_400_000_000_000
+_KM_CENSOR_DAYS = 3
+
+
+@register(
+    "kaplan_meier_retention",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id, MIN(epoch_ns(ts)) AS first_ts,
+                   MAX(epoch_ns(ts)) AS last_ts
+            FROM events GROUP BY user_id
+        ),
+        mx AS (SELECT MAX(epoch_ns(ts)) AS max_ts FROM events),
+        lif AS (
+            SELECT (last_ts - first_ts) // {_KM_DAY_NS} AS duration_days,
+                   CASE WHEN m.max_ts - last_ts < {_KM_CENSOR_DAYS} * {_KM_DAY_NS}
+                        THEN 1 ELSE 0 END AS is_censored
+            FROM u CROSS JOIN mx m
+        ),
+        g AS (
+            SELECT duration_days,
+                   CAST(SUM(1 - is_censored) AS BIGINT) AS d,
+                   CAST(SUM(is_censored) AS BIGINT) AS c
+            FROM lif GROUP BY 1
+        ),
+        k AS (
+            SELECT duration_days, d, c,
+                   CAST(SUM(d + c) OVER () AS BIGINT)
+                   - CAST(COALESCE(SUM(d + c) OVER (
+                         ORDER BY duration_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS n_at_risk
+            FROM g
+        ),
+        s AS (
+            SELECT duration_days, d, c, n_at_risk,
+                   SUM(CASE WHEN d < n_at_risk
+                            THEN LN(1.0 - CAST(d AS DOUBLE) / n_at_risk)
+                            ELSE 0.0 END) OVER w AS lnsum,
+                   MAX(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END) OVER w AS dead
+            FROM k
+            WINDOW w AS (ORDER BY duration_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT duration_days, n_at_risk, d AS n_churned, c AS n_censored,
+               CASE WHEN dead = 1 THEN 0.0
+                    ELSE ROUND(EXP(lnsum), 6) END AS km_survival
+        FROM s
+    """,
+    tags=("stats", "survival", "retention"),
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM survival of user lifetimes with right-censoring at the window
+    edge. One user-keyed aggregate; everything after runs on the
+    duration-day domain."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    lif = u.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"(last_ts - first_ts) DIV {_KM_DAY_NS}").alias("duration_days"),
+        F.when(
+            F.col("max_ts") - F.col("last_ts") < _KM_CENSOR_DAYS * _KM_DAY_NS, 1
+        )
+        .otherwise(0)
+        .alias("is_censored"),
+    )
+    g = lif.groupBy("duration_days").agg(
+        F.sum(1 - F.col("is_censored")).cast("bigint").alias("d"),
+        F.sum("is_censored").cast("bigint").alias("c"),
+    )
+    ord_w = Window.orderBy("duration_days")
+    all_w = ord_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    prev_w = ord_w.rowsBetween(Window.unboundedPreceding, -1)
+    cur_w = ord_w.rowsBetween(Window.unboundedPreceding, 0)
+    k = g.select(
+        "duration_days",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(all_w)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prev_w), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    s = k.select(
+        "duration_days",
+        "d",
+        "c",
+        "n_at_risk",
+        F.sum(
+            F.when(
+                F.col("d") < F.col("n_at_risk"),
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")),
+            ).otherwise(0.0)
+        )
+        .over(cur_w)
+        .alias("lnsum"),
+        F.max(F.when(F.col("d") >= F.col("n_at_risk"), 1).otherwise(0))
+        .over(cur_w)
+        .alias("dead"),
+    )
+    return s.select(
+        "duration_days",
+        "n_at_risk",
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("dead") == 1, 0.0)
+        .otherwise(F.round(F.exp("lnsum"), 6))
+        .alias("km_survival"),
+    )

@@ -753,3 +753,54 @@ def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_balanced"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf / power-law fit of the term-frequency distribution: the discrete
+# MLE alpha = 1 + n / Σ ln(f_i / (fmin − 0.5)) (Clauset, Shalizi &
+# Newman 2009) over terms with f ≥ fmin — the standard corpus-health
+# diagnostic (a crawl whose alpha drifts far from ~2 is boilerplate- or
+# spam-heavy). One term-keyed grouped count (the shared tokenized
+# relation) and one aggregate; the Σ ln term is a float sum whose
+# partial-agg-order jitter is ~1e-15 relative, far below the 6-dp round
+# (the ANOVA/stat_tests convention).
+# ---------------------------------------------------------------------------
+_ZIPF_FMIN = 5
+
+
+@register(
+    "zipf_alpha_terms",
+    oracle=f"""
+        WITH toks AS ({_TOKS_DUCK}),
+        tf AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS f
+            FROM toks GROUP BY term
+        ),
+        sel AS (SELECT f FROM tf WHERE f >= {_ZIPF_FMIN})
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(f) AS BIGINT) AS n_tokens,
+               CAST({_ZIPF_FMIN} AS BIGINT) AS fmin,
+               ROUND(1.0 + COUNT(*)
+                     / SUM(LN(CAST(f AS DOUBLE) / ({_ZIPF_FMIN} - 0.5))), 6)
+                   AS alpha
+        FROM sel
+    """,
+    tags=("llm", "text", "stats"),
+)
+def zipf_alpha_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law MLE alpha over term frequencies >= fmin."""
+    tf = (
+        _doc_terms(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+        .filter(F.col("f") >= _ZIPF_FMIN)
+    )
+    return tf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.lit(_ZIPF_FMIN).cast("bigint").alias("fmin"),
+        F.expr(
+            f"ROUND(1.0 + COUNT(*)"
+            f" / SUM(LN(CAST(f AS DOUBLE) / ({_ZIPF_FMIN} - 0.5))), 6)"
+        ).alias("alpha"),
+    )
