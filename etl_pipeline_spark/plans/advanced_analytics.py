@@ -528,9 +528,10 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(all_w).alias("k"),
     )
     # the rank-ceil(k·q) order statistic = smallest latency whose
-    # cumulative count reaches the rank
+    # cumulative count reaches the rank; coalesce: an empty conversion
+    # relation must report 0, matching the oracle's COUNT(*)
     return cells.agg(
-        F.max("k").cast("bigint").alias("n_conversions"),
+        F.coalesce(F.max("k"), F.lit(0)).cast("bigint").alias("n_conversions"),
         F.min(
             F.when(
                 F.col("cum") >= F.expr("CAST(CEIL(k * 0.5) AS BIGINT)"),

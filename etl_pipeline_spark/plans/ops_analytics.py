@@ -530,10 +530,14 @@ def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Gini coefficient of revenue concentration (the Lorenz-curve scalar
 # companion to pareto_abc_revenue): G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n
-# with x sorted ascending. All sums run in EXACT integer cents (bigint in
-# Spark, hugeint in DuckDB — both exact), so the only float operations
-# are on identical integers and the 6-dp round cannot ride a partial-agg
-# ulp. The rank window is customer-aggregate-sized (dimension, not fact);
+# with x sorted ascending. All sums run in EXACT integers — the
+# rank-weighted sum Σ i·x_i is ~(n/2)·total_cents, past int64 by ~1e6
+# paying customers, so BOTH engines widen before multiplying (Spark
+# DECIMAL(38,0), DuckDB HUGEINT — 128-bit exact either way; DuckDB's
+# bare BIGINT product would error on overflow, Spark's would wrap or
+# ANSI-throw). The only float operations are on identical exact
+# integers, so the 6-dp round cannot ride a partial-agg ulp.
+# The rank window is customer-aggregate-sized (dimension, not fact);
 # at 10⁹ customers the two-level prefix sum (operators/packing.py) is the
 # same plan shape — the pareto_abc_revenue scale note applies verbatim.
 # ---------------------------------------------------------------------------
@@ -552,7 +556,7 @@ def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
                ROUND(CAST(SUM(rev_cents) AS DOUBLE) / 100.0, 2) AS total_revenue,
-               ROUND(2.0 * CAST(SUM(rnk * rev_cents) AS DOUBLE)
+               ROUND(2.0 * CAST(SUM(CAST(rnk AS HUGEINT) * rev_cents) AS DOUBLE)
                      / (COUNT(*) * CAST(SUM(rev_cents) AS DOUBLE))
                      - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
         FROM r
@@ -576,7 +580,8 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         ),
         F.expr(
-            "ROUND(2.0 * CAST(SUM(rnk * rev_cents) AS DOUBLE)"
+            "ROUND(2.0 * CAST(SUM(CAST(rnk AS DECIMAL(38,0)) * rev_cents)"
+            " AS DOUBLE)"
             " / (COUNT(*) * CAST(SUM(rev_cents) AS DOUBLE))"
             " - (COUNT(*) + 1.0) / COUNT(*), 6)"
         ).alias("gini"),

@@ -90,7 +90,11 @@ def asof_latency_stream(
         last_view = pm[np.searchsorted(ts, ts, side="left")]
 
         is_purchase = (events["event_type"] == "purchase").to_numpy()
-        emit = is_purchase & (last_view >= 0)
+        # last_view < ts keeps the bound strict ACROSS batches too: a
+        # state-carried view with ts equal to this batch's purchase
+        # would otherwise attribute (searchsorted only excludes
+        # same-batch ties; pm[0] is the carried state)
+        emit = is_purchase & (last_view >= 0) & (last_view < ts)
 
         new_last = int(max(prior, view_ts.max()))
         if new_last >= 0:
@@ -128,53 +132,27 @@ def asof_latency_stream(
 def touches_before_purchases(
     stream: DataFrame,
     horizon_ns: int,
-    horizon: str = "30 minutes",
     watermark_delay: str = "2 hours",
 ) -> DataFrame:
     """Watermarked interval join: each purchase with every same-user
-    view/click touch in the strictly-preceding ``horizon``.
+    view/click touch in the strictly-preceding ``horizon_ns``.
 
     Returns ``(p_id, t_id, event_type, tp, tt)`` with ``tp``/``tt`` as
-    the original int64-ns timestamps: the event-time join condition
-    bounds state (eviction after watermark + horizon), while the exact
-    ``tp - horizon_ns <= tt < tp`` bound is enforced on the ns payload —
-    the identical pair set ``bucketed_interval_join`` produces in the
-    batch plan.
+    the original int64-ns timestamps. One shared device
+    (``joins.same_user_interval_pairs``) carries both the event-time
+    join condition (state eviction after watermark + horizon; the µs
+    prefilter is derived FROM horizon_ns, rounded up, so it can never
+    silently narrow the residual) and the exact
+    ``tp - horizon_ns <= tt < tp`` ns bound — the identical pair set
+    ``bucketed_interval_join`` produces in the batch plan.
     """
-    purchases = (
-        stream.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("p_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("tp"),
-            F.col("event_time").alias("p_time"),
-        )
-        .withWatermark("p_time", watermark_delay)
-    )
-    touches = (
-        stream.filter(F.col("event_type").isin("view", "click"))
-        .select(
-            F.col("event_id").alias("t_id"),
-            F.col("user_id").alias("t_user"),
-            F.col("event_type").alias("event_type"),
-            F.col("ts").alias("tt"),
-            F.col("event_time").alias("t_time"),
-        )
-        .withWatermark("t_time", watermark_delay)
-    )
-    return (
-        purchases.join(
-            touches,
-            F.expr(
-                f"p_user = t_user AND "
-                f"t_time BETWEEN p_time - INTERVAL {horizon} AND p_time"
-            ),
-            "inner",
-        )
-        # ns-exact residual: strict upper bound + closed lower bound
-        .filter(
-            (F.col("tt") < F.col("tp"))
-            & (F.col("tt") >= F.col("tp") - F.lit(horizon_ns))
-        )
-        .select("p_id", "t_id", "event_type", "tp", "tt")
-    )
+    from etl_pipeline_spark.streaming.joins import same_user_interval_pairs
+
+    return same_user_interval_pairs(
+        stream,
+        "purchase",
+        ("view", "click"),
+        horizon_ns=horizon_ns,
+        watermark_delay=watermark_delay,
+        strict_upper=True,
+    ).select("p_id", "t_id", "event_type", "tp", "tt")

@@ -65,10 +65,13 @@ def test_asof_latency_state_spans_micro_batches(spark, tmp_path):
         (1, 10, 5 * ns, "view"),
         (2, 11, 7 * ns, "view"),
         (2, 12, 7 * ns, "purchase"),  # same-ns view: must NOT attribute
+        (3, 15, 9 * ns, "view"),
     ]
     f1 = [
         (1, 13, 65 * ns, "purchase"),  # attributes to batch-1 view (60 s)
         (1, 14, 70 * ns, "purchase"),  # same state, 65 s
+        (3, 16, 9 * ns, "purchase"),  # same-ns view CARRIED IN STATE:
+        # must not attribute either (strict bound across batches)
     ]
     schema = "user_id bigint, event_id bigint, ts bigint, event_type string"
     for i, rows in enumerate([f0, f1]):
