@@ -131,6 +131,7 @@ HEADLINE = [
     "kaplan_meier_retention",
     "gini_revenue_concentration",
     "zipf_alpha_terms",
+    "acf_daily_revenue",
 ]
 
 

@@ -586,3 +586,100 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (COUNT(*) + 1.0) / COUNT(*), 6)"
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of daily revenue at lags 1..7 (Box–Jenkins):
+# r_k = Σ (x_t − x̄)(x_{t+k} − x̄) / Σ (x_t − x̄)² over the day-ordered
+# series — the seasonality/momentum diagnostic behind every forecasting
+# model choice. Lags are ROW lags over the sorted daily series (gaps
+# collapse, documented; both engines sort the identical relation). Day
+# sums round to 2 dp and the series mean to 6 dp BEFORE the deviation
+# products (the CUSUM round-before-accumulate rule), so both engines
+# multiply identical doubles; the final Σ ratios carry ~1e-15 relative
+# partial-agg jitter, far below the 6-dp round (the ANOVA convention).
+# The LEAD windows run over the day-domain relation (≤ a few thousand
+# rows at any fact volume) — the bounded-histogram discipline.
+# ---------------------------------------------------------------------------
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "acf_daily_revenue",
+    oracle=f"""
+        WITH daily AS (
+            SELECT {_EPOCH_DAY_DUCK} AS day_epoch,
+                   ROUND(SUM(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1
+        ),
+        m AS (SELECT ROUND(AVG(rev), 6) AS mu,
+                     CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        dev AS (
+            SELECT d.day_epoch, d.rev - m.mu AS dv, m.n_days,
+                   ROW_NUMBER() OVER (ORDER BY d.day_epoch) AS rn
+            FROM daily d CROSS JOIN m
+        ),
+        denom AS (SELECT SUM(dv * dv) AS ss FROM dev),
+        lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+        pairs AS (
+            SELECT l.lag, a.dv AS d0, b.dv AS dk
+            FROM lags l
+            JOIN dev a ON TRUE
+            JOIN dev b ON b.rn = a.rn + l.lag
+        )
+        SELECT p.lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(SUM(p.d0 * p.dk) / MIN(dn.ss), 6) AS acf
+        FROM pairs p CROSS JOIN denom dn
+        GROUP BY p.lag
+    """,
+    tags=("timeseries", "stats", "diagnostic"),
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz"))
+        .cast("bigint")
+        .alias("day_epoch")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    m = daily.agg(
+        F.round(F.avg("rev"), 6).alias("mu"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    w = Window.orderBy("day_epoch")
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "day_epoch", (F.col("rev") - F.col("mu")).alias("dv")
+    )
+    # one window pass delivers all 7 row-lags; the explode emits (lag,
+    # d0·dk) pairs so a single grouped agg finishes every lag at once
+    leads = dev.select(
+        "dv",
+        *[F.lead("dv", k).over(w).alias(f"dk_{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    )
+    long = leads.select(
+        "dv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"dk_{k}").alias("dk")
+                    )
+                    for k in range(1, _ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select("dv", "p.lag", "p.dk").filter(F.col("dk").isNotNull())
+    denom = dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("ss"))
+    return (
+        long.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("dv") * F.col("dk")).alias("num"),
+        )
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("num") / F.col("ss"), 6).alias("acf"),
+        )
+    )
