@@ -1,5 +1,6 @@
 """Data-volume scaling measurement: time registered queries at 1x (sf0.1)
-and 8x (id-shifted replication) — the evidence rows in SCALING.md.
+and Nx (id-shifted replication, default 8x) — the evidence rows in
+SCALING.md.
 
 Replication shifts primary ids per copy so keys stay globally unique, and
 rewrites `documents.text` per replica (distinct letter-rotation per copy)
@@ -9,11 +10,18 @@ the quadratic verify blow-up of a pathologically duplicated corpus, not
 volume scaling. (That behavior is inherent to LSH dedup: verify cost
 scales with true duplicate mass; see SCALING.md.)
 
-Usage: python scripts/measure_scaling.py [query ...]
+Set SPARK_GRAFT_SCALE_FACTOR=N for other factors (e.g. 64 to turn the
+8x rows into curves). The rotation alphabet only supports 10 distinct
+letter rotations, so beyond 10 replicas document text repeats across
+replica groups — factors > 10 are for FACT-table queries (TPC-H,
+events, embeddings-by-id); document-corpus queries should stay at 8x.
+
+Usage: [SPARK_GRAFT_SCALE_FACTOR=N] python scripts/measure_scaling.py [query ...]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -26,8 +34,8 @@ from etl_pipeline_spark.plans.registry import all_queries  # noqa: E402
 from etl_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
-X8_DIR = "/tmp/sf0.1_x8"
-REPLICAS = 8
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "8"))
+X8_DIR = f"/tmp/sf0.1_x{REPLICAS}"
 
 # table -> id columns to shift per replica (keeps keys globally unique).
 # Dimension tables replicate WITHOUT key shifts (facts reference them, and
@@ -91,7 +99,7 @@ def main() -> None:
         run_once(spark, q, SF_DIR)
         t1 = run_once(spark, q, SF_DIR)
         t8 = run_once(spark, q, X8_DIR)
-        print(f"{q}: 1x={t1:.2f}s 8x={t8:.2f}s ratio={t8 / t1:.2f}")
+        print(f"{q}: 1x={t1:.2f}s {REPLICAS}x={t8:.2f}s ratio={t8 / t1:.2f}")
 
 
 if __name__ == "__main__":
