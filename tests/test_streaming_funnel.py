@@ -161,3 +161,51 @@ def test_streaming_attribution_pairs_and_credits_equal_batch(spark):
         REGISTRY["attribution_credit_events"].spark_fn(spark, SF_DIR).toPandas()
     )
     assert canonicalize(got_credits).equals(canonicalize(want_credits))
+
+
+def test_asof_state_survives_query_restart(spark, tmp_path):
+    """Stop the stream between micro-batches and restart from the same
+    checkpoint: the per-user last-view state must carry across
+    processes — a purchase in the SECOND run attributes to a view seen
+    only in the FIRST run."""
+    src = tmp_path / "asof_restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "asof_ckpt")
+    sink = str(tmp_path / "asof_sink")
+    ns = 1_000_000_000
+    schema = "user_id bigint, event_id bigint, ts bigint, event_type string"
+
+    def _run_to_completion():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            asof_latency_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, 10, 5 * ns, "view")], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    _run_to_completion()
+    assert spark.read.parquet(sink).count() == 0  # no purchase yet
+
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(1, 11, 65 * ns, "purchase")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    _run_to_completion()  # fresh query object, same checkpoint
+
+    got = {
+        (r.p_id, r.user_id, r.latency_sec)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {(11, 1, 60)}  # attributed via RECOVERED state
