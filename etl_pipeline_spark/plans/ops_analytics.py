@@ -612,10 +612,9 @@ _ACF_MAX_LAG = 7
                    ROUND(SUM(o_totalprice), 2) AS rev
             FROM orders GROUP BY 1
         ),
-        m AS (SELECT ROUND(AVG(rev), 6) AS mu,
-                     CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        m AS (SELECT ROUND(AVG(rev), 6) AS mu FROM daily),
         dev AS (
-            SELECT d.day_epoch, d.rev - m.mu AS dv, m.n_days,
+            SELECT d.day_epoch, d.rev - m.mu AS dv,
                    ROW_NUMBER() OVER (ORDER BY d.day_epoch) AS rn
             FROM daily d CROSS JOIN m
         ),
@@ -642,10 +641,7 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("day_epoch")
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
-    m = daily.agg(
-        F.round(F.avg("rev"), 6).alias("mu"),
-        F.count(F.lit(1)).cast("bigint").alias("n_days"),
-    )
+    m = daily.agg(F.round(F.avg("rev"), 6).alias("mu"))
     w = Window.orderBy("day_epoch")
     dev = daily.crossJoin(F.broadcast(m)).select(
         "day_epoch", (F.col("rev") - F.col("mu")).alias("dv")

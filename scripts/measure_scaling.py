@@ -35,6 +35,8 @@ from etl_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "8"))
+if REPLICAS < 1:
+    raise SystemExit(f"SPARK_GRAFT_SCALE_FACTOR must be >= 1, got {REPLICAS}")
 X8_DIR = f"/tmp/sf0.1_x{REPLICAS}"
 
 # table -> id columns to shift per replica (keeps keys globally unique).
@@ -67,7 +69,12 @@ def replicate(spark, table: str) -> None:
         for col, m in shifts.items():
             c = c.withColumn(col, F.col(col) + F.lit(r * m))
         if table == "documents" and r > 0:
-            rot = letters[r:] + letters[:r]
+            # modulo: past len(letters) replicas the rotation CYCLES
+            # (text repeats across replica groups, as the module
+            # docstring documents) — without it, letters[r:] is '' and
+            # every replica >= 10 would carry replica 0's text verbatim
+            k = r % len(letters)
+            rot = letters[k:] + letters[:k]
             c = c.withColumn("text", F.translate("text", letters, rot))
         copies.append(c)
     u = copies[0]

@@ -73,13 +73,8 @@ def edge_orders(spark, tmp_path):
         (2, 7, "O", 300.0, "1995-01-02", "1-URGENT"),
         (3, 7, "O", 200.0, "1995-01-03", "1-URGENT"),
     ]
-    schema = (
-        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
-        " o_totalprice double, o_orderdate timestamp_ntz,"
-        " o_orderpriority string"
-    )
     df = spark.createDataFrame(
-        [(a, b, c, d, e, f) for a, b, c, d, e, f in rows],
+        rows,
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
         " o_totalprice double, o_orderdate string, o_orderpriority string",
     ).selectExpr(

@@ -110,14 +110,13 @@ def test_watermark_advancement_and_drops_match_model(spark, tmp_path):
     # (n=2), [30,40) never emits (final wm 31 < end 40)
     assert want_emitted == {0: 1, 1200: 2}
 
+    # calendar.timegm: the watermark string is UTC — mktime-minus-timezone
+    # breaks by the DST offset under DST-observing hostile TZs
+    import calendar
+
     got_wms = [
-        int(
-            time.mktime(
-                time.strptime(
-                    p["eventTime"]["watermark"], "%Y-%m-%dT%H:%M:%S.%fZ"
-                )
-            )
-            - time.timezone
+        calendar.timegm(
+            time.strptime(p["eventTime"]["watermark"], "%Y-%m-%dT%H:%M:%S.%fZ")
         )
         for p in q.recentProgress
     ]
