@@ -132,6 +132,7 @@ HEADLINE = [
     "gini_revenue_concentration",
     "zipf_alpha_terms",
     "acf_daily_revenue",
+    "ndcg_label_ranking",
 ]
 
 

@@ -978,3 +978,122 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "doc_id", "lang", _STRAT_RATES, default_rate=0.1, seed="s1"
     )
+
+
+# --------------------------------------------------------------------------
+# NDCG@10 of label-relevance rankings — the graded ranking-quality metric
+# that completes the similarity-eval pair (ann_recall_eval measures set
+# overlap; NDCG measures ORDER quality). Relevance is binary label match;
+# DCG = Σ rel_i / log2(i+1) over the exact cosine top-10 (rank ties
+# broken by vec_id in both engines); IDCG truncates at min(10, #relevant
+# in corpus); label-unique queries score 0 by convention. Scale: the
+# exact brute-force ranking is the bounded-query-set truth discipline of
+# ann_recall_eval — the production path swaps in the IVF-PQ index
+# (ann_ivfpq_topk) and this metric then QUANTIFIES what that
+# approximation costs in ranking order, not just recall.
+# --------------------------------------------------------------------------
+_NDCG_K = 10
+
+
+@register(
+    "ndcg_label_ranking",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding, label AS q_label
+            FROM embeddings WHERE vec_id < 10
+        ),
+        topk AS (
+            SELECT query_id, q_label, n_label, rank FROM (
+                SELECT q.query_id, q.q_label, c.label AS n_label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_COS_DUCK} DESC, c.vec_id) AS rank
+                FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+            ) WHERE rank <= {_NDCG_K}
+        ),
+        dcg AS (
+            SELECT query_id, q_label,
+                   SUM(CASE WHEN n_label = q_label
+                            THEN 1.0 / log2(rank + 1) ELSE 0 END) AS dcg_raw
+            FROM topk GROUP BY 1, 2
+        ),
+        lc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_lab
+               FROM embeddings GROUP BY 1),
+        nrel AS (
+            SELECT d.query_id, d.dcg_raw, lc.n_lab - 1 AS n_rel
+            FROM dcg d JOIN lc ON lc.label = d.q_label
+        ),
+        idcg AS (
+            SELECT query_id, SUM(1.0 / log2(i + 1)) AS idcg_raw
+            FROM (
+                SELECT query_id,
+                       unnest(generate_series(1, LEAST({_NDCG_K}, n_rel))) AS i
+                FROM nrel WHERE n_rel >= 1
+            ) GROUP BY 1
+        )
+        SELECT n.query_id,
+               CAST(n.n_rel AS BIGINT) AS n_rel,
+               ROUND(n.dcg_raw, 6) AS dcg,
+               ROUND(COALESCE(i.idcg_raw, 0), 6) AS idcg,
+               CASE WHEN COALESCE(i.idcg_raw, 0) > 0
+                    THEN ROUND(n.dcg_raw / i.idcg_raw, 6) ELSE 0.0 END AS ndcg
+        FROM nrel n LEFT JOIN idcg i USING (query_id)
+    """,
+    tags=("llm", "similarity", "ml-eval", "ranking"),
+)
+def ndcg_label_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    topk = cosine_topk(emb, queries, k=_NDCG_K)
+    qlab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    dcg = (
+        topk.join(F.broadcast(qlab), "query_id")
+        .join(nlab, "neighbor_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n_label") == F.col("q_label"),
+                    1.0 / F.log2(F.col("rank") + 1),
+                ).otherwise(0.0)
+            ).alias("dcg_raw")
+        )
+    )
+    lc = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_lab"))
+    nrel = dcg.join(
+        F.broadcast(lc), dcg.q_label == lc.label
+    ).select("query_id", "dcg_raw", (F.col("n_lab") - 1).alias("n_rel"))
+    # sequence(1, 0) is DESCENDING in Spark — guard n_rel >= 1 explicitly
+    idcg = (
+        nrel.filter(F.col("n_rel") >= 1)
+        .select(
+            "query_id",
+            F.explode(
+                F.expr(f"sequence(1, LEAST({_NDCG_K}, n_rel))")
+            ).alias("i"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum(1.0 / F.log2(F.col("i") + 1)).alias("idcg_raw"))
+    )
+    return (
+        nrel.join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_rel").cast("bigint").alias("n_rel"),
+            F.round("dcg_raw", 6).alias("dcg"),
+            F.round(F.coalesce("idcg_raw", F.lit(0.0)), 6).alias("idcg"),
+            F.when(
+                F.coalesce("idcg_raw", F.lit(0.0)) > 0,
+                F.round(F.col("dcg_raw") / F.col("idcg_raw"), 6),
+            )
+            .otherwise(0.0)
+            .alias("ndcg"),
+        )
+    )

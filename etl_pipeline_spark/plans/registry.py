@@ -148,7 +148,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_bucketed_sign_lsh",
     # --- round-5 debuts (tier-2; next rotation's window)
     "kaplan_meier_retention", "gini_revenue_concentration",
-    "zipf_alpha_terms", "acf_daily_revenue",
+    "zipf_alpha_terms", "acf_daily_revenue", "ndcg_label_ranking",
 )
 
 
