@@ -133,6 +133,7 @@ HEADLINE = [
     "zipf_alpha_terms",
     "acf_daily_revenue",
     "ndcg_label_ranking",
+    "pattern_vshape_prices",
 ]
 
 

@@ -633,3 +633,172 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(_SP_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-pattern matching (SQL:2016 MATCH_RECOGNIZE-style, which Spark has
+# no builtin for): detect V-shaped price patterns — a run of >= 2
+# consecutive monthly declines immediately followed by a run of >= 2
+# consecutive rises — per part over its monthly average unit price.
+# The classic PATTERN (DOWN{2,} UP{2,}) example, re-expressed as
+# gaps-and-islands: per-part LAG direction → run ids via change-flag
+# cumsum → per-run aggregates (min_by/arg_min carries the pre-decline
+# peak price) → LEAD pairs adjacent runs. Every window partitions by
+# part (the natural key); runs are a change-count-sized relation.
+# Months are row-adjacent in the part's observed series (gaps collapse,
+# like acf_daily_revenue's row-lags); prices round to 2 dp before the
+# direction sign so both engines see identical comparisons.
+# ---------------------------------------------------------------------------
+@register(
+    "pattern_vshape_prices",
+    oracle="""
+        WITH monthly AS (
+            SELECT l_partkey,
+                   CAST(EXTRACT(year FROM l_shipdate) * 12
+                        + EXTRACT(month FROM l_shipdate) - 1 AS BIGINT) AS m,
+                   CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                              * 1.0 / SUM(CAST(l_quantity AS BIGINT)) + 0.5)
+                        AS BIGINT) AS p
+            FROM lineitem GROUP BY 1, 2
+        ),
+        dirs AS (
+            SELECT l_partkey, m, p,
+                   LAG(p) OVER w AS prev_p,
+                   CASE WHEN p > LAG(p) OVER w THEN 1
+                        WHEN p < LAG(p) OVER w THEN -1 ELSE 0 END AS d
+            FROM monthly
+            WINDOW w AS (PARTITION BY l_partkey ORDER BY m)
+        ),
+        flagged AS (
+            SELECT l_partkey, m, p, prev_p, d,
+                   CASE WHEN LAG(d) OVER w IS DISTINCT FROM d
+                        THEN 1 ELSE 0 END AS new_run
+            FROM dirs WHERE prev_p IS NOT NULL
+            WINDOW w AS (PARTITION BY l_partkey ORDER BY m)
+        ),
+        runs AS (
+            SELECT l_partkey, run_id,
+                   MIN(d) AS d, CAST(COUNT(*) AS BIGINT) AS len,
+                   MIN(m) AS first_m,
+                   arg_min(prev_p, m) AS start_p,
+                   arg_max(p, m) AS end_p
+            FROM (
+                SELECT *, SUM(new_run) OVER (
+                    PARTITION BY l_partkey ORDER BY m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+                FROM flagged
+            ) GROUP BY 1, 2
+        ),
+        vshapes AS (
+            SELECT l_partkey, first_m,
+                   start_p - end_p AS depth_cents
+            FROM (
+                SELECT l_partkey, d, len, first_m, start_p, end_p,
+                       LEAD(d) OVER w AS next_d,
+                       LEAD(len) OVER w AS next_len
+                FROM runs
+                WINDOW w AS (PARTITION BY l_partkey ORDER BY run_id)
+            )
+            WHERE d = -1 AND len >= 2 AND next_d = 1 AND next_len >= 2
+        )
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_vshapes,
+               MAX(depth_cents) / 100.0 AS max_drop,
+               MIN(first_m) AS first_v_month
+        FROM vshapes GROUP BY 1
+    """,
+    tags=("timeseries", "pattern", "window"),
+)
+def pattern_vshape_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # monthly price stays in EXACT INTEGER CENTS end-to-end: p =
+    # floor(total_cents / total_qty + 0.5). Two prior forms both failed
+    # parity on ~0.5% of cells (measured): ROUND(AVG(float-div), 2)
+    # rides partial-agg ulps, and even ROUND(exact_ratio, 2) diverges on
+    # representational halves (Spark rounds the double's SHORTEST
+    # DECIMAL string — 37700.215 → .22 — where DuckDB rounds its binary
+    # value 37700.21499… → .21). Integer cents make every comparison,
+    # run split, and depth subtraction exact in both engines; the only
+    # float is the final /100.0 of an exact integer.
+    monthly = (
+        li.select(
+            "l_partkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+            .cast("bigint")
+            .alias("m"),
+            F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
+                "cents"
+            ),
+            F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+        )
+        .groupBy("l_partkey", "m")
+        .agg(
+            F.expr(
+                "CAST(FLOOR(SUM(cents) * 1.0 / SUM(qty) + 0.5) AS BIGINT)"
+            ).alias("p")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("m")
+    dirs = monthly.select(
+        "l_partkey",
+        "m",
+        "p",
+        F.lag("p").over(w).alias("prev_p"),
+        F.when(F.col("p") > F.lag("p").over(w), 1)
+        .when(F.col("p") < F.lag("p").over(w), -1)
+        .otherwise(0)
+        .alias("d"),
+    ).filter(F.col("prev_p").isNotNull())
+    flagged = dirs.select(
+        "l_partkey",
+        "m",
+        "p",
+        "prev_p",
+        "d",
+        F.when(
+            ~F.lag("d").over(w).eqNullSafe(F.col("d")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    cum_w = w.rowsBetween(Window.unboundedPreceding, 0)
+    runs = (
+        flagged.withColumn("run_id", F.sum("new_run").over(cum_w))
+        .groupBy("l_partkey", "run_id")
+        .agg(
+            F.min("d").alias("d"),
+            F.count(F.lit(1)).cast("bigint").alias("len"),
+            F.min("m").alias("first_m"),
+            F.min_by("prev_p", "m").alias("start_p"),
+            F.max_by("p", "m").alias("end_p"),
+        )
+    )
+    rw = Window.partitionBy("l_partkey").orderBy("run_id")
+    vshapes = (
+        runs.select(
+            "l_partkey",
+            "d",
+            "len",
+            "first_m",
+            "start_p",
+            "end_p",
+            F.lead("d").over(rw).alias("next_d"),
+            F.lead("len").over(rw).alias("next_len"),
+        )
+        .filter(
+            (F.col("d") == -1)
+            & (F.col("len") >= 2)
+            & (F.col("next_d") == 1)
+            & (F.col("next_len") >= 2)
+        )
+        .select(
+            "l_partkey",
+            "first_m",
+            (F.col("start_p") - F.col("end_p")).alias("depth_cents"),
+        )
+    )
+    return vshapes.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vshapes"),
+        (F.max("depth_cents") / 100.0).alias("max_drop"),
+        F.min("first_m").alias("first_v_month"),
+    )

@@ -149,6 +149,7 @@ PRIORITY: tuple[str, ...] = (
     # --- round-5 debuts (tier-2; next rotation's window)
     "kaplan_meier_retention", "gini_revenue_concentration",
     "zipf_alpha_terms", "acf_daily_revenue", "ndcg_label_ranking",
+    "pattern_vshape_prices",
 )
 
 
