@@ -134,6 +134,13 @@ HEADLINE = [
     "acf_daily_revenue",
     "ndcg_label_ranking",
     "pattern_vshape_prices",
+    "ewma_control_chart_daily",
+    "mann_kendall_trend_revenue",
+    "purchase_streaks_histogram",
+    "cohort_ltv_curve",
+    "item_cooccurrence_topk",
+    "nelson_aalen_hazard",
+    "ztest_conversion_ab",
 ]
 
 

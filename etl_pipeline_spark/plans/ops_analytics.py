@@ -679,3 +679,399 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("num") / F.col("ss"), 6).alias("acf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart over daily revenue. The recursive definition
+# z_t = λ·x_t + (1-λ)·z_{t-1} has no relational form, but with a DYADIC
+# smoothing constant λ = 1/2 the truncated expansion
+#     z_t = Σ_{j=0..19} 2^-(j+1) · x_{t-j}  /  Σ_{j=0..19} 2^-(j+1)
+# is EXACT float arithmetic end-to-end: revenues are integer cents,
+# 2^-(j+1) only shifts the exponent, and every partial sum fits in a
+# double's 53-bit significand — so the result is bit-identical in any
+# summation order and any engine (no libm, no partial-agg jitter; the
+# truncation tail 2^-20 ≈ 1e-6 is the definition, not an error). One
+# LAG window pass delivers all 20 terms; the day-domain relation is the
+# only thing ever windowed (volume-independent — the acf discipline).
+# Alarm rule: revenue outside [0.5, 1.5]× yesterday's EWMA.
+# ---------------------------------------------------------------------------
+_EWMA_J = 20
+
+
+def _ewma_terms_duck() -> tuple[str, str]:
+    num = " + ".join(
+        f"COALESCE(LAG(cents, {j}) OVER w, 0) * {2.0 ** -(j + 1)!r}"
+        for j in range(_EWMA_J)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG(cents, {j}) OVER w IS NULL THEN 0.0"
+        f" ELSE {2.0 ** -(j + 1)!r} END"
+        for j in range(_EWMA_J)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms_duck()
+
+
+@register(
+    "ewma_control_chart_daily",
+    oracle=f"""
+        WITH daily AS (
+            SELECT {_EPOCH_DAY_DUCK} AS day_epoch,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        ),
+        z AS (
+            SELECT day_epoch, cents,
+                   ({_EWMA_NUM}) / ({_EWMA_DEN}) AS ewma_cents
+            FROM daily
+            WINDOW w AS (ORDER BY day_epoch)
+        )
+        SELECT day_epoch, cents / 100.0 AS rev,
+               ROUND(ewma_cents / 100.0, 6) AS ewma,
+               CASE WHEN LAG(ewma_cents) OVER (ORDER BY day_epoch) IS NULL
+                    THEN 0
+                    WHEN cents > 1.5 * LAG(ewma_cents) OVER (ORDER BY day_epoch)
+                      OR cents < 0.5 * LAG(ewma_cents) OVER (ORDER BY day_epoch)
+                    THEN 1 ELSE 0 END AS alarm
+        FROM z
+    """,
+    tags=("timeseries", "window", "anomaly"),
+)
+def ewma_control_chart_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz"))
+        .cast("bigint")
+        .alias("day_epoch")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("day_epoch")
+    num = sum(
+        (
+            F.coalesce(F.lag("cents", j).over(w), F.lit(0)) * F.lit(2.0 ** -(j + 1))
+            for j in range(_EWMA_J)
+        ),
+        F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("cents", j).over(w).isNull(), 0.0).otherwise(
+                F.lit(2.0 ** -(j + 1))
+            )
+            for j in range(_EWMA_J)
+        ),
+        F.lit(0.0),
+    )
+    z = daily.select(
+        "day_epoch", "cents", (num / den).alias("ewma_cents")
+    )
+    prev = F.lag("ewma_cents").over(w)
+    return z.select(
+        "day_epoch",
+        (F.col("cents") / 100.0).alias("rev"),
+        F.round(F.col("ewma_cents") / 100.0, 6).alias("ewma"),
+        F.when(prev.isNull(), 0)
+        .when(
+            (F.col("cents") > 1.5 * prev) | (F.col("cents") < 0.5 * prev), 1
+        )
+        .otherwise(0)
+        .alias("alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test on daily revenue: S = Σ_{i<j} sign(x_j - x_i),
+# tie-corrected variance, normal-approximation z. The pair build is
+# QUADRATIC IN THE DAY DOMAIN ONLY (a calendar-bounded relation — ~2.4k
+# rows for a 6½-year history — so ~3M pairs at any data volume; the fact
+# table is touched once by the daily grouped sum). Revenues compare as
+# exact integer cents, so S and the tie table are exact integers; the
+# only floats are the final /18 and sqrt — both IEEE-deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "mann_kendall_trend_revenue",
+    oracle=f"""
+        WITH daily AS (
+            SELECT {_EPOCH_DAY_DUCK} AS day_epoch,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                                 WHEN b.cents < a.cents THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM daily a JOIN daily b ON b.day_epoch > a.day_epoch
+        ),
+        ties AS (
+            SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+                   AS tie_term
+            FROM (
+                SELECT CAST(COUNT(*) AS BIGINT) AS t
+                FROM daily GROUP BY cents HAVING COUNT(*) > 1
+            )
+        )
+        SELECT n.n_days, s.s_stat,
+               ROUND((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                      - ties.tie_term) / 18.0, 6) AS var_s,
+               ROUND(CASE
+                   WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                        / SQRT((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                                - ties.tie_term) / 18.0)
+                   WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                        / SQRT((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                                - ties.tie_term) / 18.0)
+                   ELSE 0.0 END, 6) AS z,
+               CASE
+                   WHEN s.s_stat > 0 AND (s.s_stat - 1)
+                        / SQRT((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                                - ties.tie_term) / 18.0) > 1.959964
+                   THEN 'increasing'
+                   WHEN s.s_stat < 0 AND (s.s_stat + 1)
+                        / SQRT((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                                - ties.tie_term) / 18.0) < -1.959964
+                   THEN 'decreasing'
+                   ELSE 'no_trend' END AS trend
+        FROM n CROSS JOIN s CROSS JOIN ties
+    """,
+    tags=("timeseries", "stats", "trend"),
+)
+def mann_kendall_trend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz"))
+        .cast("bigint")
+        .alias("day_epoch")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    a = daily.select(
+        F.col("day_epoch").alias("da"), F.col("cents").alias("ca")
+    )
+    b = daily.select(
+        F.col("day_epoch").alias("db"), F.col("cents").alias("cb")
+    )
+    s = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ).cast("bigint"),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    var_expr = (
+        F.col("n_days")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    ) / 18.0
+    z_expr = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_expr))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_expr))
+        .otherwise(0.0)
+    )
+    return (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            "s_stat",
+            F.round(var_expr, 6).alias("var_s"),
+            F.round(z_expr, 6).alias("z"),
+            F.when(
+                (F.col("s_stat") > 0)
+                & ((F.col("s_stat") - 1) / F.sqrt(var_expr) > 1.959964),
+                "increasing",
+            )
+            .when(
+                (F.col("s_stat") < 0)
+                & ((F.col("s_stat") + 1) / F.sqrt(var_expr) < -1.959964),
+                "decreasing",
+            )
+            .otherwise("no_trend")
+            .alias("trend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Purchase-streak histogram — the second gaps-and-islands family member
+# (pattern_vshape_prices does direction runs; this does calendar runs):
+# per user, the longest run of CONSECUTIVE calendar days with >= 1
+# purchase, via the classic day − row_number island key; then the
+# distribution of per-user maxima. Integer-only end to end. Every
+# window partitions by user; islands are a (user, streak)-sized
+# relation — nothing global touches the fact table after the distinct.
+# ---------------------------------------------------------------------------
+@register(
+    "purchase_streaks_histogram",
+    oracle=f"""
+        WITH pd AS (
+            SELECT DISTINCT user_id, epoch_ns(ts) // {_DAY_NS} AS day
+            FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT user_id, day,
+                   day - ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day) AS isl
+            FROM pd
+        ),
+        st AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+            FROM r GROUP BY user_id, isl
+        ),
+        mx AS (SELECT user_id, MAX(len) AS max_streak FROM st GROUP BY user_id)
+        SELECT max_streak, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM mx GROUP BY 1
+    """,
+    tags=("window", "sessionization", "behavioral"),
+)
+def purchase_streaks_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pd_ = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.expr(f"ts DIV {_DAY_NS}").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    st = (
+        pd_.withColumn("isl", F.col("day") - F.row_number().over(w))
+        .groupBy("user_id", "isl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    )
+    mx = st.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return mx.groupBy("max_streak").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: users cohorted by first-event month, cumulative
+# purchase revenue per user by cohort age. Month gaps collapse (ages
+# run over the cohort's OBSERVED months, the acf row-adjacency rule).
+# Revenue stays exact integer cents through the per-cell aggregate AND
+# the cumulative window, so the running sum is order-proof; the only
+# floats are the final two divisions (IEEE-deterministic, identical
+# parenthesization both engines). Cohort sizes join back broadcast
+# (month-domain-sized); every window partitions by cohort month.
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_ltv_curve",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id,
+                   CAST(EXTRACT(year FROM ts) * 12
+                        + EXTRACT(month FROM ts) - 1 AS BIGINT) AS em,
+                   CASE WHEN event_type = 'purchase'
+                        THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                        ELSE 0 END AS cents
+            FROM events
+        ),
+        coh AS (SELECT user_id, MIN(em) AS cohort_month FROM ev GROUP BY 1),
+        sizes AS (
+            SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM coh GROUP BY 1
+        ),
+        cells AS (
+            SELECT c.cohort_month, e.em - c.cohort_month AS age_month,
+                   CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
+                   SUM(e.cents) AS cell_cents
+            FROM ev e JOIN coh c ON c.user_id = e.user_id
+            GROUP BY 1, 2
+        )
+        SELECT cells.cohort_month, cells.age_month, sizes.n_users,
+               cells.n_active,
+               ROUND((CAST(SUM(cell_cents) OVER (
+                          PARTITION BY cells.cohort_month
+                          ORDER BY cells.age_month
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) AS BIGINT) / 100.0) / sizes.n_users, 6)
+                   AS ltv_per_user
+        FROM cells JOIN sizes ON sizes.cohort_month = cells.cohort_month
+    """,
+    tags=("cohort", "window", "revenue"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.year(
+                F.expr(
+                    f"date_add(DATE '1970-01-01', CAST(ts DIV {_DAY_NS} AS INT))"
+                )
+            )
+            * 12
+            + F.month(
+                F.expr(
+                    f"date_add(DATE '1970-01-01', CAST(ts DIV {_DAY_NS} AS INT))"
+                )
+            )
+            - 1
+        )
+        .cast("bigint")
+        .alias("em"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"),
+        )
+        .otherwise(0)
+        .alias("cents"),
+    )
+    coh = ev.groupBy("user_id").agg(F.min("em").alias("cohort_month"))
+    sizes = coh.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    cells = (
+        ev.join(coh, "user_id")
+        .groupBy(
+            "cohort_month", (F.col("em") - F.col("cohort_month")).alias("age_month")
+        )
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_active"),
+            F.sum("cents").alias("cell_cents"),
+        )
+    )
+    cw = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "age_month",
+            "n_users",
+            "n_active",
+            F.round(
+                (F.sum("cell_cents").over(cw).cast("bigint") / 100.0)
+                / F.col("n_users"),
+                6,
+            ).alias("ltv_per_user"),
+        )
+    )

@@ -149,7 +149,10 @@ PRIORITY: tuple[str, ...] = (
     # --- round-5 debuts (tier-2; next rotation's window)
     "kaplan_meier_retention", "gini_revenue_concentration",
     "zipf_alpha_terms", "acf_daily_revenue", "ndcg_label_ranking",
-    "pattern_vshape_prices",
+    "pattern_vshape_prices", "ewma_control_chart_daily",
+    "mann_kendall_trend_revenue", "purchase_streaks_histogram",
+    "cohort_ltv_curve", "item_cooccurrence_topk", "nelson_aalen_hazard",
+    "ztest_conversion_ab",
 )
 
 

@@ -882,3 +882,180 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("lnsum"), 6))
         .alias("km_survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Item–item co-occurrence similarity (the item2item collaborative-
+# filtering primitive, Linden et al. 2003): parts that ship in the same
+# order, scored by cosine over order-occurrence vectors
+# n_ab / sqrt(n_a · n_b). The pair build is a self-equi-join on the
+# ORDER key, so candidates are per-basket quadratic BOUNDED BY BASKET
+# SIZE (TPC-H baskets are <= 7 lines / <= 13 distinct parts; a retail
+# basket is O(10²)) — never all-pairs over the catalog. Part occurrence
+# counts are a dimension-sized relation joined back broadcast. Counts
+# are exact ints; cosine is one sqrt + one division (IEEE-deterministic
+# both engines), ordered before the top-k cut with a total (a, b)
+# tiebreak.
+# ---------------------------------------------------------------------------
+_COOC_TOPK = 25
+
+
+@register(
+    "item_cooccurrence_topk",
+    oracle=f"""
+        WITH basket AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        occ AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM basket GROUP BY 1
+        ),
+        co AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM basket a
+            JOIN basket b ON b.l_orderkey = a.l_orderkey
+                         AND b.l_partkey > a.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT part_a, part_b, n_ab, oa.n_occ AS n_a, ob.n_occ AS n_b,
+               ROUND(n_ab / SQRT(CAST(oa.n_occ * ob.n_occ AS DOUBLE)), 6)
+                   AS cosine
+        FROM co
+        JOIN occ oa ON oa.l_partkey = part_a
+        JOIN occ ob ON ob.l_partkey = part_b
+        ORDER BY n_ab / SQRT(CAST(oa.n_occ * ob.n_occ AS DOUBLE)) DESC,
+                 part_a ASC, part_b ASC
+        LIMIT {_COOC_TOPK}
+    """,
+    tags=("recsys", "join", "topk"),
+)
+def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    occ = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    a = basket.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    co = (
+        a.join(b, ["ok"])
+        .filter(F.col("part_b") > F.col("part_a"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    oa = F.broadcast(occ.select(F.col("l_partkey").alias("part_a"),
+                                F.col("n_occ").alias("n_a")))
+    ob = F.broadcast(occ.select(F.col("l_partkey").alias("part_b"),
+                                F.col("n_occ").alias("n_b")))
+    cos = F.col("n_ab") / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+    return (
+        co.join(oa, "part_a")
+        .join(ob, "part_b")
+        .select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b",
+            F.round(cos, 6).alias("cosine"),
+            cos.alias("_sort"),
+        )
+        .orderBy(F.desc("_sort"), F.asc("part_a"), F.asc("part_b"))
+        .limit(_COOC_TOPK)
+        .drop("_sort")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nelson–Aalen cumulative hazard — the counting-process companion to
+# kaplan_meier_retention (same lifetimes relation: first-to-last event
+# span per user, right-censored within 3 days of the window edge):
+# H(t) = Σ_{t_i <= t} d_i / n_i, and the Breslow survival estimate
+# exp(−H). The cumulative sum runs in ONE deterministic sorted order
+# over the duration-day domain (both engines add the identical float
+# sequence — the kaplan_meier discipline); d_i/n_i is IEEE-exact.
+# Everything below the per-user aggregate is duration-domain-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "nelson_aalen_hazard",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id, MIN(epoch_ns(ts)) AS first_ts,
+                   MAX(epoch_ns(ts)) AS last_ts
+            FROM events GROUP BY user_id
+        ),
+        mx AS (SELECT MAX(epoch_ns(ts)) AS max_ts FROM events),
+        lif AS (
+            SELECT (last_ts - first_ts) // {_KM_DAY_NS} AS duration_days,
+                   CASE WHEN m.max_ts - last_ts < {_KM_CENSOR_DAYS} * {_KM_DAY_NS}
+                        THEN 1 ELSE 0 END AS is_censored
+            FROM u CROSS JOIN mx m
+        ),
+        g AS (
+            SELECT duration_days,
+                   CAST(SUM(1 - is_censored) AS BIGINT) AS d,
+                   CAST(SUM(is_censored) AS BIGINT) AS c
+            FROM lif GROUP BY 1
+        ),
+        k AS (
+            SELECT duration_days, d, c,
+                   CAST(SUM(d + c) OVER () AS BIGINT)
+                   - CAST(COALESCE(SUM(d + c) OVER (
+                         ORDER BY duration_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS n_at_risk
+            FROM g
+        )
+        SELECT duration_days, n_at_risk, d AS n_churned,
+               ROUND(SUM(CAST(d AS DOUBLE) / n_at_risk) OVER w, 6)
+                   AS cum_hazard,
+               ROUND(EXP(-SUM(CAST(d AS DOUBLE) / n_at_risk) OVER w), 6)
+                   AS breslow_survival
+        FROM k
+        WINDOW w AS (ORDER BY duration_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("stats", "survival", "retention"),
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    lif = u.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"(last_ts - first_ts) DIV {_KM_DAY_NS}").alias("duration_days"),
+        F.when(
+            F.col("max_ts") - F.col("last_ts") < _KM_CENSOR_DAYS * _KM_DAY_NS, 1
+        )
+        .otherwise(0)
+        .alias("is_censored"),
+    )
+    g = lif.groupBy("duration_days").agg(
+        F.sum(1 - F.col("is_censored")).cast("bigint").alias("d"),
+        F.sum("is_censored").cast("bigint").alias("c"),
+    )
+    ord_w = Window.orderBy("duration_days")
+    all_w = ord_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    prev_w = ord_w.rowsBetween(Window.unboundedPreceding, -1)
+    cur_w = ord_w.rowsBetween(Window.unboundedPreceding, 0)
+    k = g.select(
+        "duration_days",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(all_w)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prev_w), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    haz = F.sum(F.col("d").cast("double") / F.col("n_at_risk")).over(cur_w)
+    return k.select(
+        "duration_days",
+        "n_at_risk",
+        F.col("d").alias("n_churned"),
+        F.round(haz, 6).alias("cum_hazard"),
+        F.round(F.exp(-haz), 6).alias("breslow_survival"),
+    )

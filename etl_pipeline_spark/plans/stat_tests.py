@@ -425,3 +425,124 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sens_entropy"),
         F.expr(f"CAST(COUNT(*) < {_L_DIVERSITY} AS INT)").alias("is_violation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test — the A/B experiment readout. Cohorts are a
+# deterministic hash split (user_id parity, the stratified_kfold
+# device); a user "converts" when they log >= _ZT_CONV_MIN purchase
+# events (the mean is ~13/user, so the threshold bisects the
+# population — a 50/50 proportion is the test's highest-power regime).
+# One user-keyed aggregate produces (cohort, converted); everything
+# after is a 2-row relation. All inputs to the z formula are exact
+# integers; the pooled-variance expression is written with IDENTICAL
+# parenthesization in both engines, so every float op is
+# IEEE-deterministic (div, mul, sqrt — no libm).
+# ---------------------------------------------------------------------------
+_ZT_CONV_MIN = 15
+_ZT_CRIT_05 = 1.959964
+
+_ZT_Z_DUCK = """
+    ((CAST(x_a AS DOUBLE) / n_a) - (CAST(x_b AS DOUBLE) / n_b))
+    / SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+           * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+           * (1.0 / n_a + 1.0 / n_b))
+"""
+
+
+@register(
+    "ztest_conversion_ab",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id, user_id % 2 AS cohort,
+                   CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                        >= {_ZT_CONV_MIN} AS INT) AS converted
+            FROM events GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_a,
+                   CAST(SUM(CASE WHEN cohort = 0 THEN converted ELSE 0 END)
+                        AS BIGINT) AS x_a,
+                   CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_b,
+                   CAST(SUM(CASE WHEN cohort = 1 THEN converted ELSE 0 END)
+                        AS BIGINT) AS x_b
+            FROM u
+        )
+        SELECT n_a, x_a, n_b, x_b,
+               CASE WHEN n_a = 0 THEN NULL
+                    ELSE ROUND(CAST(x_a AS DOUBLE) / n_a, 6) END AS p_a,
+               CASE WHEN n_b = 0 THEN NULL
+                    ELSE ROUND(CAST(x_b AS DOUBLE) / n_b, 6) END AS p_b,
+               CASE WHEN n_a = 0 OR n_b = 0
+                         OR x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN NULL
+                    ELSE ROUND({_ZT_Z_DUCK}, 6) END AS z,
+               CASE WHEN n_a = 0 OR n_b = 0
+                         OR x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN 0
+                    WHEN ABS({_ZT_Z_DUCK}) > {_ZT_CRIT_05} THEN 1
+                    ELSE 0 END AS significant
+        FROM g
+    """,
+    tags=("stats", "abtest", "hypothesis"),
+)
+def ztest_conversion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", (F.col("user_id") % 2).alias("cohort")).agg(
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            >= _ZT_CONV_MIN
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    # NOTE: pooled p must be computed as (x_a+x_b)/(n_a+n_b) exactly as
+    # the oracle writes it — a re-associated form is a DIFFERENT float.
+    pooled = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (
+        (F.col("x_a").cast("double") / F.col("n_a"))
+        - (F.col("x_b").cast("double") / F.col("n_b"))
+    ) / F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    degenerate = (
+        (F.col("n_a") == 0)
+        | (F.col("n_b") == 0)
+        | (F.col("x_a") + F.col("x_b") == 0)
+        | (F.col("x_a") + F.col("x_b") == F.col("n_a") + F.col("n_b"))
+    )
+    return g.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.when(F.col("n_a") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("x_a").cast("double") / F.col("n_a"), 6))
+        .alias("p_a"),
+        F.when(F.col("n_b") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("x_b").cast("double") / F.col("n_b"), 6))
+        .alias("p_b"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6))
+        .alias("z"),
+        F.when(degenerate, 0)
+        .when(F.abs(z) > _ZT_CRIT_05, 1)
+        .otherwise(0)
+        .alias("significant"),
+    )

@@ -109,3 +109,206 @@ def test_gini_single_customer_parity(spark, edge_orders):
     assert_oracle_match(df, con, spec.oracle, "gini_edge")
     row = df.collect()[0]
     assert row.n_customers == 1 and row.gini == 0.0
+
+
+# --- round-5 wave-2 edges -------------------------------------------------
+
+
+def test_ewma_short_series_and_alarm_branch_parity(spark, edge_orders):
+    """3 days < the 20-term truncation horizon: the weight-sum
+    normalizer must renormalize identically in both engines, and day 2
+    (300 > 1.5 x 100-EWMA) must fire the alarm exactly once."""
+    spec = REGISTRY["ewma_control_chart_daily"]
+    df = spec.spark_fn(spark, edge_orders)
+    con = _duck_for(edge_orders, ["orders"])
+    assert_oracle_match(df, con, spec.oracle, "ewma_edge")
+    rows = sorted(df.collect(), key=lambda r: r.day_epoch)
+    assert [r.alarm for r in rows] == [0, 1, 0]
+    assert rows[0].ewma == 100.0  # single-term EWMA is the value itself
+
+
+@pytest.fixture()
+def tie_orders(spark, tmp_path):
+    """Two tied daily revenues (100, 100, 200) — the Mann-Kendall
+    tie-correction branch sf-data never hits (continuous revenue)."""
+    rows = [
+        (1, 7, "O", 100.0, "1995-01-01", "1-URGENT"),
+        (2, 7, "O", 100.0, "1995-01-02", "1-URGENT"),
+        (3, 7, "O", 200.0, "1995-01-03", "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+        "o_orderpriority",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_mann_kendall_tie_correction_parity(spark, tie_orders):
+    """S = 0 + 1 + 1 = 2; one tie group of size 2 subtracts
+    t(t-1)(2t+5) = 18 from the variance numerator: var_s = 48/18."""
+    spec = REGISTRY["mann_kendall_trend_revenue"]
+    df = spec.spark_fn(spark, tie_orders)
+    con = _duck_for(tie_orders, ["orders"])
+    assert_oracle_match(df, con, spec.oracle, "mk_tie_edge")
+    row = df.collect()[0]
+    assert row.s_stat == 2 and row.var_s == round(48 / 18, 6)
+    assert row.trend == "no_trend"
+
+
+@pytest.fixture()
+def edge_purchase_events(spark, tmp_path):
+    """User 1 purchases on days 1,2,3 and 5,6 (a gap splits the island:
+    max streak 3); user 2 on one day (streak 1). User 2's second event
+    is a duplicate same-day purchase (the DISTINCT guard)."""
+    rows = [
+        (1, 1 * _DAY_NS, 1, "purchase", 10.0, "{}"),
+        (2, 2 * _DAY_NS, 1, "purchase", 10.0, "{}"),
+        (3, 3 * _DAY_NS, 1, "purchase", 10.0, "{}"),
+        (4, 5 * _DAY_NS, 1, "purchase", 10.0, "{}"),
+        (5, 6 * _DAY_NS, 1, "purchase", 10.0, "{}"),
+        (6, 4 * _DAY_NS, 2, "purchase", 10.0, "{}"),
+        (7, 4 * _DAY_NS + 5, 2, "purchase", 10.0, "{}"),
+        (8, 9 * _DAY_NS, 2, "view", 10.0, "{}"),
+    ]
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_purchase_streaks_gap_splits_island_parity(spark, edge_purchase_events):
+    spec = REGISTRY["purchase_streaks_histogram"]
+    df = spec.spark_fn(spark, edge_purchase_events)
+    con = _duck_for(edge_purchase_events, ["events"])
+    oracle = spec.oracle.replace("epoch_ns(ts)", "ts")
+    assert_oracle_match(df, con, oracle, "streaks_edge")
+    hist = {r.max_streak: r.n_users for r in df.collect()}
+    assert hist == {3: 1, 1: 1}
+
+
+def test_purchase_streaks_no_purchases_is_empty_both_engines(
+    spark, edge_events
+):
+    """edge_events is views-only: zero purchase rows must yield an
+    EMPTY result in both engines (not a null/zero row)."""
+    spec = REGISTRY["purchase_streaks_histogram"]
+    df = spec.spark_fn(spark, edge_events)
+    con = _duck_for(edge_events, ["events"])
+    oracle = spec.oracle.replace("epoch_ns(ts)", "ts")
+    assert_oracle_match(df, con, oracle, "streaks_empty_edge")
+    assert df.count() == 0
+
+
+def test_nelson_aalen_terminal_group_parity(spark, edge_events):
+    """The last at-risk group churns whole (d == n_at_risk): the hazard
+    increment is exactly 1.0 — no zero-branch needed (unlike KM's
+    product form); Breslow survival = exp(-1)."""
+    spec = REGISTRY["nelson_aalen_hazard"]
+    df = spec.spark_fn(spark, edge_events)
+    con = _duck_for(edge_events, ["events"])
+    oracle = spec.oracle.replace("epoch_ns(ts)", "ts")
+    assert_oracle_match(df, con, oracle, "na_edge")
+    rows = {r.duration_days: r for r in df.collect()}
+    assert rows[0].cum_hazard == 0.0 and rows[0].breslow_survival == 1.0
+    assert rows[10].cum_hazard == 1.0
+    assert rows[10].breslow_survival == round(2.718281828459045**-1, 6)
+
+
+@pytest.fixture()
+def edge_lineitem(spark, tmp_path):
+    """Order 1 carries part 1 TWICE (two line numbers — the DISTINCT
+    basket guard) plus part 2; order 2 is a single-part basket (emits
+    no pairs)."""
+    rows = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+        (1, 1, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", "1995-01-02"),
+        (1, 2, 1, 3, 1.0, 10.0, 0.0, 0.0, "N", "O", "1995-01-03"),
+        (2, 3, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", "1995-01-04"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus",
+        "CAST(l_shipdate AS TIMESTAMP_NTZ) AS l_shipdate",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_item_cooccurrence_distinct_and_singleton_parity(spark, edge_lineitem):
+    """Duplicate lines collapse before pairing (n_ab = 1, not 2);
+    single-part baskets emit nothing; cosine of a unique pair of
+    once-seen parts is exactly 1.0."""
+    spec = REGISTRY["item_cooccurrence_topk"]
+    df = spec.spark_fn(spark, edge_lineitem)
+    con = _duck_for(edge_lineitem, ["lineitem"])
+    assert_oracle_match(df, con, spec.oracle, "cooc_edge")
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.part_a, r.part_b, r.n_ab, r.cosine) == (1, 2, 1, 1.0)
+
+
+@pytest.fixture()
+def all_converted_events(spark, tmp_path):
+    """Every user (one per cohort) logs >= 15 purchases: x == n on both
+    sides — the degenerate branch where the pooled variance is 0 and z
+    must be NULL (not a div-by-zero) in both engines."""
+    rows = [
+        (i * 100 + u, i * 1_000_000_000, u, "purchase", 1.0, "{}")
+        for u in (1, 2)
+        for i in range(15)
+    ]
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_ztest_degenerate_all_convert_parity(spark, all_converted_events):
+    spec = REGISTRY["ztest_conversion_ab"]
+    df = spec.spark_fn(spark, all_converted_events)
+    con = _duck_for(all_converted_events, ["events"])
+    assert_oracle_match(df, con, spec.oracle, "ztest_degenerate_edge")
+    row = df.collect()[0]
+    assert (row.n_a, row.x_a, row.n_b, row.x_b) == (1, 1, 1, 1)
+    assert row.z is None and row.significant == 0
+
+
+def test_cohort_ltv_views_only_cohort_parity(spark, edge_events):
+    """A cohort with zero purchase revenue: LTV rows exist (users are
+    active) with ltv_per_user exactly 0."""
+    spec = REGISTRY["cohort_ltv_curve"]
+    df = spec.spark_fn(spark, edge_events)
+    con = _duck_for(edge_events, ["events"])
+    oracle = spec.oracle.replace(
+        "EXTRACT(year FROM ts)", "EXTRACT(year FROM make_timestamp(ts // 1000))"
+    ).replace(
+        "EXTRACT(month FROM ts)",
+        "EXTRACT(month FROM make_timestamp(ts // 1000))",
+    )
+    assert_oracle_match(df, con, oracle, "ltv_views_only_edge")
+    assert all(r.ltv_per_user == 0.0 for r in df.collect())

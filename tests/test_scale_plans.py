@@ -527,3 +527,33 @@ def test_pagination_prefix_sum_no_single_partition_window(spark):
         # the bare ROW_NUMBER plan collapsed the whole scan into one
         # partition; the prefix-sum form has no row_number at all
         assert "row_number" not in plan, name
+
+
+def test_item_cooccurrence_broadcast_counts_and_equi_join(spark):
+    """The basket pair build must be an EQUI-join on the order key
+    (per-basket quadratic, bounded by basket size) — never a cartesian
+    or nested loop over the catalog — and both part-occurrence joins
+    must broadcast the dimension-sized count relation."""
+    plan = _plan(
+        spark, REGISTRY["item_cooccurrence_topk"].spark_fn(spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # both n_a and n_b lookups
+    # top-k is TakeOrderedAndProject, not a global sort of all pairs
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mann_kendall_pairs_are_day_domain_only(spark):
+    """The quadratic pair join must run over the DAILY aggregate (day
+    domain), not the orders scan: both join children must sit above a
+    HashAggregate, and the fact table is scanned exactly twice (daily
+    relation reused per side), never joined raw."""
+    plan = _plan(
+        spark, REGISTRY["mann_kendall_trend_revenue"].spark_fn(spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    # the day >, cents comparisons ride a real join, and every scan of
+    # orders is a 2-column read (day source + cents source — pruned)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("o_orderkey" not in ln for ln in read)
