@@ -141,6 +141,11 @@ HEADLINE = [
     "item_cooccurrence_topk",
     "nelson_aalen_hazard",
     "ztest_conversion_ab",
+    "seasonal_decompose_weekday",
+    "burstiness_user_interarrival",
+    "price_index_laspeyres",
+    "modularity_cosupplier",
+    "assortativity_cosupplier",
 ]
 
 

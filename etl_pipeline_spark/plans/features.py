@@ -657,3 +657,225 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the LPA communities — the quality score for the
+# community detection above (Newman & Girvan 2004):
+#     Q = Σ_c [ e_c/m − (d_c/2m)² ]
+# (e_c = intra-community edges, d_c = community degree sum, m = edges).
+# The oracle re-unrolls the SAME deterministic 3-round LPA CTE chain,
+# then scores it. Every count is an exact BIGINT; each community's q_c
+# is two IEEE divisions; the final Σ over the community-sized relation
+# carries ~1e-16 jitter against a 6-dp round. Labels are a node-sized
+# relation (supplier dimension) and broadcast into both edge-endpoint
+# lookups; nothing fact-sized shuffles after the shared edge build.
+# ---------------------------------------------------------------------------
+def _modularity_oracle(n_iter: int = _LPA_ITER) -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, n_iter + 1):
+        rounds.append(
+            f"""
+        c{i} AS (
+            SELECT s.dst AS node, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM sym s JOIN {prev} l ON l.node = s.src
+            GROUP BY s.dst, l.label
+        ),
+        l{i} AS (
+            SELECT node,
+                   {_ENC - 1} - (MAX(cnt * {_ENC} + ({_ENC - 1} - label))
+                                 % {_ENC}) AS label
+            FROM c{i} GROUP BY node
+        )"""
+        )
+        prev = f"l{i}"
+    return f"""
+        WITH {COSUPPLIER_EDGE_CTES},
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+        {",".join(rounds)},
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+        e_in AS (
+            SELECT la.label AS community, CAST(COUNT(*) AS BIGINT) AS e_c
+            FROM edges e
+            JOIN {prev} la ON la.node = e.src
+            JOIN {prev} lb ON lb.node = e.dst
+            WHERE la.label = lb.label
+            GROUP BY 1
+        ),
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+                FROM sym GROUP BY 1),
+        dc AS (
+            SELECT l.label AS community, CAST(SUM(deg.d) AS BIGINT) AS d_c
+            FROM deg JOIN {prev} l ON l.node = deg.node
+            GROUP BY 1
+        ),
+        contrib AS (
+            SELECT dc.community,
+                   CAST(COALESCE(e_in.e_c, 0) AS DOUBLE) / mm.m
+                   - (CAST(dc.d_c AS DOUBLE) / (2 * mm.m))
+                     * (CAST(dc.d_c AS DOUBLE) / (2 * mm.m)) AS q_c
+            FROM dc
+            LEFT JOIN e_in ON e_in.community = dc.community
+            CROSS JOIN mm
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+               (SELECT m FROM mm) AS m_edges,
+               ROUND(SUM(q_c), 6) AS modularity_q
+        FROM contrib
+    """
+
+
+@register(
+    "modularity_cosupplier",
+    oracle=_modularity_oracle(),
+    tags=("graph", "iterative", "quality"),
+)
+def modularity_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.graph import symmetrize
+    from etl_pipeline_spark.plans.corpus_quality import cosupplier_edges
+
+    edges = cosupplier_edges(spark, sf_dir)
+    labels = label_propagation(edges, n_iter=_LPA_ITER)
+    sym = symmetrize(edges)
+    mm = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    la = F.broadcast(labels.select(F.col("node").alias("src"),
+                                   F.col("label").alias("c_src")))
+    lb = F.broadcast(labels.select(F.col("node").alias("dst"),
+                                   F.col("label").alias("c_dst")))
+    e_in = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    dc = (
+        deg.join(
+            F.broadcast(labels), "node"
+        )
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    contrib = (
+        dc.join(e_in, "community", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            (
+                F.coalesce(F.col("e_c"), F.lit(0)).cast("double") / F.col("m")
+                - (F.col("d_c").cast("double") / (2 * F.col("m")))
+                * (F.col("d_c").cast("double") / (2 * F.col("m")))
+            ).alias("q_c")
+        )
+    )
+    return (
+        contrib.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+            F.round(F.sum("q_c"), 6).alias("modularity_q"),
+        )
+        .crossJoin(F.broadcast(mm))
+        .select("n_communities", F.col("m").alias("m_edges"), "modularity_q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman 2002): the Pearson correlation of the
+# degrees at the two ends of every (directed/symmetrized) edge —
+# positive = hubs attach to hubs, negative = hub-and-spoke. All five
+# moments are exact BIGINT sums over the symmetrized edge list (degree
+# joins are broadcast node-sized lookups); r is one fixed-parenthesis
+# expression of IEEE divisions and a sqrt.
+# ---------------------------------------------------------------------------
+_ASSORT_R_DUCK = """
+    (CAST(sxy AS DOUBLE) / m
+     - (CAST(sx AS DOUBLE) / m) * (CAST(sy AS DOUBLE) / m))
+    / SQRT((CAST(sxx AS DOUBLE) / m
+            - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m))
+           * (CAST(syy AS DOUBLE) / m
+              - (CAST(sy AS DOUBLE) / m) * (CAST(sy AS DOUBLE) / m)))
+"""
+
+
+@register(
+    "assortativity_cosupplier",
+    oracle=f"""
+        WITH {COSUPPLIER_EDGE_CTES},
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges
+        ),
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+                FROM sym GROUP BY 1),
+        xy AS (
+            SELECT da.d AS x, db.d AS y
+            FROM sym s
+            JOIN deg da ON da.node = s.src
+            JOIN deg db ON db.node = s.dst
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM xy
+        )
+        SELECT m AS m_sym_edges,
+               ROUND(CAST(sx AS DOUBLE) / m, 6) AS mean_deg,
+               CASE WHEN sxx * m = sx * sx OR syy * m = sy * sy THEN NULL
+                    ELSE ROUND({_ASSORT_R_DUCK}, 6) END AS assortativity
+        FROM mom
+    """,
+    tags=("graph", "stats"),
+)
+def assortativity_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.graph import symmetrize
+    from etl_pipeline_spark.plans.corpus_quality import cosupplier_edges
+
+    sym = symmetrize(cosupplier_edges(spark, sf_dir))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    xy = (
+        sym.join(
+            F.broadcast(deg.select(F.col("node").alias("src"),
+                                   F.col("d").alias("x"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"),
+                                   F.col("d").alias("y"))),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    mom = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    r = F.expr(_ASSORT_R_DUCK.replace("\n", " "))
+    return mom.select(
+        F.col("m").alias("m_sym_edges"),
+        F.round(F.expr("CAST(sx AS DOUBLE) / m"), 6).alias("mean_deg"),
+        F.when(
+            (F.col("sxx") * F.col("m") == F.col("sx") * F.col("sx"))
+            | (F.col("syy") * F.col("m") == F.col("sy") * F.col("sy")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(r, 6))
+        .alias("assortativity"),
+    )

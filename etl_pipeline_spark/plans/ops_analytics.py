@@ -1075,3 +1075,154 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition, weekday component: observed daily
+# revenue = trend (centered 7-day moving average) + weekday effect
+# (mean detrended value per weekday) + residual. Trend is only defined
+# where the full 7-row window exists (the standard convention — edge
+# days carry no trend and drop out of the effect means). Weekday
+# encodes as (day_epoch + 4) % 7 with 0 = Sunday (epoch day 0 is a
+# Thursday) — pure integer arithmetic, timezone-proof. Day sums are
+# exact cents; the trend division and detrending are per-row
+# IEEE-deterministic; the per-weekday MEAN of ~n/7 detrended doubles
+# carries partial-agg-order jitter ~1e-10 dollars, far below the 2-dp
+# output round. Everything below the daily grouped sum is day-domain.
+# ---------------------------------------------------------------------------
+@register(
+    "seasonal_decompose_weekday",
+    oracle=f"""
+        WITH daily AS (
+            SELECT {_EPOCH_DAY_DUCK} AS day_epoch,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        ),
+        tr AS (
+            SELECT day_epoch, cents,
+                   CASE WHEN COUNT(*) OVER w = 7
+                        THEN (SUM(cents) OVER w / 7.0) / 100.0
+                        ELSE NULL END AS trend
+            FROM daily
+            WINDOW w AS (ORDER BY day_epoch
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        )
+        SELECT CAST((day_epoch + 4) % 7 AS BIGINT) AS weekday,
+               CAST(COUNT(trend) AS BIGINT) AS n_days,
+               ROUND(AVG(cents / 100.0 - trend), 2) AS weekday_effect,
+               ROUND(AVG(trend), 2) AS avg_trend
+        FROM tr
+        WHERE trend IS NOT NULL
+        GROUP BY 1
+    """,
+    tags=("timeseries", "window", "seasonal"),
+)
+def seasonal_decompose_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz"))
+        .cast("bigint")
+        .alias("day_epoch")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("day_epoch").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day_epoch",
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            (F.sum("cents").over(w) / 7.0) / 100.0,
+        ).alias("trend"),
+    ).filter(F.col("trend").isNotNull())
+    return tr.groupBy(
+        ((F.col("day_epoch") + 4) % 7).cast("bigint").alias("weekday")
+    ).agg(
+        F.count("trend").cast("bigint").alias("n_days"),
+        F.round(F.avg(F.col("cents") / 100.0 - F.col("trend")), 2).alias(
+            "weekday_effect"
+        ),
+        F.round(F.avg("trend"), 2).alias("avg_trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Goh–Barabási burstiness of per-user inter-event times:
+# B = (σ − μ) / (σ + μ) ∈ [−1, 1] (−1 perfectly regular, 0 Poisson,
+# → 1 extremely bursty) — the behavioral-health diagnostic for event
+# streams (bot traffic is regular, human traffic is bursty). Gaps are
+# integer SECONDS (ns DIV 1e9) so the per-user moment pass (n, Σdt,
+# Σdt²) is exact int64 — σ² = Σdt²/n − (Σdt/n)² and B are then pure
+# IEEE-deterministic per-user scalars; the histogram bins FLOOR(B·10)
+# on identical doubles. One user-keyed LAG + one user-keyed aggregate;
+# the histogram relation is 21 bins.
+# ---------------------------------------------------------------------------
+_BB_NS_PER_S = 1_000_000_000
+
+
+@register(
+    "burstiness_user_interarrival",
+    oracle=f"""
+        WITH gaps AS (
+            SELECT user_id,
+                   (epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                   )) // {_BB_NS_PER_S} AS dt
+            FROM events
+        ),
+        mom AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(dt) AS BIGINT) AS s1,
+                   CAST(SUM(dt * dt) AS BIGINT) AS s2
+            FROM gaps WHERE dt IS NOT NULL GROUP BY 1
+        ),
+        b AS (
+            SELECT user_id, n,
+                   CASE WHEN SQRT(CAST(s2 AS DOUBLE) / n
+                                  - (CAST(s1 AS DOUBLE) / n)
+                                    * (CAST(s1 AS DOUBLE) / n))
+                             + CAST(s1 AS DOUBLE) / n = 0 THEN 0.0
+                        ELSE (SQRT(CAST(s2 AS DOUBLE) / n
+                                   - (CAST(s1 AS DOUBLE) / n)
+                                     * (CAST(s1 AS DOUBLE) / n))
+                              - CAST(s1 AS DOUBLE) / n)
+                             / (SQRT(CAST(s2 AS DOUBLE) / n
+                                     - (CAST(s1 AS DOUBLE) / n)
+                                       * (CAST(s1 AS DOUBLE) / n))
+                                + CAST(s1 AS DOUBLE) / n) END AS bness
+            FROM mom
+        )
+        SELECT CAST(FLOOR(bness * 10) AS BIGINT) AS b_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               ROUND(AVG(bness), 6) AS avg_b
+        FROM b GROUP BY 1
+    """,
+    tags=("stats", "behavioral", "window"),
+)
+def burstiness_user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id", (F.col("ts") - F.lag("ts").over(w)).alias("diff_ns")
+        )
+        .select("user_id", F.expr(f"diff_ns DIV {_BB_NS_PER_S}").alias("dt"))
+        .filter(F.col("dt").isNotNull())
+    )
+    mom = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dt").cast("bigint").alias("s1"),
+        F.sum(F.col("dt") * F.col("dt")).cast("bigint").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sigma = F.sqrt(F.col("s2").cast("double") / F.col("n") - mu * mu)
+    bness = F.when(sigma + mu == 0, 0.0).otherwise((sigma - mu) / (sigma + mu))
+    b = mom.select("user_id", "n", bness.alias("bness"))
+    return b.groupBy(
+        F.floor(F.col("bness") * 10).cast("bigint").alias("b_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg("bness"), 6).alias("avg_b"),
+    )

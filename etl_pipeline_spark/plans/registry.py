@@ -152,7 +152,9 @@ PRIORITY: tuple[str, ...] = (
     "pattern_vshape_prices", "ewma_control_chart_daily",
     "mann_kendall_trend_revenue", "purchase_streaks_histogram",
     "cohort_ltv_curve", "item_cooccurrence_topk", "nelson_aalen_hazard",
-    "ztest_conversion_ab",
+    "ztest_conversion_ab", "seasonal_decompose_weekday",
+    "burstiness_user_interarrival", "price_index_laspeyres",
+    "modularity_cosupplier", "assortativity_cosupplier",
 )
 
 

@@ -1059,3 +1059,98 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(haz, 6).alias("cum_hazard"),
         F.round(F.exp(-haz), 6).alias("breslow_survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indices per ship-year against the
+# base (first) year — the standard BI inflation readout over a sales
+# fact. Unit prices are EXACT INTEGER CENTS (floor(Σcents/Σqty + 0.5),
+# the pattern_vshape device), quantities exact ints, so all four index
+# sums are exact BIGINT and the indices are single IEEE divisions —
+# no partial-agg float jitter anywhere. The base-year relation is
+# part-dimension-sized and broadcasts; only parts present in both
+# years contribute (the matched-basket convention).
+# ---------------------------------------------------------------------------
+@register(
+    "price_index_laspeyres",
+    oracle="""
+        WITH yp AS (
+            SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+                   l_partkey,
+                   CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                                       AS BIGINT))
+                              * 1.0 / SUM(CAST(l_quantity AS BIGINT)) + 0.5)
+                        AS BIGINT) AS p,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+            FROM lineitem GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT l_partkey, p AS p0, q AS q0 FROM yp
+            WHERE yr = (SELECT MIN(yr) FROM yp)
+        ),
+        m AS (
+            SELECT yp.yr,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(yp.p * base.q0) AS BIGINT) AS l_num,
+                   CAST(SUM(base.p0 * base.q0) AS BIGINT) AS l_den,
+                   CAST(SUM(yp.p * yp.q) AS BIGINT) AS p_num,
+                   CAST(SUM(base.p0 * yp.q) AS BIGINT) AS p_den
+            FROM yp JOIN base ON base.l_partkey = yp.l_partkey
+            GROUP BY 1
+        )
+        SELECT yr, n_parts,
+               ROUND(CAST(l_num AS DOUBLE) / l_den, 6) AS laspeyres,
+               ROUND(CAST(p_num AS DOUBLE) / p_den, 6) AS paasche,
+               ROUND(SQRT((CAST(l_num AS DOUBLE) / l_den)
+                          * (CAST(p_num AS DOUBLE) / p_den)), 6) AS fisher
+        FROM m
+    """,
+    tags=("relational", "index", "revenue"),
+)
+def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    yp = (
+        li.select(
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+            "l_partkey",
+            F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
+                "cents"
+            ),
+            F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+        )
+        .groupBy("yr", "l_partkey")
+        .agg(
+            F.expr(
+                "CAST(FLOOR(SUM(cents) * 1.0 / SUM(qty) + 0.5) AS BIGINT)"
+            ).alias("p"),
+            F.sum("qty").cast("bigint").alias("q"),
+        )
+    )
+    min_yr = yp.agg(F.min("yr").alias("base_yr"))
+    base = (
+        yp.crossJoin(F.broadcast(min_yr))
+        .filter(F.col("yr") == F.col("base_yr"))
+        .select(
+            "l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0")
+        )
+    )
+    m = (
+        yp.join(F.broadcast(base), "l_partkey")
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(F.col("p") * F.col("q0")).cast("bigint").alias("l_num"),
+            F.sum(F.col("p0") * F.col("q0")).cast("bigint").alias("l_den"),
+            F.sum(F.col("p") * F.col("q")).cast("bigint").alias("p_num"),
+            F.sum(F.col("p0") * F.col("q")).cast("bigint").alias("p_den"),
+        )
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den")
+    paas = F.col("p_num").cast("double") / F.col("p_den")
+    return m.select(
+        "yr",
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

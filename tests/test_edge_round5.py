@@ -312,3 +312,148 @@ def test_cohort_ltv_views_only_cohort_parity(spark, edge_events):
     )
     assert_oracle_match(df, con, oracle, "ltv_views_only_edge")
     assert all(r.ltv_per_user == 0.0 for r in df.collect())
+
+
+# --- round-5 wave-3 edges -------------------------------------------------
+
+
+def test_seasonal_decompose_short_series_is_empty(spark, edge_orders):
+    """3 days < the 7-day centered window: no day has a full trend
+    window, so BOTH engines must return an empty relation (the
+    trend-undefined edge, not a null-effect row)."""
+    spec = REGISTRY["seasonal_decompose_weekday"]
+    df = spec.spark_fn(spark, edge_orders)
+    con = _duck_for(edge_orders, ["orders"])
+    assert_oracle_match(df, con, spec.oracle, "seasonal_short_edge")
+    assert df.count() == 0
+
+
+@pytest.fixture()
+def metronome_events(spark, tmp_path):
+    """User 1 fires every 10 s exactly (σ = 0 → B = −1, the regular
+    floor); user 2 has a single event (no gaps — excluded); user 3's
+    two gaps are 1 s and 3 s (σ = 1, μ = 2 → B = −1/3, bin −4)."""
+    ns = 1_000_000_000
+    rows = (
+        [(i, i * 10 * ns, 1, "view", 1.0, "{}") for i in range(1, 4)]
+        + [(10, 5 * ns, 2, "view", 1.0, "{}")]
+        + [
+            (21, 100 * ns, 3, "view", 1.0, "{}"),
+            (22, 101 * ns, 3, "view", 1.0, "{}"),
+            (23, 104 * ns, 3, "view", 1.0, "{}"),
+        ]
+    )
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_burstiness_regular_and_no_gap_users_parity(spark, metronome_events):
+    spec = REGISTRY["burstiness_user_interarrival"]
+    df = spec.spark_fn(spark, metronome_events)
+    con = _duck_for(metronome_events, ["events"])
+    oracle = spec.oracle.replace("epoch_ns(ts)", "ts")
+    assert_oracle_match(df, con, oracle, "burstiness_edge")
+    bins = {r.b_bin: r for r in df.collect()}
+    assert bins[-10].n_users == 1 and bins[-10].avg_b == -1.0  # metronome
+    assert bins[-4].n_users == 1  # B = -1/3 floors to bin -4
+    assert sum(r.n_users for r in bins.values()) == 2  # user 2 excluded
+
+
+@pytest.fixture()
+def two_year_lineitem(spark, tmp_path):
+    """Part 1 trades in both years (price 1.00 → 1.50); part 2 only in
+    the base year (contributes to the base row only); part 3 only in
+    the later year (matched-basket: excluded everywhere)."""
+    rows = [
+        (1, 1, 1, 1, 1.0, 1.00, 0.0, 0.0, "N", "O", "1995-03-01"),
+        (2, 1, 1, 1, 1.0, 1.00, 0.0, 0.0, "N", "O", "1995-06-01"),
+        (3, 2, 1, 1, 2.0, 4.00, 0.0, 0.0, "N", "O", "1995-07-01"),
+        (4, 1, 1, 1, 2.0, 3.00, 0.0, 0.0, "N", "O", "1996-03-01"),
+        (5, 3, 1, 1, 1.0, 9.00, 0.0, 0.0, "N", "O", "1996-05-01"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus",
+        "CAST(l_shipdate AS TIMESTAMP_NTZ) AS l_shipdate",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_price_index_matched_basket_parity(spark, two_year_lineitem):
+    """Base 1995: part 1 unit 100c (q=2 across two lines), part 2 unit
+    200c (q=2). 1996: part 1 unit 150c — Laspeyres = (150·2 + excluded)
+    over part-1-and-2 base basket restricted to matched parts = 150·2 /
+    100·2 = 1.5; part 3 never contributes."""
+    spec = REGISTRY["price_index_laspeyres"]
+    df = spec.spark_fn(spark, two_year_lineitem)
+    con = _duck_for(two_year_lineitem, ["lineitem"])
+    assert_oracle_match(df, con, spec.oracle, "price_index_edge")
+    rows = {r.yr: r for r in df.collect()}
+    assert rows[1995].laspeyres == 1.0 and rows[1995].n_parts == 2
+    assert rows[1996].n_parts == 1
+    assert rows[1996].laspeyres == 1.5
+    assert rows[1996].fisher == 1.5  # single matched part: L == P == F
+
+
+@pytest.fixture()
+def star_lineitem(spark, tmp_path):
+    """Suppliers 1-4 where supplier 1 co-occurs with each leaf in its
+    own order: the co-supplier graph is a STAR — the textbook closed
+    form for both graph metrics (assortativity −1; deterministic LPA
+    bi-partitions hub vs leaves, so modularity = −2·(1/2)² = −0.5)."""
+    rows = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+        (1, 2, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+        (2, 3, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-02"),
+        (2, 4, 3, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-02"),
+        (3, 5, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-03"),
+        (3, 6, 4, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-03"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus",
+        "CAST(l_shipdate AS TIMESTAMP_NTZ) AS l_shipdate",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_star_graph_assortativity_is_minus_one_parity(spark, star_lineitem):
+    spec = REGISTRY["assortativity_cosupplier"]
+    df = spec.spark_fn(spark, star_lineitem)
+    con = _duck_for(star_lineitem, ["lineitem"])
+    assert_oracle_match(df, con, spec.oracle, "assort_star_edge")
+    row = df.collect()[0]
+    assert row.m_sym_edges == 6 and row.assortativity == -1.0
+
+
+def test_star_graph_modularity_closed_form_parity(spark, star_lineitem):
+    spec = REGISTRY["modularity_cosupplier"]
+    df = spec.spark_fn(spark, star_lineitem)
+    con = _duck_for(star_lineitem, ["lineitem"])
+    assert_oracle_match(df, con, spec.oracle, "modularity_star_edge")
+    row = df.collect()[0]
+    assert row.m_edges == 3
+    assert row.n_communities == 2  # hub vs leaves after 3 LPA rounds
+    assert row.modularity_q == -0.5
