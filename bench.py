@@ -146,6 +146,9 @@ HEADLINE = [
     "price_index_laspeyres",
     "modularity_cosupplier",
     "assortativity_cosupplier",
+    "session_bounce_rate",
+    "hhi_segment_concentration",
+    "crossdoc_ngram_dup_mass",
 ]
 
 

@@ -155,6 +155,8 @@ PRIORITY: tuple[str, ...] = (
     "ztest_conversion_ab", "seasonal_decompose_weekday",
     "burstiness_user_interarrival", "price_index_laspeyres",
     "modularity_cosupplier", "assortativity_cosupplier",
+    "session_bounce_rate", "hhi_segment_concentration",
+    "crossdoc_ngram_dup_mass",
 )
 
 

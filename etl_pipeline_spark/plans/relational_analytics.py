@@ -1154,3 +1154,69 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman concentration per market segment — the antitrust
+# companion to gini_revenue_concentration (Gini measures inequality of
+# the whole distribution; HHI measures top-end concentration and is the
+# regulator's threshold metric, 0–10000 scale). Customer revenues are
+# exact cents; each share is one IEEE division of exact ints; the Σ of
+# per-customer share² carries ~1e-16 relative jitter against the 6-dp
+# round. The orders→customer join shuffles on the customer key (both
+# sides fact/dimension-sized at 100 TB — no broadcast assumption);
+# everything after the per-customer aggregate is segment-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "hhi_segment_concentration",
+    oracle="""
+        WITH cr AS (
+            SELECT c.c_mktsegment,
+                   o.o_custkey,
+                   SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                       AS cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        ),
+        seg AS (
+            SELECT c_mktsegment, CAST(SUM(cents) AS BIGINT) AS seg_cents
+            FROM cr GROUP BY 1
+        )
+        SELECT cr.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(SUM((CAST(cr.cents AS DOUBLE) / seg.seg_cents)
+                         * (CAST(cr.cents AS DOUBLE) / seg.seg_cents))
+                     * 10000, 6) AS hhi,
+               ROUND(MAX(CAST(cr.cents AS DOUBLE) / seg.seg_cents), 6)
+                   AS top_share
+        FROM cr JOIN seg ON seg.c_mktsegment = cr.c_mktsegment
+        GROUP BY 1
+    """,
+    tags=("relational", "concentration", "revenue"),
+)
+def hhi_segment_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("c100"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cr = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum("c100").alias("cents"))
+    )
+    seg = cr.groupBy("c_mktsegment").agg(
+        F.sum("cents").cast("bigint").alias("seg_cents")
+    )
+    share = F.col("cents").cast("double") / F.col("seg_cents")
+    return (
+        cr.join(F.broadcast(seg), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum(share * share) * 10000, 6).alias("hhi"),
+            F.round(F.max(share), 6).alias("top_share"),
+        )
+    )

@@ -635,3 +635,79 @@ def windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_events"),
         F.expr(f"FLOOR(({est}) * 1e6 + 0.5) / 1e6").alias("est"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bounce rate per day — the canonical product-analytics readout over the
+# 30-min sessionization above: share of sessions with exactly one event,
+# keyed by the session's START day. Same lag/cumsum device (user-keyed
+# windows only); everything after the per-session aggregate is a
+# day-domain relation; the rate is one exact-int division.
+# --------------------------------------------------------------------------
+@register(
+    "session_bounce_rate",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, epoch_ns(ts) AS t,
+                   CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {_M30_NS}
+                        OR LAG(epoch_ns(ts)) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        ),
+        tagged AS (
+            SELECT user_id, t,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_nr
+            FROM seq
+        ),
+        sessions AS (
+            SELECT user_id, session_nr,
+                   MIN(t) // {_M30_NS * 48} AS start_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM tagged GROUP BY 1, 2
+        )
+        SELECT start_day,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bounce,
+               ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS bounce_rate
+        FROM sessions GROUP BY 1
+    """,
+    tags=("streaming", "session", "product-metric"),
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(order_w)
+    new_session = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > _M30_NS), 1
+    ).otherwise(0)
+    cum_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = ev.select(
+        "user_id", "ts", new_session.alias("new_session")
+    ).select(
+        "user_id", "ts", F.sum("new_session").over(cum_w).alias("session_nr")
+    )
+    day_ns = _M30_NS * 48  # 30 min × 48 = 24 h, shared constant both engines
+    sessions = tagged.groupBy("user_id", "session_nr").agg(
+        F.expr(f"min(ts) div {day_ns}").alias("start_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return sessions.groupBy("start_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounce.alias("n_bounce"),
+        F.round(
+            bounce.cast("double") / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+    )

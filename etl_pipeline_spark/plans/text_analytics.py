@@ -804,3 +804,71 @@ def zipf_alpha_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / SUM(LN(CAST(f AS DOUBLE) / ({_ZIPF_FMIN} - 0.5))), 6)"
         ).alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document n-gram duplication mass — the corpus-HEALTH number the
+# dedup family acts on (RefinedWeb/Gopher report it as "fraction of
+# text in duplicated spans"): the share of 8-gram INSTANCES whose
+# n-gram occurs more than once corpus-wide. Within-doc repetition is
+# repetition_quality; pairs are winnow_fingerprint_pairs; this is the
+# single scalar that says how much duplicated mass exists at all.
+# N-grams group by their MD5 (fixed 32-byte shuffle keys instead of
+# ~50-byte strings — the minhash-family discipline); after the grouped
+# count everything is one aggregate. The mass ratio is one exact-int
+# division.
+# ---------------------------------------------------------------------------
+_DUPMASS_N = 8
+
+
+@register(
+    "crossdoc_ngram_dup_mass",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= {_DUPMASS_N}
+        ),
+        grams AS (
+            SELECT md5(array_to_string(t[i:i + {_DUPMASS_N - 1}], ' ')) AS h
+            FROM (
+                SELECT t, unnest(generate_series(1, len(t) - {_DUPMASS_N - 1}))
+                       AS i
+                FROM toks
+            )
+        ),
+        g AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY 1)
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_instances,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS dup_instances,
+               ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                          AS DOUBLE) / SUM(cnt), 6) AS dup_mass
+        FROM g
+    """,
+    tags=("text", "dedup", "corpus-health"),
+)
+def crossdoc_ngram_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= _DUPMASS_N)
+    )
+    # bind the array once (the O(n²) re-split trap), hash each 8-gram
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_DUPMASS_N - 1}),"
+                f" i -> md5(array_join(slice(t, i, {_DUPMASS_N}), ' ')))"
+            )
+        ).alias("h")
+    )
+    g = grams.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    dup = F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).cast(
+        "bigint"
+    )
+    return g.agg(
+        F.sum("cnt").cast("bigint").alias("n_instances"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        dup.alias("dup_instances"),
+        F.round(dup.cast("double") / F.sum("cnt"), 6).alias("dup_mass"),
+    )

@@ -457,3 +457,111 @@ def test_star_graph_modularity_closed_form_parity(spark, star_lineitem):
     assert row.m_edges == 3
     assert row.n_communities == 2  # hub vs leaves after 3 LPA rounds
     assert row.modularity_q == -0.5
+
+
+# --- round-5 wave-5 edges -------------------------------------------------
+
+
+@pytest.fixture()
+def bounce_events(spark, tmp_path):
+    """User 1: one 2-event session (not a bounce); user 2: a single
+    event (bounce); user 3: a session STARTING at 23:50 whose second
+    event lands after midnight — counted once, under the start day."""
+    ns = 1_000_000_000
+    h = 3600 * ns
+    rows = [
+        (1, 10 * h, 1, "view", 1.0, "{}"),
+        (2, 10 * h + 600 * ns, 1, "view", 1.0, "{}"),
+        (3, 11 * h, 2, "view", 1.0, "{}"),
+        (4, 23 * h + 3000 * ns, 3, "view", 1.0, "{}"),
+        (5, 24 * h + 300 * ns, 3, "view", 1.0, "{}"),
+    ]
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_bounce_rate_midnight_session_counts_once_parity(spark, bounce_events):
+    spec = REGISTRY["session_bounce_rate"]
+    df = spec.spark_fn(spark, bounce_events)
+    con = _duck_for(bounce_events, ["events"])
+    oracle = spec.oracle.replace("epoch_ns(ts)", "ts")
+    assert_oracle_match(df, con, oracle, "bounce_edge")
+    rows = {r.start_day: r for r in df.collect()}
+    assert rows[0].n_sessions == 3  # midnight-crossing session on day 0
+    assert rows[0].n_bounce == 1
+    assert rows[0].bounce_rate == round(1 / 3, 6)
+    assert 1 not in rows  # nothing double-counted on day 1
+
+
+@pytest.fixture()
+def monopoly_tables(spark, tmp_path):
+    """Segment A: one customer owns all revenue (HHI = 10000, the
+    monopoly ceiling); segment B: two equal customers (HHI = 5000)."""
+    orders = [
+        (1, 1, "O", 100.0, "1995-01-01", "1-URGENT"),
+        (2, 2, "O", 50.0, "1995-01-02", "1-URGENT"),
+        (3, 3, "O", 50.0, "1995-01-03", "1-URGENT"),
+    ]
+    customers = [
+        (1, "Customer#1", 0, 0.0, "A"),
+        (2, "Customer#2", 0, 0.0, "B"),
+        (3, "Customer#3", 0, 0.0, "B"),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+        "o_orderpriority",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        customers,
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    return str(tmp_path)
+
+
+def test_hhi_monopoly_and_duopoly_closed_forms_parity(spark, monopoly_tables):
+    spec = REGISTRY["hhi_segment_concentration"]
+    df = spec.spark_fn(spark, monopoly_tables)
+    con = _duck_for(monopoly_tables, ["orders", "customer"])
+    assert_oracle_match(df, con, spec.oracle, "hhi_edge")
+    rows = {r.c_mktsegment: r for r in df.collect()}
+    assert rows["A"].hhi == 10000.0 and rows["A"].top_share == 1.0
+    assert rows["B"].hhi == 5000.0 and rows["B"].top_share == 0.5
+
+
+@pytest.fixture()
+def dup_documents(spark, tmp_path):
+    """Docs 1 and 2 are identical 8-token texts (their single 8-gram is
+    duplicated); doc 3 has 7 tokens (below the n-gram width — excluded
+    in both engines); doc 4 contributes two unique 8-grams."""
+    rows = [
+        (1, "a b c d e f g h", "en", "s", 15),
+        (2, "a b c d e f g h", "en", "s", 15),
+        (3, "a b c d e f g", "en", "s", 13),
+        (4, "p q r s t u v w x", "en", "s", 17),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_ngram_dup_mass_short_doc_excluded_parity(spark, dup_documents):
+    spec = REGISTRY["crossdoc_ngram_dup_mass"]
+    df = spec.spark_fn(spark, dup_documents)
+    con = _duck_for(dup_documents, ["documents"])
+    assert_oracle_match(df, con, spec.oracle, "dupmass_edge")
+    row = df.collect()[0]
+    assert (row.n_instances, row.n_distinct, row.dup_instances) == (4, 3, 2)
+    assert row.dup_mass == 0.5
