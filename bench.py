@@ -149,6 +149,8 @@ HEADLINE = [
     "session_bounce_rate",
     "hhi_segment_concentration",
     "crossdoc_ngram_dup_mass",
+    "diff_in_diff_purchase",
+    "cuped_variance_reduction",
 ]
 
 

@@ -156,7 +156,8 @@ PRIORITY: tuple[str, ...] = (
     "burstiness_user_interarrival", "price_index_laspeyres",
     "modularity_cosupplier", "assortativity_cosupplier",
     "session_bounce_rate", "hhi_segment_concentration",
-    "crossdoc_ngram_dup_mass",
+    "crossdoc_ngram_dup_mass", "diff_in_diff_purchase",
+    "cuped_variance_reduction",
 )
 
 

@@ -546,3 +546,242 @@ def ztest_conversion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the workhorse causal estimator (Card &
+# Krueger 1994 design): treatment = the ztest hash split, period =
+# event-time midpoint (min+max)/2 — both deterministic functions of the
+# data, no config. DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)
+# over purchase values in exact integer cents: each cell mean is one
+# IEEE division of exact ints and the estimate is one fixed-parenthesis
+# expression — bit-identical in both engines before the 6-dp round.
+# One fact scan → 4-cell relation; nothing else shuffles.
+# ---------------------------------------------------------------------------
+@register(
+    "diff_in_diff_purchase",
+    oracle="""
+        WITH b AS (
+            SELECT (SELECT (MIN(epoch_ns(ts)) + MAX(epoch_ns(ts))) // 2
+                    FROM events) AS split_ts
+        ),
+        cells AS (
+            SELECT user_id % 2 AS treat,
+                   CAST(epoch_ns(ts) >= b.split_ts AS INT) AS post,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events CROSS JOIN b
+            WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT
+                MIN(CASE WHEN treat = 1 AND post = 1
+                         THEN CAST(cents AS DOUBLE) / n END) AS tp,
+                MIN(CASE WHEN treat = 1 AND post = 0
+                         THEN CAST(cents AS DOUBLE) / n END) AS tr,
+                MIN(CASE WHEN treat = 0 AND post = 1
+                         THEN CAST(cents AS DOUBLE) / n END) AS cp,
+                MIN(CASE WHEN treat = 0 AND post = 0
+                         THEN CAST(cents AS DOUBLE) / n END) AS cr,
+                CAST(SUM(n) AS BIGINT) AS n_purchases
+            FROM cells
+        )
+        SELECT n_purchases,
+               ROUND(tp / 100, 6) AS treat_post_mean,
+               ROUND(tr / 100, 6) AS treat_pre_mean,
+               ROUND(cp / 100, 6) AS ctrl_post_mean,
+               ROUND(cr / 100, 6) AS ctrl_pre_mean,
+               ROUND(((tp - tr) - (cp - cr)) / 100, 6) AS did_estimate
+        FROM w
+    """,
+    tags=("stats", "causal", "abtest"),
+)
+def diff_in_diff_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr("(MIN(ts) + MAX(ts)) DIV 2").alias("split_ts")
+    )
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(b))
+        .groupBy(
+            (F.col("user_id") % 2).alias("treat"),
+            (F.col("ts") >= F.col("split_ts")).cast("int").alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    def _cell(t: int, p: int):
+        return F.min(
+            F.when(
+                (F.col("treat") == t) & (F.col("post") == p),
+                F.col("cents").cast("double") / F.col("n"),
+            )
+        )
+
+    w = cells.agg(
+        _cell(1, 1).alias("tp"),
+        _cell(1, 0).alias("tr"),
+        _cell(0, 1).alias("cp"),
+        _cell(0, 0).alias("cr"),
+        F.sum("n").cast("bigint").alias("n_purchases"),
+    )
+    return w.select(
+        "n_purchases",
+        F.round(F.col("tp") / 100, 6).alias("treat_post_mean"),
+        F.round(F.col("tr") / 100, 6).alias("treat_pre_mean"),
+        F.round(F.col("cp") / 100, 6).alias("ctrl_post_mean"),
+        F.round(F.col("cr") / 100, 6).alias("ctrl_pre_mean"),
+        F.round(
+            ((F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr"))) / 100,
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (Deng et al. 2013) — the experimentation-
+# platform staple: use each user's PRE-period purchase total as the
+# covariate, θ = cov(X, Y)/var(X), and report how much of the outcome
+# variance the adjustment removes (var_cuped = var_Y − cov²/var_X).
+# Per-user X and Y are exact integer cents (absent period → 0); all
+# five moments are exact-int sums; every statistic after is a
+# fixed-parenthesis expression of IEEE ops on those exact ints —
+# bit-identical in both engines. One user-keyed aggregate → one moment
+# row; the same midpoint split as diff_in_diff.
+# ---------------------------------------------------------------------------
+_CUPED_STATS_DUCK = """
+    CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+"""
+
+
+@register(
+    "cuped_variance_reduction",
+    oracle=f"""
+        WITH b AS (
+            SELECT (SELECT (MIN(epoch_ns(ts)) + MAX(epoch_ns(ts))) // 2
+                    FROM events) AS split_ts
+        ),
+        u AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                  AND epoch_ns(ts) < b.split_ts
+                                 THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                  AND epoch_ns(ts) >= b.split_ts
+                                 THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS y
+            FROM events CROSS JOIN b
+            GROUP BY 1
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(MIN(x) = MAX(x) AS INT) AS x_const,
+                   CAST(MIN(y) = MAX(y) AS INT) AS y_const
+            FROM u
+        )
+        SELECT n AS n_users,
+               CASE WHEN x_const = 1 THEN NULL ELSE
+               ROUND(({_CUPED_STATS_DUCK})
+                     / (CAST(sxx AS DOUBLE) / n
+                        - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)),
+                     6) END AS theta,
+               ROUND((CAST(syy AS DOUBLE) / n
+                      - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                     / 10000, 6) AS var_y,
+               CASE WHEN x_const = 1 THEN NULL ELSE
+               ROUND(((CAST(syy AS DOUBLE) / n
+                       - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                      - ({_CUPED_STATS_DUCK}) * ({_CUPED_STATS_DUCK})
+                        / (CAST(sxx AS DOUBLE) / n
+                           - (CAST(sx AS DOUBLE) / n)
+                             * (CAST(sx AS DOUBLE) / n)))
+                     / 10000, 6) END AS var_cuped,
+               CASE WHEN x_const = 1 OR y_const = 1 THEN NULL ELSE
+               ROUND((({_CUPED_STATS_DUCK}) * ({_CUPED_STATS_DUCK})
+                      / (CAST(sxx AS DOUBLE) / n
+                         - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)))
+                     / (CAST(syy AS DOUBLE) / n
+                        - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)),
+                     6) END AS variance_reduction
+        FROM mom
+    """,
+    tags=("stats", "abtest", "variance-reduction"),
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr("(MIN(ts) + MAX(ts)) DIV 2").alias("split_ts")
+    )
+    cents = F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") < F.col("split_ts")),
+                    cents,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("split_ts")),
+                    cents,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    mom = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        # exact degenerate-variance flags (an int MIN=MAX identity —
+        # the float var expression lands on ±epsilon, not 0)
+        (F.min("x") == F.max("x")).cast("int").alias("x_const"),
+        (F.min("y") == F.max("y")).cast("int").alias("y_const"),
+    )
+    cov = F.expr(_CUPED_STATS_DUCK.replace("\n", " "))
+    var_x = F.expr(
+        "CAST(sxx AS DOUBLE) / n"
+        " - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)"
+    )
+    var_y = F.expr(
+        "CAST(syy AS DOUBLE) / n"
+        " - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)"
+    )
+    null_d = F.lit(None).cast("double")
+    x_const = F.col("x_const") == 1
+    y_const = F.col("y_const") == 1
+    return mom.select(
+        F.col("n").alias("n_users"),
+        F.when(x_const, null_d).otherwise(F.round(cov / var_x, 6)).alias("theta"),
+        F.round(var_y / 10000, 6).alias("var_y"),
+        F.when(x_const, null_d)
+        .otherwise(F.round((var_y - cov * cov / var_x) / 10000, 6))
+        .alias("var_cuped"),
+        F.when(x_const | y_const, null_d)
+        .otherwise(F.round((cov * cov / var_x) / var_y, 6))
+        .alias("variance_reduction"),
+    )

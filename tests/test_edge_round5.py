@@ -565,3 +565,52 @@ def test_ngram_dup_mass_short_doc_excluded_parity(spark, dup_documents):
     row = df.collect()[0]
     assert (row.n_instances, row.n_distinct, row.dup_instances) == (4, 3, 2)
     assert row.dup_mass == 0.5
+
+
+@pytest.fixture()
+def post_only_events(spark, tmp_path):
+    """All purchases land AFTER the event-time midpoint: the DiD pre
+    cells are empty (NULL means, NULL estimate — not a crash) and the
+    CUPED pre-period covariate is constant 0 (zero variance → NULL θ,
+    the exact MIN=MAX guard, never a div-by-zero or an ε-vs-0 flake)."""
+    ns = 1_000_000_000
+    rows = [
+        (1, 0 * ns, 1, "view", 1.0, "{}"),
+        (2, 0 * ns, 2, "view", 1.0, "{}"),
+        (3, 90 * ns, 1, "purchase", 5.00, "{}"),
+        (4, 100 * ns, 2, "purchase", 7.00, "{}"),
+    ]
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_did_null_pre_cells_parity(spark, post_only_events):
+    spec = REGISTRY["diff_in_diff_purchase"]
+    df = spec.spark_fn(spark, post_only_events)
+    con = _duck_for(post_only_events, ["events"])
+    oracle = spec.oracle.replace("epoch_ns(ts)", "ts")
+    assert_oracle_match(df, con, oracle, "did_edge")
+    row = df.collect()[0]
+    assert row.n_purchases == 2
+    assert row.treat_pre_mean is None and row.ctrl_pre_mean is None
+    assert row.did_estimate is None
+    assert row.treat_post_mean == 5.0 and row.ctrl_post_mean == 7.0
+
+
+def test_cuped_constant_covariate_parity(spark, post_only_events):
+    spec = REGISTRY["cuped_variance_reduction"]
+    df = spec.spark_fn(spark, post_only_events)
+    con = _duck_for(post_only_events, ["events"])
+    oracle = spec.oracle.replace("epoch_ns(ts)", "ts")
+    assert_oracle_match(df, con, oracle, "cuped_edge")
+    row = df.collect()[0]
+    assert row.n_users == 2
+    assert row.theta is None and row.var_cuped is None
+    assert row.variance_reduction is None
+    assert row.var_y == 1.0  # cents var 10000 (±100 around mean) / 10000

@@ -529,18 +529,21 @@ def test_pagination_prefix_sum_no_single_partition_window(spark):
         assert "row_number" not in plan, name
 
 
-def test_item_cooccurrence_broadcast_counts_and_equi_join(spark):
-    """The basket pair build must be an EQUI-join on the order key
-    (per-basket quadratic, bounded by basket size) — never a cartesian
-    or nested loop over the catalog — and both part-occurrence joins
-    must broadcast the dimension-sized count relation."""
+def test_item_cooccurrence_joinless_pair_build(spark):
+    """The basket pair build must expand MAP-SIDE inside the collected
+    basket array — ZERO joins touch the fact table (the v1 shape
+    self-joined a distinct relation: 3 fact-sized shuffles, 50.1 s /
+    21.5× at 64×; this shape: 21.7 s / 8.2×). The only joins in the plan are the
+    two BROADCAST part-occurrence lookups, and top-k is
+    TakeOrderedAndProject, not a global sort of all pairs."""
     plan = _plan(
         spark, REGISTRY["item_cooccurrence_topk"].spark_fn(spark, SF_DIR)
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # no fact-sized join anywhere
+    assert "ShuffledHashJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # both n_a and n_b lookups
-    # top-k is TakeOrderedAndProject, not a global sort of all pairs
     assert "TakeOrderedAndProject" in plan
 
 
