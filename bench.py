@@ -151,6 +151,8 @@ HEADLINE = [
     "crossdoc_ngram_dup_mass",
     "diff_in_diff_purchase",
     "cuped_variance_reduction",
+    "er_precision_recall",
+    "forecast_backtest_mape",
 ]
 
 

@@ -1226,3 +1226,76 @@ def burstiness_user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.round(F.avg("bness"), 6).alias("avg_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest — MAPE/MAE of the two standard zero-parameter
+# baselines every forecasting effort must beat: naive (yesterday's
+# revenue) and seasonal-naive (same weekday last week). Forecast days
+# join by CALENDAR day (day_epoch − 1 / − 7 equi-joins on the
+# day-domain relation), not row adjacency — a day-gap must invalidate
+# the forecast, not silently reach further back. Revenues are exact
+# cents; each day's APE is one IEEE division; the per-model means run
+# over the day-domain (jitter ~1e-16 against the 6-dp round).
+# ---------------------------------------------------------------------------
+@register(
+    "forecast_backtest_mape",
+    oracle=f"""
+        WITH daily AS (
+            SELECT {_EPOCH_DAY_DUCK} AS day_epoch,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        ),
+        scored AS (
+            SELECT 'naive' AS model, a.cents AS actual, f.cents AS forecast
+            FROM daily a JOIN daily f ON f.day_epoch = a.day_epoch - 1
+            UNION ALL
+            SELECT 'seasonal_naive' AS model, a.cents AS actual,
+                   f.cents AS forecast
+            FROM daily a JOIN daily f ON f.day_epoch = a.day_epoch - 7
+        )
+        SELECT model,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(AVG(ABS(CAST(actual - forecast AS DOUBLE)) / actual),
+                     6) AS mape,
+               ROUND(AVG(ABS(CAST(actual - forecast AS DOUBLE))) / 100, 2)
+                   AS mae
+        FROM scored GROUP BY model
+    """,
+    tags=("timeseries", "forecast", "eval"),
+)
+def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz"))
+        .cast("bigint")
+        .alias("day_epoch")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    a = daily.select("day_epoch", F.col("cents").alias("actual"))
+    f1 = daily.select(
+        (F.col("day_epoch") + 1).alias("day_epoch"),
+        F.col("cents").alias("forecast"),
+    )
+    f7 = daily.select(
+        (F.col("day_epoch") + 7).alias("day_epoch"),
+        F.col("cents").alias("forecast"),
+    )
+    scored = (
+        a.join(f1, "day_epoch")
+        .select(F.lit("naive").alias("model"), "actual", "forecast")
+        .unionByName(
+            a.join(f7, "day_epoch").select(
+                F.lit("seasonal_naive").alias("model"), "actual", "forecast"
+            )
+        )
+    )
+    ape = F.abs((F.col("actual") - F.col("forecast")).cast("double"))
+    return scored.groupBy("model").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.avg(ape / F.col("actual")), 6).alias("mape"),
+        F.round(F.avg(ape) / 100, 2).alias("mae"),
+    )

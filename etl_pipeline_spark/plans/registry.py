@@ -157,7 +157,8 @@ PRIORITY: tuple[str, ...] = (
     "modularity_cosupplier", "assortativity_cosupplier",
     "session_bounce_rate", "hhi_segment_concentration",
     "crossdoc_ngram_dup_mass", "diff_in_diff_purchase",
-    "cuped_variance_reduction",
+    "cuped_variance_reduction", "er_precision_recall",
+    "forecast_backtest_mape",
 )
 
 

@@ -138,9 +138,10 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ER_SHIFT = 1_000_000
 
 
-def _er_oracle() -> str:
-    return f"""
-        WITH RECURSIVE
+# the WITH RECURSIVE body shared by entity_resolution_customers and its
+# precision/recall eval (er_precision_recall) — one definition so the
+# two oracles can never drift apart
+_ER_COMP_CTES = f"""
         corpus AS (
             SELECT c_custkey AS id, c_name, c_nationkey, c_acctbal
             FROM customer
@@ -177,7 +178,13 @@ def _er_oracle() -> str:
         comp AS (
             SELECT node, LEAST(node, MIN(peer)) AS component
             FROM reach GROUP BY node
-        )
+        )"""
+
+
+def _er_oracle() -> str:
+    return f"""
+        WITH RECURSIVE
+        {_ER_COMP_CTES}
         SELECT node                          AS entity_id,
                component                     AS canonical_id,
                CAST(node = component AS INT) AS is_canonical,
@@ -193,6 +200,17 @@ def _er_oracle() -> str:
     tags=("dedup", "graph", "er"),
 )
 def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _er_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("entity_id"),
+        F.col("cluster_id").alias("canonical_id"),
+        "is_canonical",
+        "cluster_size",
+    )
+
+
+def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical, cluster_size) for the shared
+    two-rule ER corpus — used by the resolver and its eval."""
     from etl_pipeline_spark.operators.graph import cluster_assignments
 
     cust = load_table(spark, sf_dir, "customer").select(
@@ -230,12 +248,7 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("id_a") < F.col("id_b")),
     ).select("id_a", "id_b")
     pairs = e1.unionByName(e2).distinct()
-    return cluster_assignments(pairs, "id_a", "id_b").select(
-        F.col("doc_id").alias("entity_id"),
-        F.col("cluster_id").alias("canonical_id"),
-        "is_canonical",
-        "cluster_size",
-    )
+    return cluster_assignments(pairs, "id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -1231,5 +1244,114 @@ def hhi_segment_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
             F.round(F.sum(share * share) * 10000, 6).alias("hhi"),
             F.round(F.max(share), 6).alias("top_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ER pair-level precision/recall — the eval that closes the entity-
+# resolution loop (the ann_recall_eval discipline: every approximate
+# operator ships with its quality measurement). Ground truth is the
+# injected variant pair set (c, c+SHIFT for c % 3 = 0 — constructed, so
+# truth is exact); predicted-pair COUNTS come from cluster sizes
+# (Σ s(s−1)/2 — no pair enumeration anywhere), true positives from two
+# node→component lookups. A same-name/same-account collision that
+# merges unrelated customers shows up as precision < 1, which is the
+# point. All counts exact ints; P/R/F1 are fixed-paren IEEE ratios.
+# ---------------------------------------------------------------------------
+@register(
+    "er_precision_recall",
+    oracle=f"""
+        WITH RECURSIVE
+        {{_ER_COMP_CTES}}
+        ,
+        sizes AS (
+            SELECT component, CAST(COUNT(*) AS BIGINT) AS s
+            FROM comp GROUP BY 1
+        ),
+        pred AS (
+            SELECT CAST(COALESCE(SUM(s * (s - 1) // 2), 0) AS BIGINT)
+                   AS n_pred
+            FROM sizes
+        ),
+        truth AS (
+            SELECT c_custkey AS a, c_custkey + {{_ER_SHIFT}} AS b
+            FROM customer WHERE c_custkey % 3 = 0
+        ),
+        tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+        tp AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_tp
+            FROM truth t
+            JOIN comp ca ON ca.node = t.a
+            JOIN comp cb ON cb.node = t.b
+            WHERE ca.component = cb.component
+        )
+        SELECT pred.n_pred, tt.n_truth, tp.n_tp,
+               CASE WHEN pred.n_pred = 0 THEN NULL
+                    ELSE ROUND(CAST(tp.n_tp AS DOUBLE) / pred.n_pred, 6)
+               END AS precision,
+               CASE WHEN tt.n_truth = 0 THEN NULL
+                    ELSE ROUND(CAST(tp.n_tp AS DOUBLE) / tt.n_truth, 6)
+               END AS recall,
+               CASE WHEN tp.n_tp = 0 THEN 0.0
+                    ELSE ROUND(
+                        2 * (CAST(tp.n_tp AS DOUBLE) / pred.n_pred)
+                          * (CAST(tp.n_tp AS DOUBLE) / tt.n_truth)
+                        / (CAST(tp.n_tp AS DOUBLE) / pred.n_pred
+                           + CAST(tp.n_tp AS DOUBLE) / tt.n_truth), 6)
+               END AS f1
+        FROM pred CROSS JOIN tt CROSS JOIN tp
+    """.format(_ER_COMP_CTES=_ER_COMP_CTES, _ER_SHIFT=_ER_SHIFT),
+    tags=("dedup", "er", "eval"),
+)
+def er_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = _er_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("component")
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    pred = sizes.agg(
+        F.coalesce(
+            F.sum(F.expr("s * (s - 1) DIV 2")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_pred")
+    )
+    truth = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("a"),
+            (F.col("c_custkey") + _ER_SHIFT).alias("b"),
+        )
+    )
+    tt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    ca = comp.select(F.col("node").alias("a"), F.col("component").alias("comp_a"))
+    cb = comp.select(F.col("node").alias("b"), F.col("component").alias("comp_b"))
+    tp = (
+        truth.join(ca, "a")
+        .join(cb, "b")
+        .filter(F.col("comp_a") == F.col("comp_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tp"))
+    )
+    p = F.col("n_tp").cast("double") / F.col("n_pred")
+    r = F.col("n_tp").cast("double") / F.col("n_truth")
+    return (
+        pred.crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "n_pred",
+            "n_truth",
+            "n_tp",
+            F.when(F.col("n_pred") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(p, 6))
+            .alias("precision"),
+            F.when(F.col("n_truth") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(r, 6))
+            .alias("recall"),
+            F.when(F.col("n_tp") == 0, 0.0)
+            .otherwise(F.round(2 * p * r / (p + r), 6))
+            .alias("f1"),
         )
     )

@@ -614,3 +614,68 @@ def test_cuped_constant_covariate_parity(spark, post_only_events):
     assert row.theta is None and row.var_cuped is None
     assert row.variance_reduction is None
     assert row.var_y == 1.0  # cents var 10000 (±100 around mean) / 10000
+
+
+@pytest.fixture()
+def collide_customers(spark, tmp_path):
+    """Customers 1 and 2 share (nationkey, acctbal) — a rule-2 FALSE
+    match (they are different people); customer 3 has its injected
+    variant (the only TRUE pair). Precision must drop to 1/2 while
+    recall stays 1."""
+    customers = [
+        (1, "Alice", 0, 10.0, "A"),
+        (2, "Bob", 0, 10.0, "A"),
+        (3, "Carol", 1, 20.0, "B"),
+    ]
+    spark.createDataFrame(
+        customers,
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    return str(tmp_path)
+
+
+def test_er_eval_false_match_halves_precision_parity(spark, collide_customers):
+    spec = REGISTRY["er_precision_recall"]
+    df = spec.spark_fn(spark, collide_customers)
+    con = _duck_for(collide_customers, ["customer"])
+    assert_oracle_match(df, con, spec.oracle, "er_eval_edge")
+    row = df.collect()[0]
+    assert (row.n_pred, row.n_truth, row.n_tp) == (2, 1, 1)
+    assert row.precision == 0.5 and row.recall == 1.0
+    assert row.f1 == round(2 * 0.5 * 1.0 / 1.5, 6)
+
+
+@pytest.fixture()
+def gap_orders(spark, tmp_path):
+    """Days 1,2,3,5: the day-4 gap must INVALIDATE day 5's naive
+    forecast (calendar join, not row adjacency), and a 4-day history
+    has no seasonal-naive (t−7) rows at all."""
+    rows = [
+        (1, 7, "O", 1.00, "1970-01-02", "1-URGENT"),
+        (2, 7, "O", 2.00, "1970-01-03", "1-URGENT"),
+        (3, 7, "O", 1.00, "1970-01-04", "1-URGENT"),
+        (4, 7, "O", 4.00, "1970-01-06", "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+        "o_orderpriority",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_forecast_backtest_gap_invalidates_naive_parity(spark, gap_orders):
+    spec = REGISTRY["forecast_backtest_mape"]
+    df = spec.spark_fn(spark, gap_orders)
+    con = _duck_for(gap_orders, ["orders"])
+    assert_oracle_match(df, con, spec.oracle, "forecast_edge")
+    rows = {r.model: r for r in df.collect()}
+    assert set(rows) == {"naive"}  # no t-7 history → no seasonal row
+    assert rows["naive"].n_days == 2  # day 5 dropped (day-4 gap)
+    assert rows["naive"].mape == 0.75 and rows["naive"].mae == 1.0
