@@ -153,6 +153,8 @@ HEADLINE = [
     "cuped_variance_reduction",
     "er_precision_recall",
     "forecast_backtest_mape",
+    "t_closeness_audit",
+    "seasonal_residual_anomalies",
 ]
 
 

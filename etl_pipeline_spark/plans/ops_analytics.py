@@ -1180,17 +1180,17 @@ _BB_NS_PER_S = 1_000_000_000
         ),
         b AS (
             SELECT user_id, n,
-                   CASE WHEN SQRT(CAST(s2 AS DOUBLE) / n
+                   CASE WHEN SQRT(GREATEST(CAST(s2 AS DOUBLE) / n
                                   - (CAST(s1 AS DOUBLE) / n)
-                                    * (CAST(s1 AS DOUBLE) / n))
+                                    * (CAST(s1 AS DOUBLE) / n), 0.0))
                              + CAST(s1 AS DOUBLE) / n = 0 THEN 0.0
-                        ELSE (SQRT(CAST(s2 AS DOUBLE) / n
+                        ELSE (SQRT(GREATEST(CAST(s2 AS DOUBLE) / n
                                    - (CAST(s1 AS DOUBLE) / n)
-                                     * (CAST(s1 AS DOUBLE) / n))
+                                     * (CAST(s1 AS DOUBLE) / n), 0.0))
                               - CAST(s1 AS DOUBLE) / n)
-                             / (SQRT(CAST(s2 AS DOUBLE) / n
+                             / (SQRT(GREATEST(CAST(s2 AS DOUBLE) / n
                                      - (CAST(s1 AS DOUBLE) / n)
-                                       * (CAST(s1 AS DOUBLE) / n))
+                                       * (CAST(s1 AS DOUBLE) / n), 0.0))
                                 + CAST(s1 AS DOUBLE) / n) END AS bness
             FROM mom
         )
@@ -1217,7 +1217,14 @@ def burstiness_user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dt") * F.col("dt")).cast("bigint").alias("s2"),
     )
     mu = F.col("s1").cast("double") / F.col("n")
-    sigma = F.sqrt(F.col("s2").cast("double") / F.col("n") - mu * mu)
+    # GREATEST guards the float ulp that could push an exactly-zero
+    # variance fractionally negative (Spark SQRT(neg) is NaN; DuckDB
+    # errors) — the feature_rolling_events discipline
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n") - mu * mu, F.lit(0.0)
+        )
+    )
     bness = F.when(sigma + mu == 0, 0.0).otherwise((sigma - mu) / (sigma + mu))
     b = mom.select("user_id", "n", bness.alias("bness"))
     return b.groupBy(
@@ -1298,4 +1305,124 @@ def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.round(F.avg(ape / F.col("actual")), 6).alias("mape"),
         F.round(F.avg(ape) / 100, 2).alias("mae"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-residual anomaly detection — the composition the decompose
+# query exists for: residual = observed − trend (centered 7-day MA) −
+# weekday effect, then the robust MAD screen (anomaly_mad_events'
+# device) over the residual series. Residuals ROUND to 2 dp before the
+# median/MAD order statistics so both engines rank IDENTICAL doubles
+# (the percentile interpolations differ in expression form, hence the
+# 6-dp rounds on med/mad — the rfm threshold discipline). A zero MAD
+# (> half the residuals identical) yields an empty report, guarded in
+# both engines. Day-domain end to end below the daily grouped sum.
+# ---------------------------------------------------------------------------
+_SRA_K = 3.0
+
+
+@register(
+    "seasonal_residual_anomalies",
+    oracle=f"""
+        WITH daily AS (
+            SELECT {_EPOCH_DAY_DUCK} AS day_epoch,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        ),
+        tr AS (
+            SELECT day_epoch, cents / 100.0 AS rev,
+                   CASE WHEN COUNT(*) OVER w = 7
+                        THEN (SUM(cents) OVER w / 7.0) / 100.0
+                        ELSE NULL END AS trend
+            FROM daily
+            WINDOW w AS (ORDER BY day_epoch
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        eff AS (
+            SELECT CAST((day_epoch + 4) % 7 AS BIGINT) AS weekday,
+                   ROUND(AVG(rev - trend), 6) AS effect
+            FROM tr WHERE trend IS NOT NULL GROUP BY 1
+        ),
+        res AS (
+            SELECT t.day_epoch, t.rev,
+                   ROUND(t.rev - t.trend - e.effect, 2) AS residual
+            FROM tr t
+            JOIN eff e ON e.weekday = CAST((t.day_epoch + 4) % 7 AS BIGINT)
+            WHERE t.trend IS NOT NULL
+        ),
+        m AS (
+            SELECT ROUND(quantile_cont(residual, 0.5), 6) AS med FROM res
+        ),
+        md AS (
+            SELECT ROUND(quantile_cont(ABS(res.residual - m.med), 0.5), 6)
+                   AS mad
+            FROM res CROSS JOIN m
+        )
+        SELECT res.day_epoch, res.rev, res.residual,
+               ROUND(ABS(res.residual - m.med) / md.mad, 4) AS score
+        FROM res CROSS JOIN m CROSS JOIN md
+        WHERE md.mad > 0
+          AND ABS(res.residual - m.med) / md.mad > {_SRA_K}
+    """,
+    tags=("timeseries", "anomaly", "seasonal"),
+)
+def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz"))
+        .cast("bigint")
+        .alias("day_epoch")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("day_epoch").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day_epoch",
+        (F.col("cents") / 100.0).alias("rev"),
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            (F.sum("cents").over(w) / 7.0) / 100.0,
+        ).alias("trend"),
+    ).filter(F.col("trend").isNotNull())
+    eff = tr.groupBy(
+        ((F.col("day_epoch") + 4) % 7).cast("bigint").alias("weekday")
+    ).agg(F.round(F.avg(F.col("rev") - F.col("trend")), 6).alias("effect"))
+    res = (
+        tr.withColumn(
+            "weekday", ((F.col("day_epoch") + 4) % 7).cast("bigint")
+        )
+        .join(F.broadcast(eff), "weekday")
+        .select(
+            "day_epoch",
+            "rev",
+            F.round(
+                F.col("rev") - F.col("trend") - F.col("effect"), 2
+            ).alias("residual"),
+        )
+    )
+    m = res.agg(
+        F.round(F.expr("percentile(residual, 0.5)"), 6).alias("med")
+    )
+    md = (
+        res.crossJoin(F.broadcast(m))
+        .agg(
+            F.round(
+                F.expr("percentile(ABS(residual - med), 0.5)"), 6
+            ).alias("mad")
+        )
+    )
+    dev = F.abs(F.col("residual") - F.col("med"))
+    return (
+        res.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(md))
+        .filter((F.col("mad") > 0) & (dev / F.col("mad") > _SRA_K))
+        .select(
+            "day_epoch",
+            "rev",
+            "residual",
+            F.round(dev / F.col("mad"), 4).alias("score"),
+        )
     )

@@ -158,7 +158,8 @@ PRIORITY: tuple[str, ...] = (
     "session_bounce_rate", "hhi_segment_concentration",
     "crossdoc_ngram_dup_mass", "diff_in_diff_purchase",
     "cuped_variance_reduction", "er_precision_recall",
-    "forecast_backtest_mape",
+    "forecast_backtest_mape", "t_closeness_audit",
+    "seasonal_residual_anomalies",
 )
 
 

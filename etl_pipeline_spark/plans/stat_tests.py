@@ -785,3 +785,100 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((cov * cov / var_x) / var_y, 6))
         .alias("variance_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (Li, Li & Venkatasubramanian 2007) — completes the
+# release-gate trio with k_anonymity_audit and l_diversity_audit: a
+# group can be k-anonymous AND l-diverse while its sensitive-value
+# DISTRIBUTION still leaks (e.g. 90/10 where the population is 50/50).
+# For the nominal sensitive attribute the EMD reduces to total
+# variation distance t = ½ Σ_s |p_group(s) − p_global(s)|. The status
+# domain joins in as a cross product of two TINY relations (QI groups ×
+# statuses — missing cells must contribute |0 − q| rather than vanish);
+# all probabilities are exact-int ratios; the violation flag compares
+# the ROUNDED t so a 1-ulp summation difference can never flip it.
+# ---------------------------------------------------------------------------
+_T_CLOSENESS = 0.2
+
+
+@register(
+    "t_closeness_audit",
+    oracle=f"""
+        WITH cells AS (
+            SELECT o_orderpriority,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+                   o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1, 2, 3
+        ),
+        grp AS (
+            SELECT o_orderpriority, order_year, CAST(SUM(c) AS BIGINT) AS ng
+            FROM cells GROUP BY 1, 2
+        ),
+        gdist AS (
+            SELECT o_orderstatus, CAST(SUM(c) AS BIGINT) AS cs FROM cells
+            GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        dom AS (
+            SELECT g.o_orderpriority, g.order_year, g.ng,
+                   s.o_orderstatus, s.cs, t.n
+            FROM grp g CROSS JOIN gdist s CROSS JOIN tot t
+        ),
+        d AS (
+            SELECT dom.o_orderpriority, dom.order_year, dom.ng,
+                   ABS(CAST(COALESCE(cells.c, 0) AS DOUBLE) / dom.ng
+                       - CAST(dom.cs AS DOUBLE) / dom.n) AS gap
+            FROM dom LEFT JOIN cells
+              ON cells.o_orderpriority = dom.o_orderpriority
+             AND cells.order_year = dom.order_year
+             AND cells.o_orderstatus = dom.o_orderstatus
+        )
+        SELECT o_orderpriority, order_year, ng AS group_size,
+               ROUND(0.5 * SUM(gap), 6) AS t_distance,
+               CAST(ROUND(0.5 * SUM(gap), 6) > {_T_CLOSENESS} AS INT)
+                   AS is_violation
+        FROM d GROUP BY 1, 2, 3
+    """,
+    tags=("privacy", "audit", "stats"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        "o_orderpriority",
+        F.expr("CAST(EXTRACT(year FROM o_orderdate) AS INT)").alias(
+            "order_year"
+        ),
+        "o_orderstatus",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    grp = cells.groupBy("o_orderpriority", "order_year").agg(
+        F.sum("c").cast("bigint").alias("ng")
+    )
+    glob = cells.groupBy("o_orderstatus").agg(
+        F.sum("c").cast("bigint").alias("cs")
+    )
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    dom = grp.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(tot))
+    d = dom.join(
+        cells, ["o_orderpriority", "order_year", "o_orderstatus"], "left"
+    ).select(
+        "o_orderpriority",
+        "order_year",
+        "ng",
+        F.abs(
+            F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("ng")
+            - F.col("cs").cast("double") / F.col("n")
+        ).alias("gap"),
+    )
+    t_r = F.round(0.5 * F.sum("gap"), 6)
+    return d.groupBy("o_orderpriority", "order_year", "ng").agg(
+        t_r.alias("t_distance"),
+        (t_r > _T_CLOSENESS).cast("int").alias("is_violation"),
+    ).select(
+        "o_orderpriority",
+        "order_year",
+        F.col("ng").alias("group_size"),
+        "t_distance",
+        "is_violation",
+    )

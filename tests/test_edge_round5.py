@@ -679,3 +679,88 @@ def test_forecast_backtest_gap_invalidates_naive_parity(spark, gap_orders):
     assert set(rows) == {"naive"}  # no t-7 history → no seasonal row
     assert rows["naive"].n_days == 2  # day 5 dropped (day-4 gap)
     assert rows["naive"].mape == 0.75 and rows["naive"].mae == 1.0
+
+
+@pytest.fixture()
+def skewed_status_orders(spark, tmp_path):
+    """Global status distribution is 50/50 F/O. Group URGENT is all-F
+    and group HIGH all-O (t = 0.5 each — the MISSING status must
+    contribute |0 − q|, not vanish); group MEDIUM mirrors the global
+    distribution exactly (t = 0)."""
+    rows = [
+        (1, 7, "F", 10.0, "1995-01-01", "1-URGENT"),
+        (2, 7, "F", 10.0, "1995-02-01", "1-URGENT"),
+        (3, 7, "O", 10.0, "1995-03-01", "2-HIGH"),
+        (4, 7, "O", 10.0, "1995-04-01", "2-HIGH"),
+        (5, 7, "F", 10.0, "1995-05-01", "3-MEDIUM"),
+        (6, 7, "O", 10.0, "1995-06-01", "3-MEDIUM"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+        "o_orderpriority",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_t_closeness_missing_status_counts_parity(spark, skewed_status_orders):
+    spec = REGISTRY["t_closeness_audit"]
+    df = spec.spark_fn(spark, skewed_status_orders)
+    con = _duck_for(skewed_status_orders, ["orders"])
+    assert_oracle_match(df, con, spec.oracle, "tclose_edge")
+    rows = {r.o_orderpriority: r for r in df.collect()}
+    assert rows["1-URGENT"].t_distance == 0.5
+    assert rows["1-URGENT"].is_violation == 1
+    assert rows["2-HIGH"].t_distance == 0.5
+    assert rows["3-MEDIUM"].t_distance == 0.0
+    assert rows["3-MEDIUM"].is_violation == 0
+
+
+def test_seasonal_anomaly_short_series_empty(spark, edge_orders):
+    """3 days < the 7-day trend window: no residual series exists, so
+    the report is empty in both engines (no NULL-threshold crash)."""
+    spec = REGISTRY["seasonal_residual_anomalies"]
+    df = spec.spark_fn(spark, edge_orders)
+    con = _duck_for(edge_orders, ["orders"])
+    assert_oracle_match(df, con, spec.oracle, "sra_short_edge")
+    assert df.count() == 0
+
+
+@pytest.fixture()
+def spike_orders(spark, tmp_path):
+    """21 days of mildly varying revenue with a 10× spike on day 11
+    (epoch day 10): the MAD screen must flag the spike."""
+    rows = []
+    for i in range(21):
+        rev = 1000.0 + (i % 3) * 10  # deterministic wiggle keeps MAD > 0
+        if i == 10:
+            rev = 10000.0
+        rows.append(
+            (i + 1, 7, "O", rev, f"1970-01-{i + 1:02d}", "1-URGENT")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+        "o_orderpriority",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_seasonal_anomaly_flags_spike_parity(spark, spike_orders):
+    spec = REGISTRY["seasonal_residual_anomalies"]
+    df = spec.spark_fn(spark, spike_orders)
+    con = _duck_for(spike_orders, ["orders"])
+    assert_oracle_match(df, con, spec.oracle, "sra_spike_edge")
+    rows = sorted(df.collect(), key=lambda r: -r.score)
+    assert rows, "spike must be flagged"
+    assert rows[0].day_epoch == 10 and rows[0].rev == 10000.0
