@@ -90,3 +90,55 @@ def test_ewma_state_carries_across_micro_batches(spark, tmp_path):
     # day-2 cells: a: 300+100=400 cents → z = 0.5·400 + 0.5·100 = 250
     assert got[("a", 2)] == (400, 250.0)
     assert got[("b", 2)] == (900, 900.0)  # fresh key initializes to x
+
+
+def test_ewma_state_survives_query_restart(spark, tmp_path):
+    """Stop the stream and restart from the same checkpoint: the
+    per-key (day, z) state must carry across query objects — the
+    second run's EWMA blends a day seen only in the first run."""
+    import time
+
+    src = tmp_path / "ewma_restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ewma_ckpt")
+    sink = str(tmp_path / "ewma_sink")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+
+    def _run_to_completion():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            ewma_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, 1 * _DAY_NS, 1, "a", 1.00, "{}")], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    _run_to_completion()
+
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(2, 2 * _DAY_NS, 1, "a", 3.00, "{}")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    _run_to_completion()  # fresh query object, same checkpoint
+
+    got = {
+        (r.event_type, r.day): (r.day_cents, r.ewma_cents)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got[("a", 1)] == (100, 100.0)
+    # z = 0.5*300 + 0.5*100 — the 100 came from RECOVERED state
+    assert got[("a", 2)] == (300, 200.0)
