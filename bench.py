@@ -155,6 +155,9 @@ HEADLINE = [
     "forecast_backtest_mape",
     "t_closeness_audit",
     "seasonal_residual_anomalies",
+    "knn_label_accuracy",
+    "spearman_corr_daily",
+    "gini_split_finder_price",
 ]
 
 

@@ -879,3 +879,160 @@ def assortativity_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(r, 6))
         .alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Gini split finder — the gradient-boosted-tree primitive
+# (the histogram split search inside XGBoost/LightGBM, Chen & Guestrin
+# 2016 §4.1): the single best threshold on o_totalprice for predicting
+# order priority, scored by weighted Gini impurity. Candidate
+# thresholds are HISTOGRAM BIN boundaries (10k-wide → ≤ 50 candidates
+# whatever the row count — the approximate-split discipline that makes
+# the search one grouped count + bin-domain arithmetic). Class counts
+# pivot to five fixed columns, cumulate over the bounded bin domain,
+# and the impurity expression is written out per class — no grouped
+# float sum anywhere, so every candidate's score is bit-identical in
+# both engines and the argmin cannot flip.
+# ---------------------------------------------------------------------------
+_GSF_BIN = 10_000
+_GSF_CLASSES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def _gsf_gini_duck(prefix: str, n: str) -> str:
+    terms = " + ".join(
+        f"(CAST({prefix}{i} AS DOUBLE) / {n}) * (CAST({prefix}{i} AS DOUBLE) / {n})"
+        for i in range(len(_GSF_CLASSES))
+    )
+    return f"(1.0 - ({terms}))"
+
+
+@register(
+    "gini_split_finder_price",
+    oracle=f"""
+        WITH cells AS (
+            SELECT CAST(FLOOR(o_totalprice / {_GSF_BIN}) AS BIGINT) AS bin,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN o_orderpriority = '{c}' THEN 1"
+                       f" ELSE 0 END) AS BIGINT) AS c{i}"
+                       for i, c in enumerate(_GSF_CLASSES)
+                   )}
+            FROM orders GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin,
+                   {", ".join(
+                       f"CAST(SUM(c{i}) OVER w AS BIGINT) AS l{i}"
+                       for i in range(len(_GSF_CLASSES))
+                   )}
+            FROM cells
+            WINDOW w AS (ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        tot AS (
+            SELECT {", ".join(
+                f"CAST(SUM(c{i}) AS BIGINT) AS t{i}"
+                for i in range(len(_GSF_CLASSES))
+            )},
+            CAST(COUNT(*) AS BIGINT) AS n_bins
+            FROM cells
+        ),
+        scored AS (
+            SELECT (cum.bin + 1) * {_GSF_BIN} AS threshold,
+                   ({" + ".join(f"cum.l{i}" for i in range(len(_GSF_CLASSES)))})
+                       AS n_left,
+                   ({" + ".join(f"tot.t{i}" for i in range(len(_GSF_CLASSES)))})
+                     - ({" + ".join(f"cum.l{i}" for i in range(len(_GSF_CLASSES)))})
+                       AS n_right,
+                   {", ".join(
+                       f"cum.l{i} AS l{i}, tot.t{i} - cum.l{i} AS r{i}"
+                       for i in range(len(_GSF_CLASSES))
+                   )},
+                   ({" + ".join(f"tot.t{i}" for i in range(len(_GSF_CLASSES)))})
+                       AS n_all
+            FROM cum CROSS JOIN tot
+        )
+        SELECT threshold, n_left, n_right,
+               ROUND((CAST(n_left AS DOUBLE) / n_all)
+                         * {_gsf_gini_duck("l", "n_left")}
+                     + (CAST(n_right AS DOUBLE) / n_all)
+                         * {_gsf_gini_duck("r", "n_right")}, 6)
+                   AS weighted_gini,
+               ROUND({_gsf_gini_duck("t", "n_all")}
+                     - ((CAST(n_left AS DOUBLE) / n_all)
+                            * {_gsf_gini_duck("l", "n_left")}
+                        + (CAST(n_right AS DOUBLE) / n_all)
+                            * {_gsf_gini_duck("r", "n_right")}), 6)
+                   AS gini_gain
+        FROM scored CROSS JOIN tot
+        WHERE n_left > 0 AND n_right > 0
+        ORDER BY (CAST(n_left AS DOUBLE) / n_all)
+                     * {_gsf_gini_duck("l", "n_left")}
+                 + (CAST(n_right AS DOUBLE) / n_all)
+                     * {_gsf_gini_duck("r", "n_right")} ASC,
+                 threshold ASC
+        LIMIT 1
+    """,
+    tags=("features", "ml", "tree"),
+)
+def gini_split_finder_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_cls = len(_GSF_CLASSES)
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.expr(f"CAST(FLOOR(o_totalprice / {_GSF_BIN}) AS BIGINT)").alias("bin")
+    ).agg(
+        *[
+            F.sum(
+                F.when(F.col("o_orderpriority") == c, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, c in enumerate(_GSF_CLASSES)
+        ]
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "bin",
+        *[
+            F.sum(f"c{i}").over(w).cast("bigint").alias(f"l{i}")
+            for i in range(n_cls)
+        ],
+    )
+    tot = cells.agg(
+        *[F.sum(f"c{i}").cast("bigint").alias(f"t{i}") for i in range(n_cls)]
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        ((F.col("bin") + 1) * _GSF_BIN).alias("threshold"),
+        sum((F.col(f"l{i}") for i in range(n_cls)), F.lit(0)).alias("n_left"),
+        *[F.col(f"l{i}") for i in range(n_cls)],
+        *[(F.col(f"t{i}") - F.col(f"l{i}")).alias(f"r{i}") for i in range(n_cls)],
+        sum((F.col(f"t{i}") for i in range(n_cls)), F.lit(0)).alias("n_all"),
+        *[F.col(f"t{i}") for i in range(n_cls)],
+    ).withColumn("n_right", F.col("n_all") - F.col("n_left"))
+
+    def _gini(prefix: str, n: str):
+        acc = F.lit(0.0)
+        for i in range(n_cls):
+            share = F.col(f"{prefix}{i}").cast("double") / F.col(n)
+            acc = acc + share * share
+        return 1.0 - acc
+
+    wg = (F.col("n_left").cast("double") / F.col("n_all")) * _gini(
+        "l", "n_left"
+    ) + (F.col("n_right").cast("double") / F.col("n_all")) * _gini(
+        "r", "n_right"
+    )
+    base = _gini("t", "n_all")
+    return (
+        scored.filter((F.col("n_left") > 0) & (F.col("n_right") > 0))
+        .select(
+            "threshold",
+            "n_left",
+            "n_right",
+            F.round(wg, 6).alias("weighted_gini"),
+            F.round(base - wg, 6).alias("gini_gain"),
+            wg.alias("_sort"),
+        )
+        .orderBy(F.asc("_sort"), F.asc("threshold"))
+        .limit(1)
+        .drop("_sort")
+    )

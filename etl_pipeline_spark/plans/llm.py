@@ -1097,3 +1097,86 @@ def ndcg_label_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ndcg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label accuracy — the third leg of the similarity-eval family
+# (recall measures set overlap, NDCG ranking order; this measures what
+# the neighbors are actually FOR): leave-one-out majority vote of the
+# exact cosine top-10's labels against each query's own label. Vote
+# ties break to the smallest label (deterministic in both engines).
+# Bounded-query truth discipline as ann_recall_eval/ndcg: the exact
+# all-corpus scan is the eval's truth side, not a production path.
+# ---------------------------------------------------------------------------
+_KNN_K = 10
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding, label AS q_label
+            FROM embeddings WHERE vec_id < 10
+        ),
+        topk AS (
+            SELECT query_id, q_label, n_label FROM (
+                SELECT q.query_id, q.q_label, c.label AS n_label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_COS_DUCK} DESC, c.vec_id) AS rank
+                FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+            ) WHERE rank <= {_KNN_K}
+        ),
+        votes AS (
+            SELECT query_id, q_label, n_label,
+                   CAST(COUNT(*) AS BIGINT) AS n_votes
+            FROM topk GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT query_id, q_label, n_label AS pred_label, n_votes
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY n_votes DESC, n_label ASC) AS r
+                FROM votes
+            ) WHERE r = 1
+        )
+        SELECT query_id, CAST(q_label AS BIGINT) AS true_label,
+               CAST(pred_label AS BIGINT) AS pred_label, n_votes,
+               CAST(pred_label = q_label AS INT) AS correct
+        FROM pred
+    """,
+    tags=("llm", "similarity", "ml-eval", "classification"),
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    topk = cosine_topk(emb, queries, k=_KNN_K)
+    qlab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = (
+        topk.join(F.broadcast(qlab), "query_id")
+        .join(nlab, "neighbor_id")
+        .groupBy("query_id", "q_label", "n_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("n_label")
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("q_label").cast("bigint").alias("true_label"),
+            F.col("n_label").cast("bigint").alias("pred_label"),
+            "n_votes",
+            (F.col("n_label") == F.col("q_label")).cast("int").alias("correct"),
+        )
+    )

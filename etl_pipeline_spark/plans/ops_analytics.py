@@ -1426,3 +1426,94 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dev / F.col("mad"), 4).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between daily revenue and daily order count
+# — the nonparametric companion to corr_lineitem_moments (Pearson on
+# raw values): ranks are robust to the revenue's heavy tail. Order
+# counts tie heavily, so ties take AVERAGE ranks (RANK() + (t−1)/2 —
+# the 1-6Σd²/n(n²−1) shortcut is tie-invalid and NOT used). Ranks are
+# exact half-integers ≤ the day count, so every moment sum is exact in
+# a double regardless of summation order; ρ is one fixed-parenthesis
+# Pearson expression on the rank moments. Day-domain end to end below
+# the daily grouped sum; zero-variance degenerates to NULL via the
+# exact MIN=MAX guard.
+# ---------------------------------------------------------------------------
+@register(
+    "spearman_corr_daily",
+    oracle=f"""
+        WITH daily AS (
+            SELECT {_EPOCH_DAY_DUCK} AS day_epoch,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS x,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT
+                RANK() OVER (ORDER BY x)
+                  + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+                RANK() OVER (ORDER BY y)
+                  + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+            FROM daily
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+                   SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+                   CAST(MIN(rx) = MAX(rx) AS INT) AS x_const,
+                   CAST(MIN(ry) = MAX(ry) AS INT) AS y_const
+            FROM ranked
+        )
+        SELECT n AS n_days,
+               CASE WHEN x_const = 1 OR y_const = 1 THEN NULL ELSE
+               ROUND((sxy / n - (sx / n) * (sy / n))
+                     / SQRT((sxx / n - (sx / n) * (sx / n))
+                            * (syy / n - (sy / n) * (sy / n))), 6)
+               END AS spearman_rho
+        FROM mom
+    """,
+    tags=("timeseries", "stats", "correlation"),
+)
+def spearman_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz"))
+        .cast("bigint")
+        .alias("day_epoch")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("y"),
+    )
+    def _avg_rank(col: str):
+        return F.rank().over(Window.orderBy(col)) + (
+            F.count(F.lit(1)).over(Window.partitionBy(col)) - 1
+        ) / 2.0
+
+    ranked = daily.select(
+        _avg_rank("x").alias("rx"), _avg_rank("y").alias("ry")
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        (F.min("rx") == F.max("rx")).cast("int").alias("x_const"),
+        (F.min("ry") == F.max("ry")).cast("int").alias("y_const"),
+    )
+    mean = lambda c: F.col(c) / F.col("n")  # noqa: E731
+    rho = (F.col("sxy") / F.col("n") - mean("sx") * mean("sy")) / F.sqrt(
+        (F.col("sxx") / F.col("n") - mean("sx") * mean("sx"))
+        * (F.col("syy") / F.col("n") - mean("sy") * mean("sy"))
+    )
+    return mom.select(
+        F.col("n").alias("n_days"),
+        F.when(
+            (F.col("x_const") == 1) | (F.col("y_const") == 1),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(rho, 6))
+        .alias("spearman_rho"),
+    )

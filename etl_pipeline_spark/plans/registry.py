@@ -159,7 +159,8 @@ PRIORITY: tuple[str, ...] = (
     "crossdoc_ngram_dup_mass", "diff_in_diff_purchase",
     "cuped_variance_reduction", "er_precision_recall",
     "forecast_backtest_mape", "t_closeness_audit",
-    "seasonal_residual_anomalies",
+    "seasonal_residual_anomalies", "knn_label_accuracy",
+    "spearman_corr_daily", "gini_split_finder_price",
 )
 
 

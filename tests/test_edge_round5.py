@@ -764,3 +764,113 @@ def test_seasonal_anomaly_flags_spike_parity(spark, spike_orders):
     rows = sorted(df.collect(), key=lambda r: -r.score)
     assert rows, "spike must be flagged"
     assert rows[0].day_epoch == 10 and rows[0].rev == 10000.0
+
+
+def test_spearman_ties_yield_null_on_constant_rank(spark, tie_orders):
+    """tie_orders has one order per day (y constant): average-rank ties
+    make ry degenerate — ρ must be NULL via the exact MIN=MAX guard,
+    not a div-by-zero."""
+    spec = REGISTRY["spearman_corr_daily"]
+    df = spec.spark_fn(spark, tie_orders)
+    con = _duck_for(tie_orders, ["orders"])
+    assert_oracle_match(df, con, spec.oracle, "spearman_const_edge")
+    row = df.collect()[0]
+    assert row.n_days == 3 and row.spearman_rho is None
+
+
+@pytest.fixture()
+def monotone_orders(spark, tmp_path):
+    """Revenue and order count both strictly increase by day: ρ = 1
+    exactly (rank vectors identical)."""
+    rows, key = [], 1
+    for day in range(1, 4):
+        for _ in range(day):  # day d has d orders of 100 each
+            rows.append(
+                (key, 7, "O", 100.0, f"1970-01-{day + 1:02d}", "1-URGENT")
+            )
+            key += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+        "o_orderpriority",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_spearman_perfect_monotone_is_one_parity(spark, monotone_orders):
+    spec = REGISTRY["spearman_corr_daily"]
+    df = spec.spark_fn(spark, monotone_orders)
+    con = _duck_for(monotone_orders, ["orders"])
+    assert_oracle_match(df, con, spec.oracle, "spearman_mono_edge")
+    assert df.collect()[0].spearman_rho == 1.0
+
+
+@pytest.fixture()
+def separable_orders(spark, tmp_path):
+    """Price < 10000 is all-URGENT, >= 10000 all-LOW: the bin-boundary
+    split at 10000 is PERFECT (weighted Gini 0, gain = base Gini)."""
+    rows = [
+        (1, 7, "O", 5000.0, "1995-01-01", "1-URGENT"),
+        (2, 7, "O", 6000.0, "1995-01-02", "1-URGENT"),
+        (3, 7, "O", 15000.0, "1995-01-03", "5-LOW"),
+        (4, 7, "O", 16000.0, "1995-01-04", "5-LOW"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+        "o_orderpriority",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_gini_split_perfect_separation_parity(spark, separable_orders):
+    spec = REGISTRY["gini_split_finder_price"]
+    df = spec.spark_fn(spark, separable_orders)
+    con = _duck_for(separable_orders, ["orders"])
+    assert_oracle_match(df, con, spec.oracle, "gini_split_edge")
+    row = df.collect()[0]
+    assert row.threshold == 10000 and (row.n_left, row.n_right) == (2, 2)
+    assert row.weighted_gini == 0.0
+    assert row.gini_gain == 0.5  # base Gini of a 50/50 two-class mix
+
+
+@pytest.fixture()
+def identical_embeddings(spark, tmp_path):
+    """Five IDENTICAL vectors (every cosine exactly 1 — ranking falls
+    entirely to the vec_id tiebreak): labels 1,1,1,2,2. Query 0 sees a
+    2-2 vote tie (its own class minus self vs the other class), which
+    must break to the SMALLEST label."""
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [1.0, 0.0], 1),
+        (2, [1.0, 0.0], 1),
+        (3, [1.0, 0.0], 2),
+        (4, [1.0, 0.0], 2),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_knn_vote_tie_breaks_to_smallest_label_parity(
+    spark, identical_embeddings
+):
+    spec = REGISTRY["knn_label_accuracy"]
+    df = spec.spark_fn(spark, identical_embeddings)
+    con = _duck_for(identical_embeddings, ["embeddings"])
+    assert_oracle_match(df, con, spec.oracle, "knn_tie_edge")
+    rows = {r.query_id: r for r in df.collect()}
+    assert rows[0].pred_label == 1 and rows[0].correct == 1  # 2-2 tie -> 1
+    assert rows[3].pred_label == 1 and rows[3].correct == 0  # swamped 3-1
+    assert rows[4].pred_label == 1 and rows[4].correct == 0
