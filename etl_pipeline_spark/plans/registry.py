@@ -146,7 +146,10 @@ PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_cluster_assign", "dedup_embedding_cosine", "simhash_fingerprints",
     "ann_bucketed_sign_lsh",
-    # --- round-5 debuts (tier-2; next rotation's window)
+    # --- round-5 debuts (tier-2 tail). These 25 have local-parity +
+    # edge-test + three-SF sweep evidence but no driver row yet: they
+    # are the natural FRONT of round 6's top-50 window (keep ~5 proven
+    # representatives behind them as cross-round regression signal).
     "kaplan_meier_retention", "gini_revenue_concentration",
     "zipf_alpha_terms", "acf_daily_revenue", "ndcg_label_ranking",
     "pattern_vshape_prices", "ewma_control_chart_daily",
