@@ -560,3 +560,69 @@ def test_mann_kendall_pairs_are_day_domain_only(spark):
     # orders is a 2-column read (day source + cents source — pruned)
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read and all("o_orderkey" not in ln for ln in read)
+
+
+def test_gini_split_search_is_bin_domain(spark):
+    """The split search must be bin-domain arithmetic: one grouped
+    histogram count over a 2-column pruned scan, no row_number over the
+    fact table, and the only window runs over the bounded bin relation."""
+    plan = _plan(
+        spark, REGISTRY["gini_split_finder_price"].spark_fn(spark, SF_DIR)
+    )
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("o_orderkey" not in ln for ln in read)  # pruned
+    assert "row_number" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_crossdoc_dup_mass_no_joins(spark):
+    """Duplication mass is one grouped count + one aggregate: the plan
+    must contain NO join of any kind — a join would mean the n-gram
+    relation is being re-paired instead of counted."""
+    plan = _plan(
+        spark, REGISTRY["crossdoc_ngram_dup_mass"].spark_fn(spark, SF_DIR)
+    )
+    for j in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert j not in plan, j
+
+
+def test_forecast_backtest_joins_are_equi(spark):
+    """The t-1/t-7 calendar joins must plan as equi-joins on the
+    day key (the +1/+7 shift is in the projection), never a range
+    nested loop."""
+    plan = _plan(
+        spark, REGISTRY["forecast_backtest_mape"].spark_fn(spark, SF_DIR)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_spearman_scan_is_two_columns(spark):
+    """Spearman reads exactly (o_orderdate, o_totalprice): the rank
+    windows run over the day-domain aggregate, not the fact scan."""
+    plan = _plan(
+        spark, REGISTRY["spearman_corr_daily"].spark_fn(spark, SF_DIR)
+    )
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read
+    for ln in read:
+        assert "o_orderdate" in ln and "o_totalprice" in ln
+        assert "o_orderkey" not in ln and "o_custkey" not in ln
+
+
+def test_knn_eval_broadcasts_bounded_query_side(spark):
+    """The exact top-k truth side must broadcast the BOUNDED query set
+    (10 rows) against the corpus — the corpus itself is never on a
+    broadcast side."""
+    plan = _plan(spark, REGISTRY["knn_label_accuracy"].spark_fn(spark, SF_DIR))
+    assert "Broadcast" in plan  # bounded query side rides a broadcast
+    assert "CartesianProduct" not in plan
