@@ -158,6 +158,8 @@ HEADLINE = [
     "knn_label_accuracy",
     "spearman_corr_daily",
     "gini_split_finder_price",
+    "new_vs_returning_revenue",
+    "abc_xyz_inventory_matrix",
 ]
 
 

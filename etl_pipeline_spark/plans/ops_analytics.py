@@ -1517,3 +1517,78 @@ def spearman_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(rho, 6))
         .alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# New-vs-returning revenue split — the customer-acquisition daily view
+# every commerce dashboard leads with: an order on its customer's FIRST
+# order day is "new" revenue, everything later "returning". One
+# customer-keyed MIN aggregate joins back onto the fact scan (equi-join
+# on the customer key — both sides fact-scaled, no broadcast
+# assumption); revenue stays exact cents; distinct-customer counts are
+# engine-exact COUNT(DISTINCT CASE ...). Day-domain output.
+# ---------------------------------------------------------------------------
+@register(
+    "new_vs_returning_revenue",
+    oracle=f"""
+        WITH o AS (
+            SELECT o_custkey, {_EPOCH_DAY_DUCK} AS day_epoch,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders
+        ),
+        fst AS (
+            SELECT o_custkey, MIN(day_epoch) AS first_day FROM o GROUP BY 1
+        )
+        SELECT o.day_epoch,
+               CAST(SUM(CASE WHEN o.day_epoch = f.first_day
+                             THEN o.cents ELSE 0 END) AS BIGINT) / 100.0
+                   AS rev_new,
+               CAST(SUM(CASE WHEN o.day_epoch > f.first_day
+                             THEN o.cents ELSE 0 END) AS BIGINT) / 100.0
+                   AS rev_returning,
+               CAST(COUNT(DISTINCT CASE WHEN o.day_epoch = f.first_day
+                                        THEN o.o_custkey END) AS BIGINT)
+                   AS n_new_customers,
+               CAST(COUNT(DISTINCT CASE WHEN o.day_epoch > f.first_day
+                                        THEN o.o_custkey END) AS BIGINT)
+                   AS n_returning_customers
+        FROM o JOIN fst f ON f.o_custkey = o.o_custkey
+        GROUP BY 1
+    """,
+    tags=("revenue", "cohort", "product-metric"),
+)
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz"))
+        .cast("bigint")
+        .alias("day_epoch"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    fst = o.groupBy("o_custkey").agg(F.min("day_epoch").alias("first_day"))
+    is_new = F.col("day_epoch") == F.col("first_day")
+    is_ret = F.col("day_epoch") > F.col("first_day")
+    return (
+        o.join(fst, "o_custkey")
+        .groupBy("day_epoch")
+        .agg(
+            (
+                F.sum(F.when(is_new, F.col("cents")).otherwise(0)).cast(
+                    "bigint"
+                )
+                / 100.0
+            ).alias("rev_new"),
+            (
+                F.sum(F.when(is_ret, F.col("cents")).otherwise(0)).cast(
+                    "bigint"
+                )
+                / 100.0
+            ).alias("rev_returning"),
+            F.countDistinct(F.when(is_new, F.col("o_custkey")))
+            .cast("bigint")
+            .alias("n_new_customers"),
+            F.countDistinct(F.when(is_ret, F.col("o_custkey")))
+            .cast("bigint")
+            .alias("n_returning_customers"),
+        )
+    )

@@ -164,6 +164,7 @@ PRIORITY: tuple[str, ...] = (
     "forecast_backtest_mape", "t_closeness_audit",
     "seasonal_residual_anomalies", "knn_label_accuracy",
     "spearman_corr_daily", "gini_split_finder_price",
+    "new_vs_returning_revenue", "abc_xyz_inventory_matrix",
 )
 
 

@@ -1355,3 +1355,135 @@ def er_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("f1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC × XYZ inventory matrix — the supply-chain segmentation standard:
+# parts classed by cumulative revenue share (A ≤ 80%, B ≤ 95%, C) AND
+# by demand variability (CV of monthly quantity: X < 0.5, Y < 1.0, Z).
+# Both class boundaries compare ROUNDED values (the pareto
+# round-before-compare rule — an unrounded share rides partial-agg
+# ulps). The revenue cumsum runs over the PART AGGREGATE in one
+# deterministic (rev DESC, partkey) order — the pareto single-partition
+# local form, bounded by the part dimension, with the two-level prefix
+# sum as the documented 10⁹-part substitute. CV comes from exact-int
+# monthly moments with the GREATEST(var, 0) sqrt guard; the output is
+# the ≤ 9-cell matrix.
+# ---------------------------------------------------------------------------
+@register(
+    "abc_xyz_inventory_matrix",
+    oracle="""
+        WITH pm AS (
+            SELECT l_partkey,
+                   CAST(EXTRACT(year FROM l_shipdate) * 12
+                        + EXTRACT(month FROM l_shipdate) - 1 AS BIGINT) AS m,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT l_partkey,
+                   CAST(SUM(cents) AS BIGINT) AS cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_m,
+                   CAST(SUM(qty) AS BIGINT) AS s1,
+                   CAST(SUM(qty * qty) AS BIGINT) AS s2
+            FROM pm GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM p),
+        abc AS (
+            SELECT l_partkey, cents, n_m, s1, s2,
+                   CASE WHEN ROUND(CAST(SUM(cents) OVER w AS DOUBLE)
+                                   / tot.total, 6) <= 0.80 THEN 'A'
+                        WHEN ROUND(CAST(SUM(cents) OVER w AS DOUBLE)
+                                   / tot.total, 6) <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM p CROSS JOIN tot
+            WINDOW w AS (ORDER BY cents DESC, l_partkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        xyz AS (
+            SELECT l_partkey, cents, abc_class,
+                   CASE WHEN ROUND(SQRT(GREATEST(
+                                 CAST(s2 AS DOUBLE) / n_m
+                                 - (CAST(s1 AS DOUBLE) / n_m)
+                                   * (CAST(s1 AS DOUBLE) / n_m), 0.0))
+                             / (CAST(s1 AS DOUBLE) / n_m), 6) < 0.5 THEN 'X'
+                        WHEN ROUND(SQRT(GREATEST(
+                                 CAST(s2 AS DOUBLE) / n_m
+                                 - (CAST(s1 AS DOUBLE) / n_m)
+                                   * (CAST(s1 AS DOUBLE) / n_m), 0.0))
+                             / (CAST(s1 AS DOUBLE) / n_m), 6) < 1.0 THEN 'Y'
+                        ELSE 'Z' END AS xyz_class
+            FROM abc
+        )
+        SELECT abc_class, xyz_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(cents) AS BIGINT) / 100.0 AS revenue
+        FROM xyz GROUP BY 1, 2
+    """,
+    tags=("relational", "segmentation", "inventory"),
+)
+def abc_xyz_inventory_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = (
+        li.select(
+            "l_partkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+            .cast("bigint")
+            .alias("m"),
+            F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
+                "c100"
+            ),
+            F.expr("CAST(l_quantity AS BIGINT)").alias("q"),
+        )
+        .groupBy("l_partkey", "m")
+        .agg(
+            F.sum("c100").cast("bigint").alias("cents"),
+            F.sum("q").cast("bigint").alias("qty"),
+        )
+    )
+    p = pm.groupBy("l_partkey").agg(
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_m"),
+        F.sum("qty").cast("bigint").alias("s1"),
+        F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("s2"),
+    )
+    tot = p.agg(F.sum("cents").cast("bigint").alias("total"))
+    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    share = F.round(
+        F.sum("cents").over(w).cast("double") / F.col("total"), 6
+    )
+    abc = p.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "cents",
+        "n_m",
+        "s1",
+        "s2",
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
+        .alias("abc_class"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_m")
+    cv = F.round(
+        F.sqrt(
+            F.greatest(
+                F.col("s2").cast("double") / F.col("n_m") - mean * mean,
+                F.lit(0.0),
+            )
+        )
+        / mean,
+        6,
+    )
+    xyz = abc.select(
+        "cents",
+        "abc_class",
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias(
+            "xyz_class"
+        ),
+    )
+    return xyz.groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        (F.sum("cents").cast("bigint") / 100.0).alias("revenue"),
+    )

@@ -874,3 +874,85 @@ def test_knn_vote_tie_breaks_to_smallest_label_parity(
     assert rows[0].pred_label == 1 and rows[0].correct == 1  # 2-2 tie -> 1
     assert rows[3].pred_label == 1 and rows[3].correct == 0  # swamped 3-1
     assert rows[4].pred_label == 1 and rows[4].correct == 0
+
+
+@pytest.fixture()
+def repeat_customer_orders(spark, tmp_path):
+    """Customer 1 places TWO orders on their first day (both are 'new'
+    revenue) and one the day after ('returning'); customer 2 orders
+    once and must never appear in the returning counts."""
+    rows = [
+        (1, 1, "O", 10.0, "1970-01-02", "1-URGENT"),
+        (2, 1, "O", 20.0, "1970-01-02", "1-URGENT"),
+        (3, 1, "O", 40.0, "1970-01-03", "1-URGENT"),
+        (4, 2, "O", 5.0, "1970-01-02", "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+        "o_orderpriority",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_new_vs_returning_same_day_repeat_parity(spark, repeat_customer_orders):
+    spec = REGISTRY["new_vs_returning_revenue"]
+    df = spec.spark_fn(spark, repeat_customer_orders)
+    con = _duck_for(repeat_customer_orders, ["orders"])
+    assert_oracle_match(df, con, spec.oracle, "nvr_edge")
+    rows = {r.day_epoch: r for r in df.collect()}
+    d1, d2 = rows[1], rows[2]
+    assert d1.rev_new == 35.0 and d1.rev_returning == 0.0
+    assert d1.n_new_customers == 2 and d1.n_returning_customers == 0
+    assert d2.rev_new == 0.0 and d2.rev_returning == 40.0
+    assert d2.n_returning_customers == 1
+
+
+@pytest.fixture()
+def abcxyz_lineitem(spark, tmp_path):
+    """Part 1: 80% of revenue, constant monthly qty (CV 0 → A/X,
+    cumulative share lands EXACTLY on the 0.80 boundary — must class A
+    via the rounded <=). Part 2: 20% of revenue, monthly qty 1 then 9
+    (CV 0.8 → C/Y)."""
+    rows = [
+        # part 1: 4 months × qty 10, price 20 each month → rev 80
+        *[
+            (m + 1, 1, 1, 1, 10.0, 20.0, 0.0, 0.0, "N", "O",
+             f"1995-{m + 1:02d}-15")
+            for m in range(4)
+        ],
+        # part 2: qty 1 then 9, rev 10 + 10 = 20
+        (11, 2, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", "1995-05-15"),
+        (12, 2, 1, 1, 9.0, 10.0, 0.0, 0.0, "N", "O", "1995-06-15"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus",
+        "CAST(l_shipdate AS TIMESTAMP_NTZ) AS l_shipdate",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_abc_xyz_boundary_and_cv_classes_parity(spark, abcxyz_lineitem):
+    spec = REGISTRY["abc_xyz_inventory_matrix"]
+    df = spec.spark_fn(spark, abcxyz_lineitem)
+    con = _duck_for(abcxyz_lineitem, ["lineitem"])
+    assert_oracle_match(df, con, spec.oracle, "abcxyz_edge")
+    cells = {(r.abc_class, r.xyz_class): r for r in df.collect()}
+    assert set(cells) == {("A", "X"), ("C", "Y")}
+    assert cells[("A", "X")].n_parts == 1
+    assert cells[("A", "X")].revenue == 80.0  # exact-0.80 share -> A
+    assert cells[("C", "Y")].revenue == 20.0  # CV = 4/5 -> Y
