@@ -51,50 +51,68 @@ def register(
 # Export order. The driver's correctness run processes exactly the first
 # 50 registered queries per round (CORRECTNESS_r01 truncated there), so
 # the export dicts present a curated priority order that ROTATES each
-# round: rounds 1-4 drove 175/191 distinct queries green. Round 5's
-# window closes the contract: it leads with the 16 round-4 wave-2/3
-# queries that have never had a driver row (RFM/Pareto/Benford/Markov/
-# CUSUM/TextRank/Theil-Sen/attribution/stickiness/funnel/session-path/
-# DSIR/CCNet/curation-e2e), then the 5 newly-wired stat_tests queries
-# (KS/AUC/ANOVA/MI/l-diversity — their debut), then the 3 queries whose
-# physical plans were re-expressed this round (the pagination pair's
-# two-level prefix sum; range_join re-proves the bucketed-interval
-# device that attribution now shares), then 26 representatives of
-# already-proven families as cross-round regression signal (q1 is
-# additionally smoke-checked every round as the entry() flagship;
-# dedup_chunk_exact re-proves the r4 timing-regression watch; the
-# bigram pair re-proves the short-doc sequence guard). Ordering only —
-# every query stays registered and locally parity-checked.
+# round: rounds 1-5 drove 196/228 distinct queries green. Round 6's
+# window closes the contract at 228/228: it leads with the 32 round-5
+# debut queries that have local-parity + edge-test evidence but no
+# driver row yet (survival/Kaplan-Meier, Gini, Zipf, ACF, NDCG, V-shape
+# pattern, EWMA control chart, Mann-Kendall, streaks, LTV curve,
+# co-occurrence, Nelson-Aalen, z-test, seasonal decompose, burstiness,
+# Laspeyres, modularity/assortativity, bounce rate, HHI, cross-doc dup
+# mass, diff-in-diff, CUPED, ER precision/recall, MAPE backtest,
+# t-closeness, residual anomalies, kNN accuracy, Spearman, Gini split,
+# new-vs-returning, ABC-XYZ), then 18 representatives of proven
+# families as cross-round regression signal. pareto_abc_revenue and
+# quantile_normalize_values are among the representatives because their
+# physical plans are re-expressed this round (prefix-sum cumshare /
+# bucketed percent_rank) and the driver must re-prove their hashes;
+# gini_revenue_concentration and abc_xyz_inventory_matrix (also
+# re-expressed) are already in the debut block. Ordering only — every
+# query stays registered and locally parity-checked.
 PRIORITY: tuple[str, ...] = (
-    # --- round-4 wave-2/3: first driver row this round (16)
-    "rfm_customer_segments", "pareto_abc_revenue", "benford_first_digit",
-    "markov_transition_events", "quantile_normalize_values",
+    # --- round-5 debuts: first driver row this round (32)
+    "kaplan_meier_retention", "gini_revenue_concentration",
+    "zipf_alpha_terms", "acf_daily_revenue", "ndcg_label_ranking",
+    "pattern_vshape_prices", "ewma_control_chart_daily",
+    "mann_kendall_trend_revenue", "purchase_streaks_histogram",
+    "cohort_ltv_curve", "item_cooccurrence_topk", "nelson_aalen_hazard",
+    "ztest_conversion_ab", "seasonal_decompose_weekday",
+    "burstiness_user_interarrival", "price_index_laspeyres",
+    "modularity_cosupplier", "assortativity_cosupplier",
+    "session_bounce_rate", "hhi_segment_concentration",
+    "crossdoc_ngram_dup_mass", "diff_in_diff_purchase",
+    "cuped_variance_reduction", "er_precision_recall",
+    "forecast_backtest_mape", "t_closeness_audit",
+    "seasonal_residual_anomalies", "knn_label_accuracy",
+    "spearman_corr_daily", "gini_split_finder_price",
+    "new_vs_returning_revenue", "abc_xyz_inventory_matrix",
+    # --- re-expressed this round: re-prove hashes unchanged (2)
+    "pareto_abc_revenue", "quantile_normalize_values",
+    # --- representatives of already-proven families (regression signal)
+    "q1_pricing_summary", "q9_product_type_profit",
+    "events_sessionize_30m", "ann_ivfpq_topk",
+    "dedup_minhash_lsh", "dedup_exact_hash", "dedup_chunk_exact",
+    "cms_partkey_estimates", "hll_orderkey_cardinality",
+    "tfidf_top_terms", "bigram_pmi_top",
+    "pack_sequences_budget", "quality_filter_gopher",
+    "pagination_page_slice", "cdc_merge_orders", "bootstrap_revenue_ci",
+    # ---- tier 2 (51+): previously driver-green queries, stable order
+    "rfm_customer_segments", "benford_first_digit",
+    "markov_transition_events",
     "change_point_cusum_events", "late_data_accounting",
     "textrank_keywords", "theil_sen_price_trend",
     "attribution_credit_events", "stickiness_dau_mau",
     "funnel_latency_quantiles",
     "corpus_curation_e2e", "dsir_importance_select",
     "ccnet_perplexity_buckets", "session_path_topk",
-    # --- stat_tests debut (5; newly wired into _ensure_loaded)
     "ks_test_purchase_view", "auc_mann_whitney_embeddings",
     "anova_f_totalprice_priority", "mutual_info_status_priority",
     "l_diversity_audit",
-    # --- plans re-expressed this round: re-prove hashes unchanged (3)
-    "pagination_page_slice", "pagination_page_manifest",
-    "range_join_click_attribution",
-    # --- representatives of already-proven families (regression signal)
-    "q1_pricing_summary", "q9_product_type_profit",
-    "cms_partkey_estimates", "hll_orderkey_cardinality",
-    "events_sessionize_30m", "asof_purchase_last_view",
-    "ann_ivfpq_topk", "ann_cosine_topk", "regression_detect_metrics",
-    "dedup_chunk_exact", "dedup_minhash_lsh", "dedup_exact_hash",
-    "bigram_pmi_top", "bigram_perplexity_quality", "tfidf_top_terms",
-    "sql_table_checksum_orders", "quality_filter_gopher",
-    "pack_sequences_budget", "kmeans_embedding_clusters",
+    "pagination_page_manifest", "range_join_click_attribution",
+    "asof_purchase_last_view", "ann_cosine_topk", "regression_detect_metrics",
+    "bigram_perplexity_quality",
+    "sql_table_checksum_orders", "kmeans_embedding_clusters",
     "nb_lang_classifier_eval", "multimodal_ahash_neardup",
-    "split_leakage_check", "bootstrap_revenue_ci",
-    "interval_merge_sessions", "window_rank_running", "cdc_merge_orders",
-    # ---- tier 2 (51+): previously driver-green queries, stable order
+    "split_leakage_check", "interval_merge_sessions", "window_rank_running",
     "winnow_fingerprint_pairs", "embedding_sq8_topk", "ann_recall_eval",
     "anomaly_mad_events", "temperature_sampled_mix",
     "dedup_lsh_recall_eval", "triangle_cosupplier_stats",
@@ -146,25 +164,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_cluster_assign", "dedup_embedding_cosine", "simhash_fingerprints",
     "ann_bucketed_sign_lsh",
-    # --- round-5 debuts (tier-2 tail). These 25 have local-parity +
-    # edge-test + three-SF sweep evidence but no driver row yet: they
-    # are the natural FRONT of round 6's top-50 window (keep ~5 proven
-    # representatives behind them as cross-round regression signal).
-    "kaplan_meier_retention", "gini_revenue_concentration",
-    "zipf_alpha_terms", "acf_daily_revenue", "ndcg_label_ranking",
-    "pattern_vshape_prices", "ewma_control_chart_daily",
-    "mann_kendall_trend_revenue", "purchase_streaks_histogram",
-    "cohort_ltv_curve", "item_cooccurrence_topk", "nelson_aalen_hazard",
-    "ztest_conversion_ab", "seasonal_decompose_weekday",
-    "burstiness_user_interarrival", "price_index_laspeyres",
-    "modularity_cosupplier", "assortativity_cosupplier",
-    "session_bounce_rate", "hhi_segment_concentration",
-    "crossdoc_ngram_dup_mass", "diff_in_diff_purchase",
-    "cuped_variance_reduction", "er_precision_recall",
-    "forecast_backtest_mape", "t_closeness_audit",
-    "seasonal_residual_anomalies", "knn_label_accuracy",
-    "spearman_corr_daily", "gini_split_finder_price",
-    "new_vs_returning_revenue", "abc_xyz_inventory_matrix",
 )
 
 
