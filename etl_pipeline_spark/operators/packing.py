@@ -77,6 +77,140 @@ def exclusive_prefix_sum(
     )
 
 
+def range_bucketed_rank(
+    df: DataFrame,
+    key: str,
+    *,
+    ascending: bool = True,
+    tiebreak: tuple[str, ...] = (),
+    value_col: str | None = None,
+    partition_cols: tuple[str, ...] = (),
+    n_buckets: int = 1024,
+    with_rank: bool = False,
+    with_row_number: bool = False,
+) -> DataFrame:
+    """Value-ordered window stats WITHOUT a single-partition global sort.
+
+    The same two-level scan as :func:`exclusive_prefix_sum`, generalized
+    from unique-integer ids to an arbitrary numeric sort key: rows are
+    range-bucketed by ``key`` (bucket = monotone function of the key, so
+    bucket order == key order and ties never straddle buckets), per-bucket
+    counts/sums aggregate into a SMALL totals relation (#partitions ×
+    n_buckets rows), exclusive offsets come from one bounded window over
+    that relation, and the big relation only ever sorts WITHIN a bucket
+    (``PARTITION BY bucket`` — parallel across buckets). This replaces
+    the ``SUM(x) OVER (ORDER BY key)`` / ``ROW_NUMBER() OVER (ORDER BY
+    key)`` single-task plans that cannot run over an entity-cardinality
+    relation at 100 TB (10⁸ customers / 10⁹ parts).
+
+    Adds, per requested flag:
+    - ``cum``   (``value_col``): inclusive running SUM of ``value_col`` in
+      (key, tiebreak) order. Exact (order-free) for integer values;
+      for doubles the bucketed accumulation order differs from a strict
+      sequential scan by ~1 ulp — callers follow the repo parity rule of
+      rounding before any threshold compare.
+    - ``rnk``   (``with_rank``): RANK() by key alone — ties share the min
+      rank (equal keys always co-bucket, so offset + local rank is the
+      global rank). Also adds ``n_part`` = partition row count (for
+      percent_rank = (rnk-1)/(n_part-1)).
+    - ``rn``    (``with_row_number``): ROW_NUMBER() by (key, tiebreak).
+
+    ``partition_cols`` supports LOW-cardinality grouping (e.g. the ~5
+    event types): bounds and offsets are broadcast per group. For
+    high-cardinality partition keys a plain partitioned window is already
+    the right plan — don't use this device there.
+
+    Skew note: all rows with one identical key value land in one bucket
+    by construction (required for rank correctness); a single dominant
+    value therefore bounds parallelism exactly as it would bound any
+    correct ranking scheme.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    pc = list(partition_cols)
+    kd = F.col(key).cast("double")
+    bounds = (
+        df.groupBy(*pc).agg(F.min(kd).alias("__lo"), F.max(kd).alias("__hi"))
+        if pc
+        else df.agg(F.min(kd).alias("__lo"), F.max(kd).alias("__hi"))
+    )
+    rows = (
+        df.join(F.broadcast(bounds), pc)
+        if pc
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    # floor((k - lo)/w) is monotone non-decreasing in k and constant on
+    # ties, so bucket order == key order; clamp the hi endpoint into the
+    # last bucket. Degenerate all-equal groups collapse to bucket 0.
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bucket = (
+        F.when(F.col("__hi") <= F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((kd - F.col("__lo")) / width),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("int")
+    )
+    rows = rows.withColumn("__bucket", bucket).drop("__lo", "__hi")
+
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("__vtot"))
+    totals = rows.groupBy(*pc, "__bucket").agg(*aggs)
+
+    # SMALL relation (#groups × n_buckets): the bounded window — see
+    # exclusive_prefix_sum docstring for why this is the safe place to sort.
+    border = F.asc("__bucket") if ascending else F.desc("__bucket")
+    base = Window.partitionBy(*pc) if pc else Window.partitionBy()
+    off_w = base.orderBy(border).rowsBetween(Window.unboundedPreceding, -1)
+    off_cols = [
+        *pc,
+        "__bucket",
+        F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__coff"),
+    ]
+    if value_col is not None:
+        off_cols.append(
+            F.coalesce(F.sum("__vtot").over(off_w), F.lit(0)).alias("__voff")
+        )
+    if with_rank:
+        # whole-group row count (order-independent frame)
+        off_cols.append(
+            F.sum("__cnt")
+            .over(
+                base.orderBy(border).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("__n")
+        )
+    offsets = totals.select(*off_cols)
+
+    out = rows.join(F.broadcast(offsets), [*pc, "__bucket"])
+    key_ord = F.asc(key) if ascending else F.desc(key)
+    intra = Window.partitionBy(*pc, "__bucket")
+    if value_col is not None:
+        w_cum = intra.orderBy(key_ord, *[F.asc(t) for t in tiebreak]).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        out = out.withColumn(
+            "cum", F.col("__voff") + F.sum(value_col).over(w_cum)
+        )
+    if with_rank:
+        w_rank = intra.orderBy(key_ord)
+        out = out.withColumn(
+            "rnk", F.col("__coff") + F.rank().over(w_rank)
+        ).withColumnRenamed("__n", "n_part")
+    if with_row_number:
+        w_rn = intra.orderBy(key_ord, *[F.asc(t) for t in tiebreak])
+        out = out.withColumn("rn", F.col("__coff") + F.row_number().over(w_rn))
+    drop = ["__bucket", "__coff"]
+    if value_col is not None:
+        drop.append("__voff")
+    return out.drop(*drop)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

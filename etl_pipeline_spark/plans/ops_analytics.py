@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_pipeline_spark.operators.packing import range_bucketed_rank
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
 
@@ -157,40 +158,45 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Pareto / ABC revenue concentration: customers sorted by revenue
 # (descending, custkey tiebreak), cumulative share classifies A (first
-# 80% of revenue), B (next 15%), C (tail). The cumsum runs over the
-# CUSTOMER AGGREGATE in one deterministic order, so both engines
-# accumulate the identical fp sequence. Output is the 3-row class
-# summary. The single-partition cumsum is bounded by the customer count;
-# at 10⁹ customers the two-level distributed prefix sum
-# (operators/packing.py::exclusive_prefix_sum over revenue-rank buckets)
-# is the same plan shape with bucketed offsets.
+# 80% of revenue), B (next 15%), C (tail). Output is the 3-row class
+# summary. Revenue is held as EXACT integer cents end-to-end, so the
+# cumulative sum is associative — accumulation order cannot move an
+# A/B/C boundary in either engine or at any scale. That order-freedom is
+# what lets the Spark side run the cumsum through the two-level
+# range-bucketed prefix sum (operators/packing.py::range_bucketed_rank)
+# instead of a single-task ``SUM OVER (ORDER BY rev DESC)`` — the plan
+# that cannot run over 10⁹ customers.
 # ---------------------------------------------------------------------------
 @register(
     "pareto_abc_revenue",
     oracle="""
         WITH cust AS (
-            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev
+            SELECT o_custkey,
+                   CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT)
+                       AS rev_cents
             FROM orders GROUP BY o_custkey
         ),
-        tot AS (SELECT SUM(rev) AS total FROM cust),
+        tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM cust),
         ranked AS (
-            SELECT o_custkey, rev,
-                   SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+            SELECT o_custkey, rev_cents,
+                   SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS cum
             FROM cust
         ),
         classed AS (
-            SELECT o_custkey, rev,
-                   CASE WHEN ROUND(cum / t.total, 6) <= 0.80 THEN 'A'
-                        WHEN ROUND(cum / t.total, 6) <= 0.95 THEN 'B'
+            SELECT o_custkey, rev_cents,
+                   CASE WHEN ROUND(CAST(cum AS DOUBLE) / t.total, 6) <= 0.80
+                            THEN 'A'
+                        WHEN ROUND(CAST(cum AS DOUBLE) / t.total, 6) <= 0.95
+                            THEN 'B'
                         ELSE 'C' END AS abc
             FROM ranked CROSS JOIN tot t
         )
         SELECT abc,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
-               ROUND(SUM(rev), 2) AS revenue,
-               ROUND(SUM(rev) / MIN(t.total), 6) AS revenue_share
+               ROUND(SUM(rev_cents) / 100.0, 2) AS revenue,
+               ROUND(SUM(rev_cents) * 1.0 / MIN(t.total), 6) AS revenue_share
         FROM classed CROSS JOIN tot t
         GROUP BY abc
     """,
@@ -198,35 +204,39 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pareto_abc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    # rev rounds to 2dp BEFORE the running sum: the cumsum then
-    # accumulates identical inputs in identical (rev DESC, custkey) order
-    # in both engines, so no A/B/C boundary can ride a partial-agg ulp
+    # exact cents (the gini convention): integer cumsum is order-free,
+    # so the bucketed prefix sum below is bit-identical to a sequential
+    # scan — no boundary can ride an fp reorder
     cust = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("rev")
+        F.expr("CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT)").alias(
+            "rev_cents"
+        )
     )
-    tot = cust.agg(F.sum("rev").alias("total"))
-    w = (
-        Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    tot = cust.agg(F.sum("rev_cents").cast("bigint").alias("total"))
+    # two-level prefix sum in (rev_cents DESC, custkey ASC) order — the
+    # only global sort ever materialized is the 1024-row bucket-totals
+    # relation; the customer relation sorts within buckets, in parallel
+    ranked = range_bucketed_rank(
+        cust,
+        "rev_cents",
+        ascending=False,
+        tiebreak=("o_custkey",),
+        value_col="rev_cents",
     )
-    ranked = cust.withColumn("cum", F.sum("rev").over(w))
-    # classify on the 6-dp ROUNDED share (both engines): `total` is a
-    # plain float SUM whose partial-agg order differs per engine, so a
-    # customer landing exactly on the 0.80/0.95 boundary must not ride
-    # a low-order bit — the repo's round-before-compare parity rule
+    share = F.round(F.col("cum").cast("double") / F.col("total"), 6)
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "o_custkey",
-        "rev",
+        "rev_cents",
         "total",
-        F.when(F.round(F.col("cum") / F.col("total"), 6) <= 0.80, "A")
-        .when(F.round(F.col("cum") / F.col("total"), 6) <= 0.95, "B")
-        .otherwise("C")
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
         .alias("abc"),
     )
     return classed.groupBy("abc").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.round(F.sum("rev"), 2).alias("revenue"),
-        F.round(F.sum("rev") / F.min("total"), 6).alias("revenue_share"),
+        F.round(F.sum("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(F.sum("rev_cents") * 1.0 / F.min("total"), 6).alias(
+            "revenue_share"
+        ),
     )
 
 
@@ -345,9 +355,14 @@ def markov_transition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Quantile normalization: within-type percent_rank of `value` — the
 # distribution-free transform that makes heterogeneous metrics
 # comparable. percent_rank = (rank-1)/(n-1) with ties sharing rank, a
-# definition both engines implement identically; one group-keyed window
-# shuffle (partition count = event types — at real scale the stream key
-# is high-cardinality and this is the standard one-shuffle transform).
+# definition both engines implement identically. event_type has ~5
+# values, so ``PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY
+# value)`` would sort ~n/5 of the ENTIRE fact table in one task — the
+# single-partition-sort killer wearing a thin partition-key disguise.
+# Instead: per-(type, value-bucket) counts + broadcast exclusive offsets
+# (operators/packing.py::range_bucketed_rank) — rank = bucket offset +
+# local rank (ties co-bucket by construction, so min-rank semantics are
+# exact), and the fact table only ever sorts within a (type, bucket).
 # ---------------------------------------------------------------------------
 @register(
     "quantile_normalize_values",
@@ -363,12 +378,17 @@ def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    w = Window.partitionBy("event_type").orderBy("value")
-    return ev.select(
+    ranked = range_bucketed_rank(
+        ev, "value", partition_cols=("event_type",), with_rank=True
+    )
+    pct = (F.col("rnk") - 1).cast("double") / (F.col("n_part") - 1)
+    return ranked.select(
         "event_id",
         "event_type",
         "value",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(
+            F.when(F.col("n_part") > 1, pct).otherwise(F.lit(0.0)), 6
+        ).alias("pct_rank"),
     )
 
 
@@ -570,10 +590,16 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents"
         )
     )
-    w = Window.orderBy(F.asc("rev_cents"), F.asc("o_custkey"))
-    r = cust.select(
-        "rev_cents", "o_custkey", F.row_number().over(w).alias("rnk")
-    )
+    # global ROW_NUMBER in (rev_cents ASC, custkey ASC) order via the
+    # two-level bucketed device — no single-task sort of the customer
+    # relation (operators/packing.py::range_bucketed_rank)
+    r = range_bucketed_rank(
+        cust,
+        "rev_cents",
+        ascending=True,
+        tiebreak=("o_custkey",),
+        with_row_number=True,
+    ).select("rev_cents", "o_custkey", F.col("rn").alias("rnk"))
     return r.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.expr("ROUND(CAST(SUM(rev_cents) AS DOUBLE) / 100.0, 2)").alias(

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_pipeline_spark.operators.packing import range_bucketed_rank
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
 
@@ -1450,12 +1451,18 @@ def abc_xyz_inventory_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("s2"),
     )
     tot = p.agg(F.sum("cents").cast("bigint").alias("total"))
-    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    # integer cents make the cumsum order-free, so the two-level
+    # range-bucketed prefix sum (operators/packing.py) is bit-identical
+    # to the oracle's sequential window — and never sorts the part
+    # relation in one task (10⁹ parts at 100 TB)
+    p = range_bucketed_rank(
+        p,
+        "cents",
+        ascending=False,
+        tiebreak=("l_partkey",),
+        value_col="cents",
     )
-    share = F.round(
-        F.sum("cents").over(w).cast("double") / F.col("total"), 6
-    )
+    share = F.round(F.col("cum").cast("double") / F.col("total"), 6)
     abc = p.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
         "cents",

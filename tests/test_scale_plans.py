@@ -529,6 +529,46 @@ def test_pagination_prefix_sum_no_single_partition_window(spark):
         assert "row_number" not in plan, name
 
 
+def _unpartitioned_window_order_keys(plan: str) -> list[str]:
+    """First argument of every windowspecdefinition that has NO partition
+    spec (an unpartitioned ordered window starts straight with a sort
+    field, which carries ASC/DESC; partition columns never do)."""
+    import re
+
+    keys = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        first = m.group(1).split(",")[0]
+        if " ASC" in first or " DESC" in first:
+            keys.append(first)
+    return keys
+
+
+def test_cumshare_quartet_bucketed_prefix_sum(spark):
+    """pareto/gini/abc_xyz rank-or-cumsum ENTITY-cardinality relations
+    (customers/parts) and quantile_normalize windows the events FACT
+    over a ~5-value partition key: all four must route through the
+    two-level range-bucketed device (operators/packing.py::
+    range_bucketed_rank). The ONLY unpartitioned ordered window allowed
+    in their plans is the bucket-offsets window over the SMALL totals
+    relation (sort key __bucket) — never the data-sized relation."""
+    for name in (
+        "pareto_abc_revenue",
+        "gini_revenue_concentration",
+        "abc_xyz_inventory_matrix",
+        "quantile_normalize_values",
+    ):
+        plan = _plan(spark, REGISTRY[name].spark_fn(spark, SF_DIR))
+        assert "__bucket" in plan, name
+        for key in _unpartitioned_window_order_keys(plan):
+            assert "__bucket" in key, (name, key)
+    # the fact-sized percent_rank is gone entirely: ranks come from
+    # offset + intra-bucket rank
+    qplan = _plan(
+        spark, REGISTRY["quantile_normalize_values"].spark_fn(spark, SF_DIR)
+    )
+    assert "percent_rank" not in qplan
+
+
 def test_item_cooccurrence_joinless_pair_build(spark):
     """The basket pair build must expand MAP-SIDE inside the collected
     basket array — ZERO joins touch the fact table (the v1 shape
