@@ -1180,3 +1180,70 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_label") == F.col("q_label")).cast("int").alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift between corpus halves (round-6 wave): the
+# train/serve distribution-shift monitor — cosine between the mean
+# vectors of the even- and odd-id halves, plus the centroid L2 gap. Per
+# (split, dim) means come from ONE posexplode pass (the
+# embedding_outliers_topk idiom) and round to 6 dp BEFORE the cosine so
+# both engines fold bit-identical centroids; everything after the
+# grouped aggregate runs on 2×64 rows. At any corpus size the shuffle
+# is splits × dims.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+        WITH px AS (
+            SELECT vec_id % 2 AS split, i.i AS pos,
+                   CAST(embedding[i.i + 1] AS DOUBLE) AS v
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(0, 63)) AS i) i
+        ),
+        cen AS (
+            SELECT split, pos,
+                   FLOOR((SUM(v) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS c
+            FROM px GROUP BY 1, 2
+        ),
+        pair AS (
+            SELECT a.pos, a.c AS ca, b.c AS cb
+            FROM cen a JOIN cen b ON b.pos = a.pos
+            WHERE a.split = 0 AND b.split = 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+               ROUND(SUM(ca * cb)
+                     / (SQRT(SUM(ca * ca)) * SQRT(SUM(cb * cb))), 6)
+                   AS centroid_cosine,
+               ROUND(SQRT(SUM((ca - cb) * (ca - cb))), 6) AS centroid_l2
+        FROM pair
+    """,
+    tags=("llm", "similarity", "drift"),
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    px = emb.select(
+        (F.col("vec_id") % 2).alias("split"),
+        F.posexplode(F.col("embedding")).alias("pos", "v0"),
+    ).select("split", "pos", F.col("v0").cast("double").alias("v"))
+    cen = px.groupBy("split", "pos").agg(
+        F.expr("FLOOR((SUM(v) / COUNT(*)) * 1e6 + 0.5) / 1e6").alias("c")
+    )
+    a = cen.where(F.col("split") == 0).select("pos", F.col("c").alias("ca"))
+    b = cen.where(F.col("split") == 1).select("pos", F.col("c").alias("cb"))
+    pair = a.join(b, "pos")
+    return pair.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.round(
+            F.sum(F.col("ca") * F.col("cb"))
+            / (
+                F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(
+            F.sqrt(F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))),
+            6,
+        ).alias("centroid_l2"),
+    )

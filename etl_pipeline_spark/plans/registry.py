@@ -199,6 +199,7 @@ def _ensure_loaded() -> None:
     from etl_pipeline_spark.plans import (  # noqa: F401
         advanced_analytics,
         analytics,
+        commerce,
         corpus_ops,
         corpus_quality,
         curation,

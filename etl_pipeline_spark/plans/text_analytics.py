@@ -872,3 +872,162 @@ def crossdoc_ngram_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.alias("dup_instances"),
         F.round(dup.cast("double") / F.sum("cnt"), 6).alias("dup_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease per language band (round-6 wave). Syllables are
+# approximated by vowel-run count (the standard regex proxy), words by
+# letter runs, sentences by terminal-punctuation runs — all INTEGER
+# counts from one regexp pass, so the Flesch formula runs on
+# integer-ratio doubles whose +,−,×,÷ are IEEE-exact in both engines
+# (no libm anywhere). Narrow scan → per-doc counts → lang×band grouped
+# summary; zero joins, zero windows.
+# ---------------------------------------------------------------------------
+@register(
+    "readability_flesch_docs",
+    oracle="""
+        WITH c AS (
+            SELECT lang,
+                   len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+                   GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+')) AS v
+            FROM documents
+        ),
+        f AS (
+            SELECT lang,
+                   ROUND(206.835 - 1.015 * (w * 1.0 / s)
+                         - 84.6 * (v * 1.0 / w), 4) AS score
+            FROM c WHERE w > 0
+        ),
+        b AS (
+            SELECT lang, score,
+                   CASE WHEN score >= 90 THEN 'very_easy'
+                        WHEN score >= 60 THEN 'easy'
+                        WHEN score >= 30 THEN 'hard'
+                        ELSE 'very_hard' END AS band
+            FROM f
+        )
+        SELECT lang, band,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(SUM(score) / COUNT(*), 4) AS mean_score
+        FROM b GROUP BY 1, 2
+    """,
+    tags=("text", "quality", "readability"),
+)
+def readability_flesch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    c = docs.select(
+        "lang",
+        F.expr("regexp_count(text, '[A-Za-z]+')").alias("w"),
+        F.greatest(F.expr("regexp_count(text, '[.!?]+')"), F.lit(1)).alias("s"),
+        F.expr("regexp_count(lower(text), '[aeiouy]+')").alias("v"),
+    )
+    score = F.round(
+        F.lit(206.835)
+        - 1.015 * (F.col("w") * 1.0 / F.col("s"))
+        - 84.6 * (F.col("v") * 1.0 / F.col("w")),
+        4,
+    )
+    f = c.where(F.col("w") > 0).select("lang", score.alias("score"))
+    band = (
+        F.when(F.col("score") >= 90, "very_easy")
+        .when(F.col("score") >= 60, "easy")
+        .when(F.col("score") >= 30, "hard")
+        .otherwise("very_hard")
+    )
+    return (
+        f.select("lang", "score", band.alias("band"))
+        .groupBy("lang", "band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("score") / F.count(F.lit(1)), 4).alias("mean_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language (round-6 wave): BPE-ish regex tokens
+# (letter runs | digit runs | single other non-space) per whitespace
+# word — the tokens-per-word ratio that decides how expensive a language
+# is to train on and flags scripts the tokenizer fragments. Two integer
+# regexp counts per doc, one grouped sum; fertility is an exact-integer
+# ratio rounded at the end.
+# ---------------------------------------------------------------------------
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=r"""
+        WITH c AS (
+            SELECT lang,
+                   len(regexp_extract_all(text, '\S+')) AS words,
+                   len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS toks
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(words) AS BIGINT) AS n_words,
+               CAST(SUM(toks) AS BIGINT) AS n_tokens,
+               ROUND(SUM(toks) * 1.0 / SUM(words), 6) AS fertility
+        FROM c WHERE words > 0 GROUP BY 1
+    """,
+    tags=("text", "llm", "tokenizer"),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    c = docs.select(
+        "lang",
+        F.expr(r"regexp_count(text, '\\S+')").alias("words"),
+        F.expr(r"regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')").alias(
+            "toks"
+        ),
+    )
+    return (
+        c.where(F.col("words") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("words").cast("bigint").alias("n_words"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("toks") * 1.0 / F.sum("words"), 6).alias("fertility"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document-length log₂ histogram per language (round-6 wave): the
+# length-distribution view every corpus intake dashboard leads with.
+# The bucket is floor(log₂ n_chars) computed EXACTLY as
+# length(bin(n_chars)) − 1 — integer bit-width, never libm log2, whose
+# power-of-two boundaries differ between engines by one ulp. One grouped
+# count over a two-column scan.
+# ---------------------------------------------------------------------------
+@register(
+    "doclen_log_histogram",
+    oracle="""
+        SELECT lang,
+               CAST(length(bin(CAST(n_chars AS BIGINT))) - 1 AS BIGINT)
+                   AS log2_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents WHERE n_chars >= 1
+        GROUP BY 1, 2
+    """,
+    tags=("text", "profile", "histogram"),
+)
+def doclen_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return (
+        docs.where(F.col("n_chars") >= 1)
+        .groupBy(
+            "lang",
+            (F.length(F.bin(F.col("n_chars"))) - 1)
+            .cast("bigint")
+            .alias("log2_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
