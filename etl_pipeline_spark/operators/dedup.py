@@ -30,6 +30,37 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
+def containment_pairs(shingle_df: DataFrame, threshold: float) -> DataFrame:
+    """Asymmetric near-dup: pairs where the SMALLER shingle set is mostly
+    inside the larger — containment = |A∩B| / min(|A|, |B|). Catches
+    subset/prefix duplication (a doc embedded in a longer one) that
+    resemblance Jaccard dilutes below any LSH threshold (a half-doc has
+    Jaccard ≈ 0.5 against its source but containment 1.0). Same
+    shingle-equi-join candidate generation as :func:`jaccard_pairs`
+    (cost Σ df(shingle)² — the verifier stage; gate behind LSH/winnowing
+    candidate generation at corpus scale)."""
+    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingle_df.alias("a"), shingle_df.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    cont = F.col("n_common") / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(cont >= threshold)
+        .select(
+            "doc_a", "doc_b", "n_common", F.round(cont, 6).alias("containment")
+        )
+    )
+
+
 def jaccard_pairs(shingle_df: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard over a shingle relation: all pairs sharing ≥1 shingle.
     Cost Σ df(shingle)² — the verifier stage; gate behind LSH at scale."""

@@ -456,3 +456,99 @@ def effective_catalog_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-F.sum(p * F.log(p))), 2).alias("effective_parts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly revenue bridge (round-6 wave): decompose month-over-month
+# revenue change into new / expansion / contraction / churned — the SaaS
+# revenue-movement waterfall. Per-(customer, month) cents full-outer
+# self-joined against (customer, month−1): a-only rows are new-or-
+# reactivated revenue in month m, b-only rows churn INTO m+1, matched
+# rows split into expansion / contraction by sign. Exact integer cents
+# end-to-end; one equi-join on (custkey, month); month-domain output.
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_bridge_monthly",
+    oracle=f"""
+        WITH cm AS (
+            SELECT o_custkey,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                        AS BIGINT) AS m,
+                   CAST(SUM({_CENTS_DUCK}) AS BIGINT) AS cents
+            FROM orders GROUP BY 1, 2
+        ),
+        br AS (
+            SELECT COALESCE(a.m, b.m + 1) AS month_idx,
+                   CASE WHEN b.o_custkey IS NULL THEN a.cents ELSE 0 END
+                       AS new_c,
+                   CASE WHEN a.o_custkey IS NULL THEN b.cents ELSE 0 END
+                       AS churn_c,
+                   CASE WHEN a.o_custkey IS NOT NULL
+                             AND b.o_custkey IS NOT NULL
+                             AND a.cents > b.cents
+                        THEN a.cents - b.cents ELSE 0 END AS expan_c,
+                   CASE WHEN a.o_custkey IS NOT NULL
+                             AND b.o_custkey IS NOT NULL
+                             AND a.cents < b.cents
+                        THEN b.cents - a.cents ELSE 0 END AS contr_c
+            FROM cm a FULL JOIN cm b
+              ON b.o_custkey = a.o_custkey AND b.m = a.m - 1
+        )
+        SELECT month_idx,
+               CAST(SUM(new_c) AS BIGINT) / 100.0 AS rev_new,
+               CAST(SUM(expan_c) AS BIGINT) / 100.0 AS rev_expansion,
+               CAST(SUM(contr_c) AS BIGINT) / 100.0 AS rev_contraction,
+               CAST(SUM(churn_c) AS BIGINT) / 100.0 AS rev_churned
+        FROM br GROUP BY 1
+    """,
+    tags=("commerce", "revenue", "waterfall"),
+)
+def revenue_bridge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cm = orders.groupBy(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("m"),
+    ).agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("cents"))
+    a = cm.select(
+        F.col("o_custkey").alias("ck_a"),
+        F.col("m").alias("m_a"),
+        F.col("cents").alias("c_a"),
+    )
+    b = cm.select(
+        F.col("o_custkey").alias("ck_b"),
+        F.col("m").alias("m_b"),
+        F.col("cents").alias("c_b"),
+    )
+    br = a.join(
+        b,
+        (F.col("ck_b") == F.col("ck_a")) & (F.col("m_b") == F.col("m_a") - 1),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("m_a"), F.col("m_b") + 1).alias("month_idx"),
+        F.when(F.col("ck_b").isNull(), F.col("c_a")).otherwise(0).alias("new_c"),
+        F.when(F.col("ck_a").isNull(), F.col("c_b")).otherwise(0).alias("churn_c"),
+        F.when(
+            F.col("ck_a").isNotNull()
+            & F.col("ck_b").isNotNull()
+            & (F.col("c_a") > F.col("c_b")),
+            F.col("c_a") - F.col("c_b"),
+        )
+        .otherwise(0)
+        .alias("expan_c"),
+        F.when(
+            F.col("ck_a").isNotNull()
+            & F.col("ck_b").isNotNull()
+            & (F.col("c_a") < F.col("c_b")),
+            F.col("c_b") - F.col("c_a"),
+        )
+        .otherwise(0)
+        .alias("contr_c"),
+    )
+    return br.groupBy("month_idx").agg(
+        (F.sum("new_c").cast("bigint") / 100.0).alias("rev_new"),
+        (F.sum("expan_c").cast("bigint") / 100.0).alias("rev_expansion"),
+        (F.sum("contr_c").cast("bigint") / 100.0).alias("rev_contraction"),
+        (F.sum("churn_c").cast("bigint") / 100.0).alias("rev_churned"),
+    )

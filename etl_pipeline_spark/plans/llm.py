@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from etl_pipeline_spark.operators.graph import cluster_assignments
 from etl_pipeline_spark.operators.dedup import (
+    containment_pairs,
     exact_dedup,
     jaccard_pairs,
     jaccard_verify,
@@ -1247,3 +1248,66 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_l2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (round-6 wave): the asymmetric twin of the
+# Jaccard verifier — containment = |A∩B| / min(|A|, |B|) catches a doc
+# EMBEDDED in a longer one (prefix/quote/boilerplate duplication), which
+# resemblance dilutes to ~0.5 and every LSH band misses. The corpus is
+# augmented with deterministic half-docs (first ⌈w/2⌉ words, id+200000,
+# docs with ≥7 words) so subset semantics are actually exercised: each
+# injected half has containment 1.0 against its source. Candidate
+# generation stays the shingle equi-join (Σ df² verifier cost — gate
+# behind LSH/winnowing at corpus scale, the jaccard_pairs note).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+        WITH half AS (
+            SELECT doc_id + 200000 AS doc_id,
+                   array_to_string(list_slice(string_split(text, ' '), 1,
+                       (len(string_split(text, ' ')) + 1) // 2), ' ') AS text
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 7
+        ),
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id, text FROM half
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]))) AS shingle
+            FROM corpus
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               ROUND(n_common * 1.0 / LEAST(sa.n, sb.n), 6) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common * 1.0 / LEAST(sa.n, sb.n) >= 0.9
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    half = docs.where(F.size(toks) >= 7).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.expr("(size(split(text, ' ')) + 1) DIV 2")), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(half)
+    return containment_pairs(shingles(corpus, "doc_id", "text", 3), 0.9)

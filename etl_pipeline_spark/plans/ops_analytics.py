@@ -1618,3 +1618,83 @@ def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_returning_customers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Next-event bigram model accuracy (round-6 wave): the eval twin of
+# markov_transition_events. Train on even user_ids — per prev_type the
+# predicted next is the argmax transition count (count DESC, type ASC
+# tiebreak — both engines deterministic); evaluate top-1 accuracy on odd
+# users' transitions. The model is a ≤types-row relation (broadcast);
+# the only fact-sized work is the per-user LAG window each half already
+# pays. Output: per-prev-type accuracy + the prediction itself.
+# ---------------------------------------------------------------------------
+@register(
+    "session_next_event_accuracy",
+    oracle="""
+        WITH t AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        train AS (
+            SELECT prev_type, event_type, COUNT(*) AS c
+            FROM t WHERE prev_type IS NOT NULL AND user_id % 2 = 0
+            GROUP BY 1, 2
+        ),
+        model AS (
+            SELECT prev_type, event_type AS predicted FROM (
+                SELECT prev_type, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY prev_type
+                           ORDER BY c DESC, event_type ASC) AS r
+                FROM train
+            ) WHERE r = 1
+        )
+        SELECT t.prev_type,
+               m.predicted,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN t.event_type = m.predicted
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               ROUND(SUM(CASE WHEN t.event_type = m.predicted
+                              THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+                   AS accuracy
+        FROM t JOIN model m ON m.prev_type = t.prev_type
+        WHERE t.prev_type IS NOT NULL AND t.user_id % 2 = 1
+        GROUP BY 1, 2
+    """,
+    tags=("events", "ml", "eval"),
+)
+def session_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    lag_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.withColumn("prev_type", F.lag("event_type").over(lag_w)).where(
+        F.col("prev_type").isNotNull()
+    )
+    train = (
+        t.where(F.col("user_id") % 2 == 0)
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # types × types relation: the rank window is domain-bounded
+    best_w = Window.partitionBy("prev_type").orderBy(
+        F.desc("c"), F.asc("event_type")
+    )
+    model = (
+        train.withColumn("r", F.row_number().over(best_w))
+        .where(F.col("r") == 1)
+        .select("prev_type", F.col("event_type").alias("predicted"))
+    )
+    test = t.where(F.col("user_id") % 2 == 1)
+    hit = F.when(F.col("event_type") == F.col("predicted"), 1).otherwise(0)
+    return (
+        test.join(F.broadcast(model), "prev_type")
+        .groupBy("prev_type", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 6).alias("accuracy"),
+        )
+    )

@@ -882,3 +882,58 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_distance",
         "is_violation",
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private noisy counts (round-6 wave): the Laplace
+# mechanism (Dwork et al. 2006) on per-type event counts — sensitivity 1
+# count query, ε = 0.1, noise ~ Laplace(b = 1/ε = 10) drawn via inverse
+# CDF from a DETERMINISTIC uniform (the md5 instr-decode of
+# operators/sampling.py — evaluates identically in both engines, so the
+# "random" release is oracle-checkable). u centers on (u32+0.5)/2³² so
+# neither ln() argument can hit 0. Completes the governance family
+# (k-anonymity, l-diversity, t-closeness) with its release mechanism;
+# output keeps the true count beside the noisy one because this
+# registers the MECHANISM, not an actual private release.
+# ---------------------------------------------------------------------------
+from etl_pipeline_spark.operators.sampling import hash_u32_sql as _hash_u32_sql
+
+_DP_B = 10.0  # Laplace scale = sensitivity / epsilon = 1 / 0.1
+
+
+def _dp_noise_sql(u32: str) -> str:
+    u = f"(({u32}) + 0.5) / 4294967296.0"
+    return (
+        f"CASE WHEN {u} < 0.5 THEN {_DP_B} * LN(2.0 * ({u}))"
+        f" ELSE -{_DP_B} * LN(2.0 * (1.0 - ({u}))) END"
+    )
+
+
+@register(
+    "dp_noisy_counts_laplace",
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM events GROUP BY 1
+        )
+        SELECT event_type, n_true,
+               ROUND({_dp_noise_sql(_hash_u32_sql("event_type", "dp"))}, 4)
+                   AS noise,
+               ROUND(n_true + {_dp_noise_sql(_hash_u32_sql("event_type", "dp"))},
+                     4) AS n_noisy
+        FROM c
+    """,
+    tags=("privacy", "governance", "dp"),
+)
+def dp_noisy_counts_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    noise = _dp_noise_sql(_hash_u32_sql("event_type", "dp"))
+    return c.select(
+        "event_type",
+        "n_true",
+        F.round(F.expr(noise), 4).alias("noise"),
+        F.round(F.col("n_true") + F.expr(noise), 4).alias("n_noisy"),
+    )
