@@ -1,0 +1,211 @@
+"""Round-6 edge coverage: the range-bucketed rank device proven against
+Spark's own single-partition windows on adversarial inputs (ties, skew,
+degenerate buckets), containment dedup on a crafted subset pair, the
+revenue-bridge accounting identity, and DP-noise determinism."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.operators.packing import range_bucketed_rank
+from etl_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
+from tests.conftest import SF_DIR
+
+_ensure_loaded()
+
+
+# ---------------------------------------------------------------------------
+# range_bucketed_rank ≡ the plain ordered window, on data with heavy ties,
+# negative keys, and a skewed cluster — for both directions and for
+# degenerate bucket counts (1 bucket = the naive plan; 7 buckets forces
+# offsets; 1000 buckets > distinct keys).
+# ---------------------------------------------------------------------------
+def _mk_rows(spark):
+    # 400 rows: clustered keys (ties across the range), one dominant value,
+    # negatives, and a unique tail
+    rows = []
+    for i in range(400):
+        if i % 7 == 0:
+            key = 13.5  # dominant tie cluster
+        elif i % 3 == 0:
+            key = -float(i % 50)
+        else:
+            key = float((i * 37) % 97) / 3.0
+        rows.append((i, key, i % 2, float(i % 11)))
+    return spark.createDataFrame(rows, "id long, key double, grp int, val double")
+
+
+@pytest.mark.parametrize("ascending", [True, False])
+@pytest.mark.parametrize("n_buckets", [1, 7, 1000])
+def test_range_bucketed_rank_matches_plain_window(spark, ascending, n_buckets):
+    df = _mk_rows(spark)
+    out = range_bucketed_rank(
+        df,
+        "key",
+        ascending=ascending,
+        tiebreak=("id",),
+        value_col="val",
+        partition_cols=("grp",),
+        n_buckets=n_buckets,
+        with_rank=True,
+        with_row_number=True,
+    )
+    order = [F.asc("key") if ascending else F.desc("key")]
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy(*order, F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_rank = Window.partitionBy("grp").orderBy(*order)
+    w_rn = Window.partitionBy("grp").orderBy(*order, F.asc("id"))
+    expect = df.select(
+        "id",
+        F.sum("val").over(w_cum).alias("cum_e"),
+        F.rank().over(w_rank).alias("rnk_e"),
+        F.row_number().over(w_rn).alias("rn_e"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n_e"),
+    )
+    joined = out.join(expect, "id").collect()
+    assert len(joined) == 400
+    for r in joined:
+        assert r["rnk"] == r["rnk_e"], (r["id"], r["rnk"], r["rnk_e"])
+        assert r["rn"] == r["rn_e"], (r["id"], r["rn"], r["rn_e"])
+        assert r["n_part"] == r["n_e"]
+        assert math.isclose(r["cum"], r["cum_e"], rel_tol=1e-9), r["id"]
+
+
+def test_range_bucketed_rank_all_equal_keys(spark):
+    df = spark.createDataFrame(
+        [(i, 5.0, 1.0) for i in range(50)], "id long, key double, val double"
+    )
+    out = range_bucketed_rank(
+        df, "key", tiebreak=("id",), value_col="val",
+        with_rank=True, with_row_number=True,
+    ).collect()
+    # hi == lo: everything lands in bucket 0 and the device degrades to
+    # one intra-bucket window — ranks all 1 (total tie), rns 1..50
+    assert sorted(r["rn"] for r in out) == list(range(1, 51))
+    assert {r["rnk"] for r in out} == {1}
+    by_id = {r["id"]: r for r in out}
+    assert by_id[0]["cum"] == 1.0 and by_id[49]["cum"] == 50.0
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs: a strict prefix doc has containment 1.0 against its
+# source even though its Jaccard is ~0.5 (the case LSH resemblance misses).
+# ---------------------------------------------------------------------------
+def test_containment_catches_prefix_subset(spark):
+    from etl_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingles,
+    )
+
+    full = "a b c d e f g h i j k l"  # 10 3-shingles
+    half = "a b c d e f"  # 4 3-shingles, all in full
+    other = "x y z w v u t s"
+    docs = spark.createDataFrame(
+        [(1, full), (2, half), (3, other)], "doc_id long, text string"
+    )
+    sh = shingles(docs, "doc_id", "text", 3)
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(sh, 0.9).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    # resemblance on the same pair sits at 4/10 — below any 0.5 gate
+    assert jaccard_pairs(sh, 0.5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# revenue_bridge_monthly accounting identity: for every month,
+# rev(m) − rev(m−1) = new + expansion − contraction − churned.
+# ---------------------------------------------------------------------------
+def test_revenue_bridge_identity(spark):
+    bridge = {
+        r["month_idx"]: r
+        for r in REGISTRY["revenue_bridge_monthly"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+    monthly = {
+        r["m"]: r["cents"]
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("bigint")
+            .alias("m")
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .collect()
+    }
+    months = sorted(monthly)
+    assert len(months) > 12
+    for m in months:
+        prev = monthly.get(m - 1, 0)
+        b = bridge[m]
+        delta = (
+            b["rev_new"]
+            + b["rev_expansion"]
+            - b["rev_contraction"]
+            - b["rev_churned"]
+        )
+        assert math.isclose(
+            monthly[m] / 100.0 - prev / 100.0, delta, abs_tol=0.02
+        ), m
+
+
+# ---------------------------------------------------------------------------
+# DP Laplace noise: deterministic (two runs identical), centered (its
+# inverse-CDF is exact), and the noisy release differs from truth.
+# ---------------------------------------------------------------------------
+def test_dp_noise_deterministic_and_formed(spark):
+    fn = REGISTRY["dp_noisy_counts_laplace"].spark_fn
+    a = {r["event_type"]: r for r in fn(spark, SF_DIR).collect()}
+    b = {r["event_type"]: r for r in fn(spark, SF_DIR).collect()}
+    assert a.keys() == b.keys() and len(a) >= 3
+    for k in a:
+        assert a[k]["noise"] == b[k]["noise"]  # same hash → same draw
+        assert a[k]["n_noisy"] == round(a[k]["n_true"] + a[k]["noise"], 4)
+        # Laplace(b=10): |noise| beyond 10·ln(2^31) impossible by
+        # construction; sanity-band the magnitude
+        assert abs(a[k]["noise"]) < 250.0
+
+
+# ---------------------------------------------------------------------------
+# Flesch bands: a crafted doc with known word/sentence/vowel-run counts
+# lands in the exact band both engines compute.
+# ---------------------------------------------------------------------------
+def test_flesch_score_exact_on_crafted_doc(spark, tmp_path):
+    import duckdb
+
+    text = "The cat sat. The dog ran!"  # 6 words, 2 sentences, 6 vowel runs
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = tmp_path / "documents.parquet"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(out))
+    res = (
+        REGISTRY["readability_flesch_docs"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    )
+    expected = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 4)
+    assert len(res) == 1
+    assert res[0]["band"] == "very_easy" and res[0]["mean_score"] == expected
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{out}/*.parquet')"
+    )
+    orc = con.execute(REGISTRY["readability_flesch_docs"].oracle).fetchall()
+    assert orc == [("en", "very_easy", 1, expected)]
