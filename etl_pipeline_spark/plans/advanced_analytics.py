@@ -802,3 +802,208 @@ def pattern_vshape_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("depth_cents") / 100.0).alias("max_drop"),
         F.min("first_m").alias("first_v_month"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (round-6 wave; Anderl et al. 2014,
+# "Mapping the customer journey"): credit each touch channel by how much
+# total conversion probability DISAPPEARS when that channel is removed
+# from the first-order journey chain. States: start, the four touch
+# types, and two absorbers (purchase, null). Journeys segment at
+# purchases (the next touch restarts at `start`); a user's trailing
+# unconverted touch transitions to `null`. Removing channel c redirects
+# every s→c edge to null.
+#
+# The chain solve is K=30 synchronous probability-mass iterations
+# v_{k+1} = vP over the (removals × ≤7 states) vector — the matrix is a
+# ≤(5·7·7)-row RELATION, so each "iteration" is one tiny hash-join +
+# re-aggregate; Spark builds the 30-step plan over that state-sized
+# relation (the PageRank discipline: the fact scan happens once, in the
+# transition-count aggregate). The oracle unrolls the same 30 steps as
+# chained CTEs — no recursive-aggregate support needed, bit-compatible
+# step order. Mass in `purchase` after K steps = conversion prob
+# (geometric convergence; both engines run the identical K).
+# ---------------------------------------------------------------------------
+_MRK_K = 30
+_MRK_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_oracle() -> str:
+    removals = ", ".join(f"('{c}')" for c in ("none", *_MRK_CHANNELS))
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, which would expand the
+    # 30-step chain into an exponentially nested join tree — materializing
+    # each tiny step keeps planning linear (the SQL analogue of the
+    # localCheckpoint below)
+    steps = "\n".join(
+        f"""        v{k + 1} AS MATERIALIZED (
+            SELECT p.removed, p.dst AS state, SUM(v{k}.p * p.pr) AS p
+            FROM v{k} JOIN pmat p
+              ON p.removed = v{k}.removed AND p.src = v{k}.state
+            GROUP BY 1, 2
+        ),"""
+        for k in range(_MRK_K)
+    )
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER w AS prev,
+                   LEAD(event_type) OVER w AS nxt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        trans AS (
+            SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
+                        THEN 'start' ELSE prev END AS src,
+                   event_type AS dst
+            FROM seq
+            UNION ALL
+            SELECT event_type AS src, 'null' AS dst
+            FROM seq WHERE nxt IS NULL AND event_type <> 'purchase'
+        ),
+        cnt AS (SELECT src, dst, COUNT(*) AS c FROM trans GROUP BY 1, 2),
+        tot AS (SELECT src, SUM(c) AS t FROM cnt GROUP BY 1),
+        base AS (
+            SELECT cnt.src, cnt.dst, cnt.c * 1.0 / tot.t AS pr
+            FROM cnt JOIN tot ON tot.src = cnt.src
+        ),
+        rems AS (SELECT * FROM (VALUES {removals}) AS r(removed)),
+        pmat0 AS (
+            SELECT r.removed, b.src,
+                   CASE WHEN b.dst = r.removed THEN 'null' ELSE b.dst END
+                       AS dst,
+                   b.pr
+            FROM base b CROSS JOIN rems r
+        ),
+        redge AS (
+            SELECT removed, src, dst, SUM(pr) AS pr
+            FROM pmat0 GROUP BY 1, 2, 3
+        ),
+        pmat AS MATERIALIZED (
+            SELECT removed, src, dst, pr FROM redge
+            UNION ALL
+            SELECT removed, a.s, a.s, 1.0
+            FROM rems, (VALUES ('purchase'), ('null')) AS a(s)
+        ),
+        v0 AS (SELECT removed, 'start' AS state, 1.0 AS p FROM rems),
+{steps}
+        conv AS (
+            SELECT removed, SUM(p) AS cp FROM v{_MRK_K}
+            WHERE state = 'purchase' GROUP BY 1
+        ),
+        b2 AS (SELECT cp AS base_cp FROM conv WHERE removed = 'none'),
+        eff AS (
+            SELECT c.removed AS channel,
+                   GREATEST(1.0 - c.cp / b.base_cp, 0.0) AS effect
+            FROM conv c CROSS JOIN b2 b WHERE c.removed <> 'none'
+        ),
+        se AS (SELECT SUM(effect) AS s FROM eff)
+        SELECT e.channel,
+               ROUND(e.effect, 6) AS removal_effect,
+               CASE WHEN se.s <= 0 THEN NULL
+                    ELSE ROUND(e.effect / se.s, 6) END AS attribution_share
+        FROM eff e CROSS JOIN se
+    """
+
+
+@register(
+    "markov_attribution_removal",
+    oracle=_markov_oracle(),
+    tags=("events", "attribution", "graph"),
+)
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    fwd = seq.select(
+        F.when(
+            F.col("prev").isNull() | (F.col("prev") == "purchase"), "start"
+        )
+        .otherwise(F.col("prev"))
+        .alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    tail = seq.where(
+        F.col("nxt").isNull() & (F.col("event_type") != "purchase")
+    ).select(F.col("event_type").alias("src"), F.lit("null").alias("dst"))
+    cnt = fwd.unionByName(tail).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("t"))
+    base = cnt.join(tot, "src").select(
+        "src", "dst", (F.col("c") * 1.0 / F.col("t")).alias("pr")
+    )
+    rems = spark.createDataFrame(
+        [(r,) for r in ("none", *_MRK_CHANNELS)], "removed string"
+    )
+    redge = (
+        base.crossJoin(F.broadcast(rems))
+        .select(
+            "removed",
+            "src",
+            F.when(F.col("dst") == F.col("removed"), "null")
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "pr",
+        )
+        .groupBy("removed", "src", "dst")
+        .agg(F.sum("pr").alias("pr"))
+    )
+    absorb = rems.crossJoin(
+        spark.createDataFrame([("purchase",), ("null",)], "s string")
+    ).select("removed", F.col("s").alias("src"), F.col("s").alias("dst"), F.lit(1.0).alias("pr"))
+    # state-sized (removals × ≤7 × ≤7 rows): persist once, reuse per round;
+    # the matrix key is renamed so the 30 chained self-referencing joins
+    # never collide lineages
+    pmat = (
+        redge.unionByName(absorb).withColumnRenamed("removed", "prem").persist()
+    )
+    v = rems.select("removed", F.lit("start").alias("state"), F.lit(1.0).alias("p"))
+    for _ in range(_MRK_K):
+        # localCheckpoint per round truncates lineage (the pagerank
+        # discipline — 30 chained joins would otherwise grow the logical
+        # plan past what Catalyst re-analyzes in reasonable time); the
+        # state is ≤ removals × 7 rows, one partition is plenty
+        v = (
+            v.join(
+                pmat,
+                (F.col("prem") == F.col("removed"))
+                & (F.col("src") == F.col("state")),
+            )
+            .groupBy("removed", "dst")
+            .agg(F.sum(F.col("p") * F.col("pr")).alias("p"))
+            .select("removed", F.col("dst").alias("state"), "p")
+            .coalesce(1)
+            .localCheckpoint(eager=False)
+        )
+    conv = (
+        v.where(F.col("state") == "purchase")
+        .groupBy("removed")
+        .agg(F.sum("p").alias("cp"))
+    )
+    b2 = conv.where(F.col("removed") == "none").select(
+        F.col("cp").alias("base_cp")
+    )
+    eff = (
+        conv.where(F.col("removed") != "none")
+        .crossJoin(F.broadcast(b2))
+        .select(
+            F.col("removed").alias("channel"),
+            F.greatest(
+                F.lit(1.0) - F.col("cp") / F.col("base_cp"), F.lit(0.0)
+            ).alias("effect"),
+        )
+    )
+    se = eff.agg(F.sum("effect").alias("s"))
+    return eff.crossJoin(F.broadcast(se)).select(
+        "channel",
+        F.round(F.col("effect"), 6).alias("removal_effect"),
+        F.when(F.col("s") <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("effect") / F.col("s"), 6))
+        .alias("attribution_share"),
+    )
