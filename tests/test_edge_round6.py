@@ -209,3 +209,71 @@ def test_flesch_score_exact_on_crafted_doc(spark, tmp_path):
     )
     orc = con.execute(REGISTRY["readability_flesch_docs"].oracle).fetchall()
     assert orc == [("en", "very_easy", 1, expected)]
+
+
+# ---------------------------------------------------------------------------
+# markov_attribution_removal vs a pure-Python chain solve on a crafted
+# journey set: u1 view→purchase, u2 view→click→purchase, u3 click (no
+# conversion) — removal effects are hand-checkable (removing `view`
+# kills u1/u2's paths entirely; removing `click` only breaks u2's).
+# ---------------------------------------------------------------------------
+def test_markov_removal_effect_crafted(spark, tmp_path):
+    _NS = 1_000_000_000
+    rows = [
+        (1, 0 * _NS, 1, "view", 0.0, "{}"),
+        (2, 1 * _NS, 1, "purchase", 0.0, "{}"),
+        (3, 0 * _NS, 2, "view", 0.0, "{}"),
+        (4, 1 * _NS, 2, "click", 0.0, "{}"),
+        (5, 2 * _NS, 2, "purchase", 0.0, "{}"),
+        (6, 0 * _NS, 3, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, __import__("datetime").datetime.utcfromtimestamp(t / _NS), u, e, v, p)
+         for i, t, u, e, v, p in rows],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["channel"]: r["removal_effect"]
+        for r in REGISTRY["markov_attribution_removal"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+
+    # pure-Python reference: identical segmentation + K=30 iterations
+    trans = {}
+    paths = [["view", "purchase"], ["view", "click", "purchase"], ["click"]]
+    for p in paths:
+        seqs = ["start"] + p
+        for a, b in zip(seqs, seqs[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+        if p[-1] != "purchase":
+            trans[(p[-1], "null")] = trans.get((p[-1], "null"), 0) + 1
+    outs = {}
+    for (a, _), c in trans.items():
+        outs[a] = outs.get(a, 0) + c
+    base = {k: c / outs[k[0]] for k, c in trans.items()}
+
+    def conv(removed):
+        pm = {}
+        for (a, b), pr in base.items():
+            b2 = "null" if b == removed else b
+            pm[(a, b2)] = pm.get((a, b2), 0.0) + pr
+        pm[("purchase", "purchase")] = 1.0
+        pm[("null", "null")] = 1.0
+        v = {"start": 1.0}
+        for _ in range(30):
+            nv = {}
+            for (a, b), pr in pm.items():
+                if a in v:
+                    nv[b] = nv.get(b, 0.0) + v[a] * pr
+            v = nv
+        return v.get("purchase", 0.0)
+
+    cb = conv(None)
+    for ch in ("view", "click"):
+        expect = round(max(1.0 - conv(ch) / cb, 0.0), 6)
+        assert got[ch] == expect, (ch, got[ch], expect)
+    # view feeds both converting journeys, click only one
+    assert got["view"] > got["click"]
