@@ -695,3 +695,96 @@ def novelty_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(novel) * 1.0 / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the co-supplier graph (round-6 wave;
+# Seidman 1983): iteratively peel nodes with degree < k until the
+# 4-core remains — the standard "dense backbone" extraction before any
+# community or influence analysis. FIXED R=6 peel rounds (deterministic
+# in both engines whether or not the peel has converged; on this graph
+# it converges in <6); each round is one degree aggregate + two
+# semi-join filters over the EDGE relation (state-sized — the fact scan
+# happened once, in the shared co-supplier edge cache). Output is the
+# per-round (n_nodes, n_edges) trajectory — 6 rows built as a union of
+# one-row aggregates, zero driver collects. Spark truncates the round
+# lineage with localCheckpoint (the PageRank discipline); the oracle
+# unrolls rounds as MATERIALIZED CTEs (the markov_attribution lesson:
+# plain CTE inlining goes exponential).
+# ---------------------------------------------------------------------------
+_KCORE_K = 4
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for r in range(_KCORE_ROUNDS):
+        rounds.append(f"""        d{r} AS MATERIALIZED (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT src AS node FROM e{r}
+                UNION ALL SELECT dst AS node FROM e{r}
+            ) GROUP BY 1
+        ),
+        keep{r} AS MATERIALIZED (
+            SELECT node FROM d{r} WHERE deg >= {_KCORE_K}
+        ),
+        e{r + 1} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e{r} e
+            JOIN keep{r} a ON a.node = e.src
+            JOIN keep{r} b ON b.node = e.dst
+        ),""")
+    stats = "\n            UNION ALL ".join(
+        f"""SELECT {r + 1} AS round,
+                   (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM (
+                       SELECT src AS node FROM e{r + 1}
+                       UNION ALL SELECT dst AS node FROM e{r + 1})) AS n_nodes,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r + 1}) AS n_edges"""
+        for r in range(_KCORE_ROUNDS)
+    )
+    return f"""
+        WITH {COSUPPLIER_EDGE_CTES},
+        e0 AS MATERIALIZED (SELECT src, dst FROM edges),
+{chr(10).join(rounds)}
+        stats AS ({stats})
+        SELECT round, n_nodes, n_edges FROM stats
+    """
+
+
+@register(
+    "kcore_cosupplier_peel",
+    oracle=_kcore_oracle(),
+    tags=("graph", "iterative"),
+)
+def kcore_cosupplier_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = cosupplier_edges(spark, sf_dir).select("src", "dst")
+    stats = []
+    e = edges
+    for r in range(_KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= _KCORE_K).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src")
+            .join(keep.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        nodes = e.select(F.col("src").alias("node")).unionByName(
+            e.select(F.col("dst").alias("node"))
+        )
+        stats.append(
+            nodes.agg(
+                F.countDistinct("node").cast("bigint").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            ).select(
+                F.lit(r + 1).cast("int").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

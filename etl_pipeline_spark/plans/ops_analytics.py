@@ -1698,3 +1698,79 @@ def session_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 6).alias("accuracy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve by customer decile (round-6 wave): cumulative share of
+# revenue held by the bottom d/10 of customers — the 10-point curve the
+# Gini coefficient integrates, and the operational view ("bottom 50%
+# hold 9%") behind it. Deciles come from the range-bucketed ROW_NUMBER
+# (operators/packing.py — no single-task sort of the customer relation)
+# via the pure-integer formula (rn·10 + n − 1) DIV n, so the decile
+# boundary can never ride a float ceil; revenue stays exact cents and
+# the final cumsum runs over the 10-row decile relation.
+# ---------------------------------------------------------------------------
+@register(
+    "lorenz_curve_deciles",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT)
+                       AS rev_cents
+            FROM orders GROUP BY 1
+        ),
+        r AS (
+            SELECT rev_cents,
+                   ROW_NUMBER() OVER (ORDER BY rev_cents ASC, o_custkey ASC)
+                       AS rn,
+                   COUNT(*) OVER () AS n
+            FROM cust
+        ),
+        d AS (
+            SELECT (rn * 10 + n - 1) // n AS decile,
+                   CAST(SUM(rev_cents) AS BIGINT) AS cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM r GROUP BY 1
+        ),
+        t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM d)
+        SELECT decile, n_customers,
+               cents / 100.0 AS revenue,
+               ROUND(SUM(cents) OVER (ORDER BY decile
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * 1.0 / t.total, 6) AS lorenz_cum_share
+        FROM d CROSS JOIN t
+    """,
+    tags=("agg", "window", "concentration"),
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.expr("CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT)").alias(
+            "rev_cents"
+        )
+    )
+    r = range_bucketed_rank(
+        cust,
+        "rev_cents",
+        ascending=True,
+        tiebreak=("o_custkey",),
+        with_rank=True,
+        with_row_number=True,
+    )
+    d = r.groupBy(
+        F.expr("(rn * 10 + n_part - 1) DIV n_part").alias("decile")
+    ).agg(
+        F.sum("rev_cents").cast("bigint").alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+    )
+    t = d.agg(F.sum("cents").cast("bigint").alias("total"))
+    # 10-row decile relation: the unpartitioned cumsum here is bounded
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return d.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n_customers",
+        (F.col("cents") / 100.0).alias("revenue"),
+        F.round(
+            F.sum("cents").over(w) * 1.0 / F.col("total"), 6
+        ).alias("lorenz_cum_share"),
+    )
