@@ -43,6 +43,13 @@ def vhash(df: pd.DataFrame) -> str:
 
 
 qs, os_ = e.queries(), e.oracle_sql()
+# optional argv filter: `drive_contract.py q1 q2 ...` checks only those
+# (used to top up a full sweep with queries registered after it started)
+if len(sys.argv) > 1:
+    unknown = [n for n in sys.argv[1:] if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+    qs = {n: qs[n] for n in sys.argv[1:]}
 fails = []
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF).toPandas()
