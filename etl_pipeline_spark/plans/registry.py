@@ -203,6 +203,7 @@ def _ensure_loaded() -> None:
         corpus_ops,
         corpus_quality,
         curation,
+        distribution_analytics,
         features,
         kernel,
         llm,

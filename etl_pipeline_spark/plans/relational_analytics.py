@@ -142,7 +142,9 @@ _ER_SHIFT = 1_000_000
 # the WITH RECURSIVE body shared by entity_resolution_customers and its
 # precision/recall eval (er_precision_recall) — one definition so the
 # two oracles can never drift apart
-_ER_COMP_CTES = f"""
+# corpus + blocking-rule candidate pairs only (no closure) — shared with
+# blocking_quality_er, which grades the candidate set itself
+_ER_PAIR_CTES = f"""
         corpus AS (
             SELECT c_custkey AS id, c_name, c_nationkey, c_acctbal
             FROM customer
@@ -162,14 +164,15 @@ _ER_COMP_CTES = f"""
               ON a.c_nationkey = b.c_nationkey
              AND a.c_acctbal = b.c_acctbal AND a.id < b.id
         ),
+        cand AS (
+            SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2
+        )"""
+
+_ER_COMP_CTES = f"""{_ER_PAIR_CTES},
         edges AS (
-            SELECT src, dst FROM (
-                SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2
-            )
+            SELECT src, dst FROM cand
             UNION
-            SELECT dst AS src, src AS dst FROM (
-                SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2
-            )
+            SELECT dst AS src, src AS dst FROM cand
         ),
         reach(node, peer) AS (
             SELECT src, dst FROM edges
@@ -214,6 +217,17 @@ def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-rule ER corpus — used by the resolver and its eval."""
     from etl_pipeline_spark.operators.graph import cluster_assignments
 
+    return cluster_assignments(
+        _er_candidate_pairs(spark, sf_dir), "id_a", "id_b"
+    )
+
+
+def _er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs from the two blocking rules
+    (case-folded name; (nationkey, acctbal)) over the shared ER corpus —
+    exposed separately so blocking_quality_er can grade the candidate set
+    itself (reduction ratio / pairs completeness) without re-stating the
+    rules."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal"
     )
@@ -248,8 +262,7 @@ def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("bal_a") == F.col("bal_b"))
         & (F.col("id_a") < F.col("id_b")),
     ).select("id_a", "id_b")
-    pairs = e1.unionByName(e2).distinct()
-    return cluster_assignments(pairs, "id_a", "id_b")
+    return e1.unionByName(e2).distinct()
 
 
 # ---------------------------------------------------------------------------

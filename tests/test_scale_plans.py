@@ -666,3 +666,66 @@ def test_knn_eval_broadcasts_bounded_query_side(spark):
     plan = _plan(spark, REGISTRY["knn_label_accuracy"].spark_fn(spark, SF_DIR))
     assert "Broadcast" in plan  # bounded query side rides a broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_grid_nearest_single_point_shuffle_no_fact_join(spark):
+    """grid_nearest_poi: ring-1 candidates come from a BROADCAST hash
+    join on (cx, cy); the only exchange over the fact is the point-keyed
+    aggregate (map-side combined), and there is NO fact-vs-fact join —
+    the fallback is carved from the same aggregate. The one
+    nested-loop join is the dimension-sized broadcast rescan."""
+    plan = _plan(spark, REGISTRY["grid_nearest_poi"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan          # ring-1 candidate join
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan          # no fact-vs-fact join
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    for ln in read:  # narrow scans on both sides
+        assert "o_totalprice" not in ln and "s_acctbal" not in ln
+
+
+def test_wasserstein_window_runs_on_value_domain(spark):
+    """The CDF window must consume the grouped cents HISTOGRAM (one
+    aggregate below every Window), never fact rows; the events scan is
+    two columns with the type filter pushed."""
+    plan = _plan(
+        spark, REGISTRY["wasserstein_value_drift"].spark_fn(spark, SF_DIR)
+    )
+    assert "Window" in plan and "HashAggregate" in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read
+    for ln in read:
+        assert "value" in ln and "user_id" not in ln and "props" not in ln
+    assert "In(event_type" in plan or "EqualTo(event_type" in plan
+
+
+def test_heaps_thresholds_broadcast_no_cartesian(spark):
+    """Every prefix-threshold fan-out rides a broadcast of the 10-row
+    threshold relation; no plain cartesian, no fact-vs-fact SMJ."""
+    plan = _plan(spark, REGISTRY["heaps_vocab_growth"].spark_fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # tiny threshold/moment sides
+
+
+def test_brier_model_join_broadcasts(spark):
+    """The test-half joins the (type x type)-domain train model via
+    BROADCAST hash join; no cartesian anywhere."""
+    plan = _plan(
+        spark, REGISTRY["brier_next_event_model"].spark_fn(spark, SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_crosscorr_fact_work_is_one_grouped_count(spark):
+    """Lag pairing happens on the day-domain count relation (broadcast
+    sides); the events scan reads only (ts, event_type)."""
+    plan = _plan(
+        spark, REGISTRY["crosscorr_daily_lags"].spark_fn(spark, SF_DIR)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read
+    for ln in read:
+        assert "value" not in ln and "props" not in ln and "user_id" not in ln
