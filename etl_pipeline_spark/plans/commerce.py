@@ -552,3 +552,98 @@ def revenue_bridge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("contr_c").cast("bigint") / 100.0).alias("rev_contraction"),
         (F.sum("churn_c").cast("bigint") / 100.0).alias("rev_churned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston's method for intermittent demand (Croston 1972, the standard
+# forecaster for slow-moving SKUs): per part, monthly demand epochs
+# (months with any shipment) drive two exponentially-smoothed estimates —
+# demand SIZE z and inter-demand INTERVAL y — and the forecast is
+# z_hat / y_hat (expected demand per period). alpha = 1/2 EXACTLY so
+# every smoothing weight is a binary fraction 2^-k: weight * integer
+# quantity products are IEEE-exact and both engines agree to the final
+# 6-dp round. The EWMA recursion S_n = a*x_n + (1-a)*S_(n-1), S_1 = x_1
+# unrolls to weights a(1-a)^(n-i) for i >= 2 and (1-a)^(n-1) for i = 1 —
+# a CASE inside one grouped sum, no recursion in either engine.
+#
+# Scale shape: ONE fact pass to (part, month) totals; everything after
+# runs on that part-keyed month relation (dimension x ~84 months), with
+# windows partitioned by part — never an unpartitioned sort. Parts with
+# a single demand epoch are excluded (no interval to smooth).
+# ---------------------------------------------------------------------------
+_CROSTON_W = (
+    "CASE WHEN i = 1 THEN POWER(0.5, n - 1) ELSE POWER(0.5, n - i + 1) END"
+)
+
+
+@register(
+    "croston_demand_forecast",
+    oracle=f"""
+        WITH pm AS (
+            SELECT l_partkey,
+                   year(l_shipdate) * 12 + month(l_shipdate) - 1 AS m,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+            FROM lineitem GROUP BY 1, 2
+        ),
+        mn AS (SELECT MIN(m) AS m0 FROM pm),
+        seq AS (
+            SELECT l_partkey, q,
+                   ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY m)
+                       AS i,
+                   COUNT(*) OVER (PARTITION BY l_partkey) AS n,
+                   COALESCE(m - LAG(m) OVER (PARTITION BY l_partkey
+                                             ORDER BY m),
+                            m - m0 + 1) AS gap
+            FROM pm CROSS JOIN mn
+        ),
+        ew AS (
+            SELECT l_partkey,
+                   CAST(MAX(n) AS BIGINT) AS n_epochs,
+                   SUM(q * {_CROSTON_W}) AS z_hat,
+                   SUM(gap * {_CROSTON_W}) AS y_hat
+            FROM seq GROUP BY 1
+        )
+        SELECT CAST(l_partkey AS BIGINT) AS l_partkey, n_epochs,
+               ROUND(z_hat, 6) AS size_ewma,
+               ROUND(y_hat, 6) AS interval_ewma,
+               ROUND(z_hat / y_hat, 6) AS croston_forecast
+        FROM ew WHERE n_epochs >= 2
+    """,
+    tags=("commerce", "forecast", "timeseries"),
+)
+def croston_demand_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = (
+        li.select(
+            "l_partkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("m"),
+            F.expr("CAST(l_quantity AS BIGINT)").alias("qi"),
+        )
+        .groupBy("l_partkey", "m")
+        .agg(F.sum("qi").cast("bigint").alias("q"))
+    )
+    mn = pm.agg(F.min("m").alias("m0"))
+    w_part = Window.partitionBy("l_partkey").orderBy("m")
+    seq = pm.crossJoin(F.broadcast(mn)).select(  # one-row min side
+        "l_partkey",
+        "q",
+        F.row_number().over(w_part).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_partkey")).alias("n"),
+        F.coalesce(
+            F.col("m") - F.lag("m").over(w_part),
+            F.col("m") - F.col("m0") + 1,
+        ).alias("gap"),
+    )
+    w = F.expr(_CROSTON_W)
+    ew = seq.groupBy("l_partkey").agg(
+        F.max("n").cast("bigint").alias("n_epochs"),
+        F.sum(F.col("q") * w).alias("z_hat"),
+        F.sum(F.col("gap") * w).alias("y_hat"),
+    )
+    return ew.where(F.col("n_epochs") >= 2).select(
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+        "n_epochs",
+        F.round("z_hat", 6).alias("size_ewma"),
+        F.round("y_hat", 6).alias("interval_ewma"),
+        F.round(F.col("z_hat") / F.col("y_hat"), 6).alias("croston_forecast"),
+    )

@@ -788,3 +788,89 @@ def kcore_cosupplier_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-round BFS from the graph hub (round-6 wave): hop distribution
+# from the highest-degree supplier over the co-supplier graph — the
+# reachability / closeness profile that complements the density (k-core)
+# and community (LPA/modularity) views. FIXED R=6 frontier expansions
+# (deterministic whether or not converged); each round is one
+# state-sized equi-join (frontier x symmetric edges) + a MIN(hop)
+# aggregate, lineage truncated per round with localCheckpoint (the
+# PageRank discipline). Hub choice ties break to the smallest node id.
+# Output: (hop, n_nodes) for hops 0..R plus a hop = -1 row counting
+# nodes NOT reached within R — the no-silent-caps rule as data.
+# The oracle unrolls rounds as MATERIALIZED CTEs (markov lesson).
+# ---------------------------------------------------------------------------
+_BFS_ROUNDS = 6
+
+
+def _bfs_oracle() -> str:
+    rounds = []
+    for r in range(1, _BFS_ROUNDS + 1):
+        rounds.append(f"""        v{r} AS MATERIALIZED (
+            SELECT node, MIN(hop) AS hop FROM (
+                SELECT node, hop FROM v{r - 1}
+                UNION ALL
+                SELECT s.dst AS node, {r} AS hop
+                FROM sym s JOIN v{r - 1} p ON p.node = s.src
+            ) GROUP BY 1
+        ),""")
+    return f"""
+        WITH {COSUPPLIER_EDGE_CTES},
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst AS src, src AS dst FROM edges
+        ),
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+                FROM sym GROUP BY 1),
+        hub AS (SELECT node FROM deg ORDER BY d DESC, node ASC LIMIT 1),
+        v0 AS MATERIALIZED (SELECT node, 0 AS hop FROM hub),
+{chr(10).join(rounds)}
+        reached AS (
+            SELECT CAST(hop AS BIGINT) AS hop,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM v{_BFS_ROUNDS} GROUP BY 1
+        )
+        SELECT hop, n_nodes FROM reached
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS hop,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg WHERE node NOT IN (SELECT node FROM v{_BFS_ROUNDS})
+    """
+
+
+@register(
+    "bfs_hops_from_hub",
+    oracle=_bfs_oracle(),
+    tags=("graph", "iterative"),
+)
+def bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.graph import symmetrize
+
+    edges = cosupplier_edges(spark, sf_dir).select("src", "dst")
+    sym = symmetrize(edges)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    hub = deg.orderBy(F.col("d").desc(), F.col("node").asc()).limit(1)
+    v = hub.select("node", F.lit(0).alias("hop"))
+    for r in range(1, _BFS_ROUNDS + 1):
+        expanded = sym.join(
+            v.withColumnRenamed("node", "src").select("src"), "src"
+        ).select(F.col("dst").alias("node"), F.lit(r).alias("hop"))
+        v = (
+            v.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+    reached = v.groupBy(F.col("hop").cast("bigint").alias("hop")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    unreached = deg.join(v, "node", "left_anti").agg(
+        F.lit(-1).cast("bigint").alias("hop"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+    )
+    return reached.unionByName(unreached)

@@ -937,3 +937,241 @@ def dp_noisy_counts_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(noise), 4).alias("noise"),
         F.round(F.col("n_true") + F.expr(noise), 4).alias("n_noisy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-nation conversion tests (round-6
+# wave; Benjamini & Hochberg 1995): each nation's user conversion rate
+# is z-tested against the rest (two-proportion, pooled variance — the
+# ztest_conversion_ab statistic per segment), p-values come from the
+# Abramowitz-Stegun 26.2.17 normal-tail polynomial (identical Horner
+# nesting in both engines; EXP is the only libm call and the p rounds
+# at 6 dp), and the BH step-up procedure marks which nations survive at
+# q = 0.10 — the multiple-testing discipline any per-segment alarm
+# sheet needs before anyone acts on "segment X moved".
+#
+# Float parity: z is built ONLY from +,-,*,/,sqrt on exact integer
+# ratios — all correctly-rounded IEEE ops, so z is bit-identical across
+# engines before its 6-dp display round. BH compares the ROUNDED
+# p (both engines see the same 6-dp value) against q*i/m, with rank
+# ties broken by nation name.
+#
+# Scale shape: one fact pass to per-user flags, one user->customer
+# equi-join (both volume-linear), then everything runs on the
+# 25-nation domain; the BH rank/step-up windows are nation-domain-sized.
+# ---------------------------------------------------------------------------
+_BH_Q = 0.10
+# Abramowitz-Stegun 26.2.17: Q(x) = phi(x)*(b1 t + ... + b5 t^5),
+# t = 1/(1 + 0.2316419 x); two-sided p = 2 Q(|z|)
+_AS_P_SQL = (
+    "2.0 * 0.3989422804014327 * EXP(-az * az / 2.0)"
+    " * (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937"
+    " + t * (-1.821255978 + t * 1.330274429)))))"
+)
+
+
+@register(
+    "bh_fdr_nation_conversion",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                        >= {_ZT_CONV_MIN} AS INT) AS conv
+            FROM events GROUP BY 1
+        ),
+        g AS (
+            SELECT n.n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_i,
+                   CAST(SUM(u.conv) AS BIGINT) AS x_i
+            FROM u
+            JOIN customer c ON c.c_custkey = u.user_id
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_i) AS BIGINT) AS nn,
+                   CAST(SUM(x_i) AS BIGINT) AS xx
+            FROM g
+        ),
+        z AS (
+            SELECT g.n_name, g.n_i, g.x_i,
+                   (CAST(g.x_i AS DOUBLE) / g.n_i
+                    - CAST(t.xx - g.x_i AS DOUBLE) / (t.nn - g.n_i))
+                   / SQRT((CAST(t.xx AS DOUBLE) / t.nn)
+                          * (1.0 - CAST(t.xx AS DOUBLE) / t.nn)
+                          * (1.0 / g.n_i + 1.0 / (t.nn - g.n_i))) AS zv
+            FROM g CROSS JOIN tot t
+            WHERE t.nn - g.n_i > 0 AND t.xx > 0 AND t.xx < t.nn
+        ),
+        p AS (
+            SELECT n_name, n_i, x_i, zv,
+                   ROUND({_AS_P_SQL}, 6) AS p_r
+            FROM (SELECT *, ABS(zv) AS az,
+                         1.0 / (1.0 + 0.2316419 * ABS(zv)) AS t
+                  FROM z)
+        ),
+        r AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (ORDER BY p_r ASC, n_name ASC) AS rnk,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS m
+            FROM p
+        )
+        SELECT n_name,
+               n_i AS n_users, x_i AS n_converted,
+               ROUND(zv, 6) AS z, p_r AS p_value,
+               CAST(rnk AS BIGINT) AS bh_rank,
+               CAST(MAX(CASE WHEN p_r <= {_BH_Q} * rnk / m
+                             THEN 1 ELSE 0 END)
+                    OVER (ORDER BY rnk DESC) AS INT) AS bh_reject
+        FROM r
+    """,
+    tags=("stats", "hypothesis", "governance"),
+)
+def bh_fdr_nation_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    u = ev.groupBy("user_id").agg(
+        (F.count(F.when(F.col("event_type") == "purchase", 1)) >= _ZT_CONV_MIN)
+        .cast("int")
+        .alias("conv")
+    )
+    g = (
+        u.join(cust, u.user_id == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum("conv").cast("bigint").alias("x_i"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_i").cast("bigint").alias("nn"),
+        F.sum("x_i").cast("bigint").alias("xx"),
+    )
+    pooled = F.col("xx").cast("double") / F.col("nn")
+    zv = (
+        F.col("x_i").cast("double") / F.col("n_i")
+        - (F.col("xx") - F.col("x_i")).cast("double")
+        / (F.col("nn") - F.col("n_i"))
+    ) / F.sqrt(
+        pooled
+        * (1.0 - pooled)
+        * (1.0 / F.col("n_i") + 1.0 / (F.col("nn") - F.col("n_i")))
+    )
+    z = (
+        g.crossJoin(F.broadcast(tot))  # one-row total side
+        .where(
+            (F.col("nn") - F.col("n_i") > 0)
+            & (F.col("xx") > 0)
+            & (F.col("xx") < F.col("nn"))
+        )
+        .select("n_name", "n_i", "x_i", zv.alias("zv"))
+    )
+    p = z.select(
+        "n_name",
+        "n_i",
+        "x_i",
+        "zv",
+        F.abs(F.col("zv")).alias("az"),
+        (1.0 / (1.0 + 0.2316419 * F.abs(F.col("zv")))).alias("t"),
+    ).select(
+        "n_name", "n_i", "x_i", "zv", F.round(F.expr(_AS_P_SQL), 6).alias("p_r")
+    )
+    # nation-domain windows (<= 25 rows): rank, then the BH step-up as a
+    # reverse running MAX so any rank below a passing one also rejects
+    w_rank = Window.orderBy(F.col("p_r").asc(), F.col("n_name").asc())
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = p.select(
+        "n_name",
+        "n_i",
+        "x_i",
+        "zv",
+        "p_r",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("m"),
+    )
+    w_rev = Window.orderBy(F.col("rnk").desc())
+    return r.select(
+        "n_name",
+        F.col("n_i").alias("n_users"),
+        F.col("x_i").alias("n_converted"),
+        F.round("zv", 6).alias("z"),
+        F.col("p_r").alias("p_value"),
+        F.col("rnk").cast("bigint").alias("bh_rank"),
+        F.max(
+            F.when(F.col("p_r") <= _BH_Q * F.col("rnk") / F.col("m"), 1)
+            .otherwise(0)
+        )
+        .over(w_rev)
+        .cast("int")
+        .alias("bh_reject"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private top-k via the exponential mechanism (McSherry &
+# Talwar 2007) with the Gumbel-max trick: adding Gumbel(2*du/eps) noise
+# to each utility and taking the top k EXACTLY samples the mechanism
+# without replacement. Utility = event-type count (sensitivity 1),
+# eps = 0.1, k = 3. The Gumbel draw -ln(-ln(u)) uses the deterministic
+# md5 uniform (operators/sampling.py) so the "random" release is
+# oracle-checkable — same pattern as dp_noisy_counts_laplace; ranking
+# compares 6-dp-ROUNDED scores (tie-break: type name) so cross-libm
+# ln() jitter cannot flip an ordering. Completes the DP pair: Laplace
+# for releases of VALUES, exponential mechanism for releases of CHOICES.
+# ---------------------------------------------------------------------------
+_DPE_EPS = 0.1
+_DPE_K = 3
+
+
+def _dpe_score_sql() -> str:
+    u = f"(({_hash_u32_sql('event_type', 'dpexp')}) + 0.5) / 4294967296.0"
+    # Gumbel-max: argmax of  u(x)*eps/(2*du) + standard Gumbel  samples
+    # P(x) proportional to exp(eps*u/(2*du))
+    return f"n_true * {_DPE_EPS} / 2.0 + (-LN(-LN({u})))"
+
+
+@register(
+    "dp_exponential_topk",
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT event_type, n_true,
+                   ROUND({_dpe_score_sql()}, 6) AS score
+            FROM c
+        )
+        SELECT event_type, n_true, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, event_type ASC)
+                    AS BIGINT) AS rank,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, event_type ASC)
+                    <= {_DPE_K} AS INT) AS selected
+        FROM s
+    """,
+    tags=("privacy", "governance", "dp"),
+)
+def dp_exponential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    s = c.select(
+        "event_type",
+        "n_true",
+        F.round(F.expr(_dpe_score_sql()), 6).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("event_type").asc())
+    return s.select(
+        "event_type",
+        "n_true",
+        "score",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        (F.row_number().over(w) <= _DPE_K).cast("int").alias("selected"),
+    )

@@ -729,3 +729,27 @@ def test_crosscorr_fact_work_is_one_grouped_count(spark):
     assert read
     for ln in read:
         assert "value" not in ln and "props" not in ln and "user_id" not in ln
+
+
+def test_croston_windows_are_part_keyed_and_scan_narrow(spark):
+    """Croston's windows partition by l_partkey (dimension-keyed) and
+    the lineitem scan reads only (partkey, shipdate, quantity)."""
+    plan = _plan(
+        spark, REGISTRY["croston_demand_forecast"].spark_fn(spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read
+    for ln in read:
+        assert "l_extendedprice" not in ln and "l_returnflag" not in ln
+    assert "partitionBy=[l_partkey]" in plan.replace(" ", "") or (
+        "l_partkey" in plan and "Window" in plan
+    )
+
+
+def test_bh_fdr_broadcasts_nation_only(spark):
+    plan = _plan(
+        spark, REGISTRY["bh_fdr_nation_conversion"].spark_fn(spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # nation dimension side
