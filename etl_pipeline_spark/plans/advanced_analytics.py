@@ -815,14 +815,21 @@ def pattern_vshape_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every s→c edge to null.
 #
 # The chain solve is K=30 synchronous probability-mass iterations
-# v_{k+1} = vP over the (removals × ≤7 states) vector — the matrix is a
-# ≤(5·7·7)-row RELATION, so each "iteration" is one tiny hash-join +
-# re-aggregate; Spark builds the 30-step plan over that state-sized
-# relation (the PageRank discipline: the fact scan happens once, in the
-# transition-count aggregate). The oracle unrolls the same 30 steps as
-# chained CTEs — no recursive-aggregate support needed, bit-compatible
-# step order. Mass in `purchase` after K steps = conversion prob
-# (geometric convergence; both engines run the identical K).
+# v_{k+1} = vP. The ONLY fact-sized work is the transition-count
+# aggregate (one per-user window + one groupBy) — that stays
+# distributed. The transition matrix itself is a CHANNEL-DOMAIN
+# artifact (≤7×7 rows at any data volume), so the solve collects it to
+# the driver and runs the 30×|removals|×49 scalar recursion in plain
+# Python — the k-means-seed pattern (bounded-domain collect + broadcast
+# of the result), NOT a data-sized collect. A previous revision ran the
+# 30 rounds as Spark jobs over the ≤35-row state relation; that was
+# MEASURED at 42 s of pure per-round scheduling overhead at sf0.1
+# (SCALING.md "The markov chain-solve round-trip tax") against ~2 s for
+# the identical arithmetic on the driver — at 100 TB the matrix is the
+# same ≤49 rows, so the driver solve is the scale-correct plan, not a
+# shortcut. The oracle unrolls the same 30 steps as chained CTEs; both
+# engines' per-step sums differ only in addend order (jitter ~1e-15,
+# far under the 6-dp round).
 # ---------------------------------------------------------------------------
 _MRK_K = 30
 _MRK_CHANNELS = ("click", "error", "signup", "view")
@@ -938,72 +945,41 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = cnt.join(tot, "src").select(
         "src", "dst", (F.col("c") * 1.0 / F.col("t")).alias("pr")
     )
-    rems = spark.createDataFrame(
-        [(r,) for r in ("none", *_MRK_CHANNELS)], "removed string"
+    # CHANNEL-DOMAIN collect (≤7×7 rows at ANY volume — the k-means-seed
+    # pattern): the fact-sized work ended at the `cnt` aggregate above.
+    edges = sorted(
+        ((r["src"], r["dst"], r["pr"]) for r in base.collect()),
+        key=lambda e: (e[0], e[1]),
     )
-    redge = (
-        base.crossJoin(F.broadcast(rems))
-        .select(
-            "removed",
-            "src",
-            F.when(F.col("dst") == F.col("removed"), "null")
-            .otherwise(F.col("dst"))
-            .alias("dst"),
-            "pr",
-        )
-        .groupBy("removed", "src", "dst")
-        .agg(F.sum("pr").alias("pr"))
-    )
-    absorb = rems.crossJoin(
-        spark.createDataFrame([("purchase",), ("null",)], "s string")
-    ).select("removed", F.col("s").alias("src"), F.col("s").alias("dst"), F.lit(1.0).alias("pr"))
-    # state-sized (removals × ≤7 × ≤7 rows): persist once, reuse per round;
-    # the matrix key is renamed so the 30 chained self-referencing joins
-    # never collide lineages
-    pmat = (
-        redge.unionByName(absorb).withColumnRenamed("removed", "prem").persist()
-    )
-    v = rems.select("removed", F.lit("start").alias("state"), F.lit(1.0).alias("p"))
-    for _ in range(_MRK_K):
-        # localCheckpoint per round truncates lineage (the pagerank
-        # discipline — 30 chained joins would otherwise grow the logical
-        # plan past what Catalyst re-analyzes in reasonable time); the
-        # state is ≤ removals × 7 rows, one partition is plenty
-        v = (
-            v.join(
-                pmat,
-                (F.col("prem") == F.col("removed"))
-                & (F.col("src") == F.col("state")),
-            )
-            .groupBy("removed", "dst")
-            .agg(F.sum(F.col("p") * F.col("pr")).alias("p"))
-            .select("removed", F.col("dst").alias("state"), "p")
-            .coalesce(1)
-            .localCheckpoint(eager=False)
-        )
-    conv = (
-        v.where(F.col("state") == "purchase")
-        .groupBy("removed")
-        .agg(F.sum("p").alias("cp"))
-    )
-    b2 = conv.where(F.col("removed") == "none").select(
-        F.col("cp").alias("base_cp")
-    )
-    eff = (
-        conv.where(F.col("removed") != "none")
-        .crossJoin(F.broadcast(b2))
-        .select(
-            F.col("removed").alias("channel"),
-            F.greatest(
-                F.lit(1.0) - F.col("cp") / F.col("base_cp"), F.lit(0.0)
-            ).alias("effect"),
-        )
-    )
-    se = eff.agg(F.sum("effect").alias("s"))
-    return eff.crossJoin(F.broadcast(se)).select(
-        "channel",
-        F.round(F.col("effect"), 6).alias("removal_effect"),
-        F.when(F.col("s") <= 0, F.lit(None).cast("double"))
-        .otherwise(F.round(F.col("effect") / F.col("s"), 6))
-        .alias("attribution_share"),
+
+    def _solve(removed: str) -> float:
+        # redirect s→removed onto null, add absorber self-loops, run K
+        # synchronous v·P steps; summation in sorted edge order (both
+        # engines' own orders differ only in the ~1e-15 tail).
+        mat: dict[tuple[str, str], float] = {}
+        for s, d, pr in edges:
+            dd = "null" if d == removed else d
+            mat[(s, dd)] = mat.get((s, dd), 0.0) + pr
+        for a in ("purchase", "null"):
+            mat[(a, a)] = 1.0
+        v = {"start": 1.0}
+        for _ in range(_MRK_K):
+            nxt: dict[str, float] = {}
+            for (s, d), pr in sorted(mat.items()):
+                if s in v:
+                    nxt[d] = nxt.get(d, 0.0) + v[s] * pr
+            v = nxt
+        return v.get("purchase", 0.0)
+
+    base_cp = _solve("none")
+    effects = [
+        (c, max(1.0 - _solve(c) / base_cp, 0.0)) for c in _MRK_CHANNELS
+    ]
+    s = sum(e for _, e in effects)
+    rows = [
+        (c, round(e, 6), round(e / s, 6) if s > 0 else None)
+        for c, e in effects
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, removal_effect double, attribution_share double"
     )

@@ -1036,3 +1036,133 @@ def gini_split_finder_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("_sort")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) on the bipartite
+# customer -> supplier purchase graph (distinct (o_custkey, l_suppkey)
+# pairs): authority = suppliers bought by strong hub customers, hub =
+# customers buying from strong authorities. FIXED K=6 synchronous
+# rounds, each a state-sized equi-join + grouped sum with L2
+# normalization (one-row scalar, broadcast), lineage truncated per
+# round with localCheckpoint (the PageRank discipline). Scores round at
+# 6 dp BEFORE the top-10 rank (tie-break: node id) so cross-engine
+# partial-agg jitter (~1e-12 relative) cannot flip an ordering; the
+# oracle unrolls the rounds as MATERIALIZED CTEs.
+# ---------------------------------------------------------------------------
+_HITS_ROUNDS = 6
+_HITS_TOPK = 10
+
+
+def _hits_oracle() -> str:
+    rounds = []
+    prev_h = "h0"
+    for k in range(1, _HITS_ROUNDS + 1):
+        rounds.append(f"""        ar{k} AS MATERIALIZED (
+            SELECT e.auth, SUM(h.s) AS s
+            FROM e JOIN {prev_h} h ON h.hub = e.hub GROUP BY 1
+        ),
+        an{k} AS (SELECT SQRT(SUM(s * s)) AS n FROM ar{k}),
+        a{k} AS MATERIALIZED (
+            SELECT auth, s / (SELECT n FROM an{k}) AS s FROM ar{k}
+        ),
+        hr{k} AS MATERIALIZED (
+            SELECT e.hub, SUM(a.s) AS s
+            FROM e JOIN a{k} a ON a.auth = e.auth GROUP BY 1
+        ),
+        hn{k} AS (SELECT SQRT(SUM(s * s)) AS n FROM hr{k}),
+        h{k} AS MATERIALIZED (
+            SELECT hub, s / (SELECT n FROM hn{k}) AS s FROM hr{k}
+        ),""")
+        prev_h = f"h{k}"
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey AS hub, l.l_suppkey AS auth
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        h0 AS (SELECT DISTINCT hub, 1.0 AS s FROM e),
+{chr(10).join(rounds)}
+        ranked AS (
+            SELECT 'authority' AS side, CAST(auth AS BIGINT) AS node_id,
+                   ROUND(s, 6) AS score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY ROUND(s, 6) DESC,
+                                           auth ASC) AS BIGINT) AS rank
+            FROM a{_HITS_ROUNDS}
+            UNION ALL
+            SELECT 'hub' AS side, CAST(hub AS BIGINT) AS node_id,
+                   ROUND(s, 6) AS score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY ROUND(s, 6) DESC,
+                                           hub ASC) AS BIGINT) AS rank
+            FROM h{_HITS_ROUNDS}
+        )
+        SELECT side, node_id, score, rank FROM ranked
+        WHERE rank <= {_HITS_TOPK}
+    """
+
+
+@register(
+    "hits_hub_authority",
+    oracle=_hits_oracle(),
+    tags=("graph", "iterative", "ranking"),
+)
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("hub"), F.col("l_suppkey").alias("auth")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = e.select("hub").distinct().select("hub", F.lit(1.0).alias("s"))
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        ar = (
+            e.join(h.withColumnRenamed("s", "hs"), "hub")
+            .groupBy("auth")
+            .agg(F.sum("hs").alias("s"))
+        )
+        an = ar.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n"))
+        a = (
+            ar.crossJoin(F.broadcast(an))  # one-row norm side
+            .select("auth", (F.col("s") / F.col("n")).alias("s"))
+            .localCheckpoint(eager=False)
+        )
+        hr = (
+            e.join(a.withColumnRenamed("s", "as_"), "auth")
+            .groupBy("hub")
+            .agg(F.sum("as_").alias("s"))
+        )
+        hn = hr.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n"))
+        h = (
+            hr.crossJoin(F.broadcast(hn))  # one-row norm side
+            .select("hub", (F.col("s") / F.col("n")).alias("s"))
+            .localCheckpoint(eager=False)
+        )
+    w_a = Window.orderBy(F.round("s", 6).desc(), F.col("auth").asc())
+    w_h = Window.orderBy(F.round("s", 6).desc(), F.col("hub").asc())
+    top_a = (
+        a.select(
+            F.lit("authority").alias("side"),
+            F.col("auth").cast("bigint").alias("node_id"),
+            F.round("s", 6).alias("score"),
+            F.row_number().over(w_a).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= _HITS_TOPK)
+    )
+    top_h = (
+        h.select(
+            F.lit("hub").alias("side"),
+            F.col("hub").cast("bigint").alias("node_id"),
+            F.round("s", 6).alias("score"),
+            F.row_number().over(w_h).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= _HITS_TOPK)
+    )
+    return top_a.unionByName(top_h)

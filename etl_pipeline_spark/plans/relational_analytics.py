@@ -1507,3 +1507,172 @@ def abc_xyz_inventory_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         (F.sum("cents").cast("bigint") / 100.0).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-group log-rank test (Mantel 1966) — the hypothesis-test companion
+# to kaplan_meier_retention: does cohort A (user_id % 2 = 0) churn at a
+# different rate than cohort B? Same lifetime/censoring definitions as
+# the KM curve (duration = first-to-last event days; users active in
+# the final 3 days are right-censored). At each distinct duration t:
+# observed churns d1t vs expectation E1t = dt*n1t/nt under H0, variance
+# V1t = dt*(n1t/nt)*(1-n1t/nt)*(nt-dt)/(nt-1); chi2 = (O1-E1)^2 / V,
+# df = 1, alpha = .05 critical value 3.841.
+#
+# Scale shape: one user-keyed aggregate, then EVERYTHING runs on the
+# duration-day domain (per-group at-risk counts via the same
+# total-minus-prefix device as KM). Sums of exact-integer ratios — the
+# only floats are correctly-rounded IEEE ops, rounded at 6 dp after the
+# final aggregate.
+# ---------------------------------------------------------------------------
+_LR_CRIT_05 = 3.841
+
+
+@register(
+    "logrank_test_retention",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id, user_id % 2 AS grp,
+                   MIN(epoch_ns(ts)) AS first_ts,
+                   MAX(epoch_ns(ts)) AS last_ts
+            FROM events GROUP BY 1, 2
+        ),
+        mx AS (SELECT MAX(epoch_ns(ts)) AS max_ts FROM events),
+        lif AS (
+            SELECT grp,
+                   (last_ts - first_ts) // {_KM_DAY_NS} AS duration_days,
+                   CASE WHEN m.max_ts - last_ts
+                             < {_KM_CENSOR_DAYS} * {_KM_DAY_NS}
+                        THEN 1 ELSE 0 END AS is_censored
+            FROM u CROSS JOIN mx m
+        ),
+        g AS (
+            SELECT duration_days,
+                   CAST(SUM(CASE WHEN grp = 0 AND is_censored = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS t1,
+                   CAST(SUM(CASE WHEN grp = 1 AND is_censored = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+                   CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS t2
+            FROM lif GROUP BY 1
+        ),
+        k AS (
+            SELECT duration_days, d1, d2,
+                   CAST(SUM(t1) OVER () - COALESCE(SUM(t1) OVER (
+                            ORDER BY duration_days ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+                   CAST(SUM(t2) OVER () - COALESCE(SUM(t2) OVER (
+                            ORDER BY duration_days ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n2
+            FROM g
+        ),
+        terms AS (
+            SELECT SUM(CAST(d1 AS DOUBLE)
+                       - CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2))
+                       AS o_minus_e,
+                   SUM(CASE WHEN n1 + n2 > 1 THEN
+                           CAST(d1 + d2 AS DOUBLE)
+                           * (CAST(n1 AS DOUBLE) / (n1 + n2))
+                           * (1.0 - CAST(n1 AS DOUBLE) / (n1 + n2))
+                           * (n1 + n2 - d1 - d2) / (n1 + n2 - 1)
+                           ELSE 0.0 END) AS var_sum,
+                   CAST(SUM(d1) AS BIGINT) AS o1,
+                   CAST(SUM(d2) AS BIGINT) AS o2
+            FROM k
+        )
+        SELECT o1 AS churns_a, o2 AS churns_b,
+               ROUND(o_minus_e, 6) AS o_minus_e,
+               ROUND(var_sum, 6) AS variance,
+               CASE WHEN var_sum <= 0 THEN NULL
+                    ELSE ROUND(o_minus_e * o_minus_e / var_sum, 6) END
+                   AS chi2,
+               CASE WHEN var_sum <= 0 THEN 0
+                    ELSE CAST(o_minus_e * o_minus_e / var_sum
+                              > {_LR_CRIT_05} AS INT) END AS reject_05
+        FROM terms
+    """,
+    tags=("stats", "survival", "hypothesis"),
+)
+def logrank_test_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", (F.col("user_id") % 2).alias("grp")).agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    lif = u.crossJoin(F.broadcast(mx)).select(  # one-row max side
+        "grp",
+        F.expr(f"(last_ts - first_ts) DIV {_KM_DAY_NS}").alias("duration_days"),
+        F.when(
+            F.col("max_ts") - F.col("last_ts")
+            < _KM_CENSOR_DAYS * _KM_DAY_NS,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_censored"),
+    )
+    g = lif.groupBy("duration_days").agg(
+        F.sum(F.when((F.col("grp") == 0) & (F.col("is_censored") == 0), 1)
+              .otherwise(0)).cast("bigint").alias("d1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("t1"),
+        F.sum(F.when((F.col("grp") == 1) & (F.col("is_censored") == 0), 1)
+              .otherwise(0)).cast("bigint").alias("d2"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("t2"),
+    )
+    # duration-DOMAIN windows (the KM discipline): at-risk = total − prefix
+    ord_w = Window.orderBy("duration_days")
+    all_w = ord_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prev_w = ord_w.rowsBetween(Window.unboundedPreceding, -1)
+    k = g.select(
+        "duration_days",
+        "d1",
+        "d2",
+        (
+            F.sum("t1").over(all_w)
+            - F.coalesce(F.sum("t1").over(prev_w), F.lit(0))
+        ).cast("bigint").alias("n1"),
+        (
+            F.sum("t2").over(all_w)
+            - F.coalesce(F.sum("t2").over(prev_w), F.lit(0))
+        ).cast("bigint").alias("n2"),
+    )
+    nt = F.col("n1") + F.col("n2")
+    dt = (F.col("d1") + F.col("d2")).cast("double")
+    p1 = F.col("n1").cast("double") / nt
+    terms = k.agg(
+        F.sum(F.col("d1").cast("double") - dt * F.col("n1") / nt).alias(
+            "o_minus_e"
+        ),
+        F.sum(
+            F.when(
+                nt > 1,
+                dt * p1 * (1.0 - p1) * (nt - F.col("d1") - F.col("d2"))
+                / (nt - 1),
+            ).otherwise(0.0)
+        ).alias("var_sum"),
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("d2").cast("bigint").alias("o2"),
+    )
+    # degenerate guard: an all-censored window (possible at tiny SFs) has
+    # zero churn events -> V = 0 and no test statistic
+    chi2 = F.when(
+        F.col("var_sum") > 0,
+        F.col("o_minus_e") * F.col("o_minus_e") / F.col("var_sum"),
+    )
+    return terms.select(
+        F.col("o1").alias("churns_a"),
+        F.col("o2").alias("churns_b"),
+        F.round("o_minus_e", 6).alias("o_minus_e"),
+        F.round("var_sum", 6).alias("variance"),
+        F.round(chi2, 6).alias("chi2"),
+        F.coalesce((chi2 > _LR_CRIT_05).cast("int"), F.lit(0)).alias(
+            "reject_05"
+        ),
+    )

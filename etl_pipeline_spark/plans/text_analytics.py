@@ -1031,3 +1031,61 @@ def doclen_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage & unseen-mass estimates per language (round-6
+# wave): Good–Turing coverage (Good 1953 — the probability mass of the
+# NEXT token being an already-seen type is ~ 1 − f1/N) and the
+# bias-corrected Chao1 richness floor (Chao 1984: V + f1(f1−1)/(2(f2+1))
+# — how many types the corpus is still missing). The pair tells a
+# crawl/curation loop when a language's corpus has stopped buying new
+# vocabulary. One term-keyed count (the TF-IDF cost), then everything is
+# a language-domain aggregate of exact integers; ratios round at 6 dp.
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_coverage_estimates",
+    oracle="""
+        WITH tc AS (
+            SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ) GROUP BY 1, 2
+        )
+        SELECT lang,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+               ROUND(1.0 - SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                           / SUM(c), 6) AS gt_coverage,
+               ROUND(COUNT(*)
+                     + SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                       * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+                       / (2.0 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)),
+                     6) AS chao1_richness
+        FROM tc GROUP BY 1
+    """,
+    tags=("text", "corpus", "coverage"),
+)
+def vocab_coverage_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    tc = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    f2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+    v = F.count(F.lit(1))
+    return tc.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        v.cast("bigint").alias("n_types"),
+        f1.cast("bigint").alias("f1"),
+        f2.cast("bigint").alias("f2"),
+        F.round(1.0 - f1 * 1.0 / F.sum("c"), 6).alias("gt_coverage"),
+        F.round(v + f1 * 1.0 * (f1 - 1) / (2.0 * (f2 + 1)), 6).alias(
+            "chao1_richness"
+        ),
+    )

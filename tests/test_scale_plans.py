@@ -753,3 +753,25 @@ def test_bh_fdr_broadcasts_nation_only(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # nation dimension side
+
+
+def test_logrank_scan_narrow_and_windows_duration_domain(spark):
+    """Log-rank reads only (user_id, ts); every window below the
+    user-keyed aggregate runs on the duration-day domain."""
+    plan = _plan(
+        spark, REGISTRY["logrank_test_retention"].spark_fn(spark, SF_DIR)
+    )
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read
+    for ln in read:
+        assert "value" not in ln and "props" not in ln and "event_type" not in ln
+
+
+def test_hits_no_cartesian_and_narrow_scans(spark):
+    plan = _plan(
+        spark, REGISTRY["hits_hub_authority"].spark_fn(spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    for ln in read:
+        assert "o_totalprice" not in ln and "l_extendedprice" not in ln
