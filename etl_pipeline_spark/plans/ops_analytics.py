@@ -1774,3 +1774,122 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").over(w) * 1.0 / F.col("total"), 6
         ).alias("lorenz_cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt–Winters additive forecast of daily purchase revenue (Holt 1957,
+# Winters 1960; season m = 7): the missing member of the forecasting
+# family (seasonal-naive backtest, EWMA chart, Croston) — level, trend
+# AND weekly seasonality with a 7-day-ahead forecast. All smoothing
+# constants are 1/2 EXACTLY, and the coupled (l, b, s) recursion runs in
+# the SAME op order in both engines, so every state is bit-identical —
+# no libm anywhere.
+#
+# Scale shape: the ONLY fact-sized work is the daily grouped cents sum.
+# The recursion's state is DAY-DOMAIN-bounded (days don't grow with
+# volume), so Spark collects the ~30-row daily series and solves on the
+# driver — the markov/k-means-seed pattern; the oracle runs the same
+# recursion as a RECURSIVE CTE joined to the indexed day relation,
+# carrying the rotating 7-slot seasonal vector as columns. Init:
+# l0 = mean(x1..x7), b0 = (mean(x8..x14) − l0)/7, s_i = x_i − l0
+# (explicit left-associated sums — aggregate order would be
+# engine-dependent). Series shorter than 15 days -> empty result.
+# ---------------------------------------------------------------------------
+def _hw_oracle() -> str:
+    x = lambda i: f"MAX(CASE WHEN i = {i} THEN x END)"  # noqa: E731
+    l0 = f"(((((({x(1)} + {x(2)}) + {x(3)}) + {x(4)}) + {x(5)}) + {x(6)}) + {x(7)}) / 7.0"
+    m2 = f"(((((({x(8)} + {x(9)}) + {x(10)}) + {x(11)}) + {x(12)}) + {x(13)}) + {x(14)}) / 7.0"
+    return f"""
+        WITH RECURSIVE d AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+                   CAST(cents AS DOUBLE) / 100.0 AS x
+            FROM (
+                SELECT epoch_ns(ts) // {_DAY_NS} AS day,
+                       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            )
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM d),
+        init AS (
+            SELECT 7 AS i, {l0} AS l, ({m2} - ({l0})) / 7.0 AS b,
+                   {x(1)} - ({l0}) AS s0, {x(2)} - ({l0}) AS s1,
+                   {x(3)} - ({l0}) AS s2, {x(4)} - ({l0}) AS s3,
+                   {x(5)} - ({l0}) AS s4, {x(6)} - ({l0}) AS s5,
+                   {x(7)} - ({l0}) AS s6
+            FROM d WHERE i <= 14
+        ),
+        rec AS (
+            SELECT * FROM init
+            UNION ALL
+            SELECT i, lnew AS l,
+                   0.5 * (lnew - l) + 0.5 * b AS b,
+                   s1 AS s0, s2 AS s1, s3 AS s2, s4 AS s3, s5 AS s4,
+                   s6 AS s5,
+                   0.5 * (x - lnew) + 0.5 * s0 AS s6
+            FROM (
+                SELECT d.i, d.x, r.l, r.b, r.s0, r.s1, r.s2, r.s3, r.s4,
+                       r.s5, r.s6,
+                       0.5 * (d.x - r.s0) + 0.5 * (r.l + r.b) AS lnew
+                FROM rec r JOIN d ON d.i = r.i + 1
+            )
+        ),
+        fin AS (
+            SELECT r.* FROM rec r CROSS JOIN n WHERE r.i = n.nd AND n.nd >= 15
+        )
+        SELECT CAST(h AS BIGINT) AS h,
+               ROUND(l + h * b + CASE ((h - 1) % 7)
+                     WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
+                     WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5
+                     ELSE s6 END, 6) AS forecast,
+               ROUND(l, 6) AS level, ROUND(b, 6) AS trend
+        FROM fin CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h)
+    """
+
+
+@register(
+    "holt_winters_daily",
+    oracle=_hw_oracle(),
+    tags=("timeseries", "forecast", "events"),
+)
+def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = (
+        ev.groupBy(F.expr(f"ts DIV {_DAY_NS}").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .orderBy("day")
+    )
+    # DAY-DOMAIN collect (~30 rows at any volume — the markov pattern):
+    # the fact-sized daily aggregate above stays distributed
+    xs = [r["cents"] / 100.0 for r in daily.collect()]
+    schema = "h bigint, forecast double, level double, trend double"
+    if len(xs) < 15:
+        return spark.createDataFrame([], schema)
+    l, b, s = _hw_solve(xs)
+    rows = [
+        (h, round(l + h * b + s[(h - 1) % 7], 6), round(l, 6), round(b, 6))
+        for h in range(1, 8)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def _hw_solve(xs: list[float]) -> tuple[float, float, list[float]]:
+    """The additive Holt-Winters recursion (m=7, all constants 1/2) in
+    the exact op order the oracle's recursive CTE uses — bit-identical
+    states. Returns (level, trend, seasonal[0..6] for the next 7 days)."""
+    l = (((((xs[0] + xs[1]) + xs[2]) + xs[3]) + xs[4]) + xs[5] + xs[6]) / 7.0
+    m2 = (((((xs[7] + xs[8]) + xs[9]) + xs[10]) + xs[11]) + xs[12] + xs[13]) / 7.0
+    b = (m2 - l) / 7.0
+    s = [xs[i] - l for i in range(7)]
+    for x in xs[7:]:
+        ln = 0.5 * (x - s[0]) + 0.5 * (l + b)
+        b = 0.5 * (ln - l) + 0.5 * b
+        s = s[1:] + [0.5 * (x - ln) + 0.5 * s[0]]
+        l = ln
+    return l, b, s

@@ -1676,3 +1676,99 @@ def logrank_test_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_05"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit (Simpson 1951; the aggregation-reversal trap
+# every metrics warehouse should screen for): the OLS slope of quantity
+# on discount computed POOLED and within each l_returnflag stratum, with
+# a flag marking strata whose slope sign CONTRADICTS the pooled sign —
+# the signature of a lurking stratification variable. ONE fact pass:
+# GROUPING SETS ((stratum), ()) — Spark's cube over one column — emits
+# the per-stratum AND pooled moment rows from a single aggregate
+# (plan-guarded: exactly one parquet scan); the pooled slope then rides
+# an unpartitioned window over the 4-row grouped relation. Slopes use
+# the fixed-parenthesis moment form; the zero-variance guard is
+# MIN(x) = MAX(x) within the row's own scope (a stratum can be
+# degenerate while the pool is not, and vice versa).
+# ---------------------------------------------------------------------------
+_SIMPSON_SLOPE = (
+    "(sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n))"
+)
+
+
+@register(
+    "simpson_paradox_check",
+    oracle=f"""
+        WITH m AS (
+            SELECT l_returnflag AS stratum,
+                   GROUPING(l_returnflag) AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(l_discount) AS sx, SUM(l_quantity) AS sy,
+                   SUM(l_discount * l_quantity) AS sxy,
+                   SUM(l_discount * l_discount) AS sxx,
+                   CAST(MIN(l_discount) = MAX(l_discount) AS INT) AS xc
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), ())
+        ),
+        sl AS (
+            SELECT stratum, gid, n,
+                   CASE WHEN xc = 1 THEN NULL
+                        ELSE ROUND({_SIMPSON_SLOPE}, 6) END AS slope
+            FROM m
+        ),
+        w AS (
+            SELECT *, MAX(CASE WHEN gid = 1 THEN slope END) OVER ()
+                          AS pooled_slope
+            FROM sl
+        )
+        SELECT stratum, n, slope, pooled_slope,
+               CASE WHEN slope IS NULL OR pooled_slope IS NULL THEN 0
+                    WHEN SIGN(slope) * SIGN(pooled_slope) < 0 THEN 1
+                    ELSE 0 END AS sign_flip
+        FROM w WHERE gid = 0
+    """,
+    tags=("stats", "audit", "regression"),
+)
+def simpson_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("stratum"), "l_discount", "l_quantity"
+    )
+    m = li.cube("stratum").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("l_discount").alias("sx"),
+        F.sum("l_quantity").alias("sy"),
+        F.sum(F.col("l_discount") * F.col("l_quantity")).alias("sxy"),
+        F.sum(F.col("l_discount") * F.col("l_discount")).alias("sxx"),
+        (F.min("l_discount") == F.max("l_discount")).cast("int").alias("xc"),
+    )
+    sl = m.select(
+        "stratum",
+        "gid",
+        "n",
+        F.when(F.col("xc") == 1, F.lit(None))
+        .otherwise(F.round(F.expr(_SIMPSON_SLOPE), 6))
+        .alias("slope"),
+    )
+    # unpartitioned window over the 4-row grouped relation (group domain)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = sl.select(
+        "stratum",
+        "gid",
+        "n",
+        "slope",
+        F.max(F.when(F.col("gid") == 1, F.col("slope"))).over(w_all).alias(
+            "pooled_slope"
+        ),
+    )
+    flip = (
+        F.when(F.col("slope").isNull() | F.col("pooled_slope").isNull(), 0)
+        .when(F.signum("slope") * F.signum("pooled_slope") < 0, 1)
+        .otherwise(0)
+    )
+    return w.where(F.col("gid") == 0).select(
+        "stratum", "n", "slope", "pooled_slope", flip.alias("sign_flip")
+    )

@@ -775,3 +775,16 @@ def test_hits_no_cartesian_and_narrow_scans(spark):
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     for ln in read:
         assert "o_totalprice" not in ln and "l_extendedprice" not in ln
+
+
+def test_simpson_single_fact_pass(spark):
+    """Pooled moments re-sum the stratum moments — exactly ONE lineitem
+    scan in the plan."""
+    plan = _plan(
+        spark, REGISTRY["simpson_paradox_check"].spark_fn(spark, SF_DIR)
+    )
+    # formatted mode prints each node twice (tree + detail): 2 == 1 scan
+    assert plan.count("Scan parquet") == 2
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    for ln in read:
+        assert "l_extendedprice" not in ln and "l_shipdate" not in ln
