@@ -1772,3 +1772,98 @@ def simpson_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.where(F.col("gid") == 0).select(
         "stratum", "n", "slope", "pooled_slope", flip.alias("sign_flip")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard neighbor-overlap link prediction (Liben-Nowell & Kleinberg
+# 2003) — the set-overlap member of the link-prediction family next to
+# adamic_adar_link_prediction (same degree-bounded wedge join, different
+# normalization): for every non-edge pair with >= 1 common neighbor,
+# J = |N(a) n N(b)| / (deg a + deg b - |N(a) n N(b)|). Pure integer
+# ratio -> IEEE-exact in both engines before the 6-dp round; top-50 by
+# (score DESC, a, b) via TakeOrdered.
+# ---------------------------------------------------------------------------
+_JN_TOPK = 50
+
+
+def _jaccard_link_oracle() -> str:
+    from etl_pipeline_spark.plans.corpus_quality import COSUPPLIER_EDGE_CTES
+
+    return f"""
+        WITH {COSUPPLIER_EDGE_CTES},
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges
+        ),
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM sym GROUP BY 1),
+        common AS (
+            SELECT s1.src AS node_a, s2.src AS node_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM sym s1 JOIN sym s2
+              ON s1.dst = s2.dst AND s1.src < s2.src
+            WHERE NOT EXISTS (
+                SELECT 1 FROM edges e
+                WHERE e.src = s1.src AND e.dst = s2.src
+            )
+            GROUP BY 1, 2
+        )
+        SELECT c.node_a, c.node_b, c.n_common,
+               ROUND(c.n_common * 1.0 / (da.deg + db.deg - c.n_common), 6)
+                   AS jaccard
+        FROM common c
+        JOIN deg da ON da.node = c.node_a
+        JOIN deg db ON db.node = c.node_b
+        ORDER BY jaccard DESC, node_a ASC, node_b ASC
+        LIMIT {_JN_TOPK}
+    """
+
+
+@register(
+    "jaccard_link_prediction",
+    oracle=_jaccard_link_oracle(),
+    tags=("graph", "similarity"),
+)
+def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.graph import symmetrize
+    from etl_pipeline_spark.plans.corpus_quality import cosupplier_edges
+
+    edges = cosupplier_edges(spark, sf_dir)
+    sym = symmetrize(edges)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    a = sym.select(F.col("src").alias("node_a"), F.col("dst").alias("z"))
+    b = sym.select(F.col("src").alias("node_b"), F.col("dst").alias("z"))
+    common = (
+        a.join(b, ["z"])
+        .filter(F.col("node_a") < F.col("node_b"))
+        .join(
+            edges,
+            (edges["src"] == F.col("node_a"))
+            & (edges["dst"] == F.col("node_b")),
+            "anti",
+        )
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("db"))
+    return (
+        common.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("node_a"), F.asc("node_b"))
+        .limit(_JN_TOPK)
+    )

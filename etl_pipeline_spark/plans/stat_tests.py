@@ -1175,3 +1175,202 @@ def dp_exponential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("rank"),
         (F.row_number().over(w) <= _DPE_K).cast("int").alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall's tau-b between daily view counts and daily purchase revenue
+# (Kendall 1938; the rank-correlation companion to spearman_corr_daily
+# that prices ties correctly): concordant/discordant over all day pairs
+# with the tie-corrected denominator sqrt((n0 - Tx)(n0 - Ty)). The day
+# domain is bounded (~30 rows -> ~435 pairs at any fact volume), so the
+# pair self-join is domain-sized; everything is exact integers until
+# the final sqrt, rounded at 6 dp.
+# ---------------------------------------------------------------------------
+@register(
+    "kendall_tau_daily",
+    oracle=f"""
+        WITH daily AS (
+            SELECT epoch_ns(ts) // {86_400_000_000_000} AS day,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS r
+            FROM events GROUP BY 1
+        ),
+        p AS (
+            SELECT CAST(SUM(CASE WHEN (a.v - b.v) * (a.r - b.r) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN (a.v - b.v) * (a.r - b.r) < 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                   CAST(SUM(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT)
+                       AS tx,
+                   CAST(SUM(CASE WHEN a.r = b.r THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ty,
+                   CAST(COUNT(*) AS BIGINT) AS n0
+            FROM daily a JOIN daily b ON a.day < b.day
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM daily)
+        SELECT n.nd AS n_days, p.c AS concordant, p.d AS discordant,
+               CASE WHEN p.n0 - p.tx = 0 OR p.n0 - p.ty = 0 THEN NULL
+                    ELSE ROUND((p.c - p.d) * 1.0
+                               / SQRT(CAST((p.n0 - p.tx) AS DOUBLE)
+                                      * (p.n0 - p.ty)), 6) END AS tau_b
+        FROM p CROSS JOIN n
+    """,
+    tags=("stats", "correlation", "events"),
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.expr("ts DIV 86400000000000").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("v"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    a = daily.select(
+        F.col("day").alias("da"), F.col("v").alias("va"), F.col("r").alias("ra")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("v").alias("vb"), F.col("r").alias("rb")
+    )
+    # day-DOMAIN pair join (~435 pairs at any volume); b side broadcast
+    prod = (F.col("va") - F.col("vb")) * (F.col("ra") - F.col("rb"))
+    p = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint").alias("c"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint").alias("d"),
+            F.sum(F.when(F.col("va") == F.col("vb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tx"),
+            F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ty"),
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    tau = (F.col("c") - F.col("d")) * 1.0 / F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double") * (F.col("n0") - F.col("ty"))
+    )
+    return p.crossJoin(F.broadcast(n)).select(  # one-row count side
+        F.col("nd").alias("n_days"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.when(
+            (F.col("n0") - F.col("tx") == 0) | (F.col("n0") - F.col("ty") == 0),
+            F.lit(None),
+        )
+        .otherwise(F.round(tau, 6))
+        .alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramer's V association strength for two categorical pairs
+# (Cramer 1946) — the effect-size companion to the chi-square tests:
+# V = sqrt(chi2 / (n * min(r-1, c-1))) in [0, 1], comparable ACROSS
+# tables where raw chi2 is not. Cells, margins and n are one grouped
+# count per pair; chi2 = sum (obs - exp)^2 / exp over the cell domain.
+# ---------------------------------------------------------------------------
+def _cramers_cte(pair: str, table: str, ca: str, cb: str) -> str:
+    return f"""
+        SELECT '{pair}' AS pair,
+               CAST(SUM(n_cell) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT b) AS BIGINT) AS c,
+               SUM(POWER(n_cell - rt * ct / tot, 2) / (rt * ct / tot))
+                   AS chi2
+        FROM (
+            SELECT a, b, n_cell,
+                   SUM(n_cell) OVER (PARTITION BY a) * 1.0 AS rt,
+                   SUM(n_cell) OVER (PARTITION BY b) * 1.0 AS ct,
+                   SUM(n_cell) OVER () * 1.0 AS tot
+            FROM (
+                SELECT {ca} AS a, {cb} AS b,
+                       CAST(COUNT(*) AS BIGINT) AS n_cell
+                FROM {table} GROUP BY 1, 2
+            )
+        )
+        GROUP BY 1"""
+
+
+@register(
+    "cramers_v_pairs",
+    oracle=f"""
+        WITH u AS (
+            {_cramers_cte("status_x_priority", "orders",
+                          "o_orderstatus", "o_orderpriority")}
+            UNION ALL
+            {_cramers_cte("returnflag_x_linestatus", "lineitem",
+                          "l_returnflag", "l_linestatus")}
+        )
+        SELECT pair, n, r, c,
+               CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+               ROUND(chi2, 6) AS chi2,
+               CASE WHEN r < 2 OR c < 2 THEN NULL
+                    ELSE ROUND(SQRT(chi2 / (n * LEAST(r - 1, c - 1))), 6)
+               END AS cramers_v
+        FROM u
+    """,
+    tags=("stats", "association", "categorical"),
+)
+def cramers_v_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(pair: str, table: str, ca: str, cb: str) -> DataFrame:
+        t = load_table(spark, sf_dir, table).select(
+            F.col(ca).alias("a"), F.col(cb).alias("b")
+        )
+        cells = t.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cell")
+        )
+        # margins as windows over the CELL domain (r x c rows)
+        wr = Window.partitionBy("a")
+        wc = Window.partitionBy("b")
+        wt = Window.partitionBy()
+        m = cells.select(
+            "a",
+            "b",
+            "n_cell",
+            (F.sum("n_cell").over(wr) * 1.0).alias("rt"),
+            (F.sum("n_cell").over(wc) * 1.0).alias("ct"),
+            (F.sum("n_cell").over(wt) * 1.0).alias("tot"),
+        )
+        exp = F.col("rt") * F.col("ct") / F.col("tot")
+        return m.agg(
+            F.lit(pair).alias("pair"),
+            F.sum("n_cell").cast("bigint").alias("n"),
+            F.countDistinct("a").cast("bigint").alias("r"),
+            F.countDistinct("b").cast("bigint").alias("c"),
+            F.sum(F.pow(F.col("n_cell") - exp, 2) / exp).alias("chi2"),
+        )
+
+    u = one("status_x_priority", "orders", "o_orderstatus", "o_orderpriority").unionByName(
+        one("returnflag_x_linestatus", "lineitem", "l_returnflag", "l_linestatus")
+    )
+    v = F.when(
+        (F.col("r") < 2) | (F.col("c") < 2), F.lit(None)
+    ).otherwise(
+        F.round(
+            F.sqrt(
+                F.col("chi2") / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        )
+    )
+    return u.select(
+        "pair",
+        "n",
+        "r",
+        "c",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        v.alias("cramers_v"),
+    )
