@@ -1374,3 +1374,369 @@ def cramers_v_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("chi2", 6).alias("chi2"),
         v.alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel block-maxima fit (extreme-value theory; Gumbel 1958) on weekly
+# maxima of daily purchase revenue, by method of moments:
+# beta = s * sqrt(6) / pi, mu = xbar - gamma * beta (gamma = Euler-
+# Mascheroni), plus the T-block return level mu - beta * ln(-ln(1-1/T))
+# for T = 4 blocks — "what weekly-peak daily revenue do we exceed once
+# a month?". Two grouped aggregates (day, then ISO-week block) and a
+# one-row moment finish; constants are spelled as literals so both
+# engines use the identical doubles. Sample std uses the fixed-
+# parenthesis moment form; < 2 blocks or zero variance -> NULL fit.
+# ---------------------------------------------------------------------------
+_EVT_T = 4.0
+_GAMMA_EM = 0.5772156649015329
+_SQRT6_OVER_PI = 0.7796968012336793  # sqrt(6)/pi
+
+
+@register(
+    "gumbel_weekly_max_revenue",
+    oracle=f"""
+        WITH daily AS (
+            SELECT epoch_ns(ts) // {86_400_000_000_000} AS day,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        blocks AS (
+            SELECT day // 7 AS wk, CAST(MAX(cents) AS BIGINT) AS mx
+            FROM daily GROUP BY 1
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(mx AS DOUBLE) / 100.0) AS s1,
+                   SUM((CAST(mx AS DOUBLE) / 100.0)
+                       * (CAST(mx AS DOUBLE) / 100.0)) AS s2
+            FROM blocks
+        ),
+        fit AS (
+            SELECT n,
+                   s1 / n AS xbar,
+                   CASE WHEN n < 2 OR s2 / n - (s1 / n) * (s1 / n) <= 0
+                        THEN NULL
+                        ELSE SQRT((s2 / n - (s1 / n) * (s1 / n)) * n / (n - 1))
+                             * {_SQRT6_OVER_PI} END AS beta
+            FROM m
+        )
+        SELECT n AS n_blocks, ROUND(xbar, 6) AS block_max_mean,
+               ROUND(beta, 6) AS gumbel_beta,
+               ROUND(xbar - {_GAMMA_EM} * beta, 6) AS gumbel_mu,
+               ROUND(xbar - {_GAMMA_EM} * beta
+                     - beta * LN(-LN(1.0 - 1.0 / {_EVT_T})), 6)
+                   AS return_level_4
+        FROM fit
+    """,
+    tags=("stats", "extremes", "timeseries"),
+)
+def gumbel_weekly_max_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.expr("ts DIV 86400000000000").alias("day")).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    blocks = daily.groupBy(F.expr("day DIV 7").alias("wk")).agg(
+        F.max("cents").cast("bigint").alias("mx")
+    )
+    x = F.col("mx").cast("double") / 100.0
+    m = blocks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var = s2 / n - (s1 / n) * (s1 / n)
+    fit = m.select(
+        "n",
+        (s1 / n).alias("xbar"),
+        F.when((n < 2) | (var <= 0), F.lit(None))
+        .otherwise(F.sqrt(var * n / (n - 1)) * _SQRT6_OVER_PI)
+        .alias("beta"),
+    )
+    mu = F.col("xbar") - _GAMMA_EM * F.col("beta")
+    rl = mu - F.col("beta") * F.log(-F.log(F.lit(1.0) - 1.0 / _EVT_T))
+    return fit.select(
+        F.col("n").alias("n_blocks"),
+        F.round("xbar", 6).alias("block_max_mean"),
+        F.round("beta", 6).alias("gumbel_beta"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(rl, 6).alias("return_level_4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lincoln-Petersen capture-recapture (Petersen 1896; Chapman's
+# bias-corrected form): estimate the TOTAL user population from two
+# "capture occasions" — users active in the first half vs second half of
+# the observation window. N_hat = (n1+1)(n2+1)/(m+1) - 1, with the
+# standard variance for a Wald 95% interval. The estimator every
+# dedup/coverage audit reaches for when the union is unobservable; here
+# it is oracle-checkable because both occasions are defined by epoch
+# arithmetic. One user-keyed aggregate -> three counts.
+# ---------------------------------------------------------------------------
+@register(
+    "capture_recapture_users",
+    oracle="""
+        WITH mid AS (
+            SELECT (MIN(epoch_ns(ts)) + MAX(epoch_ns(ts))) // 2 AS m
+            FROM events
+        ),
+        u AS (
+            SELECT user_id,
+                   CAST(MAX(CASE WHEN epoch_ns(ts) < mid.m THEN 1 ELSE 0 END)
+                        AS INT) AS c1,
+                   CAST(MAX(CASE WHEN epoch_ns(ts) >= mid.m THEN 1 ELSE 0 END)
+                        AS INT) AS c2
+            FROM events CROSS JOIN mid GROUP BY 1
+        ),
+        k AS (
+            SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2,
+                   CAST(SUM(c1 * c2) AS BIGINT) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM u
+        )
+        SELECT n1, n2, m, n_true,
+               ROUND((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 6)
+                   AS n_chapman,
+               ROUND(SQRT((n1 + 1.0) * (n2 + 1.0) * (n1 - m * 1.0)
+                          * (n2 - m * 1.0)
+                          / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 6)
+                   AS se_chapman
+        FROM k
+    """,
+    tags=("stats", "estimation", "governance"),
+)
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    mid = ev.agg(
+        F.expr("(MIN(ts) + MAX(ts)) DIV 2").alias("m")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(mid))  # one-row midpoint side
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("ts") < F.col("m"), 1).otherwise(0))
+            .cast("int")
+            .alias("c1"),
+            F.max(F.when(F.col("ts") >= F.col("m"), 1).otherwise(0))
+            .cast("int")
+            .alias("c2"),
+        )
+    )
+    k = u.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+    )
+    n1, n2, mm = F.col("n1"), F.col("n2"), F.col("m")
+    nhat = (n1 + 1.0) * (n2 + 1.0) / (mm + 1.0) - 1.0
+    se = F.sqrt(
+        (n1 + 1.0)
+        * (n2 + 1.0)
+        * (n1 - mm * 1.0)
+        * (n2 - mm * 1.0)
+        / ((mm + 1.0) * (mm + 1.0) * (mm + 2.0))
+    )
+    return k.select(
+        "n1",
+        "n2",
+        "m",
+        "n_true",
+        F.round(nhat, 6).alias("n_chapman"),
+        F.round(se, 6).alias("se_chapman"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Negative-binomial overdispersion of purchases-per-user (the canonical
+# count-model screen: Poisson assumes var = mean; real user behavior is
+# overdispersed). Method-of-moments NB fit: r = mean^2/(var - mean),
+# p = mean/var, plus the variance-to-mean ratio (index of dispersion).
+# One user-keyed count -> one moment row; var <= mean -> NULL fit (the
+# data is UNDER-dispersed and NB degenerate).
+# ---------------------------------------------------------------------------
+@register(
+    "nb_overdispersion_purchases",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                            END) AS BIGINT) AS k
+            FROM events GROUP BY 1
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS s1,
+                   CAST(SUM(k * k) AS BIGINT) AS s2
+            FROM u
+        )
+        SELECT n AS n_users,
+               ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_purchases,
+               ROUND((CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                     * n / (n - 1), 6) AS var_purchases,
+               ROUND(((CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                      * n / (n - 1)) / (CAST(s1 AS DOUBLE) / n), 6)
+                   AS dispersion_index,
+               CASE WHEN (CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                         * n / (n - 1) <= CAST(s1 AS DOUBLE) / n THEN NULL
+                    ELSE ROUND((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                               / ((CAST(s2 AS DOUBLE) / n
+                                   - (CAST(s1 AS DOUBLE) / n)
+                                     * (CAST(s1 AS DOUBLE) / n)) * n / (n - 1)
+                                  - CAST(s1 AS DOUBLE) / n), 6) END AS nb_r,
+               CASE WHEN (CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                         * n / (n - 1) <= CAST(s1 AS DOUBLE) / n THEN NULL
+                    ELSE ROUND((CAST(s1 AS DOUBLE) / n)
+                               / ((CAST(s2 AS DOUBLE) / n
+                                   - (CAST(s1 AS DOUBLE) / n)
+                                     * (CAST(s1 AS DOUBLE) / n)) * n / (n - 1)),
+                               6) END AS nb_p
+        FROM m
+    """,
+    tags=("stats", "count-model", "events"),
+)
+def nb_overdispersion_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k")
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("s1"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double") / n - mean * mean) * n / (n - 1)
+    under = var <= mean
+    return m.select(
+        n.alias("n_users"),
+        F.round(mean, 6).alias("mean_purchases"),
+        F.round(var, 6).alias("var_purchases"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+        F.when(under, F.lit(None))
+        .otherwise(F.round(mean * mean / (var - mean), 6))
+        .alias("nb_r"),
+        F.when(under, F.lit(None)).otherwise(F.round(mean / var, 6)).alias(
+            "nb_p"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the first-order event-transition chain (Shannon 1948;
+# Cover & Thomas Ch. 4): H = -sum_i pi_i sum_j P_ij ln P_ij with the
+# empirical source distribution as pi — how predictable is the NEXT
+# event given the current one, in nats. Reuses the per-user LAG
+# transition counts (the markov family's only fact-sized work); the
+# entropy double-sum runs on the type x type domain. Also emits the
+# zeroth-order entropy H0 (ignoring the chain) — the gap H0 − H is the
+# information the previous event carries.
+# ---------------------------------------------------------------------------
+@register(
+    "entropy_rate_transitions",
+    oracle="""
+        WITH t AS (
+            SELECT event_type AS dst,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id) AS src
+            FROM events
+        ),
+        c AS (
+            SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+            FROM t WHERE src IS NOT NULL GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c),
+        rw AS (
+            SELECT src, n,
+                   CAST(n AS DOUBLE)
+                   * LN(CAST(n AS DOUBLE)
+                        / (SUM(n) OVER (PARTITION BY src))) AS term
+            FROM c
+        ),
+        row_h AS (
+            SELECT src, CAST(SUM(n) AS BIGINT) AS ns, SUM(term) AS sl
+            FROM rw GROUP BY 1
+        ),
+        hr AS (
+            SELECT -SUM(CAST(r.ns AS DOUBLE) / t.nt * (r.sl / r.ns)) AS h
+            FROM row_h r CROSS JOIN tot t
+        ),
+        h0 AS (
+            SELECT -SUM(CAST(ns AS DOUBLE) / t.nt
+                        * LN(CAST(ns AS DOUBLE) / t.nt)) AS h0
+            FROM (SELECT src, CAST(SUM(n) AS BIGINT) AS ns FROM c GROUP BY 1)
+            CROSS JOIN tot t
+        )
+        SELECT ROUND(hr.h, 6) AS entropy_rate,
+               ROUND(h0.h0, 6) AS entropy_zeroth,
+               ROUND(h0.h0 - hr.h, 6) AS info_gain
+        FROM hr CROSS JOIN h0
+    """,
+    tags=("stats", "information", "events"),
+)
+def entropy_rate_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).where(F.col("src").isNotNull())
+    c = t.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("nt"))
+    ws = Window.partitionBy("src")
+    row_h = (
+        c.select(
+            "src",
+            "n",
+            F.sum("n").over(ws).alias("ns_w"),
+        )
+        .select(
+            "src",
+            "n",
+            (F.col("n").cast("double")
+             * F.log(F.col("n").cast("double") / F.col("ns_w"))).alias("term"),
+        )
+        .groupBy("src")
+        .agg(
+            F.sum("n").cast("bigint").alias("ns"),
+            F.sum("term").alias("sl"),
+        )
+    )
+    hr = row_h.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            F.col("ns").cast("double") / F.col("nt")
+            * (F.col("sl") / F.col("ns"))
+        )).alias("h")
+    )
+    h0 = (
+        c.groupBy("src")
+        .agg(F.sum("n").cast("bigint").alias("ns"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum(
+                F.col("ns").cast("double") / F.col("nt")
+                * F.log(F.col("ns").cast("double") / F.col("nt"))
+            )).alias("h0")
+        )
+    )
+    return hr.crossJoin(F.broadcast(h0)).select(
+        F.round("h", 6).alias("entropy_rate"),
+        F.round("h0", 6).alias("entropy_zeroth"),
+        F.round(F.col("h0") - F.col("h"), 6).alias("info_gain"),
+    )
