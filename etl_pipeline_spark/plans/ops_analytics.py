@@ -1893,3 +1893,118 @@ def _hw_solve(xs: list[float]) -> tuple[float, float, list[float]]:
         s = s[1:] + [0.5 * (x - ln) + 0.5 * s[0]]
         l = ln
     return l, b, s
+
+
+# ---------------------------------------------------------------------------
+# Theil index decomposition of customer revenue inequality by nation
+# (Theil 1967; the information-theoretic member of the concentration
+# family next to Gini/Lorenz/HHI, and the only one that decomposes
+# EXACTLY into within-group + between-group terms):
+#   T = (1/n) sum_i (x_i/mu) ln(x_i/mu)
+#     = sum_g s_g T_g  +  sum_g s_g ln((mu_g/mu))        (s_g = revenue share)
+# Per-customer revenue in exact integer cents; each group term needs
+# only (n_g, sum_g, sum_g x ln x) — one customer-keyed aggregate, one
+# nation-domain finish. ln() of cents ratios rounds at the final 6 dp
+# (the ANOVA convention). Zero-revenue customers drop (x ln x -> 0
+# limit, stated); single-nation or zero-total edge -> NULL decomposition.
+# ---------------------------------------------------------------------------
+@register(
+    "theil_index_decomposition",
+    oracle="""
+        WITH cust AS (
+            SELECT c.c_custkey, n.n_name,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS ng,
+                   CAST(SUM(cents) AS BIGINT) AS sg,
+                   SUM(CAST(cents AS DOUBLE)
+                       * LN(CAST(cents AS DOUBLE))) AS sxlx
+            FROM cust WHERE cents > 0 GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(ng) AS BIGINT) AS n,
+                   CAST(SUM(sg) AS BIGINT) AS s,
+                   SUM(sxlx) AS sxlx
+            FROM g
+        ),
+        terms AS (
+            SELECT
+                SUM((CAST(g.sg AS DOUBLE) / t.s)
+                    * (g.sxlx / g.sg
+                       - LN(CAST(g.sg AS DOUBLE) / g.ng))) AS t_within,
+                SUM((CAST(g.sg AS DOUBLE) / t.s)
+                    * LN((CAST(g.sg AS DOUBLE) / g.ng)
+                         / (CAST(t.s AS DOUBLE) / t.n))) AS t_between,
+                CAST(MAX(t.n) AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS n_groups
+            FROM g CROSS JOIN tot t
+        )
+        SELECT n AS n_customers, n_groups,
+               ROUND(t_within + t_between, 6) AS theil_total,
+               ROUND(t_within, 6) AS theil_within,
+               ROUND(t_between, 6) AS theil_between,
+               CASE WHEN t_within + t_between <= 0 THEN NULL
+                    ELSE ROUND(t_between / (t_within + t_between), 6) END
+                   AS between_share
+        FROM terms
+    """,
+    tags=("stats", "inequality", "concentration"),
+)
+def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust_dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        orders.join(cust_dim, orders.o_custkey == cust_dim.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .where(F.col("cents") > 0)
+    )
+    x = F.col("cents").cast("double")
+    g = cust.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("cents").cast("bigint").alias("sg"),
+        F.sum(x * F.log(x)).alias("sxlx"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").cast("bigint").alias("s"),
+        F.sum("sxlx").alias("sxlx_t"),
+    )
+    share = F.col("sg").cast("double") / F.col("s")
+    mu_g = F.col("sg").cast("double") / F.col("ng")
+    mu = F.col("s").cast("double") / F.col("n")
+    terms = g.crossJoin(F.broadcast(tot)).agg(  # one-row total side
+        F.sum(share * (F.col("sxlx") / F.col("sg") - F.log(mu_g))).alias(
+            "t_within"
+        ),
+        F.sum(share * F.log(mu_g / mu)).alias("t_between"),
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    tt = F.col("t_within") + F.col("t_between")
+    return terms.select(
+        F.col("n").alias("n_customers"),
+        "n_groups",
+        F.round(tt, 6).alias("theil_total"),
+        F.round("t_within", 6).alias("theil_within"),
+        F.round("t_between", 6).alias("theil_between"),
+        F.when(tt <= 0, F.lit(None))
+        .otherwise(F.round(F.col("t_between") / tt, 6))
+        .alias("between_share"),
+    )

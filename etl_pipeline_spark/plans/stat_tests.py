@@ -1740,3 +1740,162 @@ def entropy_rate_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h0", 6).alias("entropy_zeroth"),
         F.round(F.col("h0") - F.col("h"), 6).alias("info_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired-model comparison (McNemar 1947, continuity-corrected):
+# is the bigram next-event model (session_next_event_accuracy's
+# argmax-per-context) actually better than the marginal baseline
+# (always predict the globally most frequent next type) ON THE SAME
+# test transitions? Accuracy deltas lie; the paired discordant counts
+# b (bigram right, baseline wrong) and c (baseline right, bigram
+# wrong) carry the evidence: chi2 = (|b-c|-1)^2/(b+c), df = 1. Train on
+# even users, test on odd (the shared split); ties in either argmax
+# break lexicographically (deterministic in both engines). One
+# fact-sized LAG + one broadcast model join; b and c are two integer
+# sums.
+# ---------------------------------------------------------------------------
+@register(
+    "mcnemar_bigram_vs_marginal",
+    oracle=f"""
+        WITH t AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id) AS prev
+            FROM events
+        ),
+        train AS (
+            SELECT prev, event_type AS nxt, CAST(COUNT(*) AS BIGINT) AS c
+            FROM t WHERE prev IS NOT NULL AND user_id % 2 = 0
+            GROUP BY 1, 2
+        ),
+        bigram AS (
+            SELECT prev, nxt AS pred FROM (
+                SELECT prev, nxt,
+                       ROW_NUMBER() OVER (PARTITION BY prev
+                           ORDER BY c DESC, nxt ASC) AS rk
+                FROM train
+            ) WHERE rk = 1
+        ),
+        marginal AS (
+            SELECT nxt AS pred FROM (
+                SELECT nxt, ROW_NUMBER() OVER (ORDER BY SUM(c) DESC,
+                                               nxt ASC) AS rk
+                FROM train GROUP BY nxt
+            ) WHERE rk = 1
+        ),
+        test AS (
+            SELECT tt.event_type AS actual, bg.pred AS p_big, mg.pred AS p_mar
+            FROM t tt
+            JOIN bigram bg ON bg.prev = tt.prev
+            CROSS JOIN marginal mg
+            WHERE tt.prev IS NOT NULL AND tt.user_id % 2 = 1
+        ),
+        k AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN p_big = actual AND p_mar <> actual
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                   CAST(SUM(CASE WHEN p_mar = actual AND p_big <> actual
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN p_big = actual THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hit_big,
+                   CAST(SUM(CASE WHEN p_mar = actual THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hit_mar
+            FROM test
+        )
+        SELECT n_test, b AS bigram_only_right, c AS marginal_only_right,
+               ROUND(CAST(hit_big AS DOUBLE) / n_test, 6) AS acc_bigram,
+               ROUND(CAST(hit_mar AS DOUBLE) / n_test, 6) AS acc_marginal,
+               CASE WHEN b + c = 0 THEN NULL
+                    ELSE ROUND((ABS(b - c) - 1.0) * (ABS(b - c) - 1.0)
+                               / (b + c), 6) END AS mcnemar_chi2,
+               CASE WHEN b + c = 0 THEN 0
+                    ELSE CAST((ABS(b - c) - 1.0) * (ABS(b - c) - 1.0)
+                              / (b + c) > 3.841 AS INT) END AS reject_05
+        FROM k
+    """,
+    tags=("stats", "eval", "hypothesis"),
+)
+def mcnemar_bigram_vs_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.withColumn("prev", F.lag("event_type").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    train = (
+        t.where(F.col("user_id") % 2 == 0)
+        .groupBy("prev", F.col("event_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wb = Window.partitionBy("prev").orderBy(F.desc("c"), F.asc("nxt"))
+    bigram = (
+        train.withColumn("rk", F.row_number().over(wb))
+        .where(F.col("rk") == 1)
+        .select("prev", F.col("nxt").alias("p_big"))
+    )
+    wm = Window.orderBy(F.desc("sc"), F.asc("nxt"))
+    marginal = (
+        train.groupBy("nxt")
+        .agg(F.sum("c").alias("sc"))
+        .withColumn("rk", F.row_number().over(wm))
+        .where(F.col("rk") == 1)
+        .select(F.col("nxt").alias("p_mar"))
+    )
+    test = (
+        t.where(F.col("user_id") % 2 == 1)
+        .join(F.broadcast(bigram), "prev")  # type-domain model side
+        .crossJoin(F.broadcast(marginal))  # one-row baseline side
+        .select(F.col("event_type").alias("actual"), "p_big", "p_mar")
+    )
+    k = test.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(
+            F.when(
+                (F.col("p_big") == F.col("actual"))
+                & (F.col("p_mar") != F.col("actual")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            F.when(
+                (F.col("p_mar") == F.col("actual"))
+                & (F.col("p_big") != F.col("actual")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(F.col("p_big") == F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("hit_big"),
+        F.sum(F.when(F.col("p_mar") == F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("hit_mar"),
+    )
+    bc = F.col("b") + F.col("c")
+    chi2 = (
+        (F.abs(F.col("b") - F.col("c")) - 1.0)
+        * (F.abs(F.col("b") - F.col("c")) - 1.0)
+        / bc
+    )
+    return k.select(
+        "n_test",
+        F.col("b").alias("bigram_only_right"),
+        F.col("c").alias("marginal_only_right"),
+        F.round(F.col("hit_big").cast("double") / F.col("n_test"), 6).alias(
+            "acc_bigram"
+        ),
+        F.round(F.col("hit_mar").cast("double") / F.col("n_test"), 6).alias(
+            "acc_marginal"
+        ),
+        F.when(bc == 0, F.lit(None)).otherwise(F.round(chi2, 6)).alias(
+            "mcnemar_chi2"
+        ),
+        F.when(bc == 0, F.lit(0)).otherwise(
+            (chi2 > 3.841).cast("int")
+        ).alias("reject_05"),
+    )
