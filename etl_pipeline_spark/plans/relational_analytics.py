@@ -1867,3 +1867,95 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("node_a"), F.asc("node_b"))
         .limit(_JN_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Allen interval-algebra profile of consecutive customer orders (Allen
+# 1983, "Maintaining knowledge about temporal intervals"): each order's
+# lifetime is [orderdate, last shipdate]; consecutive orders of the
+# same customer (by orderdate, then orderkey) classify into the 13
+# Allen relations (before/meets/overlaps/starts/during/finishes/equal
+# + inverses). The profile is the temporal-reasoning summary a
+# fulfilment warehouse reads to see how much order lifetimes interleave.
+# One orders⋈lineitem aggregate for interval ends, one customer-keyed
+# LEAD window, one 13-domain grouped count. Epoch-integer endpoints —
+# every comparison exact; the CASE ladder is textually identical in
+# both engines (first match wins, so ordering ties like equals/starts
+# are decided identically).
+# ---------------------------------------------------------------------------
+_ALLEN_CASE = """
+    CASE WHEN a_s = b_s AND a_e = b_e THEN 'equal'
+         WHEN a_e < b_s THEN 'before'
+         WHEN a_e = b_s THEN 'meets'
+         WHEN a_s = b_s AND a_e < b_e THEN 'starts'
+         WHEN a_s = b_s THEN 'started_by'
+         WHEN a_e = b_e AND a_s < b_s THEN 'finished_by'
+         WHEN a_e = b_e THEN 'finishes'
+         WHEN a_s < b_s AND a_e > b_e THEN 'contains'
+         WHEN a_s > b_s AND a_e < b_e THEN 'during'
+         WHEN a_s < b_s AND a_e > b_s AND a_e < b_e THEN 'overlaps'
+         WHEN a_s > b_s AND a_s < b_e AND a_e > b_e THEN 'overlapped_by'
+         WHEN a_s >= b_e THEN 'after'
+         ELSE 'other' END
+"""
+
+
+@register(
+    "allen_interval_profile",
+    oracle=f"""
+        WITH iv AS (
+            SELECT o.o_custkey AS ck,
+                   CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                                  o.o_orderdate) AS BIGINT) AS s,
+                   MAX(CAST(date_diff('day',
+                                      TIMESTAMP '1970-01-01 00:00:00',
+                                      l.l_shipdate) AS BIGINT)) AS e,
+                   o.o_orderkey AS ok
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2, 4
+        ),
+        pairs AS (
+            SELECT s AS a_s, e AS a_e,
+                   LEAD(s) OVER w AS b_s, LEAD(e) OVER w AS b_e
+            FROM iv
+            WINDOW w AS (PARTITION BY ck ORDER BY s, ok)
+        )
+        SELECT {_ALLEN_CASE} AS relation,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs WHERE b_s IS NOT NULL
+        GROUP BY 1
+    """,
+    tags=("relational", "temporal", "intervals"),
+)
+def allen_interval_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    epoch0 = F.lit("1970-01-01").cast("timestamp_ntz")
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.datediff(F.col("o_orderdate"), epoch0)
+            .cast("bigint")
+            .alias("s"),
+            F.col("o_orderkey").alias("ok"),
+        )
+        .agg(
+            F.max(F.datediff(F.col("l_shipdate"), epoch0).cast("bigint"))
+            .alias("e")
+        )
+    )
+    w = Window.partitionBy("ck").orderBy("s", "ok")
+    pairs = iv.select(
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+        F.lead("s").over(w).alias("b_s"),
+        F.lead("e").over(w).alias("b_e"),
+    ).where(F.col("b_s").isNotNull())
+    return pairs.groupBy(
+        F.expr(_ALLEN_CASE).alias("relation")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))

@@ -1899,3 +1899,133 @@ def mcnemar_bigram_vs_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (chi2 > 3.841).cast("int")
         ).alias("reject_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test for randomness of daily revenue around its
+# median (Wald & Wolfowitz 1940): too FEW runs of above/below-median
+# days = trending/clustered; too MANY = oscillating. The median is the
+# LOWER median (rank (n+1)//2, integer-exact in both engines); equal-to-
+# median days drop (the standard treatment). R, n1, n2 are integers from
+# one LAG pass over the day domain; E[R] and Var[R] are exact-integer
+# ratios; z rounds at 6 dp. Everything below the daily grouped sum is
+# day-domain-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "runs_test_daily_revenue",
+    oracle=f"""
+        WITH daily AS (
+            SELECT epoch_ns(ts) // {86_400_000_000_000} AS day,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        med AS (
+            SELECT cents AS m FROM (
+                SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, day) AS rk,
+                       COUNT(*) OVER () AS n
+                FROM daily
+            ) WHERE rk = (n + 1) // 2
+        ),
+        signs AS (
+            SELECT day, CAST(cents > med.m AS INT) AS above
+            FROM daily CROSS JOIN med WHERE cents <> med.m
+        ),
+        runs AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(above) AS BIGINT) AS n1,
+                   CAST(COUNT(*) - SUM(above) AS BIGINT) AS n2,
+                   CAST(1 + SUM(CASE WHEN prev IS NOT NULL
+                                      AND prev <> above THEN 1 ELSE 0 END)
+                        AS BIGINT) AS r
+            FROM (
+                SELECT above, LAG(above) OVER (ORDER BY day) AS prev
+                FROM signs
+            )
+        )
+        SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+               ROUND(1.0 + 2.0 * n1 * n2 / (n1 + n2), 6) AS expected_runs,
+               CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN NULL
+                    ELSE ROUND((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                               / SQRT(2.0 * n1 * n2
+                                      * (2.0 * n1 * n2 - n1 - n2)
+                                      / ((n1 + n2) * 1.0 * (n1 + n2)
+                                         * (n1 + n2 - 1))), 6) END AS z,
+               CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN 0
+                    ELSE CAST(ABS((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                               / SQRT(2.0 * n1 * n2
+                                      * (2.0 * n1 * n2 - n1 - n2)
+                                      / ((n1 + n2) * 1.0 * (n1 + n2)
+                                         * (n1 + n2 - 1)))) > 1.96 AS INT)
+               END AS reject_05
+        FROM runs
+    """,
+    tags=("stats", "hypothesis", "timeseries"),
+)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.expr("ts DIV 86400000000000").alias("day")).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "day")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        daily.select(
+            "cents",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        .where(F.col("rk") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("cents").alias("m"))
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))  # one-row median side
+        .where(F.col("cents") != F.col("m"))
+        .select("day", (F.col("cents") > F.col("m")).cast("int").alias("above"))
+    )
+    lagged = signs.select(
+        "above", F.lag("above").over(Window.orderBy("day")).alias("prev")
+    )
+    runs = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum("above").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("bigint").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("prev") != F.col("above")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    er = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    z = (r - er) / F.sqrt(
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * 1.0 * (n1 + n2) * (n1 + n2 - 1))
+    )
+    degen = (n1 == 0) | (n2 == 0) | (n1 + n2 < 2)
+    return runs.select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        r.alias("n_runs"),
+        F.round(er, 6).alias("expected_runs"),
+        F.when(degen, F.lit(None)).otherwise(F.round(z, 6)).alias("z"),
+        F.when(degen, F.lit(0))
+        .otherwise((F.abs(z) > 1.96).cast("int"))
+        .alias("reject_05"),
+    )
