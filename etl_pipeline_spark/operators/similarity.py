@@ -160,15 +160,26 @@ def cosine_pairs(
     )
     both = a_side.unionByName(b_side)
 
+    empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+        {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+    )
+
     def gemm(key, pdf):
         ba, bb = int(key[0]), int(key[1])
         left = pdf[pdf["side"] == 0].sort_values("vid")
+        # Sparse / non-contiguous ids (the in-bucket verifier case) can
+        # leave a residue class with rows on only one side of the pair —
+        # np.vstack on the empty side would raise, so bail out early.
+        if left.empty:
+            return empty
         ids_a = left["vid"].to_numpy()
         ma = _normalize_rows(np.vstack(left["v"].to_numpy()).astype(np.float64))
         if ba == bb:
             ids_b, mb = ids_a, ma
         else:
             right = pdf[pdf["side"] == 1].sort_values("vid")
+            if right.empty:
+                return empty
             ids_b = right["vid"].to_numpy()
             mb = _normalize_rows(
                 np.vstack(right["v"].to_numpy()).astype(np.float64)
@@ -181,11 +192,15 @@ def cosine_pairs(
             va, vb, cv = va[keep], vb[keep], c[ia, ib][keep]
         else:  # distinct blocks: every pair is unique; orient by id
             cv = c[ia, ib]
+        # HALF_UP (away from zero) to match Spark's F.round / DuckDB's
+        # ROUND; np.round is banker's rounding and diverges on exact
+        # 6-dp midpoints.
+        cv6 = np.sign(cv) * np.floor(np.abs(cv) * 1e6 + 0.5) / 1e6
         return pd.DataFrame(
             {
                 "vec_a": np.minimum(va, vb),
                 "vec_b": np.maximum(va, vb),
-                "cosine": np.round(cv, 6),
+                "cosine": cv6,
             }
         )
 

@@ -972,6 +972,13 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         return v.get("purchase", 0.0)
 
     base_cp = _solve("none")
+    if base_cp == 0.0:
+        # No purchase mass (degenerate/filtered data): the oracle's
+        # b2/eff CTEs are empty in this case — return empty, don't
+        # divide by zero.
+        return spark.createDataFrame(
+            [], "channel string, removal_effect double, attribution_share double"
+        )
     effects = [
         (c, max(1.0 - _solve(c) / base_cp, 0.0)) for c in _MRK_CHANNELS
     ]

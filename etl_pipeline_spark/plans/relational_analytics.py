@@ -1878,10 +1878,16 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + inverses). The profile is the temporal-reasoning summary a
 # fulfilment warehouse reads to see how much order lifetimes interleave.
 # One orders⋈lineitem aggregate for interval ends, one customer-keyed
-# LEAD window, one 13-domain grouped count. Epoch-integer endpoints —
-# every comparison exact; the CASE ladder is textually identical in
-# both engines (first match wins, so ordering ties like equals/starts
-# are decided identically).
+# LEAD window, one grouped count. Epoch-integer endpoints — every
+# comparison exact; the CASE ladder is textually identical in both
+# engines (first match wins, so ordering ties like equals/starts are
+# decided identically). NOTE on reachability: pairs come from LEAD
+# ordered by (s, ok), so a_s <= b_s always holds — only the 8 relations
+# possible under that constraint (equal, before, meets, starts,
+# started_by, finished_by, contains, overlaps) can be emitted; the
+# inverse relations (after, during, overlapped_by, met_by, finishes
+# with a_s > b_s) cannot occur for start-ordered consecutive pairs and
+# their branches exist solely to keep the ladder total.
 # ---------------------------------------------------------------------------
 _ALLEN_CASE = """
     CASE WHEN a_s = b_s AND a_e = b_e THEN 'equal'

@@ -69,9 +69,12 @@ def holt_winters_stream(stream: DataFrame) -> DataFrame:
         events = pd.concat(batches, ignore_index=True)
         if len(events) == 0:
             return
-        cents = np.rint(
-            events["value"].to_numpy(dtype=np.float64) * 100
-        ).astype(np.int64)
+        # HALF_UP to match the batch twin's Spark ROUND(value*100, 0)
+        # (np.rint is half-to-even; a *100 landing exactly on .5 would
+        # break the pinned batch/stream bit-equality). Sign-aware so
+        # negative values round away from zero like Spark.
+        v100 = events["value"].to_numpy(dtype=np.float64) * 100
+        cents = (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype(np.int64)
         days = (events["ts"].to_numpy(dtype=np.int64) // _DAY_NS).astype(
             np.int64
         )
