@@ -6,15 +6,40 @@ All operators are pure DataFrame composition — the only Python that runs
 per-row is inside Spark's codegen'd expressions.
 
 Scale notes per operator are on the functions; the common theme: candidate
-generation is always an equi-join on a derived key (hash, band, bucket),
-never an all-pairs product — except `jaccard_pairs`, which is the exact
-verifier you run on LSH candidates (or standalone at small scale).
+generation is always an equi-join on a derived key (hash, band, bucket)
+with BOUNDED per-key fan-out, never an all-pairs product. The exact
+verifiers (`jaccard_pairs`, `containment_pairs`) enforce this with a
+document-frequency cap on the shingle relation (`DF_CAP`), the same hot-
+key kill as winnowing's stop-fingerprint cap.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Document-frequency cap for the exact shingle verifiers: a shingle held
+# by more than DF_CAP documents is boilerplate (licence headers, nav
+# chrome, templated text) and is dropped BEFORE the self-join, in both
+# engines. This bounds per-key join fan-out at DF_CAP² pairs and total
+# candidate cost at DF_CAP·|shingles| — linear in corpus size — where the
+# uncapped Σ df(shingle)² is quadratic on any hot key (one boilerplate
+# trigram shared by 10⁶ docs → 10¹² pairs). Same device as winnowing's
+# stop-fingerprint cap (operators/fingerprint.py); the cap is part of the
+# operator's contract and the DuckDB oracles apply the identical filter.
+DF_CAP = 128
+
+
+def df_capped_shingles(shingle_df: DataFrame, cap: int = DF_CAP) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``cap``. One
+    shingle-keyed window count — the hash partitioning it installs is
+    exactly the self-join's key, so AQE reuses the exchange."""
+    w = Window.partitionBy("shingle")
+    return (
+        shingle_df.withColumn("_df", F.count(F.lit(1)).over(w))
+        .where(F.col("_df") <= cap)
+        .drop("_df")
+    )
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -30,15 +55,22 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
-def containment_pairs(shingle_df: DataFrame, threshold: float) -> DataFrame:
+def containment_pairs(
+    shingle_df: DataFrame, threshold: float, df_cap: int = DF_CAP
+) -> DataFrame:
     """Asymmetric near-dup: pairs where the SMALLER shingle set is mostly
     inside the larger — containment = |A∩B| / min(|A|, |B|). Catches
     subset/prefix duplication (a doc embedded in a longer one) that
     resemblance Jaccard dilutes below any LSH threshold (a half-doc has
-    Jaccard ≈ 0.5 against its source but containment 1.0). Same
-    shingle-equi-join candidate generation as :func:`jaccard_pairs`
-    (cost Σ df(shingle)² — the verifier stage; gate behind LSH/winnowing
-    candidate generation at corpus scale)."""
+    Jaccard ≈ 0.5 against its source but containment 1.0). LSH can't
+    gate containment (its bands hash resemblance, which is exactly what
+    containment pairs lack), so the scale device is the document-
+    frequency cap: the self-join runs on the ``df_cap``-capped shingle
+    relation (sizes too — containment is exact over the capped
+    relation), bounding per-key fan-out at df_cap² and total cost at
+    df_cap·|shingles|. Set ``df_cap=None`` only for bounded inputs."""
+    if df_cap is not None:
+        shingle_df = df_capped_shingles(shingle_df, df_cap)
     sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shingle_df.alias("a"), shingle_df.alias("b")
     inter = (
@@ -61,9 +93,19 @@ def containment_pairs(shingle_df: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def jaccard_pairs(shingle_df: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over a shingle relation: all pairs sharing ≥1 shingle.
-    Cost Σ df(shingle)² — the verifier stage; gate behind LSH at scale."""
+def jaccard_pairs(
+    shingle_df: DataFrame, threshold: float, df_cap: int = DF_CAP
+) -> DataFrame:
+    """Exact Jaccard over the ``df_cap``-capped shingle relation: all
+    pairs sharing ≥1 surviving shingle. The cap bounds the self-join's
+    per-key fan-out (df_cap² pairs per shingle, df_cap·|shingles| total)
+    — without it one boilerplate shingle makes the candidate stage
+    quadratic. Jaccard is exact over the capped relation (sizes are
+    capped too). For threshold-recall guarantees at scale prefer the
+    LSH pipeline (:func:`minhash_lsh_pairs`); this is the exact
+    verifier. Set ``df_cap=None`` only for bounded inputs."""
+    if df_cap is not None:
+        shingle_df = df_capped_shingles(shingle_df, df_cap)
     sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shingle_df.alias("a"), shingle_df.alias("b")
     inter = (

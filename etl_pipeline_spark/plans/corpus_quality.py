@@ -370,16 +370,19 @@ def temperature_sampled_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the MinHash-LSH band candidates recover, and at what precision? The
 # in-engine eval harness for the dedup family — band/row settings are a
 # recall/cost dial and this query is its gauge. Both sides reuse the
-# shared shingle relation; the truth side is the exact verifier (LSH-gated
-# at real scale, exhaustive here where the corpus is labeled-small).
+# shared shingle relation; the truth side is the DF_CAP-capped exact
+# verifier (bounded per-key fan-out in both engines — dedup.py::DF_CAP).
 # ---------------------------------------------------------------------------
 def _lsh_recall_oracle() -> str:
+    from etl_pipeline_spark.operators.dedup import DF_CAP
     from etl_pipeline_spark.plans.llm import (
         _BANDS_DUCK,
         _MINHASH_AGGS_DUCK,
         _SHINGLES_DUCK,
     )
 
+    # sigs/bands run on the raw shingles (minhash is df-agnostic); the
+    # truth side mirrors jaccard_pairs' DF_CAP-capped relation exactly.
     return f"""
         WITH sh AS ({_SHINGLES_DUCK}),
         sigs AS (
@@ -397,10 +400,17 @@ def _lsh_recall_oracle() -> str:
             JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
                         AND a.doc_id < b.doc_id
         ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shc AS (
+            SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle,
+                       COUNT(*) OVER (PARTITION BY shingle) AS df
+                FROM sh
+            ) WHERE df <= {DF_CAP}
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         ),
         truth AS (

@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from etl_pipeline_spark.operators.graph import cluster_assignments
 from etl_pipeline_spark.operators.dedup import (
+    DF_CAP,
     containment_pairs,
     exact_dedup,
     jaccard_pairs,
@@ -91,8 +92,20 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_CACHE[key]
 
 
+# The jaccard runs on the DF_CAP-capped shingle relation (boilerplate
+# shingles held by > DF_CAP docs dropped before the self-join, sizes
+# included) — identical to operators/dedup.py::jaccard_pairs, which
+# applies the same cap so the candidate stage has bounded per-key
+# fan-out at any corpus size.
 _JACCARD_PAIRS_DUCK = f"""
-        WITH sh AS ({_SHINGLES_DUCK}),
+        WITH sh0 AS ({_SHINGLES_DUCK}),
+        sh AS (
+            SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle,
+                       COUNT(*) OVER (PARTITION BY shingle) AS df
+                FROM sh0
+            ) WHERE df <= {DF_CAP}
+        ),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -145,9 +158,12 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Exact n-gram Jaccard near-dup pairs — the all-pairs-via-shingle-join
-# verifier. Cost is Σ per-shingle df² — fine when shingles are selective;
-# at web scale you gate it behind the LSH candidate generator below.
+# Exact n-gram Jaccard near-dup pairs over the DF_CAP-capped shingle
+# relation: boilerplate shingles (df > DF_CAP) are dropped in BOTH engines
+# before the equi-join, so per-key fan-out is bounded (≤ DF_CAP² pairs per
+# shingle) and total candidate cost is DF_CAP·|shingles| — linear in corpus
+# size. For threshold-recall guarantees use the LSH pipeline below; this is
+# the exact verifier.
 # --------------------------------------------------------------------------
 @register(
     "dedup_ngram_jaccard",
@@ -1257,13 +1273,15 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # resemblance dilutes to ~0.5 and every LSH band misses. The corpus is
 # augmented with deterministic half-docs (first ⌈w/2⌉ words, id+200000,
 # docs with ≥7 words) so subset semantics are actually exercised: each
-# injected half has containment 1.0 against its source. Candidate
-# generation stays the shingle equi-join (Σ df² verifier cost — gate
-# behind LSH/winnowing at corpus scale, the jaccard_pairs note).
+# injected half has containment 1.0 against its source. LSH can't gate
+# containment (bands hash resemblance — what these pairs lack), so the
+# candidate stage runs on the DF_CAP-capped shingle relation (both
+# engines): bounded per-key fan-out, linear total cost, the winnowing
+# stop-fingerprint device.
 # ---------------------------------------------------------------------------
 @register(
     "dedup_containment_pairs",
-    oracle="""
+    oracle=f"""
         WITH half AS (
             SELECT doc_id + 200000 AS doc_id,
                    array_to_string(list_slice(string_split(text, ' '), 1,
@@ -1275,13 +1293,20 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, text FROM documents
             UNION ALL SELECT doc_id, text FROM half
         ),
-        sh AS (
+        sh0 AS (
             SELECT doc_id, unnest(list_distinct(list_transform(
                        generate_series(1, len(string_split(text, ' ')) - 2),
                        i -> string_split(text, ' ')[i] || ' ' ||
                             string_split(text, ' ')[i+1] || ' ' ||
                             string_split(text, ' ')[i+2]))) AS shingle
             FROM corpus
+        ),
+        sh AS (
+            SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle,
+                       COUNT(*) OVER (PARTITION BY shingle) AS df
+                FROM sh0
+            ) WHERE df <= {DF_CAP}
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
         inter AS (

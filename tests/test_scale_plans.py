@@ -788,3 +788,36 @@ def test_simpson_single_fact_pass(spark):
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     for ln in read:
         assert "l_extendedprice" not in ln and "l_shipdate" not in ln
+
+
+def test_exact_shingle_verifiers_are_df_capped(spark):
+    """No registered query ships a raw shingle self-join: both exact
+    verifiers (jaccard, containment) must filter the shingle relation on
+    the DF_CAP window count BEFORE the join, bounding per-key fan-out at
+    DF_CAP^2 pairs per shingle (a single boilerplate trigram otherwise
+    makes the candidate stage quadratic on that key)."""
+    for q in ("dedup_ngram_jaccard", "dedup_containment_pairs"):
+        plan = _plan(spark, REGISTRY[q].spark_fn(spark, SF_DIR))
+        # the cap filter on the window count appears in the optimized plan
+        assert "_df" in plan and "128" in plan, q
+        # both join inputs descend from the capped relation: the window
+        # (count over shingle) runs before the self-join, so the plan
+        # carries a Window/Filter ancestor of the SortMergeJoin
+        assert "Window" in plan, q
+
+
+def test_df_cap_drops_hot_shingles(spark):
+    """Semantics of the cap itself: a shingle held by > cap docs
+    contributes to no pair; pairs whose ONLY overlap is hot boilerplate
+    disappear, pairs with rare overlap keep their capped-exact scores."""
+    from etl_pipeline_spark.operators.dedup import jaccard_pairs
+
+    rows = [(i, "common boiler plate") for i in range(5)]
+    rows += [(10, "rare unique trigram"), (11, "rare unique trigram")]
+    sh = spark.createDataFrame(rows, "doc_id long, text string")
+    from etl_pipeline_spark.operators.dedup import shingles
+
+    rel = shingles(sh, "doc_id", "text", 3)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(rel, 0.5, df_cap=4).collect()}
+    # the 5-doc boilerplate clique (df=5 > cap=4) vanished; the rare pair survives
+    assert got == {(10, 11): 1.0}
