@@ -91,3 +91,51 @@ def test_croston_state_carries_across_micro_batches(spark, tmp_path):
     assert (got[1].size_ewma, got[1].interval_ewma) == (8.0, 3.0)
     assert got[1].n_epochs == 3
     assert got[1].croston_forecast == 2.666667  # HALF_UP(8/3, 6dp)
+
+
+def test_croston_state_survives_query_restart(spark, tmp_path):
+    """Stop the stream and restart from the same checkpoint: the
+    four-scalar (n, last_m, z, y) state must carry across query
+    objects — the second run's epoch blends state seen only in the
+    first run."""
+    import time
+
+    src = tmp_path / "cr_restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "cr_ckpt")
+    sink = str(tmp_path / "cr_sink")
+    schema = "l_partkey bigint, m bigint, q bigint"
+
+    def _run_to_completion():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            croston_stream(stream, m0=600)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, 600, 8), (1, 603, 4)], schema).coalesce(
+        1
+    ).write.parquet(str(src / "f0"))
+    _run_to_completion()
+
+    time.sleep(1.1)
+    spark.createDataFrame([(1, 607, 10)], schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    _run_to_completion()  # fresh query object, same checkpoint
+
+    got = {r.m: r for r in spark.read.parquet(sink).collect()}
+    assert set(got) == {603, 607}
+    # epoch 3 blends RECOVERED state: z = .5*10 + .5*6, y = .5*4 + .5*2
+    assert (got[607].size_ewma, got[607].interval_ewma) == (8.0, 3.0)
+    assert got[607].n_epochs == 3
