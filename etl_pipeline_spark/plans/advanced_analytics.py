@@ -983,8 +983,12 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c, max(1.0 - _solve(c) / base_cp, 0.0)) for c in _MRK_CHANNELS
     ]
     s = sum(e for _, e in effects)
+    # HALF_UP like the oracle's ROUND — Python round() is half-to-even
+    # and diverges on exact 6-dp midpoints (the advisor-flagged class)
+    from etl_pipeline_spark.utils.rounding import round6_half_up
+
     rows = [
-        (c, round(e, 6), round(e / s, 6) if s > 0 else None)
+        (c, round6_half_up(e), round6_half_up(e / s) if s > 0 else None)
         for c, e in effects
     ]
     return spark.createDataFrame(

@@ -1872,8 +1872,17 @@ def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     if len(xs) < 15:
         return spark.createDataFrame([], schema)
     l, b, s = _hw_solve(xs)
+    # HALF_UP like the oracle's ROUND — Python round() is half-to-even
+    # and diverges on exact 6-dp midpoints (the advisor-flagged class)
+    from etl_pipeline_spark.utils.rounding import round6_half_up
+
     rows = [
-        (h, round(l + h * b + s[(h - 1) % 7], 6), round(l, 6), round(b, 6))
+        (
+            h,
+            round6_half_up(l + h * b + s[(h - 1) % 7]),
+            round6_half_up(l),
+            round6_half_up(b),
+        )
         for h in range(1, 8)
     ]
     return spark.createDataFrame(rows, schema)

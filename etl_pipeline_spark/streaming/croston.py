@@ -31,11 +31,11 @@ Holt-Winters twins.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from etl_pipeline_spark.utils.rounding import round6_half_up as _round6_half_up
 
 CROSTON_OUT = StructType(
     [
@@ -49,12 +49,6 @@ CROSTON_OUT = StructType(
 )
 
 _CR_STATE = "n bigint, last_m bigint, z double, y double"
-
-
-def _round6_half_up(v: float) -> float:
-    """HALF_UP at 6 dp for non-negative values — matches Spark ROUND /
-    DuckDB ROUND (Python's round() is banker's)."""
-    return math.floor(v * 1e6 + 0.5) / 1e6
 
 
 def croston_stream(stream: DataFrame, m0: int) -> DataFrame:

@@ -61,9 +61,10 @@ def ewma_stream(stream: DataFrame, lam: float = 0.5) -> DataFrame:
         events = pd.concat(batches, ignore_index=True)
         if len(events) == 0:
             return
-        cents = np.rint(events["value"].to_numpy(dtype=np.float64) * 100).astype(
-            np.int64
-        )
+        # HALF_UP to match the batch twin's ROUND(value*100, 0) (np.rint
+        # is half-to-even — the advisor-flagged midpoint parity class)
+        v100 = events["value"].to_numpy(dtype=np.float64) * 100
+        cents = (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype(np.int64)
         days = (events["ts"].to_numpy(dtype=np.int64) // _DAY_NS).astype(np.int64)
         per_day = (
             pd.DataFrame({"day": days, "cents": cents})
