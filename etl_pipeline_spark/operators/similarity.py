@@ -473,6 +473,8 @@ def pq_topk(
 
     def _score(batches):
         for pdf in batches:
+            if pdf.empty:  # empty Arrow batch: vstack would raise
+                continue
             codes = np.vstack(pdf["pq_code"].to_numpy())  # [n][m]
             n = len(codes)
             out_q, out_n, out_c = [], [], []
