@@ -35,8 +35,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-from etl_pipeline_spark.utils.rounding import round6_half_up as _round6_half_up
-
 CROSTON_OUT = StructType(
     [
         StructField("l_partkey", LongType()),
@@ -58,7 +56,15 @@ def croston_stream(stream: DataFrame, m0: int) -> DataFrame:
     query's corpus-wide MIN month)."""
 
     def _cr(key, pdf_iter, state):
+        import math
+
         import pandas as pd
+
+        def _r6(v: float) -> float:
+            # HALF_UP like Spark/DuckDB ROUND (utils/rounding.py semantics,
+            # inlined so the closure ships by value — executors never
+            # import this package, README design rule 2); z, y > 0 here
+            return math.floor(v * 1e6 + 0.5) / 1e6
 
         batches = list(pdf_iter)
         if not batches:
@@ -92,9 +98,9 @@ def croston_stream(stream: DataFrame, m0: int) -> DataFrame:
                         key[0],
                         m,
                         n,
-                        _round6_half_up(z),
-                        _round6_half_up(y),
-                        _round6_half_up(z / y),
+                        _r6(z),
+                        _r6(y),
+                        _r6(z / y),
                     )
                 )
         state.update((n, last_m, float(z), float(y)))
