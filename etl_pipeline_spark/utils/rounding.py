@@ -16,12 +16,8 @@ import math
 
 def round6_half_up(x: float) -> float:
     """ROUND(x, 6) — half away from zero on the scaled binary value,
-    matching Spark/DuckDB ROUND for engine-shared outputs."""
+    matching Spark/DuckDB ROUND for engine-shared outputs. (Streaming
+    closures inline this one-liner instead of importing it, so they
+    ship by value — README design rule 2; the vectorized form is
+    ``np.sign(y) * np.floor(np.abs(y) + 0.5)`` on the scaled array.)"""
     return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
-
-
-def cents_half_up(v: float) -> int:
-    """CAST(ROUND(v * 100, 0) AS BIGINT) — the cent quantization both
-    batch twins apply before exact-integer accumulation."""
-    y = v * 100
-    return int(math.copysign(math.floor(abs(y) + 0.5), y))
