@@ -97,3 +97,27 @@ def test_markov_zero_purchase_mass_returns_empty(spark, tmp_path):
     out = markov_attribution_removal(spark, sf)
     assert out.count() == 0
     assert out.columns == ["channel", "removal_effect", "attribution_share"]
+
+
+def test_round6_half_up_matches_duckdb_round():
+    """Pin the convention: utils/rounding.round6_half_up must agree with
+    DuckDB's ROUND(x, 6) (the oracle side of every driver-side solve)
+    on random doubles AND exact 6-dp midpoints — Python round()/np.round
+    fail the midpoint cases (half-to-even)."""
+    import random
+
+    import duckdb
+
+    from etl_pipeline_spark.utils.rounding import round6_half_up
+
+    con = duckdb.connect()
+    random.seed(7)
+    vals = (
+        [random.uniform(-1000, 1000) for _ in range(2000)]
+        + [i / 2e6 for i in range(-50, 50)]  # exact 6-dp midpoints
+        + [2.0000005, -2.0000005, 0.0000005, 1.0000015]
+    )
+    for x in vals:
+        want = con.execute("SELECT ROUND(?::DOUBLE, 6)", [x]).fetchone()[0]
+        assert round6_half_up(x) == want, x
+    con.close()
