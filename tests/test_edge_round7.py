@@ -121,3 +121,27 @@ def test_round6_half_up_matches_duckdb_round():
         want = con.execute("SELECT ROUND(?::DOUBLE, 6)", [x]).fetchone()[0]
         assert round6_half_up(x) == want, x
     con.close()
+
+
+def test_similarity_round6_matches_spark_fround(spark):
+    """Pin the OTHER convention helper: operators/similarity._round6
+    (Decimal shortest-repr HALF_UP — the Java BigDecimal.valueOf path)
+    must agree with Spark's F.round(col, 6) on random doubles and
+    repr-level midpoints, since IVF/PQ probe lists computed on the
+    driver are compared against F.round-ed engine columns."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.operators.similarity import _round6
+
+    random.seed(11)
+    vals = (
+        [random.uniform(-1.0, 1.0) for _ in range(500)]
+        + [2.0000005, -2.0000005, 0.0000005, 1.0000015, 0.1234565]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        "x", F.round("x", 6).alias("r")
+    )
+    for row in df.collect():
+        assert _round6(row.x) == row.r, row.x
