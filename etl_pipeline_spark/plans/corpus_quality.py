@@ -446,6 +446,17 @@ def _lsh_recall_oracle() -> str:
     tags=("llm", "dedup", "eval"),
 )
 def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate precision/recall against the exact-Jaccard truth
+    set. KNOWN ASYMMETRY (by design, identical in the oracle): the
+    truth side runs on the DF_CAP-capped shingle relation while LSH
+    candidates run on raw minhash signatures, so a genuine duplicate
+    clique whose shared shingles all exceed DF_CAP docs is a candidate
+    but not truth — it deflates `precision` as a false positive.
+    Precision here therefore means "fraction of candidates confirmed
+    by the CAP-VISIBLE truth set"; recall (the metric LSH tuning
+    actually targets) is unaffected because truth is the denominator.
+    Exact-duplicate mega-cliques are the exact_dedup operator's job,
+    not this verifier's (operators/dedup.py:DF_CAP rationale)."""
     from etl_pipeline_spark.operators.dedup import (
         jaccard_pairs,
         lsh_candidates,

@@ -122,6 +122,15 @@ _JACCARD_PAIRS_DUCK = f"""
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard near-dup pairs over the DF_CAP-capped shingle
+    relation (operators/dedup.py:DF_CAP). CAP SEMANTICS apply to every
+    downstream consumer (dedup_cluster_assign, dedup_canonical_pick,
+    split_leakage_check, cross-doc dup mass, curation e2e): a clique of
+    more than DF_CAP near-identical documents shares only >cap shingles
+    and emits ZERO pairs here — such exact-duplicate mega-cliques are
+    exact_dedup's job (hash-groupBy, uncapped), and the curation
+    pipeline runs exact_dedup BEFORE this verifier for that reason.
+    The DuckDB oracles apply the identical cap filter."""
     return jaccard_pairs(_doc_shingles(spark, sf_dir), threshold)
 
 

@@ -58,7 +58,9 @@ def register(
 # that hold local three-SF parity but no driver row yet, then 6
 # representatives: dedup_embedding_cosine + dedup_ngram_jaccard because
 # their physical plans changed THIS round (GEMM empty-block guard +
-# HALF_UP rounding; LSH-gated candidate generation) so the driver must
+# HALF_UP rounding; document-frequency-capped candidate generation —
+# operators/dedup.py:DF_CAP, chosen because LSH bands hash resemblance
+# and cannot gate containment) so the driver must
 # re-prove their hashes, and q1/q9/sessionize/ivfpq as cross-round
 # regression signal for the relational/streaming/ANN families.
 # Ordering only -- every query stays registered and locally

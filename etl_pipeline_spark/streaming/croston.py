@@ -56,15 +56,26 @@ def croston_stream(stream: DataFrame, m0: int) -> DataFrame:
     query's corpus-wide MIN month)."""
 
     def _cr(key, pdf_iter, state):
-        import math
+        import decimal
 
         import pandas as pd
 
+        _Q6 = decimal.Decimal("1e-6")
+
         def _r6(v: float) -> float:
-            # HALF_UP like Spark/DuckDB ROUND (utils/rounding.py semantics,
-            # inlined so the closure ships by value — executors never
-            # import this package, README design rule 2); z, y > 0 here
-            return math.floor(v * 1e6 + 0.5) / 1e6
+            # Spark F.round convention: HALF_UP on the SHORTEST decimal
+            # repr (BigDecimal.valueOf path) — the batch twin rounds with
+            # F.round, so the stream must use the same convention or
+            # repr-level 6-dp midpoints diverge. NOT round6_half_up
+            # (that one is the binary-scaled DuckDB ROUND convention —
+            # see utils/rounding.py for which helper matches which
+            # engine). Inlined so the closure ships by value — executors
+            # never import this package, README design rule 2.
+            return float(
+                decimal.Decimal(repr(v)).quantize(
+                    _Q6, rounding=decimal.ROUND_HALF_UP
+                )
+            )
 
         batches = list(pdf_iter)
         if not batches:

@@ -796,10 +796,17 @@ def test_exact_shingle_verifiers_are_df_capped(spark):
     the DF_CAP window count BEFORE the join, bounding per-key fan-out at
     DF_CAP^2 pairs per shingle (a single boilerplate trigram otherwise
     makes the candidate stage quadratic on that key)."""
+    import re
+
+    from etl_pipeline_spark.operators.dedup import DF_CAP
+
     for q in ("dedup_ngram_jaccard", "dedup_containment_pairs"):
         plan = _plan(spark, REGISTRY[q].spark_fn(spark, SF_DIR))
-        # the cap filter on the window count appears in the optimized plan
-        assert "_df" in plan and "128" in plan, q
+        # the cap filter on the window count appears in the optimized
+        # plan as `_df#N <= DF_CAP` (reference DF_CAP, not a literal,
+        # so a cap retune can't silently break or spuriously pass this
+        # guard)
+        assert re.search(rf"_df#\d+L? <= {DF_CAP}\b", plan), q
         # both join inputs descend from the capped relation: the window
         # (count over shingle) runs before the self-join, so the plan
         # carries a Window/Filter ancestor of the SortMergeJoin
