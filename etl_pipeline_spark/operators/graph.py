@@ -143,8 +143,17 @@ def pagerank(
     """
     # persist the (possibly expensive) edge relation once: nodes, degrees
     # and the weighted join below would otherwise each recompute its full
-    # upstream plan (e.g. a scan + distinct over a fact table)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    # upstream plan (e.g. a scan + distinct over a fact table). If the
+    # caller already persisted it (the session-scoped edge memos in
+    # plans/*), reuse THEIR cache entry and — critically — do not
+    # unpersist on exit: when src/dst are already named "src"/"dst" the
+    # projection is plan-identical to the input, so an unconditional
+    # unpersist here would silently evict the caller's memoized relation
+    # (cache lookup is sameResult-based, not object-based).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    _caller_cached = e.storageLevel.useMemory or e.storageLevel.useDisk
+    if not _caller_cached:
+        e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -167,7 +176,8 @@ def pagerank(
         weighted = e.join(deg, "src").persist()
         weighted.count()
         n_src = deg.count()
-        e.unpersist()
+        if not _caller_cached:
+            e.unpersist()
 
         ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
         has_out = deg.select(F.col("src").alias("node"))

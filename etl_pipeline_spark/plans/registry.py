@@ -48,49 +48,62 @@ def register(
     return deco
 
 
+
 # Export order. The driver's correctness run processes exactly the first
 # 50 registered queries per round, and the window ROTATES each round:
-# rounds 1-6 drove 228/272 distinct queries green (CORRECTNESS_r01-r06).
-# Round 7's window closes the contract at 272/272: it leads with the 44
-# round-6 debut queries (waves 11-22: forecasting, markov attribution,
-# graph kcore/bfs/hits/link-prediction, containment dedup, spatial grid
-# join, revenue bridge, drift/stat-test wave, DP releases, text metrics)
-# that hold local three-SF parity but no driver row yet, then 6
-# representatives: dedup_embedding_cosine + dedup_ngram_jaccard because
-# their physical plans changed THIS round (GEMM empty-block guard +
-# HALF_UP rounding; document-frequency-capped candidate generation —
-# operators/dedup.py:DF_CAP, chosen because LSH bands hash resemblance
-# and cannot gate containment) so the driver must
-# re-prove their hashes, and q1/q9/sessionize/ivfpq as cross-round
-# regression signal for the relational/streaming/ANN families.
+# rounds 1-7 drove all 272 distinct queries green (CORRECTNESS_r01-r07),
+# so round 8's window is pure REGRESSION coverage (the plan pre-staged in
+# COVERAGE.md): it leads with the 10 graph-wave queries whose physical
+# plans changed THIS round (session-memoized edge relations for
+# pagerank/textrank/HITS via utils/session_cache.py::memoized_relation;
+# the co-supplier consumers ride the same pagerank-operator persist fix
+# and the AQE cached-plan-partitioning conf), then fills the 50 with the
+# LONGEST-UNCHECKED driver rows: all 29 queries whose latest driver row
+# is round 1 (kernel/naming/geo/profile/sampling families) and the 11
+# alphabetically-first of the round-2 cohort (ANN/windows/TPC-H tail).
 # Ordering only -- every query stays registered and locally
 # parity-checked (tests/test_oracle_parity.py parametrizes all 272).
 PRIORITY: tuple[str, ...] = (
-    # --- round-6 debuts: first driver row this round (44)
-    "holt_winters_daily", "markov_attribution_removal",
-    "kcore_cosupplier_peel", "bfs_hops_from_hub", "hits_hub_authority",
+    "pagerank_part_supplier", "textrank_keywords", "hits_hub_authority",
+    "bfs_hops_from_hub", "kcore_cosupplier_peel",
+    "lpa_cosupplier_communities", "modularity_cosupplier",
+    "assortativity_cosupplier", "jaccard_link_prediction",
+    "triangle_cosupplier_stats", "agg_metrics_summary", "agg_success_rate",
+    "ann_bucketed_sign_lsh", "bbox_range_filter", "dedup_cluster_assign",
+    "doc_fingerprints", "exists_big_quantity_orders",
+    "expectations_violation_counts", "json_extract_props",
+    "lang_id_confusion", "lookup_enrich_customers", "mapping_resolution",
+    "mapping_validation_violations", "multimodal_decode_features",
+    "naming_sanitize_chain", "point_in_aoi_filter", "profile_orders_columns",
+    "scalar_subquery_above_avg", "sde_name_derivation",
+    "simhash_fingerprints", "source_fc_reverse_match",
+    "stratified_sample_langs", "text_quality_scores", "token_stats",
+    "top_tokens_per_lang", "train_test_split_assign",
+    "unique_name_allocation", "url_parse_extract", "wgs84_sniff_rule",
+    "ann_ivf_topk", "ann_pq_topk", "anti_join_missing",
+    "bloom_supplier_prune", "cube_lineitem_flags", "distinct_dedupe",
+    "events_sliding_30m15m", "events_tumbling_1h",
+    "grouping_sets_status_priority", "hll_intersect_cohorts",
+    "hll_orders_by_flag", "holt_winters_daily", "markov_attribution_removal",
     "dedup_containment_pairs", "grid_nearest_poi", "revenue_bridge_monthly",
     "spend_percentile_by_segment", "wasserstein_value_drift",
     "runs_test_daily_revenue", "allen_interval_profile",
     "bh_fdr_nation_conversion", "blocking_quality_er",
     "brier_next_event_model", "capture_recapture_users", "cramers_v_pairs",
-    "crosscorr_daily_lags", "croston_demand_forecast", "doclen_log_histogram",
-    "dp_exponential_topk", "dp_noisy_counts_laplace",
+    "crosscorr_daily_lags", "croston_demand_forecast",
+    "doclen_log_histogram", "dp_exponential_topk", "dp_noisy_counts_laplace",
     "effective_catalog_size", "embedding_centroid_drift",
     "entropy_rate_transitions", "gumbel_weekly_max_revenue",
-    "heaps_vocab_growth", "jaccard_link_prediction", "kendall_tau_daily",
-    "lexical_diversity_by_lang", "logrank_test_retention",
-    "lorenz_curve_deciles", "nb_overdispersion_purchases",
-    "open_orders_backlog_daily", "perfect_order_rate",
-    "price_elasticity_loglog", "readability_flesch_docs",
-    "repeat_purchase_interval", "session_next_event_accuracy",
-    "simpson_paradox_check", "tokenizer_fertility_by_lang",
-    "vocab_coverage_estimates", "theil_index_decomposition",
-    "mcnemar_bigram_vs_marginal",
-    # --- representatives: plans changed this round (2) + regression (4)
+    "heaps_vocab_growth", "kendall_tau_daily", "lexical_diversity_by_lang",
+    "logrank_test_retention", "lorenz_curve_deciles",
+    "nb_overdispersion_purchases", "open_orders_backlog_daily",
+    "perfect_order_rate", "price_elasticity_loglog",
+    "readability_flesch_docs", "repeat_purchase_interval",
+    "session_next_event_accuracy", "simpson_paradox_check",
+    "tokenizer_fertility_by_lang", "vocab_coverage_estimates",
+    "theil_index_decomposition", "mcnemar_bigram_vs_marginal",
     "dedup_embedding_cosine", "dedup_ngram_jaccard", "q1_pricing_summary",
     "q9_product_type_profit", "events_sessionize_30m", "ann_ivfpq_topk",
-    # ---- tier 2 (51+): previously driver-green queries, stable order
     "kaplan_meier_retention", "gini_revenue_concentration",
     "zipf_alpha_terms", "acf_daily_revenue", "ndcg_label_ranking",
     "pattern_vshape_prices", "ewma_control_chart_daily",
@@ -98,7 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "cohort_ltv_curve", "item_cooccurrence_topk", "nelson_aalen_hazard",
     "ztest_conversion_ab", "seasonal_decompose_weekday",
     "burstiness_user_interarrival", "price_index_laspeyres",
-    "modularity_cosupplier", "assortativity_cosupplier",
     "session_bounce_rate", "hhi_segment_concentration",
     "crossdoc_ngram_dup_mass", "diff_in_diff_purchase",
     "cuped_variance_reduction", "er_precision_recall",
@@ -109,33 +121,33 @@ PRIORITY: tuple[str, ...] = (
     "pareto_abc_revenue", "quantile_normalize_values", "dedup_minhash_lsh",
     "dedup_exact_hash", "dedup_chunk_exact", "cms_partkey_estimates",
     "hll_orderkey_cardinality", "tfidf_top_terms", "bigram_pmi_top",
-    "pack_sequences_budget", "quality_filter_gopher", "pagination_page_slice",
-    "cdc_merge_orders", "bootstrap_revenue_ci", "rfm_customer_segments",
-    "benford_first_digit", "markov_transition_events",
-    "change_point_cusum_events", "late_data_accounting", "textrank_keywords",
-    "theil_sen_price_trend", "attribution_credit_events",
-    "stickiness_dau_mau", "funnel_latency_quantiles", "corpus_curation_e2e",
-    "dsir_importance_select", "ccnet_perplexity_buckets", "session_path_topk",
-    "ks_test_purchase_view", "auc_mann_whitney_embeddings",
-    "anova_f_totalprice_priority", "mutual_info_status_priority",
-    "l_diversity_audit", "pagination_page_manifest",
-    "range_join_click_attribution", "asof_purchase_last_view",
-    "ann_cosine_topk", "regression_detect_metrics",
-    "bigram_perplexity_quality", "sql_table_checksum_orders",
-    "kmeans_embedding_clusters", "nb_lang_classifier_eval",
-    "multimodal_ahash_neardup", "split_leakage_check",
-    "interval_merge_sessions", "window_rank_running",
+    "pack_sequences_budget", "quality_filter_gopher",
+    "pagination_page_slice", "cdc_merge_orders", "bootstrap_revenue_ci",
+    "rfm_customer_segments", "benford_first_digit",
+    "markov_transition_events", "change_point_cusum_events",
+    "late_data_accounting", "theil_sen_price_trend",
+    "attribution_credit_events", "stickiness_dau_mau",
+    "funnel_latency_quantiles", "corpus_curation_e2e",
+    "dsir_importance_select", "ccnet_perplexity_buckets",
+    "session_path_topk", "ks_test_purchase_view",
+    "auc_mann_whitney_embeddings", "anova_f_totalprice_priority",
+    "mutual_info_status_priority", "l_diversity_audit",
+    "pagination_page_manifest", "range_join_click_attribution",
+    "asof_purchase_last_view", "ann_cosine_topk",
+    "regression_detect_metrics", "bigram_perplexity_quality",
+    "sql_table_checksum_orders", "kmeans_embedding_clusters",
+    "nb_lang_classifier_eval", "multimodal_ahash_neardup",
+    "split_leakage_check", "interval_merge_sessions", "window_rank_running",
     "winnow_fingerprint_pairs", "embedding_sq8_topk", "ann_recall_eval",
     "anomaly_mad_events", "temperature_sampled_mix", "dedup_lsh_recall_eval",
-    "triangle_cosupplier_stats", "feature_rolling_events",
-    "target_encode_priority", "lpa_cosupplier_communities",
-    "join_size_estimate", "windowed_quantiles", "cohort_retention_users",
-    "chisq_event_daypart", "corr_lineitem_moments",
-    "multimodal_video_frame_dedup", "multimodal_audio_features",
-    "embedding_outliers_topk", "novelty_rate_docs", "bpe_top_merges",
-    "adamic_adar_link_prediction", "entity_resolution_customers",
-    "seasonal_baseline_events", "windowed_distinct_users", "skew_salted_join",
-    "dedup_canonical_pick", "token_budget_allocation", "k_anonymity_audit",
+    "feature_rolling_events", "target_encode_priority", "join_size_estimate",
+    "windowed_quantiles", "cohort_retention_users", "chisq_event_daypart",
+    "corr_lineitem_moments", "multimodal_video_frame_dedup",
+    "multimodal_audio_features", "embedding_outliers_topk",
+    "novelty_rate_docs", "bpe_top_merges", "adamic_adar_link_prediction",
+    "entity_resolution_customers", "seasonal_baseline_events",
+    "windowed_distinct_users", "skew_salted_join", "dedup_canonical_pick",
+    "token_budget_allocation", "k_anonymity_audit",
     "inverted_index_postings", "jl_projection_distortion",
     "assoc_rules_events", "stratified_kfold_assign", "sql_not_in_null_aware",
     "sql_correlated_scalar_count", "sql_keep_first_per_key",
@@ -155,25 +167,20 @@ PRIORITY: tuple[str, ...] = (
     "cms_heavy_hitters", "resample_ffill_user_6h", "scd2_state_at_purchase",
     "snapshot_diff_orders", "incremental_agg_orders", "key_skew_partkey",
     "profile_orders", "collect_order_years", "window_balance_distribution",
-    "pagerank_part_supplier", "approx_distinct_users",
-    "windowed_heavy_hitters", "quantile_sketch_values",
-    "q2_min_cost_supplier", "q3_top_unshipped_orders",
-    "q4_order_priority_check", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q10_returned_items", "q11_important_stock", "q12_priority_class_counts",
-    "q13_customer_distribution", "q14_promo_revenue_share",
-    "q15_top_supplier", "q16_supplier_part_buckets",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_revenue", "q20_excess_stock_suppliers",
-    "q21_waiting_supplier", "q22_idle_balance_by_country",
-    "bloom_supplier_prune", "hll_orders_by_flag", "profile_approx_orders",
-    "hll_intersect_cohorts", "events_tumbling_1h", "events_sliding_30m15m",
-    "ann_ivf_topk", "ann_pq_topk", "semi_join_include_filter",
-    "anti_join_missing", "lead_lag_order_gaps", "window_range_trailing_spend",
-    "rollup_order_counts", "cube_lineitem_flags", "pivot_orders_status",
-    "grouping_sets_status_priority", "percentile_event_values",
-    "set_ops_union_except", "distinct_dedupe", "dedup_cluster_assign",
-    "simhash_fingerprints", "ann_bucketed_sign_lsh",
+    "approx_distinct_users", "windowed_heavy_hitters",
+    "quantile_sketch_values", "q2_min_cost_supplier",
+    "q3_top_unshipped_orders", "q4_order_priority_check",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q10_returned_items", "q11_important_stock",
+    "q12_priority_class_counts", "q13_customer_distribution",
+    "q14_promo_revenue_share", "q15_top_supplier",
+    "q16_supplier_part_buckets", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers", "q21_waiting_supplier",
+    "q22_idle_balance_by_country", "profile_approx_orders",
+    "semi_join_include_filter", "lead_lag_order_gaps",
+    "window_range_trailing_spend", "rollup_order_counts",
+    "pivot_orders_status", "percentile_event_values", "set_ops_union_except",
 )
 
 

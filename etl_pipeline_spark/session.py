@@ -35,6 +35,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE coalesce the OUTPUT partitioning of cached plans too.
+        # Default false keeps a persisted relation at the raw shuffle
+        # partition count (32 here, thousands on a cluster) "in case" a
+        # consumer reuses that partitioning; the session-scoped edge
+        # memos (utils/session_cache.py) are consumed by state-sized
+        # iterative rounds where 20 joins x 32 near-empty tasks cost
+        # more in scheduling than the data — measured 1.3x on the HITS
+        # rounds at sf0.1. Consumers that DO need a specific
+        # partitioning repartition explicitly.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
