@@ -43,14 +43,23 @@ def df_capped_shingles(shingle_df: DataFrame, cap: int = DF_CAP) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle): distinct word n-gram shingles per document."""
+    """(id, shingle): distinct word n-gram shingles per document.
+
+    Documents with fewer than ``n`` tokens emit no shingles — enforced
+    by a ROW filter, not a greatest() clamp inside the sequence bound:
+    Spark's ``sequence(1, 0)`` yields a DESCENDING [1, 0] whose index-0
+    access throws INVALID_ARRAY_INDEX under ANSI mode on any sub-n doc
+    (fuzz-found: tests/test_engine_fuzz.py::test_shingles_match_duckdb_cte;
+    DuckDB's generate_series(1, 0) is empty, so the filter also matches
+    the oracle CTE's semantics exactly)."""
     span = ", ".join(f"toks[i-1+{j}]" for j in range(n))
     expr = (
-        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)), "
+        f"transform(sequence(1, size(toks) - {n - 1}), "
         f"i -> concat_ws(' ', {span}))"
     )
     return (
         df.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks"))
+        .where(F.size("toks") >= n)
         .select("doc_id", F.explode(F.array_distinct(F.expr(expr))).alias("shingle"))
     )
 
