@@ -145,6 +145,55 @@ _SHINGLE_DUCK = """
 """
 
 
+_DUCK_SANITIZE = """
+    substr(
+      CASE WHEN regexp_matches(<C>, '^[0-9]') THEN '_' || <C> ELSE <C> END,
+      1, 128)
+""".replace(
+    "<C>",
+    "regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace("
+    "lower(translate(k, 'åäöÅÄÖ', 'aaoAAO')),"
+    " '[^a-z0-9_-]+', '_', 'g'), '_+', '_', 'g'),"
+    " '-', '_', 'g'), '_+', '_', 'g'), '^_+|_+$', '', 'g')",
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_sanitize_name_matches_oracle_chain(spark, names):
+    """functions/naming.py::sanitize_name (Java regex, Spark) vs the exact
+    regexp_replace chain the kernel oracle ships (DuckDB RE2) — on random
+    unicode. The two regex engines differ in exotic corners; the chain is
+    designed so every non-[a-z0-9_-] codepoint collapses to '_' BEFORE
+    any engine-specific behavior can surface, and this fuzz pins that
+    design actually holds."""
+    from etl_pipeline_spark.functions.naming import sanitize_name
+
+    sdf = spark.createDataFrame([(k,) for k in names], "k string")
+    got = {r.k: r.s for r in sdf.select("k", sanitize_name("k").alias("s")).collect()}
+    want = dict(
+        _duck(
+            pd.DataFrame({"k": names}),
+            f"SELECT k, {_DUCK_SANITIZE} AS s FROM t",
+        )
+    )
+    assert got == want
+
+
 def test_dedup_pipeline_survives_hostile_docs(spark):
     """End-to-end: the full near-dup pipeline (shingles → minhash → LSH →
     exact verify) runs without error on a corpus containing empty,
@@ -174,6 +223,34 @@ def test_dedup_pipeline_survives_hostile_docs(spark):
         for r in minhash_lsh_pairs(df, "id", "body", threshold=0.5).collect()
     }
     assert lsh == {(4, 5)}
+
+
+def test_text_operators_survive_hostile_docs(spark):
+    """Every arbitrary-DataFrame text operator handles empty / 1-token /
+    whitespace-only documents without ANSI errors (the shingles() crash
+    class): chunking, contamination, repetition metrics, winnowing,
+    simhash-style token hashing via repetition_metrics' bigram arm."""
+    from etl_pipeline_spark.operators.fingerprint import winnow_fingerprints
+    from etl_pipeline_spark.operators.textprep import (
+        chunk_tokens,
+        eval_contamination,
+        repetition_metrics,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "two words"),
+         (4, "a b c d e f g h i j k l m")],
+        "doc_id bigint, text string",
+    )
+    chunks = chunk_tokens(docs, "doc_id", chunk_size=4, stride=4)
+    assert chunks.count() >= 4  # every doc emits >= 1 chunk (even empty)
+    cont = eval_contamination(docs, F.col("doc_id") == 4, min_common=1)
+    cont.count()  # must not raise
+    rep = repetition_metrics(docs, "doc_id", "text")
+    rep.count()
+    fp = winnow_fingerprints(docs.select("doc_id", "text"), k=8, w=4)
+    fp.count()
 
 
 @settings(max_examples=10, deadline=None)
