@@ -41,9 +41,18 @@ _NORM = (
 
 
 def cosine_expr(a: str, b: str) -> Column:
-    """cos(a, b) as a Column over two array<float|double> columns."""
-    return F.expr(_DOT.format(a=a, b=b)) / (
-        F.expr(_NORM.format(v=a)) * F.expr(_NORM.format(v=b))
+    """cos(a, b) as a Column over two array<float|double> columns.
+
+    Zero-norm vectors yield NULL (undefined cosine), not NaN: a bare
+    0/0 division returns NaN, and NaN sorts ABOVE every real value in a
+    descending window — a single all-zeros embedding would silently
+    outrank every true neighbor in the top-k operators. NULL sorts last
+    under Spark's default DESC ordering, so zero vectors can never beat
+    a real match (fuzz-pinned in tests/test_engine_fuzz.py). On corpora
+    without zero vectors the expression is unchanged (oracle parity
+    unaffected)."""
+    return F.expr(_DOT.format(a=a, b=b)) / F.nullif(
+        F.expr(_NORM.format(v=a)) * F.expr(_NORM.format(v=b)), F.lit(0.0)
     )
 
 
@@ -647,8 +656,10 @@ def _py_dot(a: list[float], b: list[float]) -> float:
 
 
 def _py_normalize(v: list[float]) -> list[float]:
-    """Unit-normalize with the engine's op order: x / sqrt(Σ x·x)."""
-    nrm = math.sqrt(_py_dot(v, v))
+    """Unit-normalize with the engine's op order: x / sqrt(Σ x·x).
+    Zero vectors pass through unscaled (norm treated as 1, the same
+    guard as _normalize_rows) instead of raising ZeroDivisionError."""
+    nrm = math.sqrt(_py_dot(v, v)) or 1.0
     return [x / nrm for x in v]
 
 
@@ -776,7 +787,10 @@ def _probe_local(
 
     rows = []
     for qid, qe in qrows:
-        qn = math.sqrt(_py_dot(qe, qe))
+        # zero-norm query: every pivot cosine is 0/0; treat the norm as 1
+        # (cos = 0 for all cells -> probes the nprobe lowest cell ids
+        # deterministically) rather than raising ZeroDivisionError
+        qn = math.sqrt(_py_dot(qe, qe)) or 1.0
         ranked = sorted(
             (-_round6(_py_dot(qe, pe) / (qn * pn)), cell) for cell, pe, pn in pivots
         )

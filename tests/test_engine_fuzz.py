@@ -225,6 +225,37 @@ def test_dedup_pipeline_survives_hostile_docs(spark):
     assert lsh == {(4, 5)}
 
 
+def test_similarity_operators_survive_zero_vectors(spark):
+    """Zero-norm embeddings are undefined-cosine, not a crash and not a
+    fake best match: cosine_topk returns them last-or-never (NULL sorts
+    below every real cosine under DESC), cosine_pairs never pairs them
+    above threshold, and the IVF probe path (driver-side Python) does
+    not raise ZeroDivisionError on a zero-norm query."""
+    from etl_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_topk,
+        ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 0.0, 0.0]),  # hostile: zero norm
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    top = cosine_topk(df, df.filter(F.col("vec_id") == 1), k=2).collect()
+    assert [r.neighbor_id for r in top] == [2, 4]  # zero vector never wins
+    assert all(r.cosine is not None for r in top)
+    pairs = cosine_pairs(df, threshold=0.5).collect()
+    assert all(3 not in (r.vec_a, r.vec_b) for r in pairs)
+    # zero-norm QUERY through the IVF probe (driver-side cosine ranking)
+    ivf_topk(
+        df, F.col("vec_id") == 3, ncells=2, nprobe=2, k=2
+    ).collect()  # must not raise
+
+
 def test_text_operators_survive_hostile_docs(spark):
     """Every arbitrary-DataFrame text operator handles empty / 1-token /
     whitespace-only documents without ANSI errors (the shingles() crash
