@@ -105,7 +105,7 @@ def events_sliding_30m15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize_30m",
     oracle=f"""
         WITH seq AS (
-            SELECT user_id, epoch_ns(ts) AS t,
+            SELECT user_id, event_id, epoch_ns(ts) AS t,
                    value,
                    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {_M30_NS}
                         OR LAG(epoch_ns(ts)) OVER w IS NULL
@@ -116,7 +116,7 @@ def events_sliding_30m15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged AS (
             SELECT user_id, t, value,
                    SUM(new_session) OVER (
-                       PARTITION BY user_id ORDER BY t
+                       PARTITION BY user_id ORDER BY t, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_nr
             FROM seq
         )
@@ -132,18 +132,29 @@ def events_sliding_30m15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window", "session"),
 )
 def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    return sessionize_30m(load_table(spark, sf_dir, "events"))
+
+
+def sessionize_30m(ev: DataFrame) -> DataFrame:
+    """Gap-based sessionization over (user_id, event_id, ts int64-ns,
+    value). BOTH windows tie-break on event_id: with the cumulative
+    session window ordered by ts alone, duplicate timestamps straddling a
+    session boundary land in either session depending on engine-internal
+    row order — nondeterministic at scale and divergent between engines
+    (fuzz-found; tests/test_engine_fuzz.py pins ties + exact-30m gaps)."""
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(order_w)
     new_session = F.when(prev.isNull() | ((F.col("ts") - prev) > _M30_NS), 1).otherwise(0)
     cum_w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tagged = ev.select(
-        "user_id", "ts", "value", new_session.alias("new_session")
-    ).select("user_id", "ts", "value", F.sum("new_session").over(cum_w).alias("session_nr"))
+        "user_id", "event_id", "ts", "value", new_session.alias("new_session")
+    ).select(
+        "user_id", "ts", "value", F.sum("new_session").over(cum_w).alias("session_nr")
+    )
     return tagged.groupBy("user_id", "session_nr").agg(
         F.expr("min(ts) div 1000000000").alias("session_start_epoch"),
         F.expr("max(ts) div 1000000000").alias("session_end_epoch"),

@@ -225,6 +225,106 @@ def test_dedup_pipeline_survives_hostile_docs(spark):
     assert lsh == {(4, 5)}
 
 
+_M30_NS = 30 * 60 * 1_000_000_000
+# gaps hammer the boundary: exactly 30m (same session: rule is >), one ns
+# over (new session), zero (duplicate ts — the tie-break class)
+_gaps = st.sampled_from([0, 1, _M30_NS - 1, _M30_NS, _M30_NS + 1, 7_000_000_000])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(1, 3), st.lists(_gaps, min_size=1, max_size=10), min_size=1, max_size=3
+    )
+)
+def test_sessionize_matches_duckdb_on_ties_and_boundaries(spark, keyed):
+    """sessionize_30m vs the oracle SQL shape on random event streams with
+    DUPLICATE timestamps and exact-30m gaps. Ordered-by-ts-alone
+    cumulative windows diverge between engines on ties; the event_id
+    tie-break (round-8 fix) makes both deterministic and equal."""
+    from etl_pipeline_spark.plans.streaming_batch import sessionize_30m
+
+    rows, eid = [], 0
+    for user, gaps in keyed.items():
+        t = 1_000_000_000_000
+        for g in gaps:
+            t += g
+            rows.append((eid, user, t, float((eid % 7) + 0.25)))
+            eid += 1
+    sdf = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts bigint, value double")
+    got = {
+        (r.user_id, r.session_nr): (
+            r.session_start_epoch, r.session_end_epoch, r.n_events, r.total_value
+        )
+        for r in sessionize_30m(sdf).collect()
+    }
+    duck_sql = f"""
+        WITH seq AS (
+            SELECT user_id, event_id, ts AS t, value,
+                   CASE WHEN ts - LAG(ts) OVER w > {_M30_NS}
+                        OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        tagged AS (
+            SELECT user_id, t, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_nr
+            FROM seq
+        )
+        SELECT user_id, CAST(session_nr AS BIGINT) AS session_nr,
+               MIN(t) // 1000000000 AS s, MAX(t) // 1000000000 AS e,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        FROM tagged GROUP BY user_id, session_nr
+    """
+    want = {
+        (row[0], row[1]): (row[2], row[3], row[4], row[5])
+        for row in _duck(
+            pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"]), duck_sql
+        )
+    }
+    assert got == want
+
+
+_coords = st.floats(min_value=-50, max_value=50, allow_nan=False).map(
+    lambda v: round(v, 1)  # coarse grid → on-edge / on-vertex collisions
+)
+_ring = st.lists(st.tuples(_coords, _coords), min_size=3, max_size=7)
+_points = st.lists(st.tuples(_coords, _coords), min_size=1, max_size=15)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_ring, _points)
+def test_pip_udf_matches_sql_and_duckdb(spark, ring, points):
+    """Even-odd ray cast: the Arrow UDF (functions/geo.py::
+    points_in_polygon), its SQL unrolling (pip_sql_predicate) evaluated
+    by Spark, AND the same SQL evaluated by DuckDB must agree point-for-
+    point on ARBITRARY closed rings (self-intersecting and degenerate
+    rings included — parity semantics are well-defined for any closed
+    polyline) with points deliberately landing on vertices and edges."""
+    from etl_pipeline_spark.functions.geo import (
+        pip_sql_predicate,
+        points_in_polygon,
+    )
+
+    pred = pip_sql_predicate("x", "y", ring)
+    if pred == "() % 2 = 1":  # fully-horizontal ring: no crossing terms
+        pred = "FALSE"
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(points)]
+    sdf = spark.createDataFrame(rows, "pid bigint, x double, y double")
+    udf_in = {r.pid for r in points_in_polygon(sdf, "x", "y", ring).collect()}
+    sql_in = {r.pid for r in sdf.where(F.expr(pred)).collect()}
+    duck_in = {
+        row[0]
+        for row in _duck(
+            pd.DataFrame(rows, columns=["pid", "x", "y"]),
+            f"SELECT pid FROM t WHERE {pred}",
+        )
+    }
+    assert udf_in == sql_in == duck_in
+
+
 def test_similarity_operators_survive_zero_vectors(spark):
     """Zero-norm embeddings are undefined-cosine, not a crash and not a
     fake best match: cosine_topk returns them last-or-never (NULL sorts
