@@ -659,7 +659,7 @@ def windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_bounce_rate",
     oracle=f"""
         WITH seq AS (
-            SELECT user_id, epoch_ns(ts) AS t,
+            SELECT user_id, event_id, epoch_ns(ts) AS t,
                    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {_M30_NS}
                         OR LAG(epoch_ns(ts)) OVER w IS NULL
                         THEN 1 ELSE 0 END AS new_session
@@ -669,7 +669,7 @@ def windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged AS (
             SELECT user_id, t,
                    SUM(new_session) OVER (
-                       PARTITION BY user_id ORDER BY t
+                       PARTITION BY user_id ORDER BY t, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS session_nr
             FROM seq
@@ -697,13 +697,15 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_session = F.when(
         prev.isNull() | ((F.col("ts") - prev) > _M30_NS), 1
     ).otherwise(0)
+    # event_id tie-break like sessionize_30m: ties straddling a boundary
+    # must land deterministically (fuzz-found class, round 8)
     cum_w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tagged = ev.select(
-        "user_id", "ts", new_session.alias("new_session")
+        "user_id", "event_id", "ts", new_session.alias("new_session")
     ).select(
         "user_id", "ts", F.sum("new_session").over(cum_w).alias("session_nr")
     )
