@@ -384,6 +384,53 @@ def test_text_operators_survive_hostile_docs(spark):
     fp.count()
 
 
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(st.sampled_from([f"w{i}" for i in range(9)]), min_size=3, max_size=8), min_size=2, max_size=6))
+def test_minhash_lsh_candidates_match_duckdb(spark, docs):
+    """The full MinHash→banding→candidate chain on random corpora:
+    Spark operators (minhash_signatures + lsh_candidates) vs the oracle's
+    sigs/bands/candidates SQL — signature strings AND the candidate pair
+    set must agree exactly (the LSH path's correctness rests on byte-
+    identical band keys in both engines)."""
+    from etl_pipeline_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+        shingles,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = shingles(sdf, "doc_id", "text", 3)
+    sigs = minhash_signatures(sh, 8)
+    got_sigs = {tuple(r) for r in sigs.collect()}
+    got_cands = {tuple(r) for r in lsh_candidates(sigs, 8, 2).collect()}
+    aggs = ",\n".join(
+        f"MIN(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(8)
+    )
+    bands = ", ".join(f"({b}, md5(h{2*b} || h{2*b+1}))" for b in range(4))
+    duck_sql = f"""
+        WITH sh AS ({_SHINGLE_DUCK}),
+        sigs AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, band_id, band_key
+            FROM sigs, LATERAL (VALUES {bands}) AS b(band_id, band_key)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    """
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    want_sigs = {
+        tuple(row)
+        for row in _duck(pdf, f"WITH sh AS ({_SHINGLE_DUCK}) SELECT doc_id, {aggs} FROM sh GROUP BY doc_id")
+    }
+    want_cands = {tuple(row) for row in _duck(pdf, duck_sql)}
+    assert got_sigs == want_sigs
+    assert got_cands == want_cands
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.lists(_words, min_size=1, max_size=5))
 def test_shingles_match_duckdb_cte(spark, docs):
