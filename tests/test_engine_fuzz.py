@@ -431,6 +431,60 @@ def test_minhash_lsh_candidates_match_duckdb(spark, docs):
     assert got_cands == want_cands
 
 
+_WINNOW_DUCK = """
+    WITH grams AS (
+        SELECT doc_id,
+               greatest(len(text) - 15, 1) AS n_grams,
+               unnest(generate_series(1, greatest(len(text) - 15, 1))) AS pos
+        FROM t
+    ),
+    hashed AS (
+        SELECT g.doc_id, g.n_grams, g.pos, md5(substr(d.text, g.pos, 16)) AS h
+        FROM grams g JOIN t d USING (doc_id)
+    )
+    SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, pos, n_grams,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        FROM hashed
+    )
+    WHERE pos <= greatest(n_grams - 7, 1)
+"""
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    )
+)
+def test_winnow_udf_matches_relational_oracle(spark, texts):
+    """The hand-rolled winnowing Arrow UDF (operators/fingerprint.py —
+    Python hashlib over char 16-grams, rolling window-8 minima) vs the
+    oracle's relational form (exploded grams + windowed min in DuckDB)
+    on random unicode text including empty and sub-16-char documents.
+    Pins character (not byte) gram semantics and the short-doc branch."""
+    from etl_pipeline_spark.operators.fingerprint import winnow_fingerprints
+
+    rows = [(i, s) for i, s in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {tuple(r) for r in winnow_fingerprints(sdf, k=16, w=8).collect()}
+    want = {
+        tuple(row)
+        for row in _duck(pd.DataFrame(rows, columns=["doc_id", "text"]), _WINNOW_DUCK)
+    }
+    assert got == want
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.lists(_words, min_size=1, max_size=5))
 def test_shingles_match_duckdb_cte(spark, docs):
