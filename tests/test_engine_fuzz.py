@@ -431,6 +431,43 @@ def test_minhash_lsh_candidates_match_duckdb(spark, docs):
     assert got_cands == want_cands
 
 
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_bpe_ish_tokenizer_regex_matches_duckdb(spark, texts):
+    """token_stats' BPE-ish tokenizer regex ('[a-z]+|[0-9]+|[^a-z0-9 ]')
+    — Java regex (Spark) vs RE2 (DuckDB) token COUNTS on random unicode.
+    Alternation order and per-codepoint matching must agree for the
+    token-count quality signals to be engine-portable."""
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    sdf = spark.createDataFrame([(s,) for s in texts], "k string")
+    got = {
+        r.k: r.n
+        for r in sdf.select(
+            "k", F.expr(f"size(regexp_extract_all(k, '{pat}', 0))").alias("n")
+        ).collect()
+    }
+    want = dict(
+        _duck(
+            pd.DataFrame({"k": texts}),
+            f"SELECT k, len(regexp_extract_all(k, '{pat}')) AS n FROM t",
+        )
+    )
+    assert got == want
+
+
 _WINNOW_DUCK = """
     WITH grams AS (
         SELECT doc_id,
