@@ -1,6 +1,8 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+on local[$SPARK_GRAFT_CPUS]. Prints the full JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+followed by a compact tail-capture-proof summary line (same metric/value/
+unit/sf, per-query map referenced via bench_out.json).
 
 Each query is forced end-to-end with the `noop` sink (full compute, no
 driver-side materialization — the same discipline a 100 TB run needs).
@@ -232,6 +234,20 @@ def main() -> None:
     except OSError as exc:
         print(f"BENCH-WARN could not write bench_out.json: {exc}", file=sys.stderr)
     print(line, flush=True)
+    # The driver records only the TAIL of stdout; the full 272-query JSON
+    # line overflows that window (BENCH_r07/r08 carried "parsed": null).
+    # Emit a compact one-line summary LAST so any tail capture ends with a
+    # complete, parseable JSON line; bench_out.json keeps the per-query map.
+    summary = {
+        "metric": "headline suite wall clock (noop sink, best-of-2 per query)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "coverage": out["coverage"],
+        "error_count": len(errors),
+        "queries_full": "bench_out.json",
+    }
+    print(json.dumps(summary), flush=True)
     if errors:
         sys.exit(1)
 
