@@ -66,44 +66,73 @@ def _series_constants():
     return n, big_a, alpha, beta
 
 
+# Conformal-longitude domain bound. η grows without bound approaching the
+# two TM singular points (λ=±90°, φ=0); past |η|≈2.5 the 3rd-order series
+# returns plausible-looking but degree-level-wrong coordinates (measured:
+# η=2.0 → 2e-4°, η=3.1 → 1.6°, η=4.7 → astronomically-large finite
+# eastings that don't round-trip at all). Outputs there are NaN —
+# explicitly undefined beats silently wrong. Every configured zone sits at
+# |η| < 0.2; fuzz-pinned in tests/test_engine_fuzz.py.
+_ETA_MAX = 2.5
+
+
 def tm_forward(lon_deg: np.ndarray, lat_deg: np.ndarray, epsg: int):
-    """Geographic (GRS80) → transverse Mercator easting/northing."""
+    """Geographic (GRS80) → transverse Mercator easting/northing.
+
+    Defined for |η(λ, φ)| ≤ 2.5 (~±60° of longitude from the central
+    meridian at the equator, wider at higher latitude, poles included);
+    outside that, both outputs are NaN (see ``_ETA_MAX``)."""
     lon0, k0, fe, fn_ = TM_PARAMS[epsg]
     n, big_a, alpha, _ = _series_constants()
     lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - lon0)
     phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
     s = 2.0 * np.sqrt(n) / (1.0 + n)
-    t = np.sinh(np.arctanh(np.sin(phi)) - s * np.arctanh(s * np.sin(phi)))
-    xi = np.arctan2(t, np.cos(lam))
-    eta = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
-    x, y = eta.copy(), xi.copy()
-    for j, a_j in enumerate(alpha, start=1):
-        y = y + a_j * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
-        x = x + a_j * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+    with np.errstate(all="ignore"):
+        t = np.sinh(np.arctanh(np.sin(phi)) - s * np.arctanh(s * np.sin(phi)))
+        xi = np.arctan2(t, np.cos(lam))
+        eta = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+        x, y = eta.copy(), xi.copy()
+        for j, a_j in enumerate(alpha, start=1):
+            y = y + a_j * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+            x = x + a_j * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+        # ~ on <= keeps NaN η (exactly at the singular points) masked too
+        bad = ~(np.abs(eta) <= _ETA_MAX)
+        x = np.where(bad, np.nan, x)
+        y = np.where(bad, np.nan, y)
     return fe + k0 * big_a * x, fn_ + k0 * big_a * y
 
 
 def tm_inverse(e: np.ndarray, n_coord: np.ndarray, epsg: int):
-    """Transverse Mercator easting/northing → geographic lon/lat (GRS80)."""
+    """Transverse Mercator easting/northing → geographic lon/lat (GRS80).
+
+    Eastings beyond the forward map's domain image (scaled |η| > ~2.6,
+    i.e. ≳16,600 km from the central meridian — nothing tm_forward can
+    emit) → NaN, mirroring the forward-side domain mask."""
     lon0, k0, fe, fn_ = TM_PARAMS[epsg]
     n, big_a, _, beta = _series_constants()
     xi = (np.asarray(n_coord, dtype=np.float64) - fn_) / (k0 * big_a)
     eta = (np.asarray(e, dtype=np.float64) - fe) / (k0 * big_a)
-    xi_p, eta_p = xi.copy(), eta.copy()
-    for j, b_j in enumerate(beta, start=1):
-        xi_p = xi_p - b_j * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
-        eta_p = eta_p - b_j * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
-    chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1.0, 1.0))
-    # conformal → geodetic latitude by fixed-point iteration on
-    # atanh(sinφ) = atanh(sinχ) + s·atanh(s·sinφ) — converges to machine
-    # precision (the truncated δ-series left ~6e-9° of error)
-    s = 2.0 * np.sqrt(n) / (1.0 + n)
-    sin_chi = np.sin(chi)
-    sin_phi = sin_chi.copy()
-    for _ in range(8):
-        sin_phi = np.tanh(np.arctanh(sin_chi) + s * np.arctanh(s * sin_phi))
-    phi = np.arcsin(np.clip(sin_phi, -1.0, 1.0))
-    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    # forward x = η + Σ αj·sinh(2jη)·cos(2jξ) ≤ η + 0.07 at η = 2.5, so
+    # 2.6 keeps every in-domain forward output invertible
+    bad = ~(np.abs(eta) <= _ETA_MAX + 0.1)
+    with np.errstate(all="ignore"):
+        xi_p, eta_p = xi.copy(), eta.copy()
+        for j, b_j in enumerate(beta, start=1):
+            xi_p = xi_p - b_j * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+            eta_p = eta_p - b_j * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+        chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1.0, 1.0))
+        # conformal → geodetic latitude by fixed-point iteration on
+        # atanh(sinφ) = atanh(sinχ) + s·atanh(s·sinφ) — converges to machine
+        # precision (the truncated δ-series left ~6e-9° of error)
+        s = 2.0 * np.sqrt(n) / (1.0 + n)
+        sin_chi = np.sin(chi)
+        sin_phi = sin_chi.copy()
+        for _ in range(8):
+            sin_phi = np.tanh(np.arctanh(sin_chi) + s * np.arctanh(s * sin_phi))
+        phi = np.arcsin(np.clip(sin_phi, -1.0, 1.0))
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        lam = np.where(bad, np.nan, lam)
+        phi = np.where(bad, np.nan, phi)
     return lon0 + np.degrees(lam), np.degrees(phi)
 
 

@@ -116,6 +116,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     n_iter: int = 10,
+    caller_cached: bool | None = None,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` synchronous PageRank iterations.
 
@@ -149,9 +150,16 @@ def pagerank(
     # unpersist on exit: when src/dst are already named "src"/"dst" the
     # projection is plan-identical to the input, so an unconditional
     # unpersist here would silently evict the caller's memoized relation
-    # (cache lookup is sameResult-based, not object-based).
+    # (cache lookup is sameResult-based, not object-based). Memoizing
+    # callers should say so EXPLICITLY via ``caller_cached=True``; the
+    # ``None`` default falls back to sniffing ``e.storageLevel``, which
+    # works today because Spark's cache lookup sees through an alias-only
+    # Project, but that is version-sensitive internals — the explicit
+    # flag is the supported contract.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    _caller_cached = e.storageLevel.useMemory or e.storageLevel.useDisk
+    if caller_cached is None:
+        caller_cached = e.storageLevel.useMemory or e.storageLevel.useDisk
+    _caller_cached = caller_cached
     if not _caller_cached:
         e = e.persist()
     nodes = (

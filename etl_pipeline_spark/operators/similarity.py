@@ -63,7 +63,17 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """Exact top-k neighbors per query: (query_id, neighbor_id, rank, cosine)."""
+    """Exact top-k neighbors per query: (query_id, neighbor_id, rank, cosine).
+
+    Zero-norm semantics ("last, not never"): ``cosine_expr`` yields NULL
+    for a zero-norm pair, and NULL sorts LAST under the DESC ranking
+    window — so a zero vector can never outrank a real neighbor, but when
+    a query has fewer than k real candidates the remaining rank slots ARE
+    filled by NULL-cosine rows rather than omitted. The DuckDB oracles
+    share this convention (NULLS LAST is both engines' DESC default), so
+    parity holds either way; callers that want "never" filter
+    ``cosine IS NOT NULL`` on the result. Same convention in
+    ``sign_lsh_topk`` / ``ivf_topk`` below."""
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
     )
@@ -634,14 +644,20 @@ def ivfpq_topk(
 def _round6(x: float) -> float:
     """round(x, 6) with Spark/DuckDB semantics: HALF_UP on the shortest
     decimal representation (Java BigDecimal.valueOf path) — Python's builtin
-    round() is HALF_EVEN and must not be used for engine-shared keys."""
+    round() is HALF_EVEN and must not be used for engine-shared keys.
+
+    Quantizing needs (integer digits + 6) digits of context precision; the
+    default 28-digit context raises InvalidOperation for |x| >= ~1e22. A
+    widened local context (350 > the 309+6 digits of the largest finite
+    double) makes the helper total over all finite doubles, like F.round."""
     import decimal
 
-    return float(
-        decimal.Decimal(repr(x)).quantize(
-            decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP
+    with decimal.localcontext(decimal.Context(prec=350)):
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP
+            )
         )
-    )
 
 
 def _py_dot(a: list[float], b: list[float]) -> float:

@@ -134,7 +134,27 @@ class Pipeline:
 
     # ------------------------------------------------------------------ run
     def run(self, sources: list[SourceConfig]) -> RunSummary:
+        """Run every enabled source through fetch → stage → transform → load.
+
+        Teardown contract: on exit this releases every relation the run's
+        session memoized via ``utils.session_cache`` (shingle tables, graph
+        edge sets, ANN index artifacts). A long-lived service embedding the
+        package gets bounded executor storage and a bounded driver-side
+        registry for free; short-lived bench/driver processes are unchanged
+        (their blocks die with the session anyway). Callers that want to
+        keep the memos warm across runs should call the plan functions
+        directly rather than going through ``run``.
+        """
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.config.production_db}")
+        try:
+            self._run_sources(sources)
+        finally:
+            from etl_pipeline_spark.utils.session_cache import clear_caches
+
+            clear_caches(self.spark)
+        return self.summary
+
+    def _run_sources(self, sources: list[SourceConfig]) -> None:
         for src in sources:
             if not src.enabled:
                 self.summary.log("download", src.name, "skip")
@@ -155,4 +175,3 @@ class Pipeline:
             except Exception:
                 # PhaseTimer already recorded the error; continue_on_failure
                 continue
-        return self.summary

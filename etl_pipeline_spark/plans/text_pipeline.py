@@ -338,7 +338,11 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same transparent reuse the co-supplier wave already gets); the
     # pagerank rounds below are state-sized either way.
     edges = memoized_relation(_PS_EDGE_CACHE, spark, (sf_dir,), _build)
-    ranks = pagerank(edges, n_iter=5)
+    # caller_cached=True: `edges` IS the memoized persisted relation, so
+    # pagerank must not persist/unpersist it (the unpersist would evict
+    # this session memo — the operator no longer has to infer that from
+    # storageLevel internals)
+    ranks = pagerank(edges, n_iter=5, caller_cached=True)
     return (
         ranks.select("node", F.round("rank", 8).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))

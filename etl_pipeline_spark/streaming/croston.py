@@ -70,12 +70,16 @@ def croston_stream(stream: DataFrame, m0: int) -> DataFrame:
             # (that one is the binary-scaled DuckDB ROUND convention —
             # see utils/rounding.py for which helper matches which
             # engine). Inlined so the closure ships by value — executors
-            # never import this package, README design rule 2.
-            return float(
-                decimal.Decimal(repr(v)).quantize(
-                    _Q6, rounding=decimal.ROUND_HALF_UP
+            # never import this package, README design rule 2. The widened
+            # context keeps quantize total over all finite doubles (the
+            # default 28-digit context raises for |v| >= ~1e22; croston
+            # state is demand-bounded, but totality is free).
+            with decimal.localcontext(decimal.Context(prec=350)):
+                return float(
+                    decimal.Decimal(repr(v)).quantize(
+                        _Q6, rounding=decimal.ROUND_HALF_UP
+                    )
                 )
-            )
 
         batches = list(pdf_iter)
         if not batches:

@@ -18,10 +18,18 @@ queried many times), but it needs two disciplines this module centralizes:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
 # every memo dict registers here so clear_caches can reach it
 _CACHES: list[dict] = []
+
+# guards the check-then-set in memoized_relation and the pop-then-unpersist
+# in clear_caches: dict ops alone are GIL-atomic, but the compound sequences
+# are not, and a lost race would leak the loser's persisted blocks until
+# session end
+_LOCK = threading.Lock()
 
 
 def register_cache(cache: dict) -> dict:
@@ -47,9 +55,27 @@ def memoized_relation(cache: dict, spark: SparkSession, extra_key: tuple, build)
     (tests/test_edge_cache.py pins this) — and the cache registry keeps
     eviction (clear_caches) working uniformly."""
     key = (session_key(spark), *extra_key)
-    if key not in cache:
-        cache[key] = build().persist()
-    return cache[key]
+    with _LOCK:
+        got = cache.get(key)
+    if got is not None:
+        return got
+    # build outside the lock (a slow build must not serialize unrelated
+    # keys), then settle the race with setdefault: exactly one DataFrame
+    # wins the entry. Since build() is pure, a racing loser is normally
+    # plan-identical to the winner — Spark's CacheManager dedupes the two
+    # persist() calls into ONE cache entry (sameResult match), so the
+    # "loser's" blocks ARE the winner's and unpersisting them would evict
+    # the winner's storage. Only a genuinely distinct plan (an impure
+    # build) holds a separate entry worth releasing.
+    built = build().persist()
+    with _LOCK:
+        winner = cache.setdefault(key, built)
+    if winner is not built:
+        w_plan = winner._jdf.queryExecution().analyzed()
+        b_plan = built._jdf.queryExecution().analyzed()
+        if not b_plan.sameResult(w_plan):
+            built.unpersist()
+    return winner
 
 
 def clear_caches(spark: SparkSession | None = None) -> int:
@@ -61,10 +87,13 @@ def clear_caches(spark: SparkSession | None = None) -> int:
     sid = None if spark is None else session_key(spark)
     dropped = 0
     for cache in _CACHES:
-        for key in list(cache):
-            if sid is not None and key[0] != sid:
-                continue
-            val = cache.pop(key)
+        with _LOCK:
+            popped = [
+                cache.pop(key)
+                for key in list(cache)
+                if sid is None or key[0] == sid
+            ]
+        for val in popped:
             members = val if isinstance(val, tuple) else (val,)
             for v in members:
                 if isinstance(v, DataFrame):
