@@ -14,6 +14,12 @@ queried many times), but it needs two disciplines this module centralizes:
   memos pinned and drops the entries. Bench/driver runs are short-lived
   and never need it; a long-lived service calls it between workloads so
   executors' storage memory doesn't accumulate dead relations.
+  ``pipeline.Pipeline.run`` calls it on exit (finally), so a service
+  that drives workloads through the pipeline never has to — only callers
+  invoking plan functions directly across many sessions own the call.
+  Entries keyed by a stopped session's applicationId hold only dead
+  driver-side references (their blocks died with the session); they are
+  reclaimed by the next ``clear_caches()`` (no-arg) or process exit.
 """
 
 from __future__ import annotations

@@ -540,3 +540,179 @@ def test_shingles_match_duckdb_cte(spark, docs):
         )
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-9 extension: the remaining numeric kernels with engine-parity risk
+# (VERDICT r8 §next-round 6): PQ encode, SQ8 encode-decode scoring, and the
+# Krüger TM projection on hostile coordinates.
+# ---------------------------------------------------------------------------
+
+# embedding vectors bounded away from zero norm (the zero-norm convention
+# has its own pins in test_similarity_operators_survive_zero_vectors)
+def _vecs(dim, n_min, n_max):
+    return st.lists(
+        st.lists(
+            st.floats(min_value=-8.0, max_value=8.0, allow_nan=False),
+            min_size=dim,
+            max_size=dim,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=n_min,
+        max_size=n_max,
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(sample=_vecs(8, 2, 6), corpus=_vecs(8, 1, 8))
+def test_pq_encode_matches_independent_argmin(spark, sample, corpus):
+    """The zero-exchange PQ encode (operators/similarity._code_col_exprs —
+    an array_min(transform(...)) argmin per subspace, in BOTH its unrolled
+    and fold forms) vs an independent Python argmin over the same codebook:
+    round-6 HALF_UP scores, ties to the lower code. Random sample AND
+    corpus vectors, so codebook centers and argmin knife-edges are not
+    fixture-shaped."""
+    from etl_pipeline_spark.operators.similarity import (
+        _codebook_array,
+        _codebook_entries,
+        _normalized,
+        _pq_codes,
+        _py_dot,
+        _py_normalize,
+        _round6,
+    )
+
+    m, ksub, dim = 4, 4, 8
+    entries = _codebook_entries(sample, m, ksub)
+    rows = [(i, v) for i, v in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb1 = _codebook_array(spark, entries)
+    norm = _normalized(df, "vec_id", "embedding")
+    got_fold = {
+        (r.vec_id, r.sub): r.code
+        for r in _pq_codes(norm, cb1, m, ksub, dsub=None).collect()
+    }
+    got_unrolled = {
+        (r.vec_id, r.sub): r.code
+        for r in _pq_codes(norm, cb1, m, ksub, dsub=dim // m).collect()
+    }
+    assert got_fold == got_unrolled  # the two encode forms are value-identical
+
+    dsub = dim // m
+    want = {}
+    for i, v in rows:
+        ne = _py_normalize(v)
+        for sub in range(m):
+            sv = ne[sub * dsub : (sub + 1) * dsub]
+            best = min(
+                (_round6(cc - 2 * _py_dot(sv, center)), code)
+                for (s_, code, cc, center) in entries
+                if s_ == sub
+            )
+            want[(i, sub)] = best[1]
+    assert got_fold == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=_vecs(4, 2, 8))
+def test_sq8_topk_matches_independent_recompute(spark, corpus):
+    """The SQ8 encode-decode scoring fold (operators/similarity.sq8_topk:
+    clamp/floor uint8 quantize -> dequantize -> left-assoc dot with the raw
+    query) vs an independent plain-Python recomputation of the documented
+    formula — including constant dimensions (mx == mn) and negative
+    values, which the fixture corpus never stresses."""
+    from etl_pipeline_spark.operators.similarity import _round6, sq8_topk
+
+    # force a constant dimension sometimes: hypothesis shrinks toward
+    # equal values naturally, but make dim 0 constant deterministically
+    # on even-sized corpora so the CASE branch is always exercised
+    if len(corpus) % 2 == 0:
+        corpus = [[1.5] + v[1:] for v in corpus]
+    rows = [(i, v) for i, v in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = len(corpus)
+    got = [
+        (r.query_id, r.neighbor_id, r.rank, r.score_sq8)
+        for r in sq8_topk(df, k=k).orderBy("rank").collect()
+    ]
+
+    import math
+
+    qid, qvec = rows[0]
+    dim = len(qvec)
+    stats = [
+        (min(v[i] for _, v in rows), max(v[i] for _, v in rows))
+        for i in range(dim)
+    ]
+    scored = []
+    for i, v in rows[1:]:
+        s = 0.0
+        for j in range(dim):
+            mn, mx = stats[j]
+            if mx == mn:
+                dq = mn
+            else:
+                code = math.floor(min(max((v[j] - mn) / (mx - mn) * 255.0, 0.0), 255.0))
+                dq = mn + code * (mx - mn) / 255.0
+            s = s + dq * qvec[j]
+        scored.append((i, _round6(s)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    want = [(qid, nid, rank, sc) for rank, (nid, sc) in enumerate(scored[:k], start=1)]
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    lon=st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+    lat=st.floats(min_value=-89.9, max_value=89.9, allow_nan=False),
+    epsg=st.sampled_from([3006, 3010, 3011]),
+)
+def test_kruger_roundtrip_or_explicit_nan(lon, lat, epsg):
+    """functions/geo.py Krüger kernel on arbitrary world coordinates:
+    every point either round-trips through the projection (modular
+    longitude; tolerance tiered by distance from the central meridian —
+    series truncation grows with |lambda|) or comes back NaN in BOTH
+    outputs (the explicit out-of-domain mask near the TM singular points
+    at lambda=+-90, phi=0). Silently-wrong finite coordinates are the
+    failure mode this pins against."""
+    import numpy as np
+
+    from etl_pipeline_spark.functions.geo import TM_PARAMS, tm_forward, tm_inverse
+
+    e, n = tm_forward(np.array([lon]), np.array([lat]), epsg)
+    if np.isnan(e[0]) or np.isnan(n[0]):
+        assert np.isnan(e[0]) and np.isnan(n[0])  # masked atomically
+        return
+    lo, la = tm_inverse(e, n, epsg)
+    assert np.isfinite(lo[0]) and np.isfinite(la[0])
+    dlon = abs((lo[0] - lon + 180.0) % 360.0 - 180.0)
+    dlat = abs(la[0] - lat)
+    lam = abs((lon - TM_PARAMS[epsg][0] + 180.0) % 360.0 - 180.0)
+    tol = 1e-8 if lam <= 15.0 else (5e-6 if lam <= 60.0 else 5e-3)
+    assert dlat < tol, (lon, lat, epsg, dlat)
+    # at |lat| ~ 89.9 a fixed lon tolerance is meaningless (meridians
+    # converge); scale by cos(lat) ground distance
+    assert dlon * max(np.cos(np.radians(lat)), 1e-6) < tol, (lon, lat, epsg, dlon)
+
+
+def test_kruger_poles_and_zone_extent_exact():
+    """Fixed hostile probes: the poles project and round-trip exactly
+    (latitude branch), and in-zone accuracy stays at the documented
+    sub-1e-9-degree level after the round-9 domain mask (the mask must be
+    a pure out-of-domain change)."""
+    import numpy as np
+
+    from etl_pipeline_spark.functions.geo import tm_forward, tm_inverse
+
+    for lat in (90.0, -90.0):
+        e, n = tm_forward(np.array([15.0]), np.array([lat]), 3006)
+        lo, la = tm_inverse(e, n, 3006)
+        assert la[0] == lat and np.isfinite(lo[0])
+    lon = np.array([10.93, 15.0, 24.17, 11.0, 23.9])
+    lat = np.array([55.2, 69.06, 65.85, 58.0, 67.4])  # Sweden-ish extent
+    e, n = tm_forward(lon, lat, 3006)
+    lo, la = tm_inverse(e, n, 3006)
+    assert np.max(np.abs(lo - lon)) < 1e-9
+    assert np.max(np.abs(la - lat)) < 1e-9
+    # the garbage region is explicitly NaN now, never a plausible easting
+    e, n = tm_forward(np.array([104.9, 100.0, 105.0]), np.array([0.0, 0.5, 0.0]), 3006)
+    assert np.isnan(e).all() and np.isnan(n).all()

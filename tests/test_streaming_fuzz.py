@@ -183,3 +183,155 @@ def test_croston_r6_matches_spark_fround_on_midpoints(spark):
     }
     for v in _MIDPOINTS:
         assert _r6_spark_convention(v) == spark_rounded[v], repr(v)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 extension (VERDICT r8 §next-round 6): the Holt-Winters chain
+# solve, fuzzed both cross-engine (full registered query vs its recursive-
+# CTE oracle on random series) and stream-vs-independent-recursion on
+# random gapped multi-key series.
+# ---------------------------------------------------------------------------
+
+_DAY_NS = 86_400_000_000_000
+
+# (day, cents) series: random day gaps, negative/zero/large cents
+_hw_series = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),  # day gap
+        st.integers(min_value=-10**8, max_value=10**8),  # cents
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(series=_hw_series)
+def test_holt_winters_daily_matches_oracle_on_random_series(
+    spark, tmp_path_factory, series
+):
+    """The registered holt_winters_daily (driver-side _hw_solve chain) vs
+    its DuckDB recursive-CTE oracle on RANDOM daily series — day gaps,
+    negative and zero cents, lengths straddling the 15-day minimum — not
+    just the fixture's dense positive series. Exact driver-style compare."""
+    import datetime
+
+    import duckdb
+
+    from etl_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import canonicalize
+
+    _ensure_loaded()
+    day = 0
+    rows = []
+    eid = 0
+    for gap, cents in series:
+        day += gap
+        ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            days=day, seconds=7
+        )
+        rows.append((eid, ts, 1, "purchase", cents / 100.0, "{}"))
+        eid += 1
+        # noise row on the same day that the purchase filter must drop
+        rows.append((eid, ts, 1, "view", 999999.99, "{}"))
+        eid += 1
+    sf = str(tmp_path_factory.mktemp("hw_fuzz") / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+
+    spec = REGISTRY["holt_winters_daily"]
+    got = canonicalize(spec.spark_fn(spark, sf).toPandas())
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; duckdb needs the part-file glob
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    want = canonicalize(con.execute(spec.oracle).fetchdf())
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert got.values.tolist() == want.values.tolist()
+
+
+def _hw_reference(cells: list[tuple[str, int, int]]):
+    """Independent replay of the streaming recursion: per key, the batch
+    _hw_solve init (left-assoc 7-day means) then one step per observed day
+    from day 8 on — day gaps irrelevant by construction (the solver is
+    index-based)."""
+    by_key: dict[str, list] = {}
+    for key, day, c in sorted(cells):
+        by_key.setdefault(key, []).append((day, c))
+    out = {}
+    for key, seq in by_key.items():
+        if len(seq) < 14:
+            continue
+        xs = [float(c) for _, c in seq]
+        l = (((((xs[0] + xs[1]) + xs[2]) + xs[3]) + xs[4]) + xs[5] + xs[6]) / 7.0
+        m2 = (((((xs[7] + xs[8]) + xs[9]) + xs[10]) + xs[11]) + xs[12] + xs[13]) / 7.0
+        b = (m2 - l) / 7.0
+        s = [xs[i] - l for i in range(7)]
+        for j in range(7, len(xs)):
+            ln = 0.5 * (xs[j] - s[0]) + 0.5 * (l + b)
+            b = 0.5 * (ln - l) + 0.5 * b
+            s = s[1:] + [0.5 * (xs[j] - ln) + 0.5 * s[0]]
+            l = ln
+            day, c = seq[j]
+            out[(key, day)] = (c, l, b, l + b + s[0])
+    return out
+
+
+_hw_keyed = st.dictionaries(
+    st.sampled_from(["purchase", "view"]),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),  # day gap
+            st.integers(min_value=-10**7, max_value=10**7),  # cents
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    min_size=1,
+    max_size=2,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(keyed=_hw_keyed)
+def test_hw_stream_matches_independent_recursion_on_random_series(
+    spark, tmp_path_factory, keyed
+):
+    """holt_winters_stream on RANDOM multi-key day series with gaps and
+    negative cents (the fixture stream is dense and positive) vs the
+    independent replay above — bit-exact on (cents, level, trend,
+    forecast) per emitted row, across whatever micro-batch split the
+    parquet source produces."""
+    from etl_pipeline_spark.streaming.holtwinters import holt_winters_stream
+
+    rows, cells = [], []
+    for key, gaps in keyed.items():
+        day = 10
+        for gap, cents in gaps:
+            day += gap
+            # split each day's cents across two events to exercise the
+            # within-batch per-day aggregation (c1 + c2 == cents)
+            c1 = cents // 2
+            c2 = cents - c1
+            rows.append((key, day * _DAY_NS + 5_000, c1 / 100.0))
+            rows.append((key, day * _DAY_NS + 9_000, c2 / 100.0))
+            cells.append((key, day, cents))
+    src = str(tmp_path_factory.mktemp("hw_sfuzz") / "src")
+    spark.createDataFrame(
+        rows, "event_type string, ts bigint, value double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_type string, ts bigint, value double"
+    ).parquet(src)
+    name = f"hw_fuzz_{abs(hash(tuple(sorted(rows)))) % 10**9}"
+    got = {
+        (r.event_type, r.day): (r.day_cents, r.level, r.trend, r.forecast_next)
+        for r in run_available_now_append(holt_winters_stream(stream), name).collect()
+    }
+    assert got == _hw_reference(cells)
