@@ -139,7 +139,9 @@ def cosine_pairs(
     block_rows: int = 1024,
 ) -> DataFrame:
     """Exact embedding-space near-dup pairs: (vec_a, vec_b, cosine ≥
-    threshold), vec_a < vec_b.
+    threshold), vec_a < vec_b. Zero-norm vectors form NO pairs (undefined
+    cosine — the cosine_expr NULL convention; fuzz-pinned against a
+    brute force in tests/test_engine_fuzz.py).
 
     BLAS-blocked brute force: vectors hash (id % nb) into ~`block_rows`-
     sized blocks; each of the nb·(nb+1)/2 unordered block pairs becomes
@@ -185,24 +187,35 @@ def cosine_pairs(
 
     def gemm(key, pdf):
         ba, bb = int(key[0]), int(key[1])
+
+        def _ids_mat(side: pd.DataFrame):
+            # zero-norm vectors have UNDEFINED cosine — drop them before
+            # scoring, matching cosine_expr's NULL convention ("never a
+            # pair", not "a pair with cosine 0": _normalize_rows maps a
+            # zero row to the zero vector, whose GEMM score 0.0 would
+            # pass any threshold <= 0 — fuzz-found, test_engine_fuzz)
+            mat = np.vstack(side["v"].to_numpy()).astype(np.float64)
+            keep = np.linalg.norm(mat, axis=1) > 0.0
+            return side["vid"].to_numpy()[keep], _normalize_rows(mat[keep])
+
         left = pdf[pdf["side"] == 0].sort_values("vid")
         # Sparse / non-contiguous ids (the in-bucket verifier case) can
         # leave a residue class with rows on only one side of the pair —
         # np.vstack on the empty side would raise, so bail out early.
         if left.empty:
             return empty
-        ids_a = left["vid"].to_numpy()
-        ma = _normalize_rows(np.vstack(left["v"].to_numpy()).astype(np.float64))
+        ids_a, ma = _ids_mat(left)
+        if len(ids_a) == 0:
+            return empty
         if ba == bb:
             ids_b, mb = ids_a, ma
         else:
             right = pdf[pdf["side"] == 1].sort_values("vid")
             if right.empty:
                 return empty
-            ids_b = right["vid"].to_numpy()
-            mb = _normalize_rows(
-                np.vstack(right["v"].to_numpy()).astype(np.float64)
-            )
+            ids_b, mb = _ids_mat(right)
+            if len(ids_b) == 0:
+                return empty
         c = ma @ mb.T
         ia, ib = np.nonzero(c >= threshold)
         va, vb = ids_a[ia], ids_b[ib]

@@ -716,3 +716,93 @@ def test_kruger_poles_and_zone_extent_exact():
     # the garbage region is explicitly NaN now, never a plausible easting
     e, n = tm_forward(np.array([104.9, 100.0, 105.0]), np.array([0.0, 0.5, 0.0]), 3006)
     assert np.isnan(e).all() and np.isnan(n).all()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vecs=_vecs(4, 2, 9),
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=10, max_size=10, unique=True
+    ),
+    blk=st.integers(min_value=1, max_value=4),
+    thr=st.sampled_from([-0.95, -0.3, 0.0, 0.25, 0.5, 0.8]),
+)
+def test_cosine_pairs_gemm_matches_brute_force(spark, vecs, ids, blk, thr):
+    """The blocked-GEMM exact-pairs kernel (operators/similarity.
+    cosine_pairs) vs an unblocked numpy brute force over all unordered
+    pairs — random SPARSE NON-CONTIGUOUS ids (the id % nb residue classes
+    go uneven and some block pairs lose a side entirely), random
+    block_rows so pairs straddle block boundaries, a planted zero vector
+    (NaN cosine must never pass the threshold), negative thresholds."""
+    import numpy as np
+
+    from etl_pipeline_spark.operators.similarity import cosine_pairs
+
+    rows = [(ids[i], v) for i, v in enumerate(vecs)]
+    rows.append((ids[len(vecs)], [0.0, 0.0, 0.0, 0.0]))  # planted zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_pairs(df, threshold=thr, block_rows=blk).collect()
+    }
+
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, va), (ib, vb) = rows[i], rows[j]
+            na, nb_ = np.linalg.norm(va), np.linalg.norm(vb)
+            if na == 0.0 or nb_ == 0.0:
+                continue  # NaN cosine: the kernel's >= threshold drops it
+            c = float(np.dot(np.asarray(va) / na, np.asarray(vb) / nb_))
+            if c >= thr:
+                a, b = min(ia, ib), max(ia, ib)
+                want[(a, b)] = float(
+                    np.sign(c) * np.floor(abs(c) * 1e6 + 0.5) / 1e6
+                )
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6), k
+
+
+@settings(max_examples=8, deadline=None)
+@given(sample=_vecs(4, 2, 5), corpus=_vecs(4, 1, 8))
+def test_ivf_cell_assignment_matches_independent_argmax(spark, sample, corpus):
+    """The zero-exchange IVF cell assignment (_assign_cells_narrow over the
+    broadcast pivot array, BOTH the fold and dim-unrolled score forms) vs
+    an independent Python argmax-cosine with the same round-6 tie-break —
+    random pivots and corpus, not the fixture's trained centroids."""
+    from etl_pipeline_spark.operators.similarity import (
+        _assign_cells_narrow,
+        _pivot_array,
+        _pivot_rows,
+        _py_dot,
+        _round6,
+    )
+
+    ncells = 3
+    pivots = _pivot_rows(sample, ncells)
+    rows = [(i, v) for i, v in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    piv1 = _pivot_array(spark, pivots)
+    got_fold = {
+        r.qid: r.cell
+        for r in _assign_cells_narrow(df, piv1, "vec_id", "embedding", "qid", False).collect()
+    }
+    got_unrolled = {
+        r.qid: r.cell
+        for r in _assign_cells_narrow(
+            df, piv1, "vec_id", "embedding", "qid", False, dim=4
+        ).collect()
+    }
+    assert got_fold == got_unrolled
+
+    import math
+
+    want = {}
+    for i, v in rows:
+        nrm = math.sqrt(_py_dot(v, v))
+        best = min(
+            (-_round6(_py_dot(v, pe) / (nrm * pn)), cell) for cell, pe, pn in pivots
+        )
+        want[i] = best[1]
+    assert got_fold == want
