@@ -1,0 +1,347 @@
+"""Registry-vs-oracle parity on RANDOMIZED star-schema fixtures.
+
+The driver's correctness gate and tests/test_oracle_parity.py prove
+Spark == DuckDB on the ONE deterministic fixture corpus (seed=42). This
+sweep re-runs a cross-family subset of the registry on freshly generated
+random fixtures — different key distributions, duplicate timestamps,
+empty/1-token documents, a planted zero-norm embedding, negative event
+values, orphan foreign keys — so a query whose parity silently depends
+on a fixture accident (no ties, dense days, all-positive values, FK
+integrity) fails HERE instead of on user data.
+
+Same compare as the driver: row count + column names + order-insensitive
+stringified values (tests/conftest.canonicalize).
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from etl_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
+from tests.conftest import canonicalize
+
+_ensure_loaded()
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+_SEGMENTS = ["MACHINERY", "FURNITURE", "HOUSEHOLD", "BUILDING", "AUTOMOBILE"]
+_STATUSES = ["P", "O", "F"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_FLAGS = [("A", "O"), ("N", "F"), ("N", "O"), ("A", "F"), ("R", "F"), ("R", "O")]
+_EVENT_TYPES = ["signup", "click", "error", "view", "purchase"]
+_LANGS = ["en", "de", "zh", "fr", "es"]
+_PTYPES = ["MEDIUM", "PROMO", "LARGE", "STANDARD", "ECONOMY", "SMALL"]
+_WORDS = (
+    "the a spark table scan join merge sort window batch stream row "
+    "column value key part order data query filter hash agg vector"
+).split()
+
+
+def _cents(rng: random.Random, lo: int, hi: int) -> float:
+    return rng.randint(lo, hi) / 100.0
+
+
+def _gen_star(out_dir: str, seed: int) -> None:
+    """Write a small random star schema matching the fixture schemas
+    column-for-column (single parquet FILE per table — both engines read
+    the same path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed)
+
+    def write(name: str, df: pd.DataFrame, schema: pa.Schema | None = None) -> None:
+        # pandas datetimes default to ns; Spark rejects INT64
+        # TIMESTAMP(NANOS) outside the events special-case — write micros
+        # like the real fixtures
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime64"):
+                df[c] = df[c].astype("datetime64[us]")
+        tbl = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+        pq.write_table(tbl, f"{out_dir}/{name}.parquet")
+
+    write(
+        "region",
+        pd.DataFrame(
+            {"r_regionkey": pd.array(range(3), dtype="int32"),
+             "r_name": [f"REGION{i}" for i in range(3)]}
+        ),
+    )
+    write(
+        "nation",
+        pd.DataFrame(
+            {
+                "n_nationkey": pd.array(range(5), dtype="int32"),
+                "n_name": [f"NATION{i}" for i in range(5)],
+                "n_regionkey": pd.array(
+                    [rng.randrange(3) for _ in range(5)], dtype="int32"
+                ),
+            }
+        ),
+    )
+    n_cust, n_supp, n_part = 20, 8, 15
+    write(
+        "customer",
+        pd.DataFrame(
+            {
+                "c_custkey": pd.array(range(1, n_cust + 1), dtype="int64"),
+                "c_name": [f"Customer#{i}" for i in range(1, n_cust + 1)],
+                "c_nationkey": pd.array(
+                    [rng.randrange(5) for _ in range(n_cust)], dtype="int32"
+                ),
+                # negative balances are in-domain (fixture has them too)
+                "c_acctbal": [_cents(rng, -99999, 999999) for _ in range(n_cust)],
+                "c_mktsegment": [rng.choice(_SEGMENTS) for _ in range(n_cust)],
+            }
+        ),
+    )
+    write(
+        "supplier",
+        pd.DataFrame(
+            {
+                "s_suppkey": pd.array(range(1, n_supp + 1), dtype="int64"),
+                "s_name": [f"Supplier#{i}" for i in range(1, n_supp + 1)],
+                "s_nationkey": pd.array(
+                    [rng.randrange(5) for _ in range(n_supp)], dtype="int32"
+                ),
+                "s_acctbal": [_cents(rng, -99999, 999999) for _ in range(n_supp)],
+            }
+        ),
+    )
+    write(
+        "part",
+        pd.DataFrame(
+            {
+                "p_partkey": pd.array(range(1, n_part + 1), dtype="int64"),
+                "p_name": [f"part {rng.choice(_WORDS)} {i}" for i in range(1, n_part + 1)],
+                "p_brand": [f"Brand#{rng.randrange(1, 25)}" for _ in range(n_part)],
+                "p_type": [rng.choice(_PTYPES) for _ in range(n_part)],
+                "p_size": pd.array(
+                    [rng.randrange(1, 50) for _ in range(n_part)], dtype="int32"
+                ),
+                "p_retailprice": [_cents(rng, 100, 200000) for _ in range(n_part)],
+            }
+        ),
+    )
+
+    n_ord = 60
+    d0 = datetime.datetime(1995, 1, 1)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": pd.array(range(1, n_ord + 1), dtype="int64"),
+            # one orphan custkey (no matching customer) — joins must just
+            # drop it, never crash or double-count
+            "o_custkey": pd.array(
+                [n_cust + 99 if i == 0 else rng.randrange(1, n_cust + 1) for i in range(n_ord)],
+                dtype="int64",
+            ),
+            "o_orderstatus": [rng.choice(_STATUSES) for _ in range(n_ord)],
+            "o_totalprice": [_cents(rng, 100, 50_000_000) for _ in range(n_ord)],
+            "o_orderdate": [
+                d0 + datetime.timedelta(days=rng.randrange(0, 900)) for _ in range(n_ord)
+            ],
+            "o_orderpriority": [rng.choice(_PRIORITIES) for _ in range(n_ord)],
+        }
+    )
+    write("orders", orders)
+
+    n_li = 150
+    per_order: dict[int, int] = {}
+
+    def linenum(ok: int) -> int:
+        per_order[ok] = per_order.get(ok, 0) + 1
+        return per_order[ok]
+
+    okeys = [rng.randrange(1, n_ord + 1) for _ in range(n_li)]
+    flags = [rng.choice(_FLAGS) for _ in range(n_li)]
+    write(
+        "lineitem",
+        pd.DataFrame(
+            {
+                "l_orderkey": pd.array(okeys, dtype="int64"),
+                "l_partkey": pd.array(
+                    [rng.randrange(1, n_part + 1) for _ in range(n_li)], dtype="int64"
+                ),
+                "l_suppkey": pd.array(
+                    [rng.randrange(1, n_supp + 1) for _ in range(n_li)], dtype="int64"
+                ),
+                "l_linenumber": pd.array(
+                    [linenum(ok) for ok in okeys], dtype="int32"
+                ),
+                "l_quantity": [float(rng.randrange(1, 51)) for _ in range(n_li)],
+                "l_extendedprice": [_cents(rng, 100, 10_000_000) for _ in range(n_li)],
+                "l_discount": [rng.randrange(0, 11) / 100.0 for _ in range(n_li)],
+                "l_tax": [rng.randrange(0, 9) / 100.0 for _ in range(n_li)],
+                "l_returnflag": [f[0] for f in flags],
+                "l_linestatus": [f[1] for f in flags],
+                "l_shipdate": [
+                    d0 + datetime.timedelta(days=rng.randrange(0, 960))
+                    for _ in range(n_li)
+                ],
+            }
+        ),
+    )
+
+    n_ev = 200
+    t0 = datetime.datetime(2024, 1, 1)
+    # duplicate timestamps ON PURPOSE (the round-8 sessionize fix class):
+    # draw from a coarse pool so collisions are guaranteed
+    ts_pool = [
+        t0 + datetime.timedelta(minutes=rng.randrange(0, 60 * 24 * 30)) for _ in range(n_ev // 2)
+    ]
+    write(
+        "events",
+        pd.DataFrame(
+            {
+                "event_id": pd.array(range(1, n_ev + 1), dtype="int64"),
+                "ts": [rng.choice(ts_pool) for _ in range(n_ev)],
+                "user_id": pd.array(
+                    [rng.randrange(1, 11) for _ in range(n_ev)], dtype="int64"
+                ),
+                "event_type": [rng.choice(_EVENT_TYPES) for _ in range(n_ev)],
+                # negative and zero values are in-domain
+                "value": [_cents(rng, -100000, 1000000) for _ in range(n_ev)],
+                "props": [f'{{"k": {rng.randrange(0, 100)}}}' for _ in range(n_ev)],
+            }
+        ),
+    )
+
+    n_doc = 12
+    texts = []
+    for i in range(n_doc):
+        if i == 0:
+            texts.append("")  # empty doc (shingles/token kernels fixed r8)
+        elif i == 1:
+            texts.append("one")  # sub-n-token doc
+        elif i == 2 and n_doc > 3:
+            texts.append(texts[-1] if texts[-1] else "one")  # exact dup
+        else:
+            texts.append(
+                " ".join(rng.choice(_WORDS) for _ in range(rng.randrange(3, 40)))
+            )
+    write(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": pd.array(range(1, n_doc + 1), dtype="int64"),
+                "text": texts,
+                "lang": [rng.choice(_LANGS) for _ in range(n_doc)],
+                "source": [f"src{rng.randrange(0, 6)}" for _ in range(n_doc)],
+                "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+            }
+        ),
+    )
+
+    import pyarrow as pa
+
+    n_vec, dim = 12, 64
+    vecs = [
+        [0.0] * dim  # planted zero-norm vector (NULL-cosine convention)
+        if i == 0
+        else [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+        for i in range(n_vec)
+    ]
+    emb_schema = pa.schema(
+        [
+            pa.field("vec_id", pa.int64()),
+            pa.field("embedding", pa.list_(pa.float32())),
+            pa.field("label", pa.int32()),
+        ]
+    )
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": list(range(1, n_vec + 1)),
+            "embedding": vecs,
+            "label": [rng.randrange(0, 10) for _ in range(n_vec)],
+        },
+        schema=emb_schema,
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, f"{out_dir}/embeddings.parquet")
+
+
+# Cross-family subset: every family whose semantics are data-independent
+# (no fixture-tuned constants that would make random data vacuous).
+_SWEEP_QUERIES = [
+    # relational / TPC-H shapes
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q12_priority_class_counts",
+    "q14_promo_revenue_share",
+    "rollup_order_counts",
+    "pivot_orders_status",
+    "grouping_sets_status_priority",
+    "cube_lineitem_flags",
+    "semi_join_include_filter",
+    "anti_join_missing",
+    "set_ops_union_except",
+    "distinct_dedupe",
+    "scalar_subquery_above_avg",
+    "exists_big_quantity_orders",
+    "window_rank_running",
+    "lead_lag_order_gaps",
+    "window_range_trailing_spend",
+    "percentile_event_values",
+    "pagination_page_slice",
+    # events / time
+    "events_tumbling_1h",
+    "events_sliding_30m15m",
+    "events_sessionize_30m",
+    "session_bounce_rate",
+    "markov_transition_events",
+    "resample_ffill_user_6h",
+    "asof_purchase_last_view",
+    "range_join_click_attribution",
+    "interval_merge_sessions",
+    # documents / LLM ops
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "doc_fingerprints",
+    "simhash_fingerprints",
+    "token_stats",
+    "text_quality_scores",
+    "tfidf_top_terms",
+    # embeddings (incl. the planted zero vector)
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+    "knn_label_accuracy",
+    # sketches
+    "hll_orders_by_flag",
+    "cms_partkey_estimates",
+    "bloom_supplier_prune",
+]
+
+
+@pytest.fixture(scope="module", params=[11, 23])
+def random_sf(request, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp(f"rand_sf_{request.param}"))
+    _gen_star(out, seed=request.param)
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet')"
+        )
+    yield out, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _SWEEP_QUERIES)
+def test_query_matches_oracle_on_random_fixture(spark, random_sf, name):
+    sf_dir, con = random_sf
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} has no oracle — drop it from the sweep"
+    got = canonicalize(spec.spark_fn(spark, sf_dir).toPandas())
+    want = canonicalize(con.execute(spec.oracle).fetchdf())
+    assert len(got) == len(want), f"{name}: {len(got)} rows vs oracle {len(want)}"
+    assert list(got.columns) == list(want.columns), name
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True, obj=name)
