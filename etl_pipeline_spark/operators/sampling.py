@@ -91,19 +91,38 @@ def weighted_sample_key_sql(id_expr: str, weight_expr: str, seed: str) -> str:
     engine-portable: u is exact integer arithmetic; ln/division are IEEE
     doubles whose sub-ulp engine differences only matter on an exact tie
     at the k-boundary (probability ~0 for distinct ids).
+
+    Non-positive weights map to key = +Infinity ("never sampled" — the
+    ES limit as w→0⁺; zero-probability rows fill trailing slots only when
+    fewer than k positive-weight rows exist). Without the guard a zero
+    weight CRASHES Spark under ANSI (DIVIDE_BY_ZERO) while DuckDB quietly
+    returns ±inf — found by the randomized-fixture sweep on an empty
+    document (n_chars = 0). Callers ordering by this key should add the
+    id as a tie-break so the all-infinity tail is deterministic.
     """
     u = f"((CAST({hash_u32_sql(id_expr, seed)} AS DOUBLE) + 0.5) / 4294967296.0)"
-    return f"(-LN({u}) / CAST({weight_expr} AS DOUBLE))"
+    w = f"CAST({weight_expr} AS DOUBLE)"
+    return (
+        f"(CASE WHEN {w} <= 0.0 THEN CAST('Infinity' AS DOUBLE) "
+        f"ELSE (-LN({u}) / {w}) END)"
+    )
 
 
 def weighted_sample(
     df: DataFrame, id_col: str, weight_col: str, k: int, seed: str = "wsample"
 ) -> DataFrame:
-    """Weighted sample of k rows without replacement (weights > 0).
+    """Weighted sample of k rows without replacement (weight <= 0 → the
+    row is effectively unsampleable: key +Infinity, trailing slots only).
 
     Scale: the key is a narrow expression; top-k by smallest key is
     Spark's TakeOrdered (per-partition k then a k-sized driver merge) —
-    no full sort, no shuffle of the data itself.
+    no full sort, no shuffle of the data itself. The id tie-break makes
+    the selection deterministic even among equal keys (the +inf tail).
     """
     key = F.expr(weighted_sample_key_sql(id_col, weight_col, seed))
-    return df.withColumn("__wkey", key).orderBy("__wkey").limit(k).drop("__wkey")
+    return (
+        df.withColumn("__wkey", key)
+        .orderBy("__wkey", F.col(id_col).asc())
+        .limit(k)
+        .drop("__wkey")
+    )

@@ -239,7 +239,7 @@ _WKEY = weighted_sample_key_sql("doc_id", "n_chars", "wsample")
     oracle=f"""
         SELECT doc_id, lang, n_chars
         FROM documents
-        ORDER BY {_WKEY}
+        ORDER BY {_WKEY}, doc_id
         LIMIT 50
     """,
     tags=("sampling", "topk", "narrow"),

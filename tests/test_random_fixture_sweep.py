@@ -319,6 +319,69 @@ _SWEEP_QUERIES = [
     "hll_orders_by_flag",
     "cms_partkey_estimates",
     "bloom_supplier_prune",
+    # the 24-query same-text SQL surface
+    "sql_not_in_null_aware",
+    "sql_correlated_scalar_count",
+    "sql_keep_first_per_key",
+    "sql_histogram_event_values",
+    "sql_intersect_except_all",
+    "sql_unpivot_status_totals",
+    "sql_last_value_ignore_nulls",
+    "sql_top_customer_per_segment",
+    "sql_monthly_revenue_ma3",
+    "sql_funnel_view_click_purchase",
+    "sql_ewma_user_values",
+    "sql_equidepth_value_deciles",
+    "sql_pii_redaction",
+    "sql_outlier_iqr_fences",
+    "sql_ntile_balance_quartiles",
+    "sql_lateral_top2_orders",
+    "sql_conditional_agg_filter",
+    "sql_fuzzy_name_pairs",
+    "sql_zscore_normalize_events",
+    "sql_regression_price_trend",
+    "sql_mode_priority_by_status",
+    "sql_entropy_event_types",
+    "sql_drift_psi_event_values",
+    "sql_table_checksum_orders",
+    # stat tests / distribution analytics on random values
+    "benford_first_digit",
+    "ks_test_purchase_view",
+    "chisq_event_daypart",
+    "anova_f_totalprice_priority",
+    "mutual_info_status_priority",
+    "spearman_corr_daily",
+    "kendall_tau_daily",
+    "gini_revenue_concentration",
+    "lorenz_curve_deciles",
+    "hhi_segment_concentration",
+    "pareto_abc_revenue",
+    "entropy_rate_transitions",
+    # commerce / behavioral
+    "rfm_customer_segments",
+    "stickiness_dau_mau",
+    "session_path_topk",
+    "funnel_latency_quantiles",
+    "attribution_credit_events",
+    "markov_attribution_removal",
+    # text / corpus quality on random docs
+    "doclen_log_histogram",
+    "readability_flesch_docs",
+    "lexical_diversity_by_lang",
+    "tokenizer_fertility_by_lang",
+    "zipf_alpha_terms",
+    "heaps_vocab_growth",
+    "repetition_quality",
+    "unigram_surprisal_quality",
+    "quality_filter_gopher",
+    "lang_id_confusion",
+    "top_tokens_per_lang",
+    # sampling / splits / privacy audits
+    "stratified_sample_langs",
+    "train_test_split_assign",
+    "weighted_sample_docs",
+    "k_anonymity_audit",
+    "l_diversity_audit",
 ]
 
 
