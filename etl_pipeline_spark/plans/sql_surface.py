@@ -97,6 +97,11 @@ _sql_query(
 _sql_query(
     "sql_histogram_event_values",
     """
+        -- lo_edge's INT * 25.0 runs in DECIMAL on the Spark side — exempt
+        -- from the decimal-drift class because int × 25.0 at 2 dp is EXACT
+        -- in both decimal and double for any |bin| < 2^45, so the engines
+        -- cannot diverge (pinned by the decimal-arithmetic lint's exemption
+        -- list in tests/test_random_fixture_sweep.py)
         SELECT CAST(floor(value / 25.0) AS INT) AS bin,
                ROUND(CAST(floor(value / 25.0) AS INT) * 25.0, 2) AS lo_edge,
                CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -544,7 +549,10 @@ _sql_query(
     """
         WITH p AS (
             SELECT event_type,
-                   COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events) AS prob
+                   -- 1.0e0 (DOUBLE): a bare 1.0 keeps Spark's COUNT(*)
+                   -- chain in DECIMAL through the division (the PSI
+                   -- decimal-drift class, ~1e-22 here but type-divergent)
+                   COUNT(*) * 1.0e0 / (SELECT COUNT(*) FROM events) AS prob
             FROM events GROUP BY event_type
         )
         SELECT ROUND(SUM(-prob * LN(prob)), 6) AS shannon_entropy FROM p

@@ -408,3 +408,40 @@ def test_query_matches_oracle_on_random_fixture(spark, random_sf, name):
     assert len(got) == len(want), f"{name}: {len(got)} rows vs oracle {len(want)}"
     assert list(got.columns) == list(want.columns), name
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True, obj=name)
+
+
+# Queries whose analyzed plans retain decimal arithmetic that is PROVABLY
+# exact in both engines (documented at the query site) — everything else
+# in the shared-text SQL surface must run pure double arithmetic, or the
+# engines silently drift (the sql_drift_psi_event_values incident: Spark
+# decimal literals over integer-only columns vs DuckDB doubles).
+_DECIMAL_EXEMPT = {"sql_histogram_event_values"}
+
+
+def test_sql_surface_has_no_decimal_arithmetic_drift(spark):
+    """Lint: no shared-text SQL query may keep Spark in DECIMAL
+    arithmetic (CheckOverflow nodes or decimal-typed casts in the
+    analyzed plan) unless exempted above with an exactness proof — bare
+    decimal literals over integer columns are the silent-drift class the
+    randomized sweep caught."""
+    import re
+
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if not name.startswith("sql_"):
+            continue
+        plan = (
+            spec.spark_fn(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        ndec = len(re.findall(r"decimal\(\d+,\s*\d+\)", plan))
+        nover = plan.count("CheckOverflow")
+        if (ndec or nover) and name not in _DECIMAL_EXEMPT:
+            offenders[name] = (ndec, nover)
+    assert not offenders, (
+        f"decimal arithmetic in shared-text SQL plans: {offenders} — "
+        "use e0-suffixed double literals (0.5e0) or add an exactness-"
+        "proven exemption"
+    )
