@@ -695,18 +695,30 @@ def _py_normalize(v: list[float]) -> list[float]:
 def _ordered_sample(
     corpus: DataFrame, id_col: str, vec_col: str, sample_limit: int
 ) -> list[list[float]]:
-    """First `sample_limit` vectors by id, as driver-side doubles.
-    TakeOrdered keeps this a bounded top-k scan — never a global sort of
-    the corpus — and float32→double conversion is exact, so the collected
-    values equal the engine's CAST(... AS DOUBLE)."""
+    """First `sample_limit` NON-ZERO-NORM vectors by id, as driver-side
+    doubles. TakeOrdered keeps this a bounded top-k scan — never a global
+    sort of the corpus — and float32→double conversion is exact, so the
+    collected values equal the engine's CAST(... AS DOUBLE).
+
+    Zero-norm vectors are excluded from index TRAINING (you cannot train
+    a cosine quantizer on a direction-free vector: a zero-norm pivot or
+    codebook center makes every score 0/0 — the driver probe raised
+    ZeroDivisionError, found by the randomized-fixture sweep). They stay
+    in the CORPUS: both engines assign them cell 0 (all-NaN/NULL scores
+    tie-break by cell asc) and their candidate cosines are NULL, sorting
+    last — the engine-wide zero-norm convention. The DuckDB oracles'
+    sample CTEs carry the same norm filter."""
     rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .filter(F.expr(_NORM.format(v=vec_col)) > 0.0)
         .orderBy("i")
         .limit(sample_limit)
         .collect()
     )
     if not rows:
-        raise ValueError("corpus has no rows — cannot build an ANN index")
+        raise ValueError(
+            "corpus has no non-zero-norm rows — cannot build an ANN index"
+        )
     return [[float(x) for x in r.v] for r in rows]
 
 
@@ -765,7 +777,10 @@ def _pivot_score(vec: str, nrm: str, dim: int | None) -> str:
             f"(CAST({vec}[{i}] AS DOUBLE) * CAST(p.pe[{i}] AS DOUBLE))" for i in range(dim)
         )
         dot = f"(CAST(0.0 AS DOUBLE) + {terms})"
-    return f"struct(-round({dot} / ({nrm} * p.pn), 6) AS s, p.cell AS c)"
+    # nullif: a zero-norm corpus vector (nrm 0) would throw DIVIDE_BY_ZERO
+    # under ANSI; NULL scores make array_min fall to cell asc → cell 0,
+    # matching the DuckDB oracle (0/0 → NULL, DESC NULLS LAST, cell asc)
+    return f"struct(-round({dot} / nullif(({nrm} * p.pn), 0.0), 6) AS s, p.cell AS c)"
 
 
 def _nearest_cell_expr(vec: str, nrm: str, dim: int | None) -> Column:
@@ -920,11 +935,16 @@ def _normalized(
     """(vec_id, ne): unit-normalized double vector (norm projected once).
     With dim known, both the norm and the per-element division unroll to
     static arithmetic (same values as the transform/fold forms)."""
+    # nullif: a zero-norm vector normalizes to NULL elements instead of
+    # throwing DIVIDE_BY_ZERO under ANSI (Spark errors on double x/0 too,
+    # unlike IEEE); its encode scores go NULL and both engines tie-break
+    # it to code 0 (Spark struct-min NULLS FIRST on the score field ==
+    # DuckDB ASC NULLS LAST over all-NULL, both fall to code asc)
     if dim is None:
         return corpus.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("_e"),
-            F.expr(_NORM.format(v=vec_col)).alias("_nrm"),
+            F.expr(f"nullif({_NORM.format(v=vec_col)}, 0.0)").alias("_nrm"),
         ).select(
             "vec_id", F.expr("transform(_e, x -> CAST(x AS DOUBLE) / _nrm)").alias("ne")
         )
@@ -932,7 +952,7 @@ def _normalized(
     return corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_e"),
-        F.expr(_norm_unrolled_sql(vec_col, dim)).alias("_nrm"),
+        F.expr(f"nullif({_norm_unrolled_sql(vec_col, dim)}, 0.0)").alias("_nrm"),
     ).select("vec_id", F.expr(f"array({elems})").alias("ne"))
 
 
@@ -1050,6 +1070,12 @@ def _pq_query_tables(spark, qrows, id_type, entries, m: int, ksub: int) -> DataF
 
     rows = []
     for qid, qe in qrows:
+        if _py_dot(qe, qe) == 0.0:
+            # zero-norm query: undefined ADC distances — a NULL table, so
+            # every approx_cosine is NULL and ranks fall to neighbor_id
+            # asc, exactly what the oracle computes (0/0 → NULL in DuckDB)
+            rows.append((qid, [None] * (m * ksub)))
+            continue
         ne = _py_normalize(qe)
         dsub = len(ne) // m
         dt = [0.0] * (m * ksub)

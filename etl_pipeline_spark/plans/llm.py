@@ -504,8 +504,13 @@ def _duck_ivf_ctes(ncells: int, nprobe: int) -> str:
     """Shared CTE block: sample → pivots → cell assignment → query probes."""
     return f"""
         s AS (
+            -- zero-norm vectors are excluded from index TRAINING (a
+            -- zero-norm pivot scores 0/0 against everything) — mirrors
+            -- operators/similarity._ordered_sample
             SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn, embedding AS v
             FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])) > 0
                   ORDER BY vec_id LIMIT {_ANN_SAMPLE})
         ),
         mx AS (SELECT MAX(rn) AS mx FROM s),
@@ -549,10 +554,23 @@ def _duck_pq_ctes(m: int, ksub: int) -> str:
                                          CAST(embedding AS DOUBLE[]))) AS nr
             FROM embeddings
         ),
-        cn AS (SELECT vec_id, list_transform(e, x -> x / nr) AS ne FROM nrm0),
+        cn AS (
+            -- whole-list NULL for zero-norm vectors: x / 0 would yield a
+            -- list of NULL elements, which list_dot_product REJECTS in
+            -- DuckDB; a NULL list propagates NULL scores instead, which
+            -- both engines tie-break identically (code asc)
+            SELECT vec_id,
+                   CASE WHEN nr > 0 THEN list_transform(e, x -> x / nr)
+                        ELSE NULL END AS ne,
+                   nr
+            FROM nrm0
+        ),
         sn AS (
+            -- codebook TRAINING excludes zero-norm vectors (mirrors
+            -- operators/similarity._ordered_sample; see the IVF CTE note)
             SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn, ne AS v
-            FROM (SELECT vec_id, ne FROM cn ORDER BY vec_id LIMIT {_ANN_SAMPLE})
+            FROM (SELECT vec_id, ne FROM cn WHERE nr > 0
+                  ORDER BY vec_id LIMIT {_ANN_SAMPLE})
         ),
         mxn AS (SELECT MAX(rn) AS mx FROM sn),
         cb AS (

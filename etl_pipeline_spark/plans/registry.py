@@ -53,27 +53,34 @@ def register(
 # 50 registered queries per round, and the window ROTATES each round:
 # rounds 1-7 drove all 272 distinct queries green (CORRECTNESS_r01-r07),
 # round 8 re-proved the graph wave (whose plans changed that round) plus
-# every round-1-stale row. Round 9's window leads with the TWO queries
-# whose text/plan changed this round — both fixes found by the new
-# randomized-fixture sweep (sql_drift_psi_event_values: bare 0.5 decimal
-# literals kept Spark in truncating DECIMAL arithmetic over the
-# integer-only smoothing chain while DuckDB computed doubles;
-# weighted_sample_docs: zero-weight rows crashed Spark under ANSI and
-# the key gained a CASE guard + id tie-break) — then executes the
+# every round-1-stale row. Round 9's window leads with the FIVE queries
+# whose text/plan changed this round — all fixes found by the new
+# randomized-fixture sweep (tests/test_random_fixture_sweep.py):
+# sql_drift_psi_event_values + sql_entropy_event_types (bare decimal
+# literals kept Spark in truncating DECIMAL arithmetic over integer-only
+# chains while DuckDB computed doubles; entropy was already in the
+# window so does not lead), weighted_sample_docs (zero-weight rows
+# crashed Spark under ANSI; CASE guard + id tie-break in both engines),
+# and ann_ivf_topk / ann_pq_topk / ann_ivfpq_topk (zero-norm vectors
+# excluded from index TRAINING in both engines; NULL-score guards align
+# assignment/encode/ADC of zero-norm corpus/query vectors). Then the
 # staleness sweep pre-staged in COVERAGE.md round-8 close: all 28
 # queries whose latest driver row is round 2 (TPC-H q2-q22 tail,
-# windows/pivot/rollup, lead_lag/percentile/profile_approx), then 20 of
-# the 22 alphabetically-first round-3 rows (PSI was already among them;
-# sql_ewma_user_values is displaced to lead round 10). The other
-# hardening this round (cache locking, explicit pagerank opt-out,
-# Decimal precision guards, TM domain mask) is result-identical for
-# every registered query. Ordering only -- every query stays registered
-# and locally parity-checked (tests/test_oracle_parity.py, all 272).
+# windows/pivot/rollup, lead_lag/percentile/profile_approx), then 17 of
+# the alphabetically-first round-3 rows (the ewma/conditional-agg/
+# correlated-scalar/equidepth fillers are displaced to lead round 10).
+# The other hardening this round (cache locking, explicit pagerank
+# opt-out, Decimal precision guards, TM domain mask) is result-identical
+# for every registered query. Ordering only -- every query stays
+# registered and locally parity-checked (tests/test_oracle_parity.py,
+# all 272).
 PRIORITY: tuple[str, ...] = (
-    # -- 2 queries whose text/plan CHANGED this round (sweep-found
+    # -- 5 queries whose text/plan CHANGED this round (all sweep-found
     #    fixes: PSI decimal-literal drift; weighted-sample zero-weight
-    #    guard + id tie-break) — driver re-proof required same-round --
-    "sql_drift_psi_event_values", "weighted_sample_docs",
+    #    guard + id tie-break; ANN zero-norm training exclusion +
+    #    NULL-score guards) — driver re-proof required same-round --
+    "sql_drift_psi_event_values", "weighted_sample_docs", "ann_ivf_topk",
+    "ann_pq_topk", "ann_ivfpq_topk",
     # -- 28 round-2-stale rows (driver-proof age: 7 rounds) --
     "q2_min_cost_supplier", "q3_top_unshipped_orders",
     "q4_order_priority_check", "q5_local_supplier_volume",
@@ -88,19 +95,21 @@ PRIORITY: tuple[str, ...] = (
     "profile_approx_orders", "rollup_order_counts",
     "semi_join_include_filter", "set_ops_union_except",
     "window_range_trailing_spend",
-    # -- 20 alphabetically-first round-3-stale rows (PSI moved up;
-    #    sql_ewma_user_values displaced to lead round 10) --
+    # -- 17 alphabetically-first round-3-stale rows (PSI/entropy were
+    #    already here; the ewma/conditional-agg/correlated-scalar/
+    #    equidepth fillers are displaced to lead round 10) --
     "approx_distinct_users", "bm25_keyword_topk", "cms_heavy_hitters",
     "collect_order_years", "decontaminate_eval_overlap",
     "dedup_simhash_hamming", "doc_chunk_overlap", "incremental_agg_orders",
     "key_skew_partkey", "keyword_and_search", "profile_orders",
     "quantile_sketch_values", "repetition_quality", "resample_ffill_user_6h",
     "scd2_state_at_purchase", "snapshot_diff_orders",
-    "sql_conditional_agg_filter", "sql_correlated_scalar_count",
-    "sql_entropy_event_types", "sql_equidepth_value_deciles",
-    # -- below the driver's 50-row window --
-    "sql_ewma_user_values", "pagerank_part_supplier", "textrank_keywords",
-    "hits_hub_authority", "bfs_hops_from_hub", "kcore_cosupplier_peel",
+    "sql_entropy_event_types",
+    # -- below the driver's 50-row window (round-10 leads first) --
+    "sql_ewma_user_values", "sql_conditional_agg_filter",
+    "sql_correlated_scalar_count", "sql_equidepth_value_deciles",
+    "pagerank_part_supplier", "textrank_keywords", "hits_hub_authority",
+    "bfs_hops_from_hub", "kcore_cosupplier_peel",
     "lpa_cosupplier_communities", "modularity_cosupplier",
     "assortativity_cosupplier", "jaccard_link_prediction",
     "triangle_cosupplier_stats", "agg_metrics_summary", "agg_success_rate",
@@ -115,9 +124,8 @@ PRIORITY: tuple[str, ...] = (
     "stratified_sample_langs", "text_quality_scores", "token_stats",
     "top_tokens_per_lang", "train_test_split_assign",
     "unique_name_allocation", "url_parse_extract", "wgs84_sniff_rule",
-    "ann_ivf_topk", "ann_pq_topk", "anti_join_missing",
-    "bloom_supplier_prune", "cube_lineitem_flags", "distinct_dedupe",
-    "events_sliding_30m15m", "events_tumbling_1h",
+    "anti_join_missing", "bloom_supplier_prune", "cube_lineitem_flags",
+    "distinct_dedupe", "events_sliding_30m15m", "events_tumbling_1h",
     "grouping_sets_status_priority", "hll_intersect_cohorts",
     "hll_orders_by_flag", "holt_winters_daily", "markov_attribution_removal",
     "dedup_containment_pairs", "grid_nearest_poi", "revenue_bridge_monthly",
@@ -138,7 +146,7 @@ PRIORITY: tuple[str, ...] = (
     "tokenizer_fertility_by_lang", "vocab_coverage_estimates",
     "theil_index_decomposition", "mcnemar_bigram_vs_marginal",
     "dedup_embedding_cosine", "dedup_ngram_jaccard", "q1_pricing_summary",
-    "q9_product_type_profit", "events_sessionize_30m", "ann_ivfpq_topk",
+    "q9_product_type_profit", "events_sessionize_30m",
     "kaplan_meier_retention", "gini_revenue_concentration",
     "zipf_alpha_terms", "acf_daily_revenue", "ndcg_label_ranking",
     "pattern_vshape_prices", "ewma_control_chart_daily",

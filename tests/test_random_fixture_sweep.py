@@ -382,6 +382,71 @@ _SWEEP_QUERIES = [
     "weighted_sample_docs",
     "k_anonymity_audit",
     "l_diversity_audit",
+    # graph wave (SQL-unrolled oracles) on the random bipartite graph
+    "pagerank_part_supplier",
+    "triangle_cosupplier_stats",
+    "jaccard_link_prediction",
+    "adamic_adar_link_prediction",
+    "bfs_hops_from_hub",
+    "assortativity_cosupplier",
+    "modularity_cosupplier",
+    "kcore_cosupplier_peel",
+    "lpa_cosupplier_communities",
+    # dedup / ER / corpus on random docs
+    "dedup_canonical_pick",
+    "entity_resolution_customers",
+    "dedup_containment_pairs",
+    "crossdoc_ngram_dup_mass",
+    "winnow_fingerprint_pairs",
+    "dedup_chunk_exact",
+    "doc_chunk_overlap",
+    "decontaminate_eval_overlap",
+    "keyword_and_search",
+    "novelty_rate_docs",
+    "inverted_index_postings",
+    "bigram_pmi_top",
+    # event analytics / survival on random event streams
+    "change_point_cusum_events",
+    "late_data_accounting",
+    "seasonal_baseline_events",
+    "windowed_distinct_users",
+    "windowed_heavy_hitters",
+    "windowed_quantiles",
+    "feature_rolling_events",
+    "purchase_streaks_histogram",
+    "burstiness_user_interarrival",
+    "repeat_purchase_interval",
+    "cohort_retention_users",
+    "kaplan_meier_retention",
+    "nelson_aalen_hazard",
+    "logrank_test_retention",
+    # TPC-H tail shapes (some filter constants may select nothing on a
+    # random corpus — empty-vs-empty is still a parity check)
+    "q2_min_cost_supplier",
+    "q3_top_unshipped_orders",
+    "q4_order_priority_check",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q16_supplier_part_buckets",
+    "q18_large_volume_customers",
+    "q22_idle_balance_by_country",
+    "lead_lag_order_gaps",
+    # profiling / sketches / CDC on random keys
+    "profile_orders",
+    "key_skew_partkey",
+    "approx_distinct_users",
+    "collect_order_years",
+    "quantile_sketch_values",
+    "snapshot_diff_orders",
+    "incremental_agg_orders",
+    "scd2_state_at_purchase",
+    "hll_orderkey_cardinality",
+    "cms_heavy_hitters",
+    # ANN index paths (trained on the random corpus incl. the zero vector)
+    "embedding_sq8_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "dedup_lsh_recall_eval",
 ]
 
 

@@ -98,8 +98,15 @@ def test_relational_ann_misuse_raises_clear_errors(spark):
     with pytest.raises(ValueError, match="divisible"):
         _codebook_entries([[1.0] * 10], m=3, ksub=4)
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
-    with pytest.raises(ValueError, match="no rows"):
+    with pytest.raises(ValueError, match="no non-zero-norm rows"):
         _ordered_sample(empty, "vec_id", "embedding", 16)
+    # an all-zero corpus is untrainable too (zero-norm vectors are
+    # excluded from index training, round-9 sweep fix)
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="no non-zero-norm rows"):
+        _ordered_sample(zeros, "vec_id", "embedding", 16)
 
 
 def test_persisted_ivfpq_index_roundtrip_and_pruning(spark, emb, tmp_path):
