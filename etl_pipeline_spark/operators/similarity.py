@@ -1195,11 +1195,16 @@ def ivfpq_topk_relational(
         norm_elems = ", ".join(
             f"(CAST(ce[{i}] AS DOUBLE) / _nrm)" for i in range(dim)
         )
+        # nullif: a zero-norm corpus vector would throw DIVIDE_BY_ZERO in
+        # the ne projection under ANSI (the guard _normalized/_assign_cells
+        # already carry); NULL elements make every code score NULL so the
+        # argmin falls to code 0 and the pivot score falls to cell 0 —
+        # identical to the DuckDB oracle's 0/0 → NULL convention
         encoded = (
             corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("ce"))
             .crossJoin(piv1)
             .crossJoin(_codebook_array(spark, entries))
-            .withColumn("_nrm", F.expr(_NORM.format(v="ce")))
+            .withColumn("_nrm", F.expr(f"nullif({_NORM.format(v='ce')}, 0.0)"))
             .withColumn("cell", _nearest_cell_expr("ce", "_nrm", dim))
             .withColumn("ne", F.expr(f"array({norm_elems})"))
             .select("nid", "cell", *_code_col_exprs(m, ksub, dsub))
@@ -1274,11 +1279,14 @@ def build_ivfpq_index(
     pivots = _pivot_rows(sample, ncells)
     entries = _codebook_entries(sample, m, ksub)
     norm_elems = ", ".join(f"(CAST(ce[{i}] AS DOUBLE) / _nrm)" for i in range(dim))
+    # nullif guard: same zero-norm convention as ivfpq_topk_relational, so
+    # the persisted index is bit-identical to the inline plan on hostile
+    # corpora too (equality pinned in test_similarity_pq.py)
     encoded = (
         corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("ce"))
         .crossJoin(_pivot_array(spark, pivots))
         .crossJoin(_codebook_array(spark, entries))
-        .withColumn("_nrm", F.expr(_NORM.format(v="ce")))
+        .withColumn("_nrm", F.expr(f"nullif({_NORM.format(v='ce')}, 0.0)"))
         .withColumn("cell", _nearest_cell_expr("ce", "_nrm", dim))
         .withColumn("ne", F.expr(f"array({norm_elems})"))
         .select("nid", "cell", *_code_col_exprs(m, ksub, dsub))

@@ -253,7 +253,7 @@ def _textrank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ts AS (
             SELECT slope AS theil_sen_slope FROM ranked
-            WHERE r = CAST(CEIL(k / 2.0) AS BIGINT)
+            WHERE r = CAST(CEIL(k / 2.0e0) AS BIGINT)
         ),
         ols AS (
             SELECT ROUND(
@@ -293,7 +293,7 @@ def theil_sen_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", F.count(F.lit(1)).over(Window.partitionBy())
     )
     ts = ranked.filter(
-        F.col("r") == F.expr("CAST(CEIL(k / 2.0) AS BIGINT)")
+        F.col("r") == F.expr("CAST(CEIL(k / 2.0e0) AS BIGINT)")
     ).select(F.col("slope").alias("theil_sen_slope"))
     ols = monthly.agg(
         F.round(
@@ -506,9 +506,9 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM conv
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
-               MAX(CASE WHEN r = CAST(CEIL(k * 0.5) AS BIGINT)
+               MAX(CASE WHEN r = CAST(CEIL(k * 0.5e0) AS BIGINT)
                         THEN latency_sec END) AS p50_latency_sec,
-               MAX(CASE WHEN r = CAST(CEIL(k * 0.9) AS BIGINT)
+               MAX(CASE WHEN r = CAST(CEIL(k * 0.9e0) AS BIGINT)
                         THEN latency_sec END) AS p90_latency_sec
         FROM ranked
     """,
@@ -550,13 +550,13 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("k"), F.lit(0)).cast("bigint").alias("n_conversions"),
         F.min(
             F.when(
-                F.col("cum") >= F.expr("CAST(CEIL(k * 0.5) AS BIGINT)"),
+                F.col("cum") >= F.expr("CAST(CEIL(k * 0.5e0) AS BIGINT)"),
                 F.col("latency_sec"),
             )
         ).alias("p50_latency_sec"),
         F.min(
             F.when(
-                F.col("cum") >= F.expr("CAST(CEIL(k * 0.9) AS BIGINT)"),
+                F.col("cum") >= F.expr("CAST(CEIL(k * 0.9e0) AS BIGINT)"),
                 F.col("latency_sec"),
             )
         ).alias("p90_latency_sec"),
@@ -673,7 +673,7 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(EXTRACT(year FROM l_shipdate) * 12
                         + EXTRACT(month FROM l_shipdate) - 1 AS BIGINT) AS m,
                    CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
-                              * 1.0 / SUM(CAST(l_quantity AS BIGINT)) + 0.5)
+                              * 1.0e0 / SUM(CAST(l_quantity AS BIGINT)) + 0.5)
                         AS BIGINT) AS p
             FROM lineitem GROUP BY 1, 2
         ),
@@ -750,7 +750,7 @@ def pattern_vshape_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "m")
         .agg(
             F.expr(
-                "CAST(FLOOR(SUM(cents) * 1.0 / SUM(qty) + 0.5) AS BIGINT)"
+                "CAST(FLOOR(SUM(cents) * 1.0e0 / SUM(qty) + 0.5) AS BIGINT)"
             ).alias("p")
         )
     )

@@ -111,7 +111,7 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (
                 SELECT doc_id, text,
                        unnest(generate_series(
-                           0, CAST(ceil(len(string_split(text, ' ')) / 16.0) AS BIGINT) - 1
+                           0, CAST(ceil(len(string_split(text, ' ')) / 16.0e0) AS BIGINT) - 1
                        )) AS c
                 FROM documents
             )
@@ -143,7 +143,7 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.expr(
-                "transform(sequence(0, CAST(ceil(size(toks) / 16.0) AS INT) - 1),"
+                "transform(sequence(0, CAST(ceil(size(toks) / 16.0e0) AS INT) - 1),"
                 " c -> md5(concat_ws(' ', slice(toks, c * 16 + 1, 16))))"
             )
         ).alias("c", "chash"),

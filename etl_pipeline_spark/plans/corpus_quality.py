@@ -308,7 +308,7 @@ _TMIX_FRACTION = 0.5  # sample ~half the corpus overall
         ),
         probs AS (
             SELECT lang, n_total,
-                   LEAST(1.0, {_TMIX_FRACTION} * corpus_n
+                   LEAST(1.0e0, {_TMIX_FRACTION}e0 * corpus_n
                               * ({_TMIX_ALPHA_SQL} / wsum)
                               / CAST(n_total AS DOUBLE)) AS keep_prob
             FROM counts, tot
@@ -340,7 +340,7 @@ def temperature_sampled_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_total",
         F.expr(
-            f"LEAST(1.0, {_TMIX_FRACTION} * corpus_n"
+            f"LEAST(1.0e0, {_TMIX_FRACTION}e0 * corpus_n"
             f" * ({_TMIX_ALPHA_SQL} / wsum)"
             f" / CAST(n_total AS DOUBLE))"
         ).alias("keep_prob"),
@@ -674,7 +674,7 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (
                 SELECT doc_id, text,
                        unnest(generate_series(
-                           0, CAST(ceil(len(string_split(text, ' ')) / 16.0) AS BIGINT) - 1
+                           0, CAST(ceil(len(string_split(text, ' ')) / 16.0e0) AS BIGINT) - 1
                        )) AS c
                 FROM documents
             )
@@ -700,7 +700,7 @@ def novelty_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 "array_distinct(transform("
-                " sequence(0, CAST(ceil(size(split(text, ' ')) / 16.0) AS INT) - 1),"
+                " sequence(0, CAST(ceil(size(split(text, ' ')) / 16.0e0) AS INT) - 1),"
                 " c -> md5(concat_ws(' ', slice(split(text, ' '), c * 16 + 1, 16)))))"
             )
         ).alias("chash"),

@@ -252,7 +252,7 @@ def _jse_oracle() -> str:
         )
         SELECT CAST({ex} AS BIGINT) AS exact_pairs,
                CAST({es} AS BIGINT) AS est_pairs,
-               ROUND(ABS(CAST({es} AS BIGINT) * 1.0
+               ROUND(ABS(CAST({es} AS BIGINT) * 1.0e0
                          - CAST({ex} AS BIGINT))
                      / CAST({ex} AS BIGINT), 6) AS rel_err
         FROM c
@@ -273,8 +273,13 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.agg(
         F.expr(f"CAST({ex} AS BIGINT)").alias("exact_pairs"),
         F.expr(f"CAST({es} AS BIGINT)").alias("est_pairs"),
+        # 1.0e0, not 1.0: a bare decimal literal keeps Spark in truncating
+        # DECIMAL arithmetic through the division while DuckDB computes
+        # doubles — the sql_drift_psi_event_values incident class,
+        # sweep-found here on a random corpus (exact/est match; only the
+        # derived ratio drifted)
         F.expr(
-            f"ROUND(ABS(CAST({es} AS BIGINT) * 1.0"
+            f"ROUND(ABS(CAST({es} AS BIGINT) * 1.0e0"
             f" - CAST({ex} AS BIGINT))"
             f" / CAST({ex} AS BIGINT), 6)"
         ).alias("rel_err"),
@@ -443,7 +448,7 @@ _NB_MAX_VOCAB = 20_000
         scored AS (
             SELECT t.doc_id, t.true_lang, lt.lang,
                    FLOOR((LN(CAST(lt.n_docs AS DOUBLE) / tot.d)
-                          + SUM(LN((COALESCE(c.c, 0) + 1.0)
+                          + SUM(LN((COALESCE(c.c, 0) + 1.0e0)
                                    / (lt.n_tok + vb.v))))
                          * 1e6 + 0.5) AS s
             FROM test_toks t
@@ -520,7 +525,7 @@ def nb_lang_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr(
                 "FLOOR((LN(CAST(n_docs AS DOUBLE) / d)"
-                " + SUM(LN((COALESCE(c, 0) + 1.0) / (n_tok + v))))"
+                " + SUM(LN((COALESCE(c, 0) + 1.0e0) / (n_tok + v))))"
                 " * 1e6 + 0.5)"
             ).alias("s")
         )

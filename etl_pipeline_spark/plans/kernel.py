@@ -580,10 +580,20 @@ def expectations_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         "unique_cust_day": check_unique(orders, ["o_custkey", "o_orderdate"]),
     }
-    return (
+    counts = (
         union_violations(checks, "row_id")
         .groupBy(F.col("check").alias("check_name"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+    )
+    # A check with ZERO violations must still report its row (the oracle's
+    # COUNT(*) CTEs always emit one row per check; groupBy over the
+    # violation union silently drops clean checks — sweep-found on a
+    # random corpus where range_totalprice had no violators). The check
+    # domain is the literal check list: a 3-row broadcast left join.
+    names = spark.createDataFrame([(n,) for n in checks], "check_name string")
+    return names.join(counts, "check_name", "left").select(
+        "check_name",
+        F.coalesce("n_violations", F.lit(0)).cast("bigint").alias("n_violations"),
     )
 
 

@@ -576,9 +576,9 @@ def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
                ROUND(CAST(SUM(rev_cents) AS DOUBLE) / 100.0, 2) AS total_revenue,
-               ROUND(2.0 * CAST(SUM(CAST(rnk AS HUGEINT) * rev_cents) AS DOUBLE)
+               ROUND(2.0e0 * CAST(SUM(CAST(rnk AS HUGEINT) * rev_cents) AS DOUBLE)
                      / (COUNT(*) * CAST(SUM(rev_cents) AS DOUBLE))
-                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+                     - (COUNT(*) + 1.0e0) / COUNT(*), 6) AS gini
         FROM r
     """,
     tags=("agg", "window", "concentration"),
@@ -606,10 +606,10 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         ),
         F.expr(
-            "ROUND(2.0 * CAST(SUM(CAST(rnk AS DECIMAL(38,0)) * rev_cents)"
+            "ROUND(2.0e0 * CAST(SUM(CAST(rnk AS DECIMAL(38,0)) * rev_cents)"
             " AS DOUBLE)"
             " / (COUNT(*) * CAST(SUM(rev_cents) AS DOUBLE))"
-            " - (COUNT(*) + 1.0) / COUNT(*), 6)"
+            " - (COUNT(*) + 1.0e0) / COUNT(*), 6)"
         ).alias("gini"),
     )
 

@@ -53,34 +53,51 @@ def register(
 # 50 registered queries per round, and the window ROTATES each round:
 # rounds 1-7 drove all 272 distinct queries green (CORRECTNESS_r01-r07),
 # round 8 re-proved the graph wave (whose plans changed that round) plus
-# every round-1-stale row. Round 9's window leads with the FIVE queries
-# whose text/plan changed this round — all fixes found by the new
-# randomized-fixture sweep (tests/test_random_fixture_sweep.py):
-# sql_drift_psi_event_values + sql_entropy_event_types (bare decimal
-# literals kept Spark in truncating DECIMAL arithmetic over integer-only
-# chains while DuckDB computed doubles; entropy was already in the
-# window so does not lead), weighted_sample_docs (zero-weight rows
-# crashed Spark under ANSI; CASE guard + id tie-break in both engines),
-# and ann_ivf_topk / ann_pq_topk / ann_ivfpq_topk (zero-norm vectors
-# excluded from index TRAINING in both engines; NULL-score guards align
-# assignment/encode/ADC of zero-norm corpus/query vectors). Then the
+# every round-1-stale row. Round 9's window leads with the 21 queries
+# whose text/plan changed this round — all fixes found by the
+# randomized-fixture sweep (tests/test_random_fixture_sweep.py), in two
+# waves. Wave 1: sql_drift_psi_event_values + sql_entropy_event_types
+# (bare decimal literals kept Spark in truncating DECIMAL arithmetic
+# over integer-only chains while DuckDB computed doubles),
+# weighted_sample_docs (zero-weight rows crashed Spark under ANSI; CASE
+# guard + id tie-break in both engines), and ann_ivf_topk / ann_pq_topk
+# / ann_ivfpq_topk (zero-norm vectors excluded from index TRAINING in
+# both engines; NULL-score guards). Wave 2 (the sweep extended to the
+# FULL registry): the IVF-PQ encode's unguarded zero-norm division,
+# expectations_violation_counts dropping clean checks,
+# join_size_estimate's decimal rel_err drift, and 13 more queries whose
+# shared-text decimal literals were converted to e0 double literals
+# (the registry-wide decimal lint now guards the class). Then the
 # staleness sweep pre-staged in COVERAGE.md round-8 close: all 28
 # queries whose latest driver row is round 2 (TPC-H q2-q22 tail,
-# windows/pivot/rollup, lead_lag/percentile/profile_approx), then 17 of
-# the alphabetically-first round-3 rows (the ewma/conditional-agg/
-# correlated-scalar/equidepth fillers are displaced to lead round 10).
+# windows/pivot/rollup, lead_lag/percentile/profile_approx), then the
+# alphabetically-first round-3 row (the rest of the round-3 tier is
+# displaced to lead round 10).
 # The other hardening this round (cache locking, explicit pagerank
 # opt-out, Decimal precision guards, TM domain mask) is result-identical
 # for every registered query. Ordering only -- every query stays
 # registered and locally parity-checked (tests/test_oracle_parity.py,
 # all 272).
 PRIORITY: tuple[str, ...] = (
-    # -- 5 queries whose text/plan CHANGED this round (all sweep-found
-    #    fixes: PSI decimal-literal drift; weighted-sample zero-weight
-    #    guard + id tie-break; ANN zero-norm training exclusion +
-    #    NULL-score guards) — driver re-proof required same-round --
+    # -- 21 queries whose text/plan CHANGED in round 9 — driver re-proof
+    #    required same-round. First wave (sweep-found): PSI decimal-literal
+    #    drift; weighted-sample zero-weight guard + id tie-break; ANN
+    #    zero-norm training exclusion + NULL-score guards; entropy decimal
+    #    division. Second wave (full-registry sweep extension): the IVF-PQ
+    #    encode's unguarded zero-norm division (inline + persisted index),
+    #    expectations_violation_counts dropping clean checks (now a
+    #    check-domain left join), join_size_estimate's decimal rel_err,
+    #    and the 13-query decimal-literal lint fix (e0 double literals in
+    #    both engines' shared text; results bit-unchanged on the seed-42
+    #    corpus, plans now pure double arithmetic) --
     "sql_drift_psi_event_values", "weighted_sample_docs", "ann_ivf_topk",
-    "ann_pq_topk", "ann_ivfpq_topk",
+    "ann_pq_topk", "ann_ivfpq_topk", "sql_entropy_event_types",
+    "expectations_violation_counts", "join_size_estimate",
+    "auc_mann_whitney_embeddings", "dedup_chunk_exact", "dp_exponential_topk",
+    "dp_noisy_counts_laplace", "funnel_latency_quantiles",
+    "gini_revenue_concentration", "nb_lang_classifier_eval",
+    "novelty_rate_docs", "pattern_vshape_prices", "price_index_laspeyres",
+    "temperature_sampled_mix", "theil_sen_price_trend", "zipf_alpha_terms",
     # -- 28 round-2-stale rows (driver-proof age: 7 rounds) --
     "q2_min_cost_supplier", "q3_top_unshipped_orders",
     "q4_order_priority_check", "q5_local_supplier_volume",
@@ -95,27 +112,26 @@ PRIORITY: tuple[str, ...] = (
     "profile_approx_orders", "rollup_order_counts",
     "semi_join_include_filter", "set_ops_union_except",
     "window_range_trailing_spend",
-    # -- 17 alphabetically-first round-3-stale rows (PSI/entropy were
-    #    already here; the ewma/conditional-agg/correlated-scalar/
-    #    equidepth fillers are displaced to lead round 10) --
-    "approx_distinct_users", "bm25_keyword_topk", "cms_heavy_hitters",
-    "collect_order_years", "decontaminate_eval_overlap",
-    "dedup_simhash_hamming", "doc_chunk_overlap", "incremental_agg_orders",
-    "key_skew_partkey", "keyword_and_search", "profile_orders",
-    "quantile_sketch_values", "repetition_quality", "resample_ffill_user_6h",
-    "scd2_state_at_purchase", "snapshot_diff_orders",
-    "sql_entropy_event_types",
-    # -- below the driver's 50-row window (round-10 leads first) --
+    # -- 1 round-3-stale row (alphabetically first; the remaining round-3
+    #    rows were displaced by the second-wave fixes and lead round 10) --
+    "approx_distinct_users",
+    # -- below the driver's 50-row window: round-10 leads first (the 4
+    #    previously displaced fillers, then the 15 displaced this round) --
     "sql_ewma_user_values", "sql_conditional_agg_filter",
     "sql_correlated_scalar_count", "sql_equidepth_value_deciles",
+    "bm25_keyword_topk", "cms_heavy_hitters", "collect_order_years",
+    "decontaminate_eval_overlap", "dedup_simhash_hamming",
+    "doc_chunk_overlap", "incremental_agg_orders", "key_skew_partkey",
+    "keyword_and_search", "profile_orders", "quantile_sketch_values",
+    "repetition_quality", "resample_ffill_user_6h", "scd2_state_at_purchase",
+    "snapshot_diff_orders",
     "pagerank_part_supplier", "textrank_keywords", "hits_hub_authority",
     "bfs_hops_from_hub", "kcore_cosupplier_peel",
     "lpa_cosupplier_communities", "modularity_cosupplier",
     "assortativity_cosupplier", "jaccard_link_prediction",
     "triangle_cosupplier_stats", "agg_metrics_summary", "agg_success_rate",
     "ann_bucketed_sign_lsh", "bbox_range_filter", "dedup_cluster_assign",
-    "doc_fingerprints", "exists_big_quantity_orders",
-    "expectations_violation_counts", "json_extract_props",
+    "doc_fingerprints", "exists_big_quantity_orders", "json_extract_props",
     "lang_id_confusion", "lookup_enrich_customers", "mapping_resolution",
     "mapping_validation_violations", "multimodal_decode_features",
     "naming_sanitize_chain", "point_in_aoi_filter", "profile_orders_columns",
@@ -134,7 +150,6 @@ PRIORITY: tuple[str, ...] = (
     "bh_fdr_nation_conversion", "blocking_quality_er",
     "brier_next_event_model", "capture_recapture_users", "cramers_v_pairs",
     "crosscorr_daily_lags", "croston_demand_forecast", "doclen_log_histogram",
-    "dp_exponential_topk", "dp_noisy_counts_laplace",
     "effective_catalog_size", "embedding_centroid_drift",
     "entropy_rate_transitions", "gumbel_weekly_max_revenue",
     "heaps_vocab_growth", "kendall_tau_daily", "lexical_diversity_by_lang",
@@ -147,13 +162,11 @@ PRIORITY: tuple[str, ...] = (
     "theil_index_decomposition", "mcnemar_bigram_vs_marginal",
     "dedup_embedding_cosine", "dedup_ngram_jaccard", "q1_pricing_summary",
     "q9_product_type_profit", "events_sessionize_30m",
-    "kaplan_meier_retention", "gini_revenue_concentration",
-    "zipf_alpha_terms", "acf_daily_revenue", "ndcg_label_ranking",
-    "pattern_vshape_prices", "ewma_control_chart_daily",
-    "mann_kendall_trend_revenue", "purchase_streaks_histogram",
-    "cohort_ltv_curve", "item_cooccurrence_topk", "nelson_aalen_hazard",
-    "ztest_conversion_ab", "seasonal_decompose_weekday",
-    "burstiness_user_interarrival", "price_index_laspeyres",
+    "kaplan_meier_retention", "acf_daily_revenue", "ndcg_label_ranking",
+    "ewma_control_chart_daily", "mann_kendall_trend_revenue",
+    "purchase_streaks_histogram", "cohort_ltv_curve",
+    "item_cooccurrence_topk", "nelson_aalen_hazard", "ztest_conversion_ab",
+    "seasonal_decompose_weekday", "burstiness_user_interarrival",
     "session_bounce_rate", "hhi_segment_concentration",
     "crossdoc_ngram_dup_mass", "diff_in_diff_purchase",
     "cuped_variance_reduction", "er_precision_recall",
@@ -162,36 +175,32 @@ PRIORITY: tuple[str, ...] = (
     "spearman_corr_daily", "gini_split_finder_price",
     "new_vs_returning_revenue", "abc_xyz_inventory_matrix",
     "pareto_abc_revenue", "quantile_normalize_values", "dedup_minhash_lsh",
-    "dedup_exact_hash", "dedup_chunk_exact", "cms_partkey_estimates",
-    "hll_orderkey_cardinality", "tfidf_top_terms", "bigram_pmi_top",
-    "pack_sequences_budget", "quality_filter_gopher", "pagination_page_slice",
-    "cdc_merge_orders", "bootstrap_revenue_ci", "rfm_customer_segments",
-    "benford_first_digit", "markov_transition_events",
-    "change_point_cusum_events", "late_data_accounting",
-    "theil_sen_price_trend", "attribution_credit_events",
-    "stickiness_dau_mau", "funnel_latency_quantiles", "corpus_curation_e2e",
-    "dsir_importance_select", "ccnet_perplexity_buckets", "session_path_topk",
-    "ks_test_purchase_view", "auc_mann_whitney_embeddings",
+    "dedup_exact_hash", "cms_partkey_estimates", "hll_orderkey_cardinality",
+    "tfidf_top_terms", "bigram_pmi_top", "pack_sequences_budget",
+    "quality_filter_gopher", "pagination_page_slice", "cdc_merge_orders",
+    "bootstrap_revenue_ci", "rfm_customer_segments", "benford_first_digit",
+    "markov_transition_events", "change_point_cusum_events",
+    "late_data_accounting", "attribution_credit_events", "stickiness_dau_mau",
+    "corpus_curation_e2e", "dsir_importance_select",
+    "ccnet_perplexity_buckets", "session_path_topk", "ks_test_purchase_view",
     "anova_f_totalprice_priority", "mutual_info_status_priority",
     "l_diversity_audit", "pagination_page_manifest",
     "range_join_click_attribution", "asof_purchase_last_view",
     "ann_cosine_topk", "regression_detect_metrics",
     "bigram_perplexity_quality", "sql_table_checksum_orders",
-    "kmeans_embedding_clusters", "nb_lang_classifier_eval",
-    "multimodal_ahash_neardup", "split_leakage_check",
-    "interval_merge_sessions", "window_rank_running",
+    "kmeans_embedding_clusters", "multimodal_ahash_neardup",
+    "split_leakage_check", "interval_merge_sessions", "window_rank_running",
     "winnow_fingerprint_pairs", "embedding_sq8_topk", "ann_recall_eval",
-    "anomaly_mad_events", "temperature_sampled_mix", "dedup_lsh_recall_eval",
-    "feature_rolling_events", "target_encode_priority", "join_size_estimate",
-    "windowed_quantiles", "cohort_retention_users", "chisq_event_daypart",
-    "corr_lineitem_moments", "multimodal_video_frame_dedup",
-    "multimodal_audio_features", "embedding_outliers_topk",
-    "novelty_rate_docs", "bpe_top_merges", "adamic_adar_link_prediction",
-    "entity_resolution_customers", "seasonal_baseline_events",
-    "windowed_distinct_users", "skew_salted_join", "dedup_canonical_pick",
-    "token_budget_allocation", "k_anonymity_audit", "inverted_index_postings",
-    "jl_projection_distortion", "assoc_rules_events",
-    "stratified_kfold_assign", "sql_not_in_null_aware",
+    "anomaly_mad_events", "dedup_lsh_recall_eval", "feature_rolling_events",
+    "target_encode_priority", "windowed_quantiles", "cohort_retention_users",
+    "chisq_event_daypart", "corr_lineitem_moments",
+    "multimodal_video_frame_dedup", "multimodal_audio_features",
+    "embedding_outliers_topk", "bpe_top_merges",
+    "adamic_adar_link_prediction", "entity_resolution_customers",
+    "seasonal_baseline_events", "windowed_distinct_users", "skew_salted_join",
+    "dedup_canonical_pick", "token_budget_allocation", "k_anonymity_audit",
+    "inverted_index_postings", "jl_projection_distortion",
+    "assoc_rules_events", "stratified_kfold_assign", "sql_not_in_null_aware",
     "sql_keep_first_per_key", "sql_histogram_event_values",
     "sql_intersect_except_all", "sql_unpivot_status_totals",
     "sql_last_value_ignore_nulls", "sql_top_customer_per_segment",

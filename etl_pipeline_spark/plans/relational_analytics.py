@@ -1119,7 +1119,7 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
                    l_partkey,
                    CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100, 0)
                                        AS BIGINT))
-                              * 1.0 / SUM(CAST(l_quantity AS BIGINT)) + 0.5)
+                              * 1.0e0 / SUM(CAST(l_quantity AS BIGINT)) + 0.5)
                         AS BIGINT) AS p,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
             FROM lineitem GROUP BY 1, 2
@@ -1161,7 +1161,7 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("yr", "l_partkey")
         .agg(
             F.expr(
-                "CAST(FLOOR(SUM(cents) * 1.0 / SUM(qty) + 0.5) AS BIGINT)"
+                "CAST(FLOOR(SUM(cents) * 1.0e0 / SUM(qty) + 0.5) AS BIGINT)"
             ).alias("p"),
             F.sum("qty").cast("bigint").alias("q"),
         )

@@ -201,7 +201,7 @@ _AUC_POS_MIN = 5
         u AS (
             SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
                    CAST(SUM(nn) AS BIGINT) AS n_neg,
-                   SUM(np * (CAST(nn_below AS DOUBLE) + 0.5 * nn)) AS u_stat
+                   SUM(np * (CAST(nn_below AS DOUBLE) + 0.5e0 * nn)) AS u_stat
             FROM c
         )
         SELECT n_pos, n_neg,
@@ -236,7 +236,7 @@ def auc_mann_whitney_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = cum.agg(
         F.sum("np").cast("bigint").alias("n_pos"),
         F.sum("nn").cast("bigint").alias("n_neg"),
-        F.expr("SUM(np * (CAST(nn_below AS DOUBLE) + 0.5 * nn))").alias("u_raw"),
+        F.expr("SUM(np * (CAST(nn_below AS DOUBLE) + 0.5e0 * nn))").alias("u_raw"),
     )
     return u.select(
         "n_pos",
@@ -902,7 +902,11 @@ _DP_B = 10.0  # Laplace scale = sensitivity / epsilon = 1 / 0.1
 
 
 def _dp_noise_sql(u32: str) -> str:
-    u = f"(({u32}) + 0.5) / 4294967296.0"
+    # e0 literals: a bare 0.5 keeps Spark in DECIMAL arithmetic through
+    # the /2^32 division (truncated at decimal scale ~13) while DuckDB
+    # computes exact doubles — the PSI drift class. (n+0.5)/2^32 is exact
+    # in double (dyadic, < 2^53).
+    u = f"(({u32}) + 0.5e0) / 4294967296.0e0"
     return (
         f"CASE WHEN {u} < 0.5 THEN {_DP_B} * LN(2.0 * ({u}))"
         f" ELSE -{_DP_B} * LN(2.0 * (1.0 - ({u}))) END"
@@ -1130,10 +1134,11 @@ _DPE_K = 3
 
 
 def _dpe_score_sql() -> str:
-    u = f"(({_hash_u32_sql('event_type', 'dpexp')}) + 0.5) / 4294967296.0"
+    u = f"(({_hash_u32_sql('event_type', 'dpexp')}) + 0.5e0) / 4294967296.0e0"
     # Gumbel-max: argmax of  u(x)*eps/(2*du) + standard Gumbel  samples
-    # P(x) proportional to exp(eps*u/(2*du))
-    return f"n_true * {_DPE_EPS} / 2.0 + (-LN(-LN({u})))"
+    # P(x) proportional to exp(eps*u/(2*du)); e0 keeps both engines in
+    # double for the score (decimal-drift lint)
+    return f"n_true * {_DPE_EPS}e0 / 2.0e0 + (-LN(-LN({u})))"
 
 
 @register(

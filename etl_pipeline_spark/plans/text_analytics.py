@@ -781,7 +781,7 @@ _ZIPF_FMIN = 5
                CAST(SUM(f) AS BIGINT) AS n_tokens,
                CAST({_ZIPF_FMIN} AS BIGINT) AS fmin,
                ROUND(1.0 + COUNT(*)
-                     / SUM(LN(CAST(f AS DOUBLE) / ({_ZIPF_FMIN} - 0.5))), 6)
+                     / SUM(LN(CAST(f AS DOUBLE) / ({_ZIPF_FMIN} - 0.5e0))), 6)
                    AS alpha
         FROM sel
     """,
@@ -801,7 +801,7 @@ def zipf_alpha_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_ZIPF_FMIN).cast("bigint").alias("fmin"),
         F.expr(
             f"ROUND(1.0 + COUNT(*)"
-            f" / SUM(LN(CAST(f AS DOUBLE) / ({_ZIPF_FMIN} - 0.5))), 6)"
+            f" / SUM(LN(CAST(f AS DOUBLE) / ({_ZIPF_FMIN} - 0.5e0))), 6)"
         ).alias("alpha"),
     )
 

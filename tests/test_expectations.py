@@ -45,3 +45,23 @@ def test_union_violations_shape(spark):
     got = union_violations({"ca": a, "cb": b}, "rid")
     assert got.columns == ["check", "row_id"]
     assert got.count() == 3
+
+
+def test_violation_counts_reports_clean_checks_as_zero(spark):
+    """A check with ZERO violations must still appear in the counts
+    relation with n_violations = 0 — groupBy over the violation union
+    silently drops clean checks (round-9 sweep found the registered
+    expectations_violation_counts returning 2 rows where the oracle's
+    per-check COUNT(*) CTEs return 3 on a corpus where one check is
+    clean)."""
+    from etl_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    got = {
+        r.check_name: r.n_violations
+        for r in REGISTRY["expectations_violation_counts"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    # all three registered checks always present, violations or not
+    assert set(got) == {"fk_part", "range_totalprice", "unique_cust_day"}

@@ -2,8 +2,7 @@
 
 The driver's correctness gate and tests/test_oracle_parity.py prove
 Spark == DuckDB on the ONE deterministic fixture corpus (seed=42). This
-sweep re-runs a cross-family subset of the registry on freshly generated
-random fixtures — different key distributions, duplicate timestamps,
+sweep re-runs the FULL registry on freshly generated random fixtures — different key distributions, duplicate timestamps,
 empty/1-token documents, a planted zero-norm embedding, negative event
 values, orphan foreign keys — so a query whose parity silently depends
 on a fixture accident (no ties, dense days, all-positive values, FK
@@ -269,185 +268,14 @@ def _gen_star(out_dir: str, seed: int) -> None:
     pq.write_table(tbl, f"{out_dir}/embeddings.parquet")
 
 
-# Cross-family subset: every family whose semantics are data-independent
-# (no fixture-tuned constants that would make random data vacuous).
-_SWEEP_QUERIES = [
-    # relational / TPC-H shapes
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q12_priority_class_counts",
-    "q14_promo_revenue_share",
-    "rollup_order_counts",
-    "pivot_orders_status",
-    "grouping_sets_status_priority",
-    "cube_lineitem_flags",
-    "semi_join_include_filter",
-    "anti_join_missing",
-    "set_ops_union_except",
-    "distinct_dedupe",
-    "scalar_subquery_above_avg",
-    "exists_big_quantity_orders",
-    "window_rank_running",
-    "lead_lag_order_gaps",
-    "window_range_trailing_spend",
-    "percentile_event_values",
-    "pagination_page_slice",
-    # events / time
-    "events_tumbling_1h",
-    "events_sliding_30m15m",
-    "events_sessionize_30m",
-    "session_bounce_rate",
-    "markov_transition_events",
-    "resample_ffill_user_6h",
-    "asof_purchase_last_view",
-    "range_join_click_attribution",
-    "interval_merge_sessions",
-    # documents / LLM ops
-    "dedup_exact_hash",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "doc_fingerprints",
-    "simhash_fingerprints",
-    "token_stats",
-    "text_quality_scores",
-    "tfidf_top_terms",
-    # embeddings (incl. the planted zero vector)
-    "ann_cosine_topk",
-    "dedup_embedding_cosine",
-    "knn_label_accuracy",
-    # sketches
-    "hll_orders_by_flag",
-    "cms_partkey_estimates",
-    "bloom_supplier_prune",
-    # the 24-query same-text SQL surface
-    "sql_not_in_null_aware",
-    "sql_correlated_scalar_count",
-    "sql_keep_first_per_key",
-    "sql_histogram_event_values",
-    "sql_intersect_except_all",
-    "sql_unpivot_status_totals",
-    "sql_last_value_ignore_nulls",
-    "sql_top_customer_per_segment",
-    "sql_monthly_revenue_ma3",
-    "sql_funnel_view_click_purchase",
-    "sql_ewma_user_values",
-    "sql_equidepth_value_deciles",
-    "sql_pii_redaction",
-    "sql_outlier_iqr_fences",
-    "sql_ntile_balance_quartiles",
-    "sql_lateral_top2_orders",
-    "sql_conditional_agg_filter",
-    "sql_fuzzy_name_pairs",
-    "sql_zscore_normalize_events",
-    "sql_regression_price_trend",
-    "sql_mode_priority_by_status",
-    "sql_entropy_event_types",
-    "sql_drift_psi_event_values",
-    "sql_table_checksum_orders",
-    # stat tests / distribution analytics on random values
-    "benford_first_digit",
-    "ks_test_purchase_view",
-    "chisq_event_daypart",
-    "anova_f_totalprice_priority",
-    "mutual_info_status_priority",
-    "spearman_corr_daily",
-    "kendall_tau_daily",
-    "gini_revenue_concentration",
-    "lorenz_curve_deciles",
-    "hhi_segment_concentration",
-    "pareto_abc_revenue",
-    "entropy_rate_transitions",
-    # commerce / behavioral
-    "rfm_customer_segments",
-    "stickiness_dau_mau",
-    "session_path_topk",
-    "funnel_latency_quantiles",
-    "attribution_credit_events",
-    "markov_attribution_removal",
-    # text / corpus quality on random docs
-    "doclen_log_histogram",
-    "readability_flesch_docs",
-    "lexical_diversity_by_lang",
-    "tokenizer_fertility_by_lang",
-    "zipf_alpha_terms",
-    "heaps_vocab_growth",
-    "repetition_quality",
-    "unigram_surprisal_quality",
-    "quality_filter_gopher",
-    "lang_id_confusion",
-    "top_tokens_per_lang",
-    # sampling / splits / privacy audits
-    "stratified_sample_langs",
-    "train_test_split_assign",
-    "weighted_sample_docs",
-    "k_anonymity_audit",
-    "l_diversity_audit",
-    # graph wave (SQL-unrolled oracles) on the random bipartite graph
-    "pagerank_part_supplier",
-    "triangle_cosupplier_stats",
-    "jaccard_link_prediction",
-    "adamic_adar_link_prediction",
-    "bfs_hops_from_hub",
-    "assortativity_cosupplier",
-    "modularity_cosupplier",
-    "kcore_cosupplier_peel",
-    "lpa_cosupplier_communities",
-    # dedup / ER / corpus on random docs
-    "dedup_canonical_pick",
-    "entity_resolution_customers",
-    "dedup_containment_pairs",
-    "crossdoc_ngram_dup_mass",
-    "winnow_fingerprint_pairs",
-    "dedup_chunk_exact",
-    "doc_chunk_overlap",
-    "decontaminate_eval_overlap",
-    "keyword_and_search",
-    "novelty_rate_docs",
-    "inverted_index_postings",
-    "bigram_pmi_top",
-    # event analytics / survival on random event streams
-    "change_point_cusum_events",
-    "late_data_accounting",
-    "seasonal_baseline_events",
-    "windowed_distinct_users",
-    "windowed_heavy_hitters",
-    "windowed_quantiles",
-    "feature_rolling_events",
-    "purchase_streaks_histogram",
-    "burstiness_user_interarrival",
-    "repeat_purchase_interval",
-    "cohort_retention_users",
-    "kaplan_meier_retention",
-    "nelson_aalen_hazard",
-    "logrank_test_retention",
-    # TPC-H tail shapes (some filter constants may select nothing on a
-    # random corpus — empty-vs-empty is still a parity check)
-    "q2_min_cost_supplier",
-    "q3_top_unshipped_orders",
-    "q4_order_priority_check",
-    "q9_product_type_profit",
-    "q13_customer_distribution",
-    "q16_supplier_part_buckets",
-    "q18_large_volume_customers",
-    "q22_idle_balance_by_country",
-    "lead_lag_order_gaps",
-    # profiling / sketches / CDC on random keys
-    "profile_orders",
-    "key_skew_partkey",
-    "approx_distinct_users",
-    "collect_order_years",
-    "quantile_sketch_values",
-    "snapshot_diff_orders",
-    "incremental_agg_orders",
-    "scd2_state_at_purchase",
-    "hll_orderkey_cardinality",
-    "cms_heavy_hitters",
-    # ANN index paths (trained on the random corpus incl. the zero vector)
-    "embedding_sq8_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "dedup_lsh_recall_eval",
-]
+# The FULL registry: every registered query has a DuckDB oracle, and as
+# of round 9 all 272 hold parity on random fixtures (the initial 161-
+# query subset found four engine-parity bug classes; extending to the
+# remainder found three more: the IVF-PQ encode's unguarded zero-norm
+# division, expectations_violation_counts dropping clean checks, and
+# join_size_estimate's decimal-literal rel_err drift). New registry
+# entries are swept automatically.
+_SWEEP_QUERIES = sorted(REGISTRY)
 
 
 @pytest.fixture(scope="module", params=[11, 23])
@@ -463,50 +291,54 @@ def random_sf(request, tmp_path_factory):
     con.close()
 
 
+# Queries whose analyzed plans retain decimal arithmetic that is PROVABLY
+# exact in both engines (documented at the query site) — everything else
+# must run pure double arithmetic, or the engines silently drift (the
+# sql_drift_psi_event_values incident: Spark decimal literals over
+# integer-only columns vs DuckDB doubles; DuckDB promotes int/decimal
+# division to DOUBLE while Spark stays DECIMAL, so any shared-text bare
+# decimal literal splits the engines).
+#   - sql_histogram_event_values: int*25.0 bucket label, exact at scale 1.
+#   - gini_revenue_concentration: CAST(rnk AS DECIMAL(38,0)) * rev_cents
+#     mirrors the oracle's HUGEINT — an exact integer accumulation that
+#     would overflow BIGINT at scale; no decimal division anywhere.
+_DECIMAL_EXEMPT = {"sql_histogram_event_values", "gini_revenue_concentration"}
+
+_DECIMAL_RE = None  # compiled lazily
+
+
+def _assert_no_decimal_drift(name, df):
+    """Registry-wide decimal-arithmetic lint (runs on the plan the sweep
+    builds anyway): no query may keep Spark in DECIMAL arithmetic unless
+    exempted above with an exactness proof — bare decimal literals over
+    integer columns are the silent-drift class the sweep keeps catching
+    (PSI, entropy, join_size_estimate rel_err)."""
+    global _DECIMAL_RE
+    import re
+
+    if _DECIMAL_RE is None:
+        _DECIMAL_RE = re.compile(r"decimal\(\d+,\s*\d+\)")
+    if name in _DECIMAL_EXEMPT:
+        return
+    plan = df._jdf.queryExecution().analyzed().toString()
+    ndec = len(_DECIMAL_RE.findall(plan))
+    nover = plan.count("CheckOverflow")
+    assert not (ndec or nover), (
+        f"{name}: decimal arithmetic in analyzed plan "
+        f"(decimal={ndec}, CheckOverflow={nover}) — use e0-suffixed double "
+        "literals (0.5e0) or add an exactness-proven exemption"
+    )
+
+
 @pytest.mark.parametrize("name", _SWEEP_QUERIES)
 def test_query_matches_oracle_on_random_fixture(spark, random_sf, name):
     sf_dir, con = random_sf
     spec = REGISTRY[name]
     assert spec.oracle is not None, f"{name} has no oracle — drop it from the sweep"
-    got = canonicalize(spec.spark_fn(spark, sf_dir).toPandas())
+    df = spec.spark_fn(spark, sf_dir)
+    _assert_no_decimal_drift(name, df)
+    got = canonicalize(df.toPandas())
     want = canonicalize(con.execute(spec.oracle).fetchdf())
     assert len(got) == len(want), f"{name}: {len(got)} rows vs oracle {len(want)}"
     assert list(got.columns) == list(want.columns), name
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True, obj=name)
-
-
-# Queries whose analyzed plans retain decimal arithmetic that is PROVABLY
-# exact in both engines (documented at the query site) — everything else
-# in the shared-text SQL surface must run pure double arithmetic, or the
-# engines silently drift (the sql_drift_psi_event_values incident: Spark
-# decimal literals over integer-only columns vs DuckDB doubles).
-_DECIMAL_EXEMPT = {"sql_histogram_event_values"}
-
-
-def test_sql_surface_has_no_decimal_arithmetic_drift(spark):
-    """Lint: no shared-text SQL query may keep Spark in DECIMAL
-    arithmetic (CheckOverflow nodes or decimal-typed casts in the
-    analyzed plan) unless exempted above with an exactness proof — bare
-    decimal literals over integer columns are the silent-drift class the
-    randomized sweep caught."""
-    import re
-
-    offenders = {}
-    for name, spec in sorted(REGISTRY.items()):
-        if not name.startswith("sql_"):
-            continue
-        plan = (
-            spec.spark_fn(spark, "/root/testdata/sf0.001")
-            ._jdf.queryExecution()
-            .analyzed()
-            .toString()
-        )
-        ndec = len(re.findall(r"decimal\(\d+,\s*\d+\)", plan))
-        nover = plan.count("CheckOverflow")
-        if (ndec or nover) and name not in _DECIMAL_EXEMPT:
-            offenders[name] = (ndec, nover)
-    assert not offenders, (
-        f"decimal arithmetic in shared-text SQL plans: {offenders} — "
-        "use e0-suffixed double literals (0.5e0) or add an exactness-"
-        "proven exemption"
-    )

@@ -138,3 +138,42 @@ def test_persisted_ivfpq_index_roundtrip_and_pruning(spark, emb, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PartitionFilters: [cell" in plan  # probed-cells IN filter pushed to listing
+
+
+def test_ivfpq_encode_survives_zero_norm_corpus_vector(spark, tmp_path):
+    """A zero-norm corpus vector must not crash the IVF-PQ encode (round-9
+    sweep found an unguarded ce[i]/_nrm DIVIDE_BY_ZERO in BOTH the inline
+    build and build_ivfpq_index — the sibling IVF/PQ paths carried the
+    nullif guard, these two were missed). The zero-norm row lands in
+    cell 0 with all-zero codes (NULL scores tie-break to code 0), the
+    same convention as the DuckDB oracle, and the persisted index stays
+    bit-identical to the inline plan."""
+    from etl_pipeline_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk_relational,
+        query_ivfpq_index,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)]) for i in range(1, 12)]
+    rows.append((12, [0.0] * 8))  # the hostile row
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    inline = ivfpq_topk_relational(
+        corpus, F.col("vec_id") <= 2, ncells=2, nprobe=2, m=4, ksub=4, k=3
+    )
+    got = sorted(map(tuple, inline.collect()))
+    assert len(got) > 0  # no ANSI DIVIDE_BY_ZERO
+
+    path = str(tmp_path / "znorm_index")
+    build_ivfpq_index(corpus, path, ncells=2, m=4, ksub=4, sample_limit=4096)
+    queries = corpus.filter(F.col("vec_id") <= 2)
+    persisted = sorted(
+        map(tuple, query_ivfpq_index(spark, path, queries, nprobe=2, k=3).collect())
+    )
+    assert persisted == got
+
+    codes = spark.read.parquet(f"{path}/codes")
+    zrow = codes.filter(F.col("nid") == 12).collect()
+    assert len(zrow) == 1
+    r = zrow[0].asDict()
+    assert r["cell"] == 0 and all(r[f"_c{j}"] == 0 for j in range(4))
