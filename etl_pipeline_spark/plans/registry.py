@@ -53,7 +53,7 @@ def register(
 # 50 registered queries per round, and the window ROTATES each round:
 # rounds 1-7 drove all 272 distinct queries green (CORRECTNESS_r01-r07),
 # round 8 re-proved the graph wave (whose plans changed that round) plus
-# every round-1-stale row. Round 9's window leads with the 21 queries
+# every round-1-stale row. Round 9's window leads with the 22 queries
 # whose text/plan changed this round — all fixes found by the
 # randomized-fixture sweep (tests/test_random_fixture_sweep.py), in two
 # waves. Wave 1: sql_drift_psi_event_values + sql_entropy_event_types
@@ -70,16 +70,16 @@ def register(
 # (the registry-wide decimal lint now guards the class). Then the
 # staleness sweep pre-staged in COVERAGE.md round-8 close: all 28
 # queries whose latest driver row is round 2 (TPC-H q2-q22 tail,
-# windows/pivot/rollup, lead_lag/percentile/profile_approx), then the
-# alphabetically-first round-3 row (the rest of the round-3 tier is
-# displaced to lead round 10).
+# windows/pivot/rollup, lead_lag/percentile/profile_approx) — 22+28
+# fill the window exactly; the whole round-3 tier is displaced to lead
+# round 10.
 # The other hardening this round (cache locking, explicit pagerank
 # opt-out, Decimal precision guards, TM domain mask) is result-identical
 # for every registered query. Ordering only -- every query stays
 # registered and locally parity-checked (tests/test_oracle_parity.py,
 # all 272).
 PRIORITY: tuple[str, ...] = (
-    # -- 21 queries whose text/plan CHANGED in round 9 — driver re-proof
+    # -- 22 queries whose text/plan CHANGED in round 9 — driver re-proof
     #    required same-round. First wave (sweep-found): PSI decimal-literal
     #    drift; weighted-sample zero-weight guard + id tie-break; ANN
     #    zero-norm training exclusion + NULL-score guards; entropy decimal
@@ -98,6 +98,7 @@ PRIORITY: tuple[str, ...] = (
     "gini_revenue_concentration", "nb_lang_classifier_eval",
     "novelty_rate_docs", "pattern_vshape_prices", "price_index_laspeyres",
     "temperature_sampled_mix", "theil_sen_price_trend", "zipf_alpha_terms",
+    "jl_projection_distortion",
     # -- 28 round-2-stale rows (driver-proof age: 7 rounds) --
     "q2_min_cost_supplier", "q3_top_unshipped_orders",
     "q4_order_priority_check", "q5_local_supplier_volume",
@@ -112,11 +113,9 @@ PRIORITY: tuple[str, ...] = (
     "profile_approx_orders", "rollup_order_counts",
     "semi_join_include_filter", "set_ops_union_except",
     "window_range_trailing_spend",
-    # -- 1 round-3-stale row (alphabetically first; the remaining round-3
-    #    rows were displaced by the second-wave fixes and lead round 10) --
-    "approx_distinct_users",
     # -- below the driver's 50-row window: round-10 leads first (the 4
-    #    previously displaced fillers, then the 15 displaced this round) --
+    #    previously displaced fillers, then the 16 round-3 rows displaced
+    #    by the second-wave fixes) --
     "sql_ewma_user_values", "sql_conditional_agg_filter",
     "sql_correlated_scalar_count", "sql_equidepth_value_deciles",
     "bm25_keyword_topk", "cms_heavy_hitters", "collect_order_years",
@@ -124,7 +123,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_chunk_overlap", "incremental_agg_orders", "key_skew_partkey",
     "keyword_and_search", "profile_orders", "quantile_sketch_values",
     "repetition_quality", "resample_ffill_user_6h", "scd2_state_at_purchase",
-    "snapshot_diff_orders",
+    "snapshot_diff_orders", "approx_distinct_users",
     "pagerank_part_supplier", "textrank_keywords", "hits_hub_authority",
     "bfs_hops_from_hub", "kcore_cosupplier_peel",
     "lpa_cosupplier_communities", "modularity_cosupplier",
@@ -199,7 +198,7 @@ PRIORITY: tuple[str, ...] = (
     "adamic_adar_link_prediction", "entity_resolution_customers",
     "seasonal_baseline_events", "windowed_distinct_users", "skew_salted_join",
     "dedup_canonical_pick", "token_budget_allocation", "k_anonymity_audit",
-    "inverted_index_postings", "jl_projection_distortion",
+    "inverted_index_postings",
     "assoc_rules_events", "stratified_kfold_assign", "sql_not_in_null_aware",
     "sql_keep_first_per_key", "sql_histogram_event_values",
     "sql_intersect_except_all", "sql_unpivot_status_totals",

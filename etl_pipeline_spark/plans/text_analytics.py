@@ -608,7 +608,7 @@ def _jl_oracle() -> str:
         SELECT o.vec_a, o.vec_b,
                ROUND(o.d2_orig, 6) AS d2_orig,
                ROUND(j.d2_proj, 6) AS d2_proj,
-               ROUND(j.d2_proj / o.d2_orig, 6) AS distortion
+               ROUND(j.d2_proj / NULLIF(o.d2_orig, 0.0e0), 6) AS distortion
         FROM d2o o JOIN d2p j ON j.vec_a = o.vec_a AND j.vec_b = o.vec_b
     """
 
@@ -677,7 +677,14 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             F.round("o", 6).alias("d2_orig"),
             F.round("p", 6).alias("d2_proj"),
-            F.round(F.col("p") / F.col("o"), 6).alias("distortion"),
+            # nullif: an exact-duplicate pair has d2_orig == 0.0 exactly —
+            # distortion is undefined (0/0 throws under ANSI, NaN in
+            # DuckDB); NULL in both engines, the zero-denominator
+            # convention everywhere else in the package (sweep-found on a
+            # fixture with a planted duplicate embedding)
+            F.round(F.col("p") / F.nullif(F.col("o"), F.lit(0.0)), 6).alias(
+                "distortion"
+            ),
         )
     )
 

@@ -222,6 +222,11 @@ def _gen_star(out_dir: str, seed: int) -> None:
             texts.append("one")  # sub-n-token doc
         elif i == 2 and n_doc > 3:
             texts.append(texts[-1] if texts[-1] else "one")  # exact dup
+        elif i == 3:
+            # one token repeated: max repetition, zero lexical diversity,
+            # single-entry vocab — stresses TTR/repetition/Zipf/dup-chunk
+            # denominators and degenerate-distribution branches
+            texts.append(" ".join([rng.choice(_WORDS)] * rng.randrange(8, 24)))
         else:
             texts.append(
                 " ".join(rng.choice(_WORDS) for _ in range(rng.randrange(3, 40)))
@@ -248,6 +253,11 @@ def _gen_star(out_dir: str, seed: int) -> None:
         else [rng.uniform(-1.0, 1.0) for _ in range(dim)]
         for i in range(n_vec)
     ]
+    # exact-duplicate pair: random floats never tie, so without this no
+    # sweep run ever exercises the cosine==1.0 / equal-score rank
+    # tie-breaks (neighbor_id asc in both engines) or exact-dup
+    # embedding dedup on random data
+    vecs[-1] = list(vecs[-2])
     emb_schema = pa.schema(
         [
             pa.field("vec_id", pa.int64()),
