@@ -237,7 +237,10 @@ def _gen_star(out_dir: str, seed: int) -> None:
             {
                 "doc_id": pd.array(range(1, n_doc + 1), dtype="int64"),
                 "text": texts,
-                "lang": [rng.choice(_LANGS) for _ in range(n_doc)],
+                # doc 5 is the ONLY "ja" doc: a single-member stratum
+                # (stratified sampling/kfold with n=1, a lang present in
+                # only one split half, 1-doc lang aggregates)
+                "lang": ["ja" if i == 4 else rng.choice(_LANGS) for i in range(n_doc)],
                 "source": [f"src{rng.randrange(0, 6)}" for _ in range(n_doc)],
                 "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
             }
