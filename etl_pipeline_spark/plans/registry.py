@@ -53,7 +53,7 @@ def register(
 # 50 registered queries per round, and the window ROTATES each round:
 # rounds 1-7 drove all 272 distinct queries green (CORRECTNESS_r01-r07),
 # round 8 re-proved the graph wave (whose plans changed that round) plus
-# every round-1-stale row. Round 9's window leads with the 22 queries
+# every round-1-stale row. Round 9's window leads with the 24 queries
 # whose text/plan changed this round — all fixes found by the
 # randomized-fixture sweep (tests/test_random_fixture_sweep.py), in two
 # waves. Wave 1: sql_drift_psi_event_values + sql_entropy_event_types
@@ -70,16 +70,16 @@ def register(
 # (the registry-wide decimal lint now guards the class). Then the
 # staleness sweep pre-staged in COVERAGE.md round-8 close: all 28
 # queries whose latest driver row is round 2 (TPC-H q2-q22 tail,
-# windows/pivot/rollup, lead_lag/percentile/profile_approx) — 22+28
-# fill the window exactly; the whole round-3 tier is displaced to lead
-# round 10.
+# windows/pivot/rollup, lead_lag/percentile/profile_approx) — 24+26
+# fill the window exactly; two round-2 rows and the whole round-3 tier
+# are displaced to lead round 10.
 # The other hardening this round (cache locking, explicit pagerank
 # opt-out, Decimal precision guards, TM domain mask) is result-identical
 # for every registered query. Ordering only -- every query stays
 # registered and locally parity-checked (tests/test_oracle_parity.py,
 # all 272).
 PRIORITY: tuple[str, ...] = (
-    # -- 22 queries whose text/plan CHANGED in round 9 — driver re-proof
+    # -- 24 queries whose text/plan CHANGED in round 9 — driver re-proof
     #    required same-round. First wave (sweep-found): PSI decimal-literal
     #    drift; weighted-sample zero-weight guard + id tie-break; ANN
     #    zero-norm training exclusion + NULL-score guards; entropy decimal
@@ -89,7 +89,11 @@ PRIORITY: tuple[str, ...] = (
     #    check-domain left join), join_size_estimate's decimal rel_err,
     #    and the 13-query decimal-literal lint fix (e0 double literals in
     #    both engines' shared text; results bit-unchanged on the seed-42
-    #    corpus, plans now pure double arithmetic) --
+    #    corpus, plans now pure double arithmetic). Late wave-2 riders:
+    #    jl_projection_distortion (zero distance of an exact-duplicate
+    #    embedding pair → NULLIF both engines) and the two avg-boundary
+    #    fixes (ROUND(AVG(double),6) flips on rounding-boundary means —
+    #    now exact-integer-cents sums) --
     "sql_drift_psi_event_values", "weighted_sample_docs", "ann_ivf_topk",
     "ann_pq_topk", "ann_ivfpq_topk", "sql_entropy_event_types",
     "expectations_violation_counts", "join_size_estimate",
@@ -98,8 +102,11 @@ PRIORITY: tuple[str, ...] = (
     "gini_revenue_concentration", "nb_lang_classifier_eval",
     "novelty_rate_docs", "pattern_vshape_prices", "price_index_laspeyres",
     "temperature_sampled_mix", "theil_sen_price_trend", "zipf_alpha_terms",
-    "jl_projection_distortion",
-    # -- 28 round-2-stale rows (driver-proof age: 7 rounds) --
+    "jl_projection_distortion", "agg_metrics_summary",
+    "regression_detect_metrics",
+    # -- 26 round-2-stale rows (driver-proof age: 7 rounds; the last two,
+    #    set_ops_union_except and window_range_trailing_spend, were
+    #    displaced by the avg-boundary fixes and lead round 10) --
     "q2_min_cost_supplier", "q3_top_unshipped_orders",
     "q4_order_priority_check", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
@@ -111,11 +118,12 @@ PRIORITY: tuple[str, ...] = (
     "q21_waiting_supplier", "q22_idle_balance_by_country",
     "lead_lag_order_gaps", "percentile_event_values", "pivot_orders_status",
     "profile_approx_orders", "rollup_order_counts",
-    "semi_join_include_filter", "set_ops_union_except",
-    "window_range_trailing_spend",
-    # -- below the driver's 50-row window: round-10 leads first (the 4
+    "semi_join_include_filter",
+    # -- below the driver's 50-row window: round-10 leads first (the 2
+    #    displaced round-2 rows, then the 4
     #    previously displaced fillers, then the 16 round-3 rows displaced
     #    by the second-wave fixes) --
+    "set_ops_union_except", "window_range_trailing_spend",
     "sql_ewma_user_values", "sql_conditional_agg_filter",
     "sql_correlated_scalar_count", "sql_equidepth_value_deciles",
     "bm25_keyword_topk", "cms_heavy_hitters", "collect_order_years",
@@ -128,7 +136,7 @@ PRIORITY: tuple[str, ...] = (
     "bfs_hops_from_hub", "kcore_cosupplier_peel",
     "lpa_cosupplier_communities", "modularity_cosupplier",
     "assortativity_cosupplier", "jaccard_link_prediction",
-    "triangle_cosupplier_stats", "agg_metrics_summary", "agg_success_rate",
+    "triangle_cosupplier_stats", "agg_success_rate",
     "ann_bucketed_sign_lsh", "bbox_range_filter", "dedup_cluster_assign",
     "doc_fingerprints", "exists_big_quantity_orders", "json_extract_props",
     "lang_id_confusion", "lookup_enrich_customers", "mapping_resolution",
@@ -185,7 +193,7 @@ PRIORITY: tuple[str, ...] = (
     "anova_f_totalprice_priority", "mutual_info_status_priority",
     "l_diversity_audit", "pagination_page_manifest",
     "range_join_click_attribution", "asof_purchase_last_view",
-    "ann_cosine_topk", "regression_detect_metrics",
+    "ann_cosine_topk",
     "bigram_perplexity_quality", "sql_table_checksum_orders",
     "kmeans_embedding_clusters", "multimodal_ahash_neardup",
     "split_leakage_check", "interval_merge_sessions", "window_rank_running",

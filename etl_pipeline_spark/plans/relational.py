@@ -391,13 +391,23 @@ def set_ops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "agg_metrics_summary",
+    # avg_value via EXACT INTEGER CENTS, not ROUND(AVG(double), 6): the
+    # float sum inside AVG carries ~1e-15 partial-agg-order jitter, and a
+    # group mean landing ON a 6-dp rounding boundary flips the rounded
+    # digit between engines (and between Spark runs — partition order is
+    # not deterministic). Sweep-found on a random corpus. SUM(cents) is an
+    # exact BIGINT; /100.0e0/COUNT(*) is the same two correctly-rounded
+    # double ops in both engines — bit-identical, order-free. The 2-dp
+    # money sums are safe as-is: the true sum is a multiple of 0.01, so
+    # the nearest 2-dp boundary is ~0.005 away, 10⁷× the jitter.
     oracle="""
         SELECT
             event_type,
             COUNT(*)                       AS n_events,
             COUNT(DISTINCT user_id)        AS n_users,
             ROUND(SUM(value), 2)           AS total_value,
-            ROUND(AVG(value), 6)           AS avg_value,
+            ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                  / 100.0e0 / COUNT(*), 6) AS avg_value,
             ROUND(MIN(value), 2)           AS min_value,
             ROUND(MAX(value), 2)           AS max_value
         FROM events
@@ -411,7 +421,10 @@ def agg_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 2).alias("total_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.expr(
+            "ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))"
+            " / 100.0e0 / COUNT(*), 6)"
+        ).alias("avg_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
     )
@@ -1196,7 +1209,8 @@ _DAY_NS = 86_400_000_000_000
     oracle=f"""
         WITH hist AS (
             SELECT epoch_ns(ts) // {_DAY_NS} AS run_day, event_type,
-                   ROUND(AVG(value), 6) AS metric
+                   ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                         / 100.0e0 / COUNT(*), 6) AS metric
             FROM events GROUP BY 1, 2
         ),
         cur_run AS (SELECT MAX(run_day) AS d FROM hist),
@@ -1241,7 +1255,13 @@ def regression_detect_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"ts div {_DAY_NS}").alias("run_day"), "event_type", "value"
         )
         .groupBy("run_day", "event_type")
-        .agg(F.round(F.avg("value"), 6).alias("metric"))
+        # exact-cents mean — see agg_metrics_summary's avg_value note
+        .agg(
+            F.expr(
+                "ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))"
+                " / 100.0e0 / COUNT(*), 6)"
+            ).alias("metric")
+        )
     )
     return detect_regressions(
         hist,

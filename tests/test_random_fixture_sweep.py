@@ -196,19 +196,26 @@ def _gen_star(out_dir: str, seed: int) -> None:
     ts_pool = [
         t0 + datetime.timedelta(minutes=rng.randrange(0, 60 * 24 * 30)) for _ in range(n_ev // 2)
     ]
+    ev_ts = [rng.choice(ts_pool) for _ in range(n_ev)]
+    ev_user = [rng.randrange(1, 11) for _ in range(n_ev)]
+    ev_type = [rng.choice(_EVENT_TYPES) for _ in range(n_ev)]
+    # negative and zero values are in-domain
+    ev_value = [_cents(rng, -100000, 1000000) for _ in range(n_ev)]
+    ev_props = ['{"k": %d}' % rng.randrange(0, 100) for _ in range(n_ev)]
+    # full payload duplicate: rows 1 and 2 differ ONLY by event_id —
+    # dedup/sessionize/window tie-breaks must resolve on event_id alone
+    for lst in (ev_ts, ev_user, ev_type, ev_value, ev_props):
+        lst[1] = lst[0]
     write(
         "events",
         pd.DataFrame(
             {
                 "event_id": pd.array(range(1, n_ev + 1), dtype="int64"),
-                "ts": [rng.choice(ts_pool) for _ in range(n_ev)],
-                "user_id": pd.array(
-                    [rng.randrange(1, 11) for _ in range(n_ev)], dtype="int64"
-                ),
-                "event_type": [rng.choice(_EVENT_TYPES) for _ in range(n_ev)],
-                # negative and zero values are in-domain
-                "value": [_cents(rng, -100000, 1000000) for _ in range(n_ev)],
-                "props": [f'{{"k": {rng.randrange(0, 100)}}}' for _ in range(n_ev)],
+                "ts": ev_ts,
+                "user_id": pd.array(ev_user, dtype="int64"),
+                "event_type": ev_type,
+                "value": ev_value,
+                "props": ev_props,
             }
         ),
     )
