@@ -169,6 +169,16 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph: no nodes, no ranks — mirror the relational oracle,
+        # whose empty nodes CTE yields an empty result, instead of
+        # raising ZeroDivisionError on the 1/n seed (sweep-found via a
+        # random corpus whose sparsified word graph pruned to nothing)
+        empty = nodes.withColumn("rank", F.lit(0.0))
+        nodes.unpersist()
+        if not _caller_cached:
+            e.unpersist()
+        return empty
 
     sess = edges.sparkSession
     old_sp = sess.conf.get("spark.sql.shuffle.partitions")

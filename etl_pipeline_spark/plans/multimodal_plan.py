@@ -284,26 +284,61 @@ def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Audio band energies — completes the modality trio (image: perceptual
 # aHash; video: content-addressed keyframes; audio: per-band energy
-# features). The fake kernel reads payload bytes as 8-bit samples split
-# into 8 contiguous bands; the oracle recomputes Σ/| | per band from
-# substr/ascii over generated positions. At scale the per-row work is a
-# single Arrow pass; the oracle's position explosion is DuckDB-only.
+# features). The fake kernel reads payload BYTES as 8-bit samples split
+# into 8 contiguous bands. The payload is the UTF-8 encoding of the
+# text, so the oracle must walk BYTES, not characters — ascii(substr())
+# over character positions silently diverges on any multibyte text
+# (sweep-found when the fixture gained a non-ASCII document): both the
+# band boundaries (byte count ≠ char count) and the sample values
+# (codepoint ≠ byte) shift. The oracle expands each codepoint to its
+# UTF-8 bytes arithmetically (1–4 bytes by codepoint range, continuation
+# bytes 128 + 6-bit groups) with a per-document prefix-sum byte offset.
+# At scale the per-row work is a single Arrow pass; the oracle's
+# position explosion is DuckDB-only.
 # --------------------------------------------------------------------------
 @register(
     "multimodal_audio_features",
     oracle="""
-        WITH px AS (
-            SELECT doc_id AS media_id,
-                   CAST((i.i * 8) // len(text) AS INT) AS band,
-                   ascii(substr(text, i.i + 1, 1)) AS p
+        WITH chars AS (
+            SELECT doc_id AS media_id, i.i AS ci,
+                   unicode(substr(text, i.i + 1, 1)) AS u,
+                   octet_length(encode(text)) AS tot
             FROM documents,
                  LATERAL (SELECT unnest(generate_series(0, len(text) - 1)) AS i) i
             WHERE doc_id % 3 = 1
+        ),
+        clen AS (
+            SELECT media_id, ci, u, tot,
+                   CASE WHEN u < 128 THEN 1 WHEN u < 2048 THEN 2
+                        WHEN u < 65536 THEN 3 ELSE 4 END AS nb
+            FROM chars
+        ),
+        coff AS (
+            SELECT media_id, ci, u, tot, nb,
+                   COALESCE(SUM(nb) OVER (PARTITION BY media_id ORDER BY ci
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS boff
+            FROM clen
+        ),
+        px AS (
+            SELECT media_id, tot, boff + j.j AS bi,
+                   CASE
+                     WHEN nb = 1 THEN u
+                     WHEN j.j = 0 AND nb = 2 THEN 192 + u // 64
+                     WHEN j.j = 0 AND nb = 3 THEN 224 + u // 4096
+                     WHEN j.j = 0 THEN 240 + u // 262144
+                     WHEN j.j = 1 AND nb = 3 THEN 128 + (u // 64) % 64
+                     WHEN j.j = 1 AND nb = 4 THEN 128 + (u // 4096) % 64
+                     WHEN j.j = 2 AND nb = 4 THEN 128 + (u // 64) % 64
+                     ELSE 128 + u % 64
+                   END AS p
+            FROM coff,
+                 LATERAL (SELECT unnest(generate_series(0, nb - 1)) AS j) j
         )
-        SELECT media_id, band,
+        SELECT media_id, CAST((bi * 8) // tot AS INT) AS band,
                CAST(COUNT(*) AS INT) AS n_in_band,
-               FLOOR((SUM(p) * 1.0 / COUNT(*)) * 1e6 + 0.5) / 1e6 AS energy
-        FROM px GROUP BY media_id, band
+               FLOOR((SUM(p) * 1.0e0 / COUNT(*)) * 1e6 + 0.5) / 1e6 AS energy
+        FROM px GROUP BY media_id, CAST((bi * 8) // tot AS INT)
     """,
     tags=("llm", "multimodal"),
 )

@@ -82,6 +82,19 @@ def test_empty_edges(spark):
     assert connected_components(df).count() == 0
 
 
+def test_pagerank_empty_graph_returns_empty(spark):
+    """An empty edge relation must yield an empty rank relation (the
+    relational oracle's empty-nodes CTE), not ZeroDivisionError on the
+    1/n seed — sweep-found via a random corpus whose sparsified word
+    graph pruned to nothing (textrank_keywords)."""
+    from etl_pipeline_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(df, n_iter=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     import numpy as np
     from pyspark.sql import Row

@@ -234,6 +234,21 @@ def _gen_star(out_dir: str, seed: int) -> None:
             # single-entry vocab — stresses TTR/repetition/Zipf/dup-chunk
             # denominators and degenerate-distribution branches
             texts.append(" ".join([rng.choice(_WORDS)] * rng.randrange(8, 24)))
+        elif i == 5:
+            # leading/trailing/double spaces: split(' ') yields EMPTY
+            # tokens in both engines — tokenizer/shingle/TTR kernels must
+            # agree on them
+            texts.append("  " + rng.choice(_WORDS) + "  " + rng.choice(_WORDS) + " ")
+        elif i == 6:
+            # non-ASCII (precomposed accents, CJK, emoji — one codepoint
+            # each, so Python len == Spark length == DuckDB length):
+            # length/regex/hash/byte kernels must agree on multibyte text.
+            # doc_id 7 % 3 == 1 lands this on the multimodal AUDIO branch,
+            # whose oracle walks real UTF-8 bytes; keep unicode OFF the
+            # image/video branches (doc_id % 3 in (0, 2)) — their fake
+            # text-as-payload kernels document a byte==char ASCII
+            # assumption that real media bytes would not have
+            texts.append("héllo wörld 中文 données 👍 " + rng.choice(_WORDS))
         else:
             texts.append(
                 " ".join(rng.choice(_WORDS) for _ in range(rng.randrange(3, 40)))
