@@ -250,9 +250,19 @@ def pareto_abc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "benford_first_digit",
     oracle="""
         WITH d AS (
-            SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
-                                    AS VARCHAR), 1, 1) AS INT) AS digit
-            FROM orders
+            SELECT digit FROM (
+                SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                        AS VARCHAR), 1, 1) AS INT) AS digit
+                FROM orders
+            )
+            -- Benford's law is defined over leading digits 1-9; a total
+            -- in [0, 1) has leading digit 0 and is OUT OF DOMAIN (the
+            -- 1/digit expected-p would divide by zero — ANSI crash in
+            -- Spark, inf in DuckDB; sweep-found via a planted 0.0 total).
+            -- Standard practice excludes such values BEFORE the
+            -- population count, so observed_p stays a distribution over
+            -- the analyzed digits.
+            WHERE digit BETWEEN 1 AND 9
         ),
         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
         SELECT digit,
@@ -273,7 +283,7 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)"
             " AS STRING), 1, 1) AS INT)"
         ).alias("digit")
-    )
+    ).filter(F.col("digit").between(1, 9))  # Benford domain — see oracle
     tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return (
         d.crossJoin(F.broadcast(tot))

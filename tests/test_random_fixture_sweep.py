@@ -143,7 +143,12 @@ def _gen_star(out_dir: str, seed: int) -> None:
                 dtype="int64",
             ),
             "o_orderstatus": [rng.choice(_STATUSES) for _ in range(n_ord)],
-            "o_totalprice": [_cents(rng, 100, 50_000_000) for _ in range(n_ord)],
+            # one EXACTLY-zero total (Benford domain exclusion, ROUND/FLOOR
+            # boundaries, rate denominators)
+            "o_totalprice": [
+                0.0 if i == 1 else _cents(rng, 100, 50_000_000)
+                for i in range(n_ord)
+            ],
             "o_orderdate": [
                 d0 + datetime.timedelta(days=rng.randrange(0, 900)) for _ in range(n_ord)
             ],
@@ -206,6 +211,14 @@ def _gen_star(out_dir: str, seed: int) -> None:
     # dedup/sessionize/window tie-breaks must resolve on event_id alone
     for lst in (ev_ts, ev_user, ev_type, ev_value, ev_props):
         lst[1] = lst[0]
+    # boundary-exact plants: one event exactly ON an hour boundary
+    # (tumbling/sliding window edge semantics), and one same-user pair
+    # exactly 30 minutes apart (the sessionize gap threshold — both
+    # engines must agree whether the boundary gap splits the session)
+    ev_ts[2] = datetime.datetime(2024, 1, 10, 7, 0, 0)
+    ev_ts[3] = datetime.datetime(2024, 1, 12, 9, 0, 0)
+    ev_ts[4] = datetime.datetime(2024, 1, 12, 9, 30, 0)
+    ev_user[4] = ev_user[3]
     write(
         "events",
         pd.DataFrame(
