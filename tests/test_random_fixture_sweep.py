@@ -2,11 +2,18 @@
 
 The driver's correctness gate and tests/test_oracle_parity.py prove
 Spark == DuckDB on the ONE deterministic fixture corpus (seed=42). This
-sweep re-runs the FULL registry on freshly generated random fixtures — different key distributions, duplicate timestamps,
-empty/1-token documents, a planted zero-norm embedding, negative event
-values, orphan foreign keys — so a query whose parity silently depends
-on a fixture accident (no ties, dense days, all-positive values, FK
-integrity) fails HERE instead of on user data.
+sweep re-runs the FULL registry on freshly generated random fixtures,
+seeded with hostile plants random data would (almost) never produce:
+duplicate timestamps AND a full-payload duplicate event row; empty,
+1-token, repeated-token, whitespace-hostile, and non-ASCII documents;
+an exact-duplicate document pair; zero-norm, exact-duplicate, and
+constant embeddings; a single-member language stratum; an orphan
+foreign key; a zero order total; BETWEEN-boundary discounts; a
+guaranteed (custkey, orderdate) duplicate; an hour-aligned event and an
+exact-30-minute session gap. A query whose parity silently depends on
+a fixture accident (no ties, dense days, all-positive values, FK
+integrity, ASCII text) fails HERE instead of on user data — twelve
+real engine-parity bug classes found so far.
 
 Same compare as the driver: row count + column names + order-insensitive
 stringified values (tests/conftest.canonicalize).
@@ -155,6 +162,10 @@ def _gen_star(out_dir: str, seed: int) -> None:
             "o_orderpriority": [rng.choice(_PRIORITIES) for _ in range(n_ord)],
         }
     )
+    # guaranteed duplicate (custkey, orderdate) pair: rows 3 and 4 —
+    # uniqueness checks must count BOTH participants in both engines
+    orders.loc[3, "o_custkey"] = orders.loc[2, "o_custkey"]
+    orders.loc[3, "o_orderdate"] = orders.loc[2, "o_orderdate"]
     write("orders", orders)
 
     n_li = 150
@@ -182,7 +193,11 @@ def _gen_star(out_dir: str, seed: int) -> None:
                 ),
                 "l_quantity": [float(rng.randrange(1, 51)) for _ in range(n_li)],
                 "l_extendedprice": [_cents(rng, 100, 10_000_000) for _ in range(n_li)],
-                "l_discount": [rng.randrange(0, 11) / 100.0 for _ in range(n_li)],
+                "l_discount": [
+                    0.05 if i == 0 else 0.07 if i == 1
+                    else rng.randrange(0, 11) / 100.0
+                    for i in range(n_li)
+                ],
                 "l_tax": [rng.randrange(0, 9) / 100.0 for _ in range(n_li)],
                 "l_returnflag": [f[0] for f in flags],
                 "l_linestatus": [f[1] for f in flags],
@@ -291,6 +306,10 @@ def _gen_star(out_dir: str, seed: int) -> None:
         else [rng.uniform(-1.0, 1.0) for _ in range(dim)]
         for i in range(n_vec)
     ]
+    # constant vector (every component equal): nonzero norm but zero
+    # variance in every dimension — normalization, k-means, and JL must
+    # not degenerate
+    vecs[3] = [0.5] * dim
     # exact-duplicate pair: random floats never tie, so without this no
     # sweep run ever exercises the cosine==1.0 / equal-score rank
     # tie-breaks (neighbor_id asc in both engines) or exact-dup
