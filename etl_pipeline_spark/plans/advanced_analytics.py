@@ -230,6 +230,16 @@ def _textrank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounded to 6 dp before ranking (tie-break by the month pair) so the
 # selection order is identical too. Pair count is months² — bounded by
 # the calendar, not the data. OLS slope from moment sums for contrast.
+#
+# Float determinism (scan-found on a fresh random seed): the OLS ratio
+# over double monthly means sat exactly ON a 6-dp rounding midpoint and
+# the engines' different SUM accumulation orders picked different
+# sides. The monthly mean is now an exact BIGINT in micro-dollars
+# (portable half-up over exact integer cents: one division, +0.5,
+# FLOOR — no accumulation), and the OLS moments are exact integer sums
+# over (m − min(m), vm) — centering bounds the products far below
+# BIGINT range at any calendar length — so both engines divide the
+# SAME exact integers and the ratio is bit-identical, order-free.
 # ---------------------------------------------------------------------------
 @register(
     "theil_sen_price_trend",
@@ -237,13 +247,17 @@ def _textrank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH monthly AS (
             SELECT (EXTRACT(year FROM o_orderdate) * 12
                     + EXTRACT(month FROM o_orderdate) - 1) AS m,
-                   ROUND(SUM(o_totalprice) / COUNT(*), 6) AS v
+                   CAST(FLOOR(
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                            AS BIGINT) * 10000.0e0 / COUNT(*) + 0.5)
+                       AS BIGINT) AS vm
             FROM orders GROUP BY 1
         ),
+        mv AS (SELECT m, vm, vm / 1000000.0e0 AS v FROM monthly),
         prs AS (
             SELECT a.m AS ma, b.m AS mb,
                    ROUND((b.v - a.v) / (b.m - a.m), 6) AS slope
-            FROM monthly a JOIN monthly b ON a.m < b.m
+            FROM mv a JOIN mv b ON a.m < b.m
         ),
         ranked AS (
             SELECT slope,
@@ -255,12 +269,16 @@ def _textrank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT slope AS theil_sen_slope FROM ranked
             WHERE r = CAST(CEIL(k / 2.0e0) AS BIGINT)
         ),
+        mn AS (SELECT MIN(m) AS m0 FROM monthly),
         ols AS (
             SELECT ROUND(
-                (COUNT(*) * SUM(m * v) - SUM(m) * SUM(v))
-                / (COUNT(*) * SUM(m * m) - SUM(m) * SUM(m)), 6) AS ols_slope,
+                CAST(COUNT(*) * SUM((m - m0) * vm)
+                     - SUM(m - m0) * SUM(vm) AS DOUBLE)
+                / (COUNT(*) * SUM((m - m0) * (m - m0))
+                   - SUM(m - m0) * SUM(m - m0))
+                / 1000000.0e0, 6) AS ols_slope,
                    CAST(COUNT(*) AS BIGINT) AS n_months
-            FROM monthly
+            FROM monthly CROSS JOIN mn
         )
         SELECT o.n_months,
                CAST(o.n_months * (o.n_months - 1) / 2 AS BIGINT) AS n_pairs,
@@ -274,13 +292,18 @@ def theil_sen_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = (
         orders.select(
             (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
-            "o_totalprice",
+            F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
         )
         .groupBy("m")
-        .agg(F.round(F.sum("o_totalprice") / F.count(F.lit(1)), 6).alias("v"))
+        .agg(
+            F.expr(
+                "CAST(FLOOR(SUM(cents) * 10000.0e0 / COUNT(*) + 0.5) AS BIGINT)"
+            ).alias("vm")
+        )
     )
-    a = monthly.select(F.col("m").alias("ma"), F.col("v").alias("va"))
-    b = monthly.select(F.col("m").alias("mb"), F.col("v").alias("vb"))
+    mv = monthly.withColumn("v", F.expr("vm / 1000000.0e0"))
+    a = mv.select(F.col("m").alias("ma"), F.col("v").alias("va"))
+    b = mv.select(F.col("m").alias("mb"), F.col("v").alias("vb"))
     prs = a.join(b, F.col("ma") < F.col("mb")).select(
         "ma",
         "mb",
@@ -295,17 +318,14 @@ def theil_sen_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = ranked.filter(
         F.col("r") == F.expr("CAST(CEIL(k / 2.0e0) AS BIGINT)")
     ).select(F.col("slope").alias("theil_sen_slope"))
-    ols = monthly.agg(
-        F.round(
-            (
-                F.count(F.lit(1)) * F.sum(F.col("m") * F.col("v"))
-                - F.sum("m") * F.sum("v")
-            )
-            / (
-                F.count(F.lit(1)) * F.sum(F.col("m") * F.col("m"))
-                - F.sum("m") * F.sum("m")
-            ),
-            6,
+    mn = monthly.agg(F.min("m").alias("m0"))
+    ols = monthly.crossJoin(F.broadcast(mn)).agg(
+        F.expr(
+            "ROUND(CAST(COUNT(*) * SUM((m - m0) * vm)"
+            " - SUM(m - m0) * SUM(vm) AS DOUBLE)"
+            " / (COUNT(*) * SUM((m - m0) * (m - m0))"
+            " - SUM(m - m0) * SUM(m - m0))"
+            " / 1000000.0e0, 6)"
         ).alias("ols_slope"),
         F.count(F.lit(1)).cast("bigint").alias("n_months"),
     )

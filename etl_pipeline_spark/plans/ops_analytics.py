@@ -1301,8 +1301,16 @@ def burstiness_user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n_days,
                ROUND(AVG(ABS(CAST(actual - forecast AS DOUBLE)) / actual),
                      6) AS mape,
-               ROUND(AVG(ABS(CAST(actual - forecast AS DOUBLE))) / 100, 2)
-                   AS mae
+               -- portable half-up on exact integer cents: AVG of integer
+               -- cents lands EXACTLY on a .5-cent midpoint whenever the
+               -- cent sum is odd over an even day count, and the engines'
+               -- native ROUND conventions then disagree (repr-HALF_UP vs
+               -- double-half-away — the croston incident class; scan-found
+               -- on a fresh random seed). SUM is an exact integer in both
+               -- engines; the single division, +0.5, FLOOR, /100 chain is
+               -- the same correctly-rounded double ops everywhere.
+               FLOOR(CAST(SUM(ABS(actual - forecast)) AS BIGINT)
+                     * 1.0e0 / COUNT(*) + 0.5) / 100.0e0 AS mae
         FROM scored GROUP BY model
     """,
     tags=("timeseries", "forecast", "eval"),
@@ -1340,7 +1348,11 @@ def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("model").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.round(F.avg(ape / F.col("actual")), 6).alias("mape"),
-        F.round(F.avg(ape) / 100, 2).alias("mae"),
+        # portable half-up on exact cents — see the oracle note
+        F.expr(
+            "FLOOR(CAST(SUM(ABS(actual - forecast)) AS BIGINT)"
+            " * 1.0e0 / COUNT(*) + 0.5) / 100.0e0"
+        ).alias("mae"),
     )
 
 
