@@ -495,4 +495,11 @@ def histogram_quantiles(
         "CASE WHEN mx = mn THEN mn ELSE "
         f"mn + ((mx - mn) / {bins}) * (bin + (q * n - (cum - cnt)) / cnt) END"
     )
-    return covering.select("q", F.round(F.expr(est), 6).alias("est"))
+    # portable FLOOR(x·1e6 + 0.5)/1e6 half-up, not native ROUND: the
+    # interpolated estimate over a cents-lattice input is a DYADIC
+    # rational (/bins and /cnt are the only divisions) that lands exactly
+    # ON 1e-6 rounding ties, where Spark's repr-HALF_UP and DuckDB's
+    # double-half-away disagree (scan-found on a fresh random seed)
+    return covering.select(
+        "q", F.expr(f"FLOOR(({est}) * 1e6 + 0.5) / 1e6").alias("est")
+    )

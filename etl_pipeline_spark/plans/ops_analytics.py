@@ -1299,8 +1299,15 @@ def burstiness_user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT model,
                CAST(COUNT(*) AS BIGINT) AS n_days,
-               ROUND(AVG(ABS(CAST(actual - forecast AS DOUBLE)) / actual),
-                     6) AS mape,
+               -- MAPE is undefined at actual = 0 (the metric's textbook
+               -- flaw: |Δ|/0 is an ANSI crash in Spark, inf in DuckDB;
+               -- scan-found via the planted zero-total order being a
+               -- day's only order). Standard practice: zero-actual days
+               -- are excluded from the MAPE mean (CASE → NULL, AVG skips
+               -- NULLs identically in both engines); mae keeps all days.
+               ROUND(AVG(CASE WHEN actual <> 0 THEN
+                         ABS(CAST(actual - forecast AS DOUBLE)) / actual
+                         END), 6) AS mape,
                -- portable half-up on exact integer cents: AVG of integer
                -- cents lands EXACTLY on a .5-cent midpoint whenever the
                -- cent sum is odd over an even day count, and the engines'
@@ -1347,7 +1354,10 @@ def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     ape = F.abs((F.col("actual") - F.col("forecast")).cast("double"))
     return scored.groupBy("model").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        F.round(F.avg(ape / F.col("actual")), 6).alias("mape"),
+        # zero-actual days excluded from the MAPE mean — see oracle note
+        F.round(
+            F.avg(F.when(F.col("actual") != 0, ape / F.col("actual"))), 6
+        ).alias("mape"),
         # portable half-up on exact cents — see the oracle note
         F.expr(
             "FLOOR(CAST(SUM(ABS(actual - forecast)) AS BIGINT)"

@@ -53,7 +53,7 @@ def register(
 # 50 registered queries per round, and the window ROTATES each round:
 # rounds 1-7 drove all 272 distinct queries green (CORRECTNESS_r01-r07),
 # round 8 re-proved the graph wave (whose plans changed that round) plus
-# every round-1-stale row. Round 9's window leads with the 28 queries
+# every round-1-stale row. Round 9's window leads with the 29 queries
 # whose text/plan changed this round — all fixes found by the
 # randomized-fixture sweep (tests/test_random_fixture_sweep.py), in two
 # waves. Wave 1: sql_drift_psi_event_values + sql_entropy_event_types
@@ -70,8 +70,8 @@ def register(
 # (the registry-wide decimal lint now guards the class). Then the
 # staleness sweep pre-staged in COVERAGE.md round-8 close: all 28
 # queries whose latest driver row is round 2 (TPC-H q2-q22 tail,
-# windows/pivot/rollup, lead_lag/percentile/profile_approx) — 28+22
-# fill the window exactly; six round-2 rows and the whole round-3 tier
+# windows/pivot/rollup, lead_lag/percentile/profile_approx) — 29+21
+# fill the window exactly; seven round-2 rows and the whole round-3 tier
 # are displaced to lead round 10.
 # The other hardening this round (cache locking, explicit pagerank
 # opt-out, Decimal precision guards, TM domain mask) is result-identical
@@ -79,7 +79,7 @@ def register(
 # registered and locally parity-checked (tests/test_oracle_parity.py,
 # all 272).
 PRIORITY: tuple[str, ...] = (
-    # -- 28 queries whose text/plan CHANGED in round 9 — driver re-proof
+    # -- 29 queries whose text/plan CHANGED in round 9 — driver re-proof
     #    required same-round. First wave (sweep-found): PSI decimal-literal
     #    drift; weighted-sample zero-weight guard + id tie-break; ANN
     #    zero-norm training exclusion + NULL-score guards; entropy decimal
@@ -103,7 +103,10 @@ PRIORITY: tuple[str, ...] = (
     #    extra-seed-scan finds: theil_sen's OLS ratio flipping on a 6-dp
     #    midpoint (now exact-integer micro-dollar moments, centered
     #    months) and forecast_backtest_mape's mae flipping on a .5-cent
-    #    repr midpoint (now portable FLOOR half-up over exact cents) --
+    #    repr midpoint (now portable FLOOR half-up over exact cents;
+    #    also: MAPE excludes zero-actual days — |Δ|/0 crashed under
+    #    ANSI) plus quantile_sketch_values' dyadic interpolation landing
+    #    on 1e-6 ties (now the portable FLOOR device end-to-end) --
     "sql_drift_psi_event_values", "weighted_sample_docs", "ann_ivf_topk",
     "ann_pq_topk", "ann_ivfpq_topk", "sql_entropy_event_types",
     "expectations_violation_counts", "join_size_estimate",
@@ -115,11 +118,13 @@ PRIORITY: tuple[str, ...] = (
     "jl_projection_distortion", "agg_metrics_summary",
     "regression_detect_metrics", "multimodal_audio_features",
     "textrank_keywords", "benford_first_digit", "forecast_backtest_mape",
-    # -- 22 round-2-stale rows (driver-proof age: 7 rounds; the last
-    #    six — pivot_orders_status, profile_approx_orders,
-    #    rollup_order_counts, semi_join_include_filter,
-    #    set_ops_union_except, window_range_trailing_spend — were
-    #    displaced by the late fix waves and lead round 10) --
+    "quantile_sketch_values",
+    # -- 21 round-2-stale rows (driver-proof age: 7 rounds; the last
+    #    seven — percentile_event_values, pivot_orders_status,
+    #    profile_approx_orders, rollup_order_counts,
+    #    semi_join_include_filter, set_ops_union_except,
+    #    window_range_trailing_spend — were displaced by the late fix
+    #    waves and lead round 10) --
     "q2_min_cost_supplier", "q3_top_unshipped_orders",
     "q4_order_priority_check", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
@@ -129,12 +134,13 @@ PRIORITY: tuple[str, ...] = (
     "q17_small_quantity_revenue", "q18_large_volume_customers",
     "q19_disjunctive_revenue", "q20_excess_stock_suppliers",
     "q21_waiting_supplier", "q22_idle_balance_by_country",
-    "lead_lag_order_gaps", "percentile_event_values",
-    # -- below the driver's 50-row window: round-10 leads first (the 6
+    "lead_lag_order_gaps",
+    # -- below the driver's 50-row window: round-10 leads first (the 7
     #    displaced round-2 rows, then the 4
     #    previously displaced fillers, then the 16 round-3 rows displaced
     #    by the second-wave fixes) --
-    "pivot_orders_status", "profile_approx_orders", "rollup_order_counts",
+    "percentile_event_values", "pivot_orders_status",
+    "profile_approx_orders", "rollup_order_counts",
     "semi_join_include_filter",
     "set_ops_union_except", "window_range_trailing_spend",
     "sql_ewma_user_values", "sql_conditional_agg_filter",
@@ -142,7 +148,7 @@ PRIORITY: tuple[str, ...] = (
     "bm25_keyword_topk", "cms_heavy_hitters", "collect_order_years",
     "decontaminate_eval_overlap", "dedup_simhash_hamming",
     "doc_chunk_overlap", "incremental_agg_orders", "key_skew_partkey",
-    "keyword_and_search", "profile_orders", "quantile_sketch_values",
+    "keyword_and_search", "profile_orders", 
     "repetition_quality", "resample_ffill_user_6h", "scd2_state_at_purchase",
     "snapshot_diff_orders", "approx_distinct_users",
     "pagerank_part_supplier", "hits_hub_authority",

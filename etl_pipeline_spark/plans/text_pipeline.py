@@ -1134,16 +1134,18 @@ def _quantile_sketch_oracle() -> str:
         ),
         est AS (
             SELECT q,
-                   ROUND(CASE WHEN mx = mn THEN mn ELSE
-                         mn + ((mx - mn) / {_QS_BINS})
-                            * (bin + (q * n - (cum - cnt)) / cnt) END, 6) AS est
+                   FLOOR((CASE WHEN mx = mn THEN mn ELSE
+                          mn + ((mx - mn) / {_QS_BINS})
+                             * (bin + (q * n - (cum - cnt)) / cnt) END)
+                         * 1e6 + 0.5) / 1e6 AS est
             FROM covering WHERE r = 1
         ),
         ex AS (
             {ex_rows}
         )
-        SELECT e.q, e.est, ROUND(x.e, 6) AS exact,
-               ROUND(ABS(e.est - ROUND(x.e, 6)), 6) AS abs_err
+        SELECT e.q, e.est, FLOOR(x.e * 1e6 + 0.5) / 1e6 AS exact,
+               FLOOR(ABS(e.est - FLOOR(x.e * 1e6 + 0.5) / 1e6) * 1e6 + 0.5)
+                   / 1e6 AS abs_err
         FROM est e JOIN ex x ON x.q = e.q
     """
 
@@ -1169,13 +1171,15 @@ def quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, q in enumerate(_QS_QS)
         ]
     ).select(F.expr(f"stack({len(_QS_QS)}, {stack_args}) AS (q, e)"))
+    # portable half-up throughout (see the operator note): the exact
+    # quantile is also a dyadic interpolation over the cents lattice
     return (
         est.join(F.broadcast(exact), "q")
-        .withColumn("exact", F.round("e", 6))
+        .withColumn("exact", F.expr("FLOOR(e * 1e6 + 0.5) / 1e6"))
         .select(
             "q",
             "est",
             "exact",
-            F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+            F.expr("FLOOR(ABS(est - exact) * 1e6 + 0.5) / 1e6").alias("abs_err"),
         )
     )
