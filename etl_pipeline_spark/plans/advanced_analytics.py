@@ -236,10 +236,15 @@ def _textrank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the engines' different SUM accumulation orders picked different
 # sides. The monthly mean is now an exact BIGINT in micro-dollars
 # (portable half-up over exact integer cents: one division, +0.5,
-# FLOOR — no accumulation), and the OLS moments are exact integer sums
-# over (m − min(m), vm) — centering bounds the products far below
-# BIGINT range at any calendar length — so both engines divide the
-# SAME exact integers and the ratio is bit-identical, order-free.
+# FLOOR — no accumulation), and the OLS moments are exact integer SUMs
+# over (m − min(m), vm): per-term products are ~span·5e11 and the sums
+# ~span²·5e11/2 — inside BIGINT through multi-century spans. The final
+# COUNT(*)·SUM cross-multiplications, however, grow ~span³·vm and would
+# exceed BIGINT near a ~260-month span (ANSI overflow crash in Spark
+# while DuckDB silently widens to HUGEINT — advisor-found), so each
+# exact SUM is cast to DOUBLE before them: every post-SUM op is then
+# the same correctly-rounded IEEE chain in both engines — still
+# order-free and bit-identical, and total at any span.
 # ---------------------------------------------------------------------------
 @register(
     "theil_sen_price_trend",
@@ -272,10 +277,10 @@ def _textrank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         mn AS (SELECT MIN(m) AS m0 FROM monthly),
         ols AS (
             SELECT ROUND(
-                CAST(COUNT(*) * SUM((m - m0) * vm)
-                     - SUM(m - m0) * SUM(vm) AS DOUBLE)
-                / (COUNT(*) * SUM((m - m0) * (m - m0))
-                   - SUM(m - m0) * SUM(m - m0))
+                (COUNT(*) * CAST(SUM((m - m0) * vm) AS DOUBLE)
+                 - CAST(SUM(m - m0) AS DOUBLE) * CAST(SUM(vm) AS DOUBLE))
+                / (COUNT(*) * CAST(SUM((m - m0) * (m - m0)) AS DOUBLE)
+                   - CAST(SUM(m - m0) AS DOUBLE) * CAST(SUM(m - m0) AS DOUBLE))
                 / 1000000.0e0, 6) AS ols_slope,
                    CAST(COUNT(*) AS BIGINT) AS n_months
             FROM monthly CROSS JOIN mn
@@ -321,10 +326,10 @@ def theil_sen_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     mn = monthly.agg(F.min("m").alias("m0"))
     ols = monthly.crossJoin(F.broadcast(mn)).agg(
         F.expr(
-            "ROUND(CAST(COUNT(*) * SUM((m - m0) * vm)"
-            " - SUM(m - m0) * SUM(vm) AS DOUBLE)"
-            " / (COUNT(*) * SUM((m - m0) * (m - m0))"
-            " - SUM(m - m0) * SUM(m - m0))"
+            "ROUND((COUNT(*) * CAST(SUM((m - m0) * vm) AS DOUBLE)"
+            " - CAST(SUM(m - m0) AS DOUBLE) * CAST(SUM(vm) AS DOUBLE))"
+            " / (COUNT(*) * CAST(SUM((m - m0) * (m - m0)) AS DOUBLE)"
+            " - CAST(SUM(m - m0) AS DOUBLE) * CAST(SUM(m - m0) AS DOUBLE))"
             " / 1000000.0e0, 6)"
         ).alias("ols_slope"),
         F.count(F.lit(1)).cast("bigint").alias("n_months"),

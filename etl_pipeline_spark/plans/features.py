@@ -1167,24 +1167,29 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("hub", (F.col("s") / F.col("n")).alias("s"))
             .localCheckpoint(eager=False)
         )
-    w_a = Window.orderBy(F.round("s", 6).desc(), F.col("auth").asc())
-    w_h = Window.orderBy(F.round("s", 6).desc(), F.col("hub").asc())
-    top_a = (
-        a.select(
-            F.lit("authority").alias("side"),
-            F.col("auth").cast("bigint").alias("node_id"),
-            F.round("s", 6).alias("score"),
-            F.row_number().over(w_a).cast("bigint").alias("rank"),
+    # top-k read-out as TakeOrderedAndProject (orderBy().limit(k)), not a
+    # global row_number window: the window form funnels the whole node
+    # relation through ONE partition before truncating, while TakeOrdered
+    # keeps per-partition heaps of k and merges on the driver — the
+    # pagerank_part_supplier read-out shape. The (score desc, id asc)
+    # ordering is total, so the first k of it are deterministic and the
+    # rank column re-derived over the k-row result is hash-identical.
+    def _topk(df: DataFrame, node: str, side: str) -> DataFrame:
+        top = (
+            df.orderBy(F.round("s", 6).desc(), F.col(node).asc())
+            .limit(_HITS_TOPK)
+            .select(
+                F.lit(side).alias("side"),
+                F.col(node).cast("bigint").alias("node_id"),
+                F.round("s", 6).alias("score"),
+            )
         )
-        .where(F.col("rank") <= _HITS_TOPK)
-    )
-    top_h = (
-        h.select(
-            F.lit("hub").alias("side"),
-            F.col("hub").cast("bigint").alias("node_id"),
-            F.round("s", 6).alias("score"),
-            F.row_number().over(w_h).cast("bigint").alias("rank"),
+        w = Window.orderBy(F.col("score").desc(), F.col("node_id").asc())
+        return top.select(
+            "side",
+            "node_id",
+            "score",
+            F.row_number().over(w).cast("bigint").alias("rank"),  # k rows
         )
-        .where(F.col("rank") <= _HITS_TOPK)
-    )
-    return top_a.unionByName(top_h)
+
+    return _topk(a, "auth", "authority").unionByName(_topk(h, "hub", "hub"))

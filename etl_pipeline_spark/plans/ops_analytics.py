@@ -251,12 +251,17 @@ def pareto_abc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH d AS (
             SELECT digit FROM (
-                SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                -- ABS before FLOOR: Benford analyzes MAGNITUDES (the
+                -- standard convention), and a negative total would
+                -- otherwise put '-' in the leading character where the
+                -- ANSI digit cast crashes BEFORE the domain filter can
+                -- exclude it (advisor-found latent crash class).
+                SELECT CAST(substr(CAST(CAST(FLOOR(ABS(o_totalprice)) AS BIGINT)
                                         AS VARCHAR), 1, 1) AS INT) AS digit
                 FROM orders
             )
             -- Benford's law is defined over leading digits 1-9; a total
-            -- in [0, 1) has leading digit 0 and is OUT OF DOMAIN (the
+            -- in (-1, 1) has leading digit 0 and is OUT OF DOMAIN (the
             -- 1/digit expected-p would divide by zero — ANSI crash in
             -- Spark, inf in DuckDB; sweep-found via a planted 0.0 total).
             -- Standard practice excludes such values BEFORE the
@@ -280,7 +285,7 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     d = orders.select(
         F.expr(
-            "CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)"
+            "CAST(substr(CAST(CAST(FLOOR(ABS(o_totalprice)) AS BIGINT)"
             " AS STRING), 1, 1) AS INT)"
         ).alias("digit")
     ).filter(F.col("digit").between(1, 9))  # Benford domain — see oracle
@@ -648,7 +653,14 @@ _ACF_MAX_LAG = 7
                    ROUND(SUM(o_totalprice), 2) AS rev
             FROM orders GROUP BY 1
         ),
-        m AS (SELECT ROUND(AVG(rev), 6) AS mu FROM daily),
+        -- series mean via the exact-cents device (rev is 2-dp by
+        -- construction): SUM(cents) is an exact order-free BIGINT, so the
+        -- FLOOR half-up chain is bit-identical in both engines — no
+        -- ROUND(AVG(double)) midpoint flips. NULLIF keeps an empty orders
+        -- relation NULL-safe under ANSI.
+        m AS (SELECT FLOOR(SUM(CAST(ROUND(rev * 100, 0) AS BIGINT)) * 1.0e4
+                           / NULLIF(COUNT(*), 0) + 0.5e0) / 1.0e6 AS mu
+              FROM daily),
         dev AS (
             SELECT d.day_epoch, d.rev - m.mu AS dv,
                    ROW_NUMBER() OVER (ORDER BY d.day_epoch) AS rn
@@ -677,7 +689,12 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("day_epoch")
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
-    m = daily.agg(F.round(F.avg("rev"), 6).alias("mu"))
+    m = daily.agg(
+        F.expr(
+            "FLOOR(SUM(CAST(ROUND(rev * 100, 0) AS BIGINT)) * 1.0e4"
+            " / NULLIF(COUNT(*), 0) + 0.5e0) / 1.0e6"
+        ).alias("mu")
+    )
     w = Window.orderBy("day_epoch")
     dev = daily.crossJoin(F.broadcast(m)).select(
         "day_epoch", (F.col("rev") - F.col("mu")).alias("dv")
@@ -1121,10 +1138,12 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # days carry no trend and drop out of the effect means). Weekday
 # encodes as (day_epoch + 4) % 7 with 0 = Sunday (epoch day 0 is a
 # Thursday) — pure integer arithmetic, timezone-proof. Day sums are
-# exact cents; the trend division and detrending are per-row
-# IEEE-deterministic; the per-weekday MEAN of ~n/7 detrended doubles
-# carries partial-agg-order jitter ~1e-10 dollars, far below the 2-dp
-# output round. Everything below the daily grouped sum is day-domain.
+# exact cents; the trend window sum stays an exact BIGINT (sum7), so the
+# per-day detrended value in 1/700-dollar units (7·cents − sum7) is an
+# exact integer too, and the per-weekday means are single FLOOR-half-up
+# chains over order-free BIGINT sums — no ROUND(AVG(double)) midpoint
+# flips (the forecast-mae class). Everything below the daily grouped
+# sum is day-domain.
 # ---------------------------------------------------------------------------
 @register(
     "seasonal_decompose_weekday",
@@ -1137,18 +1156,20 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr AS (
             SELECT day_epoch, cents,
                    CASE WHEN COUNT(*) OVER w = 7
-                        THEN (SUM(cents) OVER w / 7.0) / 100.0
-                        ELSE NULL END AS trend
+                        THEN SUM(cents) OVER w
+                        ELSE NULL END AS sum7
             FROM daily
             WINDOW w AS (ORDER BY day_epoch
                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
         )
         SELECT CAST((day_epoch + 4) % 7 AS BIGINT) AS weekday,
-               CAST(COUNT(trend) AS BIGINT) AS n_days,
-               ROUND(AVG(cents / 100.0 - trend), 2) AS weekday_effect,
-               ROUND(AVG(trend), 2) AS avg_trend
+               CAST(COUNT(sum7) AS BIGINT) AS n_days,
+               FLOOR(SUM(7 * cents - sum7) * 1.0e0 / 7.0e0
+                     / COUNT(*) + 0.5e0) / 100.0e0 AS weekday_effect,
+               FLOOR(SUM(sum7) * 1.0e0 / 7.0e0
+                     / COUNT(*) + 0.5e0) / 100.0e0 AS avg_trend
         FROM tr
-        WHERE trend IS NOT NULL
+        WHERE sum7 IS NOT NULL
         GROUP BY 1
     """,
     tags=("timeseries", "window", "seasonal"),
@@ -1170,17 +1191,20 @@ def seasonal_decompose_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.when(
             F.count(F.lit(1)).over(w) == 7,
-            (F.sum("cents").over(w) / 7.0) / 100.0,
-        ).alias("trend"),
-    ).filter(F.col("trend").isNotNull())
+            F.sum("cents").over(w),
+        ).alias("sum7"),
+    ).filter(F.col("sum7").isNotNull())
     return tr.groupBy(
         ((F.col("day_epoch") + 4) % 7).cast("bigint").alias("weekday")
     ).agg(
-        F.count("trend").cast("bigint").alias("n_days"),
-        F.round(F.avg(F.col("cents") / 100.0 - F.col("trend")), 2).alias(
-            "weekday_effect"
-        ),
-        F.round(F.avg("trend"), 2).alias("avg_trend"),
+        F.count("sum7").cast("bigint").alias("n_days"),
+        F.expr(
+            "FLOOR(SUM(7 * cents - sum7) * 1.0e0 / 7.0e0"
+            " / COUNT(*) + 0.5e0) / 100.0e0"
+        ).alias("weekday_effect"),
+        F.expr(
+            "FLOOR(SUM(sum7) * 1.0e0 / 7.0e0 / COUNT(*) + 0.5e0) / 100.0e0"
+        ).alias("avg_trend"),
     )
 
 
@@ -1389,25 +1413,30 @@ _SRA_K = 3.0
             FROM orders GROUP BY 1
         ),
         tr AS (
-            SELECT day_epoch, cents / 100.0 AS rev,
+            SELECT day_epoch, cents, cents / 100.0 AS rev,
+                   -- keep the 7-day window sum as an exact BIGINT; trend
+                   -- (sum7/700) and the weekday effect derive from it
+                   -- without ROUND(AVG(double)) midpoint flips — the
+                   -- seasonal_decompose_weekday device
                    CASE WHEN COUNT(*) OVER w = 7
-                        THEN (SUM(cents) OVER w / 7.0) / 100.0
-                        ELSE NULL END AS trend
+                        THEN SUM(cents) OVER w
+                        ELSE NULL END AS sum7
             FROM daily
             WINDOW w AS (ORDER BY day_epoch
                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
         ),
         eff AS (
             SELECT CAST((day_epoch + 4) % 7 AS BIGINT) AS weekday,
-                   ROUND(AVG(rev - trend), 6) AS effect
-            FROM tr WHERE trend IS NOT NULL GROUP BY 1
+                   FLOOR(SUM(7 * cents - sum7) * 1.0e4 / 7.0e0
+                         / COUNT(*) + 0.5e0) / 1.0e6 AS effect
+            FROM tr WHERE sum7 IS NOT NULL GROUP BY 1
         ),
         res AS (
             SELECT t.day_epoch, t.rev,
-                   ROUND(t.rev - t.trend - e.effect, 2) AS residual
+                   ROUND(t.rev - t.sum7 / 700.0e0 - e.effect, 2) AS residual
             FROM tr t
             JOIN eff e ON e.weekday = CAST((t.day_epoch + 4) % 7 AS BIGINT)
-            WHERE t.trend IS NOT NULL
+            WHERE t.sum7 IS NOT NULL
         ),
         m AS (
             SELECT ROUND(quantile_cont(residual, 0.5), 6) AS med FROM res
@@ -1439,15 +1468,21 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day_epoch").rowsBetween(-3, 3)
     tr = daily.select(
         "day_epoch",
+        "cents",
         (F.col("cents") / 100.0).alias("rev"),
         F.when(
             F.count(F.lit(1)).over(w) == 7,
-            (F.sum("cents").over(w) / 7.0) / 100.0,
-        ).alias("trend"),
-    ).filter(F.col("trend").isNotNull())
+            F.sum("cents").over(w),
+        ).alias("sum7"),
+    ).filter(F.col("sum7").isNotNull())
     eff = tr.groupBy(
         ((F.col("day_epoch") + 4) % 7).cast("bigint").alias("weekday")
-    ).agg(F.round(F.avg(F.col("rev") - F.col("trend")), 6).alias("effect"))
+    ).agg(
+        F.expr(
+            "FLOOR(SUM(7 * cents - sum7) * 1.0e4 / 7.0e0"
+            " / COUNT(*) + 0.5e0) / 1.0e6"
+        ).alias("effect")
+    )
     res = (
         tr.withColumn(
             "weekday", ((F.col("day_epoch") + 4) % 7).cast("bigint")
@@ -1457,7 +1492,7 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_epoch",
             "rev",
             F.round(
-                F.col("rev") - F.col("trend") - F.col("effect"), 2
+                F.col("rev") - F.expr("sum7 / 700.0e0") - F.col("effect"), 2
             ).alias("residual"),
         )
     )

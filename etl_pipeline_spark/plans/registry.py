@@ -50,193 +50,164 @@ def register(
 
 
 # Export order. The driver's correctness run processes exactly the first
-# 50 registered queries per round, and the window ROTATES each round:
-# rounds 1-7 drove all 272 distinct queries green (CORRECTNESS_r01-r07),
-# round 8 re-proved the graph wave (whose plans changed that round) plus
-# every round-1-stale row. Round 9's window leads with the 29 queries
-# whose text/plan changed this round — all fixes found by the
-# randomized-fixture sweep (tests/test_random_fixture_sweep.py), in two
-# waves. Wave 1: sql_drift_psi_event_values + sql_entropy_event_types
-# (bare decimal literals kept Spark in truncating DECIMAL arithmetic
-# over integer-only chains while DuckDB computed doubles),
-# weighted_sample_docs (zero-weight rows crashed Spark under ANSI; CASE
-# guard + id tie-break in both engines), and ann_ivf_topk / ann_pq_topk
-# / ann_ivfpq_topk (zero-norm vectors excluded from index TRAINING in
-# both engines; NULL-score guards). Wave 2 (the sweep extended to the
-# FULL registry): the IVF-PQ encode's unguarded zero-norm division,
-# expectations_violation_counts dropping clean checks,
-# join_size_estimate's decimal rel_err drift, and 13 more queries whose
-# shared-text decimal literals were converted to e0 double literals
-# (the registry-wide decimal lint now guards the class). Then the
-# staleness sweep pre-staged in COVERAGE.md round-8 close: all 28
-# queries whose latest driver row is round 2 (TPC-H q2-q22 tail,
-# windows/pivot/rollup, lead_lag/percentile/profile_approx) — 29+21
-# fill the window exactly; seven round-2 rows and the whole round-3 tier
-# are displaced to lead round 10.
-# The other hardening this round (cache locking, explicit pagerank
-# opt-out, Decimal precision guards, TM domain mask) is result-identical
-# for every registered query. Ordering only -- every query stays
-# registered and locally parity-checked (tests/test_oracle_parity.py,
-# all 272).
+# 50 registered queries per round, and the window ROTATES each round —
+# the top-50 below is round 10's window; everything after it is ordered
+# stalest-first (latest driver row round 3 → 9, recomputed from the
+# CORRECTNESS_r01–r09 union, not from prior prose) so round 11's window
+# is simply the next 50 names. Round 10 leads with the 11 queries whose
+# text/plan changed this round: the exact-cents conversion wave (q1
+# avg_qty/avg_price/avg_disc, lookup_enrich avg_acctbal, acf mu, the two
+# seasonal day-means, bootstrap boot_mean, and the two same-text SQL
+# sites sql_conditional_agg_filter / sql_monthly_revenue_ma3 — every
+# remaining ROUND(AVG(<lattice double>), n) replaced by the portable
+# FLOOR half-up chain over exact order-free BIGINT sums, closing the
+# theoretical run-to-run partial-agg-order risk the r9 midpoint scan
+# documented), benford_first_digit (ABS before FLOOR so negative totals
+# are excluded instead of crashing the ANSI digit cast — advisor item),
+# theil_sen_price_trend (OLS moment SUMs cast to DOUBLE before the
+# COUNT(*) cross-multiplications, which would overflow BIGINT near a
+# ~260-month span — advisor item), and hits_hub_authority (top-25
+# read-out now TakeOrderedAndProject instead of a single-partition
+# global window; hash-identical). Then ALL SEVEN round-2-stale rows
+# (the judge-recomputed set — COVERAGE.md's r9 pre-stage had named only
+# two), then 32 of the 37 remaining round-3 rows; the 5-row round-3
+# tail leads round 11. Ordering only — every query stays registered and
+# locally parity-checked (tests/test_oracle_parity.py, all 272).
 PRIORITY: tuple[str, ...] = (
-    # -- 29 queries whose text/plan CHANGED in round 9 — driver re-proof
-    #    required same-round. First wave (sweep-found): PSI decimal-literal
-    #    drift; weighted-sample zero-weight guard + id tie-break; ANN
-    #    zero-norm training exclusion + NULL-score guards; entropy decimal
-    #    division. Second wave (full-registry sweep extension): the IVF-PQ
-    #    encode's unguarded zero-norm division (inline + persisted index),
-    #    expectations_violation_counts dropping clean checks (now a
-    #    check-domain left join), join_size_estimate's decimal rel_err,
-    #    and the 13-query decimal-literal lint fix (e0 double literals in
-    #    both engines' shared text; results bit-unchanged on the seed-42
-    #    corpus, plans now pure double arithmetic). Late wave-2 riders:
-    #    jl_projection_distortion (zero distance of an exact-duplicate
-    #    embedding pair → NULLIF both engines), the two avg-boundary
-    #    fixes (ROUND(AVG(double),6) flips on rounding-boundary means —
-    #    now exact-integer-cents sums), multimodal_audio_features (the
-    #    oracle walked CHARACTERS while the payload is UTF-8 BYTES —
-    #    now an arithmetic UTF-8 byte expansion), textrank_keywords
-    #    (pagerank ZeroDivision on an empty word graph — now returns
-    #    the oracle's empty relation), benford_first_digit (leading
-    #    digit 0 from a sub-1 total crashed 1/digit — Benford's domain
-    #    is digits 1-9, excluded before the population count), and two
-    #    extra-seed-scan finds: theil_sen's OLS ratio flipping on a 6-dp
-    #    midpoint (now exact-integer micro-dollar moments, centered
-    #    months) and forecast_backtest_mape's mae flipping on a .5-cent
-    #    repr midpoint (now portable FLOOR half-up over exact cents;
-    #    also: MAPE excludes zero-actual days — |Δ|/0 crashed under
-    #    ANSI) plus quantile_sketch_values' dyadic interpolation landing
-    #    on 1e-6 ties (now the portable FLOOR device end-to-end) --
-    "sql_drift_psi_event_values", "weighted_sample_docs", "ann_ivf_topk",
-    "ann_pq_topk", "ann_ivfpq_topk", "sql_entropy_event_types",
-    "expectations_violation_counts", "join_size_estimate",
-    "auc_mann_whitney_embeddings", "dedup_chunk_exact", "dp_exponential_topk",
-    "dp_noisy_counts_laplace", "funnel_latency_quantiles",
-    "gini_revenue_concentration", "nb_lang_classifier_eval",
-    "novelty_rate_docs", "pattern_vshape_prices", "price_index_laspeyres",
-    "temperature_sampled_mix", "theil_sen_price_trend", "zipf_alpha_terms",
-    "jl_projection_distortion", "agg_metrics_summary",
-    "regression_detect_metrics", "multimodal_audio_features",
-    "textrank_keywords", "benford_first_digit", "forecast_backtest_mape",
-    "quantile_sketch_values",
-    # -- 21 round-2-stale rows (driver-proof age: 7 rounds; the last
-    #    seven — percentile_event_values, pivot_orders_status,
-    #    profile_approx_orders, rollup_order_counts,
-    #    semi_join_include_filter, set_ops_union_except,
-    #    window_range_trailing_spend — were displaced by the late fix
-    #    waves and lead round 10) --
-    "q2_min_cost_supplier", "q3_top_unshipped_orders",
-    "q4_order_priority_check", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q10_returned_items", "q11_important_stock", "q12_priority_class_counts",
-    "q13_customer_distribution", "q14_promo_revenue_share",
-    "q15_top_supplier", "q16_supplier_part_buckets",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_revenue", "q20_excess_stock_suppliers",
-    "q21_waiting_supplier", "q22_idle_balance_by_country",
-    "lead_lag_order_gaps",
-    # -- below the driver's 50-row window: round-10 leads first (the 7
-    #    displaced round-2 rows, then the 4
-    #    previously displaced fillers, then the 16 round-3 rows displaced
-    #    by the second-wave fixes) --
+    # -- 11 queries whose text/plan CHANGED in round 10 (see above) --
+    "q1_pricing_summary", "lookup_enrich_customers", "acf_daily_revenue",
+    "seasonal_decompose_weekday", "seasonal_residual_anomalies",
+    "bootstrap_revenue_ci", "sql_conditional_agg_filter",
+    "sql_monthly_revenue_ma3", "benford_first_digit",
+    "theil_sen_price_trend", "hits_hub_authority",
+    # -- all 7 round-2-stale rows (driver-proof age: 8 rounds) --
     "percentile_event_values", "pivot_orders_status",
     "profile_approx_orders", "rollup_order_counts",
-    "semi_join_include_filter",
-    "set_ops_union_except", "window_range_trailing_spend",
-    "sql_ewma_user_values", "sql_conditional_agg_filter",
-    "sql_correlated_scalar_count", "sql_equidepth_value_deciles",
-    "bm25_keyword_topk", "cms_heavy_hitters", "collect_order_years",
-    "decontaminate_eval_overlap", "dedup_simhash_hamming",
-    "doc_chunk_overlap", "incremental_agg_orders", "key_skew_partkey",
-    "keyword_and_search", "profile_orders", 
-    "repetition_quality", "resample_ffill_user_6h", "scd2_state_at_purchase",
-    "snapshot_diff_orders", "approx_distinct_users",
-    "pagerank_part_supplier", "hits_hub_authority",
-    "bfs_hops_from_hub", "kcore_cosupplier_peel",
-    "lpa_cosupplier_communities", "modularity_cosupplier",
-    "assortativity_cosupplier", "jaccard_link_prediction",
-    "triangle_cosupplier_stats", "agg_success_rate",
-    "ann_bucketed_sign_lsh", "bbox_range_filter", "dedup_cluster_assign",
-    "doc_fingerprints", "exists_big_quantity_orders", "json_extract_props",
-    "lang_id_confusion", "lookup_enrich_customers", "mapping_resolution",
-    "mapping_validation_violations", "multimodal_decode_features",
-    "naming_sanitize_chain", "point_in_aoi_filter", "profile_orders_columns",
-    "scalar_subquery_above_avg", "sde_name_derivation",
-    "simhash_fingerprints", "source_fc_reverse_match",
-    "stratified_sample_langs", "text_quality_scores", "token_stats",
-    "top_tokens_per_lang", "train_test_split_assign",
-    "unique_name_allocation", "url_parse_extract", "wgs84_sniff_rule",
-    "anti_join_missing", "bloom_supplier_prune", "cube_lineitem_flags",
-    "distinct_dedupe", "events_sliding_30m15m", "events_tumbling_1h",
-    "grouping_sets_status_priority", "hll_intersect_cohorts",
-    "hll_orders_by_flag", "holt_winters_daily", "markov_attribution_removal",
-    "dedup_containment_pairs", "grid_nearest_poi", "revenue_bridge_monthly",
-    "spend_percentile_by_segment", "wasserstein_value_drift",
-    "runs_test_daily_revenue", "allen_interval_profile",
-    "bh_fdr_nation_conversion", "blocking_quality_er",
-    "brier_next_event_model", "capture_recapture_users", "cramers_v_pairs",
-    "crosscorr_daily_lags", "croston_demand_forecast", "doclen_log_histogram",
-    "effective_catalog_size", "embedding_centroid_drift",
-    "entropy_rate_transitions", "gumbel_weekly_max_revenue",
-    "heaps_vocab_growth", "kendall_tau_daily", "lexical_diversity_by_lang",
-    "logrank_test_retention", "lorenz_curve_deciles",
-    "nb_overdispersion_purchases", "open_orders_backlog_daily",
-    "perfect_order_rate", "price_elasticity_loglog",
-    "readability_flesch_docs", "repeat_purchase_interval",
-    "session_next_event_accuracy", "simpson_paradox_check",
-    "tokenizer_fertility_by_lang", "vocab_coverage_estimates",
-    "theil_index_decomposition", "mcnemar_bigram_vs_marginal",
-    "dedup_embedding_cosine", "dedup_ngram_jaccard", "q1_pricing_summary",
-    "q9_product_type_profit", "events_sessionize_30m",
-    "kaplan_meier_retention", "acf_daily_revenue", "ndcg_label_ranking",
+    "semi_join_include_filter", "set_ops_union_except",
+    "window_range_trailing_spend",
+    # -- 32 round-3-stale rows (driver-proof age: 7 rounds) --
+    "sql_ewma_user_values", "sql_correlated_scalar_count",
+    "sql_equidepth_value_deciles", "bm25_keyword_topk", "cms_heavy_hitters",
+    "collect_order_years", "decontaminate_eval_overlap",
+    "dedup_simhash_hamming", "doc_chunk_overlap", "incremental_agg_orders",
+    "key_skew_partkey", "keyword_and_search", "profile_orders",
+    "repetition_quality", "resample_ffill_user_6h",
+    "scd2_state_at_purchase", "snapshot_diff_orders",
+    "approx_distinct_users", "sql_not_in_null_aware",
+    "sql_keep_first_per_key", "sql_histogram_event_values",
+    "sql_intersect_except_all", "sql_unpivot_status_totals",
+    "sql_last_value_ignore_nulls", "sql_top_customer_per_segment",
+    "sql_funnel_view_click_purchase", "sql_pii_redaction",
+    "sql_outlier_iqr_fences", "sql_ntile_balance_quartiles",
+    "sql_lateral_top2_orders", "sql_fuzzy_name_pairs",
+    "sql_zscore_normalize_events",
+    # ---- below the driver's 50-row window: stalest-first so round 11
+    #      reads top-down — 5 round-3 tail rows, then the round-4 tier --
+    "sql_regression_price_trend", "sql_mode_priority_by_status",
+    "unigram_surprisal_quality", "window_balance_distribution",
+    "windowed_heavy_hitters",
+    "winnow_fingerprint_pairs", "embedding_sq8_topk", "ann_recall_eval",
+    "anomaly_mad_events", "dedup_lsh_recall_eval", "feature_rolling_events",
+    "target_encode_priority", "windowed_quantiles",
+    "cohort_retention_users", "chisq_event_daypart",
+    "corr_lineitem_moments", "multimodal_video_frame_dedup",
+    "embedding_outliers_topk", "bpe_top_merges",
+    "adamic_adar_link_prediction", "entity_resolution_customers",
+    "seasonal_baseline_events", "windowed_distinct_users",
+    "skew_salted_join", "dedup_canonical_pick", "token_budget_allocation",
+    "k_anonymity_audit", "inverted_index_postings", "assoc_rules_events",
+    "stratified_kfold_assign",
+    # -- round-5 tier --
+    "rfm_customer_segments", "markov_transition_events",
+    "change_point_cusum_events", "late_data_accounting",
+    "attribution_credit_events", "stickiness_dau_mau",
+    "corpus_curation_e2e", "dsir_importance_select",
+    "ccnet_perplexity_buckets", "session_path_topk",
+    "ks_test_purchase_view", "anova_f_totalprice_priority",
+    "mutual_info_status_priority", "l_diversity_audit",
+    "pagination_page_manifest", "range_join_click_attribution",
+    "asof_purchase_last_view", "ann_cosine_topk",
+    "bigram_perplexity_quality", "sql_table_checksum_orders",
+    "kmeans_embedding_clusters", "multimodal_ahash_neardup",
+    "split_leakage_check", "interval_merge_sessions", "window_rank_running",
+    # -- round-6 tier --
+    "kaplan_meier_retention", "ndcg_label_ranking",
     "ewma_control_chart_daily", "mann_kendall_trend_revenue",
     "purchase_streaks_histogram", "cohort_ltv_curve",
     "item_cooccurrence_topk", "nelson_aalen_hazard", "ztest_conversion_ab",
-    "seasonal_decompose_weekday", "burstiness_user_interarrival",
-    "session_bounce_rate", "hhi_segment_concentration",
-    "crossdoc_ngram_dup_mass", "diff_in_diff_purchase",
-    "cuped_variance_reduction", "er_precision_recall",
-    "t_closeness_audit",
-    "seasonal_residual_anomalies", "knn_label_accuracy",
+    "burstiness_user_interarrival", "session_bounce_rate",
+    "hhi_segment_concentration", "crossdoc_ngram_dup_mass",
+    "diff_in_diff_purchase", "cuped_variance_reduction",
+    "er_precision_recall", "t_closeness_audit", "knn_label_accuracy",
     "spearman_corr_daily", "gini_split_finder_price",
     "new_vs_returning_revenue", "abc_xyz_inventory_matrix",
     "pareto_abc_revenue", "quantile_normalize_values", "dedup_minhash_lsh",
     "dedup_exact_hash", "cms_partkey_estimates", "hll_orderkey_cardinality",
     "tfidf_top_terms", "bigram_pmi_top", "pack_sequences_budget",
     "quality_filter_gopher", "pagination_page_slice", "cdc_merge_orders",
-    "bootstrap_revenue_ci", "rfm_customer_segments", 
-    "markov_transition_events", "change_point_cusum_events",
-    "late_data_accounting", "attribution_credit_events", "stickiness_dau_mau",
-    "corpus_curation_e2e", "dsir_importance_select",
-    "ccnet_perplexity_buckets", "session_path_topk", "ks_test_purchase_view",
-    "anova_f_totalprice_priority", "mutual_info_status_priority",
-    "l_diversity_audit", "pagination_page_manifest",
-    "range_join_click_attribution", "asof_purchase_last_view",
-    "ann_cosine_topk",
-    "bigram_perplexity_quality", "sql_table_checksum_orders",
-    "kmeans_embedding_clusters", "multimodal_ahash_neardup",
-    "split_leakage_check", "interval_merge_sessions", "window_rank_running",
-    "winnow_fingerprint_pairs", "embedding_sq8_topk", "ann_recall_eval",
-    "anomaly_mad_events", "dedup_lsh_recall_eval", "feature_rolling_events",
-    "target_encode_priority", "windowed_quantiles", "cohort_retention_users",
-    "chisq_event_daypart", "corr_lineitem_moments",
-    "multimodal_video_frame_dedup", 
-    "embedding_outliers_topk", "bpe_top_merges",
-    "adamic_adar_link_prediction", "entity_resolution_customers",
-    "seasonal_baseline_events", "windowed_distinct_users", "skew_salted_join",
-    "dedup_canonical_pick", "token_budget_allocation", "k_anonymity_audit",
-    "inverted_index_postings",
-    "assoc_rules_events", "stratified_kfold_assign", "sql_not_in_null_aware",
-    "sql_keep_first_per_key", "sql_histogram_event_values",
-    "sql_intersect_except_all", "sql_unpivot_status_totals",
-    "sql_last_value_ignore_nulls", "sql_top_customer_per_segment",
-    "sql_monthly_revenue_ma3", "sql_funnel_view_click_purchase",
-    "sql_pii_redaction", "sql_outlier_iqr_fences",
-    "sql_ntile_balance_quartiles", "sql_lateral_top2_orders",
-    "sql_fuzzy_name_pairs", "sql_zscore_normalize_events",
-    "sql_regression_price_trend", "sql_mode_priority_by_status",
-    "unigram_surprisal_quality", "window_balance_distribution",
-    "windowed_heavy_hitters",
+    # -- round-7 tier --
+    "holt_winters_daily", "markov_attribution_removal",
+    "dedup_containment_pairs", "grid_nearest_poi", "revenue_bridge_monthly",
+    "spend_percentile_by_segment", "wasserstein_value_drift",
+    "runs_test_daily_revenue", "allen_interval_profile",
+    "bh_fdr_nation_conversion", "blocking_quality_er",
+    "brier_next_event_model", "capture_recapture_users", "cramers_v_pairs",
+    "crosscorr_daily_lags", "croston_demand_forecast",
+    "doclen_log_histogram", "effective_catalog_size",
+    "embedding_centroid_drift", "entropy_rate_transitions",
+    "gumbel_weekly_max_revenue", "heaps_vocab_growth", "kendall_tau_daily",
+    "lexical_diversity_by_lang", "logrank_test_retention",
+    "lorenz_curve_deciles", "nb_overdispersion_purchases",
+    "open_orders_backlog_daily", "perfect_order_rate",
+    "price_elasticity_loglog", "readability_flesch_docs",
+    "repeat_purchase_interval", "session_next_event_accuracy",
+    "simpson_paradox_check", "tokenizer_fertility_by_lang",
+    "vocab_coverage_estimates", "theil_index_decomposition",
+    "mcnemar_bigram_vs_marginal", "dedup_embedding_cosine",
+    "dedup_ngram_jaccard", "q9_product_type_profit",
+    "events_sessionize_30m",
+    # -- round-8 tier --
+    "pagerank_part_supplier", "bfs_hops_from_hub", "kcore_cosupplier_peel",
+    "lpa_cosupplier_communities", "modularity_cosupplier",
+    "assortativity_cosupplier", "jaccard_link_prediction",
+    "triangle_cosupplier_stats", "agg_success_rate",
+    "ann_bucketed_sign_lsh", "bbox_range_filter", "dedup_cluster_assign",
+    "doc_fingerprints", "exists_big_quantity_orders", "json_extract_props",
+    "lang_id_confusion", "mapping_resolution",
+    "mapping_validation_violations", "multimodal_decode_features",
+    "naming_sanitize_chain", "point_in_aoi_filter",
+    "profile_orders_columns", "scalar_subquery_above_avg",
+    "sde_name_derivation", "simhash_fingerprints",
+    "source_fc_reverse_match", "stratified_sample_langs",
+    "text_quality_scores", "token_stats", "top_tokens_per_lang",
+    "train_test_split_assign", "unique_name_allocation",
+    "url_parse_extract", "wgs84_sniff_rule", "anti_join_missing",
+    "bloom_supplier_prune", "cube_lineitem_flags", "distinct_dedupe",
+    "events_sliding_30m15m", "events_tumbling_1h",
+    "grouping_sets_status_priority", "hll_intersect_cohorts",
+    "hll_orders_by_flag",
+    # -- round-9 tier (freshest) --
+    "sql_drift_psi_event_values", "weighted_sample_docs", "ann_ivf_topk",
+    "ann_pq_topk", "ann_ivfpq_topk", "sql_entropy_event_types",
+    "expectations_violation_counts", "join_size_estimate",
+    "auc_mann_whitney_embeddings", "dedup_chunk_exact",
+    "dp_exponential_topk", "dp_noisy_counts_laplace",
+    "funnel_latency_quantiles", "gini_revenue_concentration",
+    "nb_lang_classifier_eval", "novelty_rate_docs", "pattern_vshape_prices",
+    "price_index_laspeyres", "temperature_sampled_mix", "zipf_alpha_terms",
+    "jl_projection_distortion", "agg_metrics_summary",
+    "regression_detect_metrics", "multimodal_audio_features",
+    "textrank_keywords", "forecast_backtest_mape", "quantile_sketch_values",
+    "q2_min_cost_supplier", "q3_top_unshipped_orders",
+    "q4_order_priority_check", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q10_returned_items", "q11_important_stock",
+    "q12_priority_class_counts", "q13_customer_distribution",
+    "q14_promo_revenue_share", "q15_top_supplier",
+    "q16_supplier_part_buckets", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers", "q21_waiting_supplier",
+    "q22_idle_balance_by_country", "lead_lag_order_gaps",
 )
 
 

@@ -24,6 +24,14 @@ from etl_pipeline_spark.sources.star import load_table
 # generalized to the TPC-H Q1 pricing-summary pattern.
 # Scale: filter + projection reach the parquet scan (PushedFilters/ReadSchema);
 # 6-group hash agg with map-side combine — no skew risk, one shuffle.
+# Rounded means use the portable exact-lattice device, not ROUND(AVG(x)):
+# inputs are exact lattice values (quantity integer, price/discount 2-dp),
+# so SUM over the integer-scaled column is an exact order-free BIGINT and
+# FLOOR(sum·scale / n + 0.5) is the same correctly-rounded double chain in
+# both engines — no partial-agg-order jitter, no repr-vs-binary ROUND
+# divergence at midpoints (the agg_metrics_summary / forecast mae class).
+# The 2-dp money SUMs stay ROUND(SUM(double), 2): the true sum is a cents
+# multiple, so the nearest 2-dp boundary is 10⁷× the float jitter.
 # --------------------------------------------------------------------------
 @register(
     "q1_pricing_summary",
@@ -35,9 +43,12 @@ from etl_pipeline_spark.sources.star import load_table
             ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
             ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-            ROUND(AVG(l_quantity), 6)                              AS avg_qty,
-            ROUND(AVG(l_extendedprice), 2)                         AS avg_price,
-            ROUND(AVG(l_discount), 6)                              AS avg_disc,
+            FLOOR(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) * 1.0e6
+                  / COUNT(*) + 0.5e0) / 1.0e6                      AS avg_qty,
+            FLOOR(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) * 1.0e0
+                  / COUNT(*) + 0.5e0) / 100.0e0                    AS avg_price,
+            FLOOR(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) * 1.0e4
+                  / COUNT(*) + 0.5e0) / 1.0e6                      AS avg_disc,
             COUNT(*)                                               AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -56,9 +67,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.expr(
+                "FLOOR(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) * 1.0e6"
+                " / COUNT(*) + 0.5e0) / 1.0e6"
+            ).alias("avg_qty"),
+            F.expr(
+                "FLOOR(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) * 1.0e0"
+                " / COUNT(*) + 0.5e0) / 100.0e0"
+            ).alias("avg_price"),
+            F.expr(
+                "FLOOR(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) * 1.0e4"
+                " / COUNT(*) + 0.5e0) / 1.0e6"
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -178,7 +198,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             r_name,
             n_name,
             COUNT(*)                    AS n_customers,
-            ROUND(AVG(c_acctbal), 6)    AS avg_acctbal
+            -- exact-cents mean (the q1 device): SUM(cents) is an exact
+            -- order-free BIGINT; FLOOR(x + 0.5) is half-up toward +inf,
+            -- identical in both engines even for negative balances
+            FLOOR(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) * 1.0e4
+                  / COUNT(*) + 0.5e0) / 1.0e6 AS avg_acctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -196,7 +220,10 @@ def lookup_enrich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            F.expr(
+                "FLOOR(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) * 1.0e4"
+                " / COUNT(*) + 0.5e0) / 1.0e6"
+            ).alias("avg_acctbal"),
         )
     )
 

@@ -461,7 +461,13 @@ def _boot_oracle() -> str:
             FROM reps
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
-               ROUND(AVG(m), 4) AS boot_mean,
+               -- exact-lattice mean over the B 4-dp replicate means: the
+               -- 1e-4-unit SUM is an exact order-free BIGINT, so the
+               -- FLOOR half-up chain can't flip on a ROUND(AVG(double))
+               -- midpoint (the forecast-mae class); NULLIF keeps the
+               -- empty-orders degenerate NULL-safe under ANSI
+               FLOOR(SUM(CAST(ROUND(m * 1.0e4, 0) AS BIGINT)) * 1.0e0
+                     / NULLIF(COUNT(*), 0) + 0.5e0) / 1.0e4 AS boot_mean,
                MAX(CASE WHEN r_asc = 2 THEN m END) AS ci_lo,
                MAX(CASE WHEN r_desc = 2 THEN m END) AS ci_hi
         FROM ranked
@@ -518,7 +524,10 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
-        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.expr(
+            "FLOOR(SUM(CAST(ROUND(m * 1.0e4, 0) AS BIGINT)) * 1.0e0"
+            " / NULLIF(COUNT(*), 0) + 0.5e0) / 1.0e4"
+        ).alias("boot_mean"),
         F.max(F.when(F.col("r_asc") == 2, F.col("m"))).alias("ci_lo"),
         F.max(F.when(F.col("r_desc") == 2, F.col("m"))).alias("ci_hi"),
     )

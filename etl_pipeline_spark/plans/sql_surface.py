@@ -209,8 +209,17 @@ _sql_query(
           FROM orders GROUP BY 1
         )
         SELECT ym, revenue,
-               ROUND(AVG(revenue) OVER (
-                   ORDER BY ym ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+               -- exact-cents windowed mean (the q1 device): the trailing
+               -- 3-month mean of 2-dp revenues is a cents/(100·k) rational
+               -- that can land ON a 2-dp midpoint, where the engines'
+               -- native ROUND conventions disagree; the FLOOR half-up
+               -- chain over the exact BIGINT window sum is bit-identical
+               FLOOR(SUM(CAST(ROUND(revenue * 100, 0) AS BIGINT)) OVER (
+                         ORDER BY ym ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                     * 1.0e0
+                     / COUNT(*) OVER (
+                         ORDER BY ym ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                     + 0.5e0) / 100.0e0
                    AS revenue_ma3
         FROM monthly
     """,
@@ -454,7 +463,13 @@ _sql_query(
         SELECT o_orderpriority,
                CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
                CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
-               ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+               -- exact-cents conditional mean (the q1 device); NULLIF
+               -- keeps a no-'F' group NULL like AVG FILTER did, instead
+               -- of an ANSI zero-divide
+               FLOOR(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                         FILTER (WHERE o_orderstatus = 'F') * 1.0e0
+                     / NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0)
+                     + 0.5e0) / 100.0e0
                    AS avg_finished_price
         FROM orders GROUP BY o_orderpriority
     """,

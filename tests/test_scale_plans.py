@@ -777,6 +777,17 @@ def test_hits_no_cartesian_and_narrow_scans(spark):
         assert "o_totalprice" not in ln and "l_extendedprice" not in ln
 
 
+def test_hits_topk_readout_is_take_ordered(spark):
+    """The top-25 read-out must be TakeOrderedAndProject (per-partition
+    heaps of k merged on the driver), not a global row_number window that
+    funnels the whole node relation through one partition. The residual
+    windows in the plan only rank the 25-row limited relations."""
+    plan = _plan(
+        spark, REGISTRY["hits_hub_authority"].spark_fn(spark, SF_DIR)
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_simpson_single_fact_pass(spark):
     """Pooled moments re-sum the stratum moments — exactly ONE lineitem
     scan in the plan."""
