@@ -19,17 +19,36 @@ queried many times), but it needs two disciplines this module centralizes:
   invoking plan functions directly across many sessions own the call.
   Entries keyed by a stopped session's applicationId hold only dead
   driver-side references (their blocks died with the session); they are
-  reclaimed by the next ``clear_caches()`` (no-arg) or process exit.
+  reclaimed by the next ``clear_caches()`` (no-arg), by the
+  LRU-of-applications cap below, or by the atexit sweep.
+
+A process that drives plan functions directly across MANY sessions and
+never calls ``clear_caches`` would still accumulate one key set per
+applicationId (dead driver-side references — cheap, but unbounded), so
+``memoized_relation`` additionally keeps an LRU of applicationIds capped
+at ``_MAX_APPS``: touching a relation under a NEW application evicts the
+entries of the least-recently-used application beyond the cap. Evicting
+a still-live application is correctness-neutral — ``build()`` is pure,
+so its next touch just rebuilds — and ``_MAX_APPS`` concurrent Spark
+applications in one driver process is already far beyond real use. An
+``atexit`` hook runs ``clear_caches()`` so interpreter shutdown releases
+whatever remains without relying on session GC order.
 """
 
 from __future__ import annotations
 
+import atexit
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
 # every memo dict registers here so clear_caches can reach it
 _CACHES: list[dict] = []
+
+# recency-ordered applicationIds with live memo entries (last = newest);
+# a plain dict preserves insertion order, re-insertion refreshes recency
+_APP_LRU: dict[str, None] = {}
+_MAX_APPS = 4
 
 # guards the check-then-set in memoized_relation and the pop-then-unpersist
 # in clear_caches: dict ops alone are GIL-atomic, but the compound sequences
@@ -60,9 +79,19 @@ def memoized_relation(cache: dict, spark: SparkSession, extra_key: tuple, build)
     so the cached and cold relations are row-identical
     (tests/test_edge_cache.py pins this) — and the cache registry keeps
     eviction (clear_caches) working uniformly."""
-    key = (session_key(spark), *extra_key)
+    sid = session_key(spark)
+    key = (sid, *extra_key)
     with _LOCK:
+        _APP_LRU.pop(sid, None)
+        _APP_LRU[sid] = None  # refresh recency
+        evict = [a for a in _APP_LRU if a != sid][: max(0, len(_APP_LRU) - _MAX_APPS)]
+        stale: list = []
+        for app in evict:
+            del _APP_LRU[app]
+            for c in _CACHES:
+                stale.extend(c.pop(k) for k in list(c) if k[0] == app)
         got = cache.get(key)
+    _unpersist_values(stale)
     if got is not None:
         return got
     # build outside the lock (a slow build must not serialize unrelated
@@ -84,6 +113,19 @@ def memoized_relation(cache: dict, spark: SparkSession, extra_key: tuple, build)
     return winner
 
 
+def _unpersist_values(values: list) -> None:
+    """Best-effort unpersist of popped memo values (DataFrames or tuples
+    of them); a stopped session just means the blocks are already gone."""
+    for val in values:
+        members = val if isinstance(val, tuple) else (val,)
+        for v in members:
+            if isinstance(v, DataFrame):
+                try:
+                    v.unpersist()
+                except Exception:  # noqa: BLE001 — session already stopped
+                    pass
+
+
 def clear_caches(spark: SparkSession | None = None) -> int:
     """Unpersist and evict memoized relations; returns entries dropped.
 
@@ -99,13 +141,16 @@ def clear_caches(spark: SparkSession | None = None) -> int:
                 for key in list(cache)
                 if sid is None or key[0] == sid
             ]
-        for val in popped:
-            members = val if isinstance(val, tuple) else (val,)
-            for v in members:
-                if isinstance(v, DataFrame):
-                    try:
-                        v.unpersist()
-                    except Exception:  # noqa: BLE001 — session already stopped
-                        pass
-            dropped += 1
+            if sid is None:
+                _APP_LRU.clear()
+            else:
+                _APP_LRU.pop(sid, None)
+        _unpersist_values(popped)
+        dropped += len(popped)
     return dropped
+
+
+# release whatever the last workloads left pinned when the interpreter
+# exits — covers processes that never construct Pipeline (whose run()
+# already clears on exit) and never call clear_caches themselves
+atexit.register(clear_caches)

@@ -1,0 +1,179 @@
+"""Round-10 pins: the exact-cents conversion wave's midpoint devices, the
+two round-9 advisor items (Benford negative totals, OLS BIGINT overflow
+on multi-decade spans), and the session-cache LRU-of-applications cap.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
+from tests.conftest import assert_oracle_match
+
+_ensure_loaded()
+
+
+def _duck_for(tmpdir, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{tmpdir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+def _write_orders(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+        "o_orderpriority",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path), df
+
+
+# ---------------------------------------------------------------------------
+# Advisor item 1: Benford over negative totals. FLOOR(o_totalprice) of a
+# negative total puts '-' in the leading character, where the ANSI digit
+# cast crashed BEFORE the 1-9 domain filter could exclude it. With
+# FLOOR(ABS(...)) the magnitude's digit is analyzed (the standard Benford
+# convention) and sub-1 magnitudes stay excluded.
+# ---------------------------------------------------------------------------
+def test_benford_negative_totals_analyze_magnitude(spark, tmp_path):
+    rows = [
+        (1, 1, "F", -52.30, "1995-01-01", "1-URGENT"),  # magnitude digit 5
+        (2, 1, "F", -0.50, "1995-01-02", "1-URGENT"),   # |x| < 1: excluded
+        (3, 1, "O", 19.99, "1995-01-03", "1-URGENT"),   # digit 1
+        (4, 1, "O", 0.00, "1995-01-04", "1-URGENT"),    # excluded (r9 pin)
+        (5, 1, "O", 523.45, "1995-01-05", "1-URGENT"),  # digit 5
+    ]
+    sf, _ = _write_orders(spark, tmp_path, rows)
+    spec = REGISTRY["benford_first_digit"]
+    df = spec.spark_fn(spark, sf)  # must not crash under ANSI
+    con = _duck_for(sf, ["orders"])
+    assert_oracle_match(df, con, spec.oracle, "benford_negative_edge")
+    got = {r.digit: r.n_orders for r in df.collect()}
+    assert got == {5: 2, 1: 1}
+
+
+# ---------------------------------------------------------------------------
+# Advisor item 2: the OLS cross-multiplications COUNT(*)·SUM((m−m0)·vm)
+# grow ~span³·vm and overflowed BIGINT near a ~260-month span (ANSI crash
+# in Spark, silent HUGEINT widening in DuckDB — a parity break by crash).
+# 480 months × ~5e5 totals push the old form to ~2.8e19 > BIGINT; the
+# DOUBLE-cast moments must survive it with both engines agreeing.
+# ---------------------------------------------------------------------------
+def test_theil_sen_ols_multidecade_span_no_overflow(spark, tmp_path):
+    rows = [
+        (
+            m + 1,
+            1,
+            "F",
+            499999.99,
+            f"{1970 + m // 12}-{m % 12 + 1:02d}-01",
+            "1-URGENT",
+        )
+        for m in range(480)
+    ]
+    sf, _ = _write_orders(spark, tmp_path, rows)
+    spec = REGISTRY["theil_sen_price_trend"]
+    df = spec.spark_fn(spark, sf)  # old form: ANSI BIGINT overflow here
+    con = _duck_for(sf, ["orders"])
+    assert_oracle_match(df, con, spec.oracle, "theil_sen_multidecade_edge")
+    row = df.collect()[0]
+    assert row.n_months == 480
+    assert row.ols_slope == 0.0 and row.theil_sen_slope == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Exact-cents device pin: a conditional mean landing EXACTLY on a .5-cent
+# midpoint (1.00 + 1.01 over 2 rows → 1.005). ROUND(AVG(double), 2) split
+# the engines here (Spark rounds the repr "1.005" HALF_UP → 1.01, DuckDB
+# rounds the binary 1.00499…9 → 1.00); the FLOOR half-up chain over the
+# exact BIGINT cent sum gives 1.01 in BOTH. Also pins the NULLIF guard: a
+# group with zero 'F' rows is NULL, not an ANSI zero-divide.
+# ---------------------------------------------------------------------------
+def test_conditional_avg_exact_half_cent_midpoint(spark, tmp_path):
+    rows = [
+        (1, 1, "F", 1.00, "1995-01-01", "1-URGENT"),
+        (2, 1, "F", 1.01, "1995-01-02", "1-URGENT"),
+        (3, 1, "O", 9.99, "1995-01-03", "1-URGENT"),
+        (4, 1, "O", 5.00, "1995-01-04", "2-HIGH"),  # no 'F' in this group
+    ]
+    _, df = _write_orders(spark, tmp_path, rows)
+    df.createOrReplaceTempView("orders")
+    sql = REGISTRY["sql_conditional_agg_filter"].oracle
+    got = {
+        r.o_orderpriority: r.avg_finished_price
+        for r in spark.sql(sql).collect()
+    }
+    con = duckdb.connect()
+    con.register("orders", df.toPandas())
+    want = {
+        r[0]: r[3]
+        for r in con.execute(sql).fetchall()
+    }
+    assert got["1-URGENT"] == want["1-URGENT"] == 1.01
+    assert got["2-HIGH"] is None and want["2-HIGH"] is None
+
+
+# ---------------------------------------------------------------------------
+# Same device, windowed form: a 2-row trailing window mean on the exact
+# half-cent midpoint (the first ma3 frame holds 1 row, the second 2).
+# ---------------------------------------------------------------------------
+def test_monthly_ma3_exact_half_cent_midpoint(spark, tmp_path):
+    rows = [
+        (1, 1, "F", 1.00, "1995-01-15", "1-URGENT"),
+        (2, 1, "F", 1.01, "1995-02-15", "1-URGENT"),
+    ]
+    _, df = _write_orders(spark, tmp_path, rows)
+    df.createOrReplaceTempView("orders")
+    sql = REGISTRY["sql_monthly_revenue_ma3"].oracle
+    got = {r.ym: r.revenue_ma3 for r in spark.sql(sql).collect()}
+    con = duckdb.connect()
+    con.register("orders", df.toPandas())
+    want = {r[0]: r[2] for r in con.execute(sql).fetchall()}
+    assert got == want == {199501: 1.0, 199502: 1.01}
+
+
+# ---------------------------------------------------------------------------
+# Session-cache LRU-of-applications cap (round-9 advisor nit 7): a process
+# that drives plan functions across many sessions and never constructs
+# Pipeline must not grow the memo registry without bound — entries of the
+# least-recently-used application beyond _MAX_APPS are evicted (and a pure
+# build() makes eviction of a live app correctness-neutral: next touch
+# rebuilds).
+# ---------------------------------------------------------------------------
+def test_app_lru_cap_evicts_stalest_application(spark, monkeypatch):
+    from etl_pipeline_spark.utils import session_cache as sc
+
+    cache = sc.register_cache({})
+    current = {"app": ""}
+    monkeypatch.setattr(sc, "session_key", lambda s: current["app"])
+    monkeypatch.setattr(sc, "_APP_LRU", {})
+    n_apps = sc._MAX_APPS + 3
+    for i in range(n_apps):
+        current["app"] = f"fake-app-{i}"
+        sc.memoized_relation(
+            cache, spark, ("edge",),
+            lambda: spark.range(5).withColumn("y", F.col("id") * 2),
+        )
+    kept = {f"fake-app-{i}" for i in range(n_apps - sc._MAX_APPS, n_apps)}
+    assert set(sc._APP_LRU) == kept
+    assert {k[0] for k in cache} == kept
+    # touching an old (evicted) app again just rebuilds — pure build()
+    current["app"] = "fake-app-0"
+    got = sc.memoized_relation(
+        cache, spark, ("edge",),
+        lambda: spark.range(5).withColumn("y", F.col("id") * 2),
+    )
+    assert got.count() == 5
+    sc.clear_caches()
+    assert not cache and not sc._APP_LRU

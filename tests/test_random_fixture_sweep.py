@@ -10,10 +10,15 @@ an exact-duplicate document pair; zero-norm, exact-duplicate, and
 constant embeddings; a single-member language stratum; an orphan
 foreign key; a zero order total; BETWEEN-boundary discounts; a
 guaranteed (custkey, orderdate) duplicate; an hour-aligned event and an
-exact-30-minute session gap. A query whose parity silently depends on
-a fixture accident (no ties, dense days, all-positive values, FK
-integrity, ASCII text) fails HERE instead of on user data — twelve
-real engine-parity bug classes found so far.
+exact-30-minute session gap; and (r10) multimodal payload plants on
+every fake-codec branch — zero-length and single-byte blobs on the
+image branch, single-byte and whitespace-only on audio, single-byte
+and a long max-size payload on video (the codecs read the text's UTF-8
+bytes as the blob, so these ARE the hostile media payloads). A query
+whose parity silently depends on a fixture accident (no ties, dense
+days, all-positive values, FK integrity, ASCII text) fails HERE
+instead of on user data — twelve real engine-parity bug classes found
+so far.
 
 Same compare as the driver: row count + column names + order-insensitive
 stringified values (tests/conftest.canonicalize).
@@ -248,7 +253,14 @@ def _gen_star(out_dir: str, seed: int) -> None:
         ),
     )
 
-    n_doc = 12
+    # doc_id = i + 1; the multimodal queries branch on doc_id % 3
+    # (0 → image/aHash, 1 → audio bands, 2 → video keyframes), so the
+    # payload-hostile plants below are placed by residue: each modality
+    # branch must see a zero-length or single-byte payload (the r10
+    # multimodal plants — the fake codecs treat text UTF-8 bytes as the
+    # blob, so these ARE the zero-length/1-byte media blobs), plus one
+    # long payload to stress offset sampling / band splits at max size.
+    n_doc = 18
     texts = []
     for i in range(n_doc):
         if i == 0:
@@ -277,6 +289,20 @@ def _gen_star(out_dir: str, seed: int) -> None:
             # text-as-payload kernels document a byte==char ASCII
             # assumption that real media bytes would not have
             texts.append("héllo wörld 中文 données 👍 " + rng.choice(_WORDS))
+        elif i == 12:
+            texts.append("q")  # doc 13 % 3 == 1: SINGLE-BYTE audio blob
+        elif i == 13:
+            texts.append("v")  # doc 14 % 3 == 2: single-byte video blob
+        elif i == 14:
+            texts.append("")  # doc 15 % 3 == 0: ZERO-LENGTH image blob
+        elif i == 15:
+            texts.append("   ")  # doc 16 % 3 == 1: whitespace-only audio
+        elif i == 16:
+            # doc 17 % 3 == 2: LONG video payload — max keyframe count,
+            # offset sampling far past the other docs' byte ranges
+            texts.append(" ".join(rng.choice(_WORDS) for _ in range(200)))
+        elif i == 17:
+            texts.append("x")  # doc 18 % 3 == 0: single-byte image blob
         else:
             texts.append(
                 " ".join(rng.choice(_WORDS) for _ in range(rng.randrange(3, 40)))
@@ -394,6 +420,62 @@ def _assert_no_decimal_drift(name, df):
         f"{name}: decimal arithmetic in analyzed plan "
         f"(decimal={ndec}, CheckOverflow={nover}) — use e0-suffixed double "
         "literals (0.5e0) or add an exactness-proven exemption"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lattice-mean lint (round 10, closes the ROUND(AVG(...)) class the same
+# way the decimal lint closed bare literals): a mean of LATTICE values
+# (exact cents / integers / n-dp rounded) can land exactly ON a rounding
+# midpoint, where Spark's repr-HALF_UP and DuckDB's binary rounding
+# disagree AND Spark's own partial-agg order jitters run to run. Those
+# sites must use the portable FLOOR(sum·scale / n + 0.5) device over an
+# exact BIGINT sum (q1 / forecast-mae shape). ROUND(AVG(x)) stays legal
+# only where x is provably NOT lattice-dense at midpoints — each
+# exemption records why.
+# ---------------------------------------------------------------------------
+_ROUND_AVG_EXEMPT = {
+    # AVG of exact 0.0/1.0 doubles: the sum is an exact integer-valued
+    # double (< 2^53), order-free; the single division is correctly
+    # rounded identically in both engines.
+    "agg_success_rate",
+    # bness = (σ−μ)/(σ+μ) with σ a SQRT — transcendental per-user values,
+    # not on any decimal lattice; midpoints are measure-zero (the ANOVA
+    # jitter convention, documented at the query).
+    "burstiness_user_interarrival",
+    # cross_entropy is a LN-derived double — transcendental, same
+    # convention.
+    "ccnet_perplexity_buckets",
+    # APE terms are |Δcents|/cents ratios with per-day denominators —
+    # dense rationals, not a fixed decimal lattice; day-domain mean,
+    # jitter ~1e-16 vs the 6-dp round (documented at the query). The
+    # lattice-mean mae beside it already uses the FLOOR device.
+    "forecast_backtest_mape",
+    # -LN(count ratio) — transcendental.
+    "unigram_surprisal_quality",
+}
+
+_SQL_COMMENT_RE = None
+
+
+def test_no_unexempted_round_avg_in_oracles():
+    import re
+
+    global _SQL_COMMENT_RE
+    if _SQL_COMMENT_RE is None:
+        _SQL_COMMENT_RE = re.compile(r"--[^\n]*")
+    pat = re.compile(r"ROUND\s*\(\s*AVG\s*\(", re.I)
+    bad = [
+        n
+        for n, spec in sorted(REGISTRY.items())
+        if spec.oracle
+        and n not in _ROUND_AVG_EXEMPT
+        and pat.search(_SQL_COMMENT_RE.sub("", spec.oracle))
+    ]
+    assert not bad, (
+        f"ROUND(AVG(...)) over potentially lattice-valued inputs in {bad} — "
+        "use the exact-sum FLOOR half-up device (see q1_pricing_summary) or "
+        "add a justified exemption"
     )
 
 
