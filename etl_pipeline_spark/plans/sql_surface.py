@@ -379,7 +379,14 @@ _sql_query(
         )
         SELECT f.o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_outliers,
-               ROUND(f.q3 + 0.5 * (f.q3 - f.q1), 2) AS upper_fence,
+               -- the fence 1.5*q3 - 0.5*q1 is a DYADIC rational on the
+               -- eighth-cent lattice (quarter-cent percentiles * 0.5)
+               -- that can land exactly ON a .5-cent midpoint, where the
+               -- engines' native ROUND conventions disagree (probe-seed
+               -- find, the quantile_sketch_values class) — portable
+               -- FLOOR half-up instead, identical doubles in both
+               FLOOR((f.q3 + 0.5 * (f.q3 - f.q1)) * 100.0e0 + 0.5e0)
+                   / 100.0e0 AS upper_fence,
                ROUND(MAX(o.o_totalprice), 2) AS max_outlier
         FROM fences f JOIN orders o ON o.o_orderpriority = f.o_orderpriority
         WHERE o.o_totalprice > f.q3 + 0.5 * (f.q3 - f.q1)

@@ -144,6 +144,37 @@ def test_monthly_ma3_exact_half_cent_midpoint(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Probe-seed find (r10, seed 131): the IQR upper fence 1.5·q3 − 0.5·q1 is
+# a dyadic rational on the EIGHTH-cent lattice, so it can land exactly ON
+# a .5-cent midpoint where ROUND(x, 2) splits the engines (repr-HALF_UP
+# vs binary: Spark rounds the shortest repr "10.015" up, DuckDB rounds
+# the binary value down). 5 totals with q1 = 10.00 (exact rank), q3 =
+# 10.01 put the fence at 10.015; the FLOOR half-up device computes the
+# identical double chain in both engines — here the ×100 multiply snaps
+# the just-below double onto exactly 1001.5, so BOTH give 10.02 (what
+# matters is agreement, not which side of the true rational they land).
+# ---------------------------------------------------------------------------
+def test_iqr_fence_exact_half_cent_midpoint(spark, tmp_path):
+    rows = [
+        (1, 1, "F", 1.00, "1995-01-01", "1-URGENT"),
+        (2, 1, "F", 10.00, "1995-01-02", "1-URGENT"),
+        (3, 1, "F", 10.00, "1995-01-03", "1-URGENT"),
+        (4, 1, "F", 10.01, "1995-01-04", "1-URGENT"),
+        (5, 1, "F", 50.00, "1995-01-05", "1-URGENT"),
+    ]
+    _, df = _write_orders(spark, tmp_path, rows)
+    df.createOrReplaceTempView("orders")
+    sql = REGISTRY["sql_outlier_iqr_fences"].oracle
+    got = spark.sql(sql).collect()
+    con = duckdb.connect()
+    con.register("orders", df.toPandas())
+    want = con.execute(sql).fetchall()
+    assert len(got) == len(want) == 1
+    assert got[0].upper_fence == want[0][2] == 10.02
+    assert got[0].n_outliers == want[0][1] == 1
+
+
+# ---------------------------------------------------------------------------
 # Session-cache LRU-of-applications cap (round-9 advisor nit 7): a process
 # that drives plan functions across many sessions and never constructs
 # Pipeline must not grow the memo registry without bound — entries of the
