@@ -30,8 +30,13 @@ from etl_pipeline_spark.sources.star import load_table
 # FLOOR(sum·scale / n + 0.5) is the same correctly-rounded double chain in
 # both engines — no partial-agg-order jitter, no repr-vs-binary ROUND
 # divergence at midpoints (the agg_metrics_summary / forecast mae class).
-# The 2-dp money SUMs stay ROUND(SUM(double), 2): the true sum is a cents
-# multiple, so the nearest 2-dp boundary is 10⁷× the float jitter.
+# The PLAIN 2-dp money SUM stays ROUND(SUM(double), 2): its true sum is a
+# cents multiple, so the nearest 2-dp boundary is 10⁷× the float jitter.
+# The PRODUCT sums (disc_price on the 1e-4 lattice, charge on 1e-6) can
+# land exactly ON a .005 tie, so they accumulate as exact integers —
+# DECIMAL(38,0) on Spark / HUGEINT-summed BIGINT in DuckDB (the gini
+# device; BIGINT alone would overflow near 1e19 ≈ tens of TB) — and take
+# the FLOOR half-up through identical correctly-rounded double chains.
 # --------------------------------------------------------------------------
 @register(
     "q1_pricing_summary",
@@ -41,8 +46,15 @@ from etl_pipeline_spark.sources.star import load_table
             l_linestatus,
             SUM(l_quantity)                                        AS sum_qty,
             ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
-            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
-            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+            FLOOR(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                           * CAST(100 - ROUND(l_discount * 100, 0) AS BIGINT))
+                       AS DOUBLE)
+                  / 100.0e0 + 0.5e0) / 100.0e0                     AS sum_disc_price,
+            FLOOR(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                           * CAST(100 - ROUND(l_discount * 100, 0) AS BIGINT)
+                           * CAST(100 + ROUND(l_tax * 100, 0) AS BIGINT))
+                       AS DOUBLE)
+                  / 10000.0e0 + 0.5e0) / 100.0e0                   AS sum_charge,
             FLOOR(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) * 1.0e6
                   / COUNT(*) + 0.5e0) / 1.0e6                      AS avg_qty,
             FLOOR(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) * 1.0e0
@@ -58,15 +70,29 @@ from etl_pipeline_spark.sources.star import load_table
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.expr("CAST('1998-09-02 00:00:00' AS TIMESTAMP_NTZ)"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            # DECIMAL(38,0) accumulators mirror the oracle's HUGEINT sums
+            # (exact at any scale); every post-SUM op is double
+            F.expr(
+                "FLOOR(CAST(SUM(CAST("
+                "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+                " * CAST(100 - ROUND(l_discount * 100, 0) AS BIGINT)"
+                " AS DECIMAL(38,0))) AS DOUBLE)"
+                " / 100.0e0 + 0.5e0) / 100.0e0"
+            ).alias("sum_disc_price"),
+            F.expr(
+                "FLOOR(CAST(SUM(CAST("
+                "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+                " * CAST(100 - ROUND(l_discount * 100, 0) AS BIGINT)"
+                " * CAST(100 + ROUND(l_tax * 100, 0) AS BIGINT)"
+                " AS DECIMAL(38,0))) AS DOUBLE)"
+                " / 10000.0e0 + 0.5e0) / 100.0e0"
+            ).alias("sum_charge"),
             F.expr(
                 "FLOOR(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) * 1.0e6"
                 " / COUNT(*) + 0.5e0) / 1.0e6"

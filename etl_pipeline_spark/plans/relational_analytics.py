@@ -451,7 +451,14 @@ def _boot_oracle() -> str:
             {weight_rows}
         ),
         reps AS (
-            SELECT b, ROUND(SUM(w * o_totalprice) / SUM(w), 4) AS m
+            -- weighted replicate mean on the cents lattice: SUM(w·cents)
+            -- is exact (HUGEINT here, DECIMAL(38,0) on the Spark side —
+            -- BIGINT would overflow near tens of TB), so the FLOOR
+            -- half-up chain is identical doubles in both engines instead
+            -- of ROUND over a jittered double sum that can tie at 1e-4
+            SELECT b, FLOOR(CAST(SUM(w * CAST(ROUND(o_totalprice * 100, 0)
+                                              AS BIGINT)) AS DOUBLE)
+                            * 100.0e0 / SUM(w) + 0.5e0) / 10000.0e0 AS m
             FROM rep GROUP BY b
         ),
         ranked AS (
@@ -507,9 +514,14 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.expr(u_from_digest(b)) for b in range(_BOOT_B)])
         ).alias("b", "u"),
     ).select("o_totalprice", "b", F.expr(_poisson_w_sql("u")).alias("w"))
+    # exact weighted mean (see the oracle note): DECIMAL(38,0) accumulator
+    # mirrors DuckDB's HUGEINT sum, FLOOR half-up replaces the tie-prone
+    # ROUND over a jittered double sum
     reps = rep.groupBy("b").agg(
-        F.round(
-            F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w"), 4
+        F.expr(
+            "FLOOR(CAST(SUM(CAST(w * CAST(ROUND(o_totalprice * 100, 0)"
+            " AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)"
+            " * 100.0e0 / SUM(w) + 0.5e0) / 10000.0e0"
         ).alias("m")
     )
     # 32 rows from here down — the global windows are bounded by B, and

@@ -395,7 +395,17 @@ def random_sf(request, tmp_path_factory):
 #   - gini_revenue_concentration: CAST(rnk AS DECIMAL(38,0)) * rev_cents
 #     mirrors the oracle's HUGEINT — an exact integer accumulation that
 #     would overflow BIGINT at scale; no decimal division anywhere.
-_DECIMAL_EXEMPT = {"sql_histogram_event_values", "gini_revenue_concentration"}
+#   - q1_pricing_summary / bootstrap_revenue_ci (r10): DECIMAL(38,0)
+#     SUM accumulators over exact integer-lattice products (cents ×
+#     (100−disc_c) [× (100+tax_c)] / w·cents) mirroring the oracle's
+#     HUGEINT sums; the only decimal op is the exact integer SUM, cast
+#     to DOUBLE before any division.
+_DECIMAL_EXEMPT = {
+    "sql_histogram_event_values",
+    "gini_revenue_concentration",
+    "q1_pricing_summary",
+    "bootstrap_revenue_ci",
+}
 
 _DECIMAL_RE = None  # compiled lazily
 
