@@ -101,11 +101,22 @@ PRIORITY: tuple[str, ...] = (
     "sql_outlier_iqr_fences", "sql_ntile_balance_quartiles",
     "sql_lateral_top2_orders", "sql_fuzzy_name_pairs",
     "sql_zscore_normalize_events",
-    # ---- below the driver's 50-row window: stalest-first so round 11
-    #      reads top-down — 5 round-3 tail rows, then the round-4 tier --
+    # ---- below the driver's 50-row window: round 11's intended window
+    #      is literally the next 50 names. It LEADS with the pre-staged
+    #      round-11 plan-change wave — the 8 revenue/profit queries whose
+    #      ROUND(SUM(<lattice product>), 2) carries the same theoretical
+    #      .005-tie the r10 wave closed for q1 (sum on the 1e-4 lattice;
+    #      result-identical on all 14 probed/graded seeds, to be converted
+    #      to the exact-accumulator FLOOR device and driver-proven in the
+    #      same round) — then the stale tiers, stalest-first --
+    "q3_top_unshipped_orders", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q9_product_type_profit", "q10_returned_items",
+    "q15_top_supplier", "q19_disjunctive_revenue", "skew_salted_join",
+    # -- round-3 tier --
     "sql_regression_price_trend", "sql_mode_priority_by_status",
     "unigram_surprisal_quality", "window_balance_distribution",
     "windowed_heavy_hitters",
+    # -- round-4 tier --
     "winnow_fingerprint_pairs", "embedding_sq8_topk", "ann_recall_eval",
     "anomaly_mad_events", "dedup_lsh_recall_eval", "feature_rolling_events",
     "target_encode_priority", "windowed_quantiles",
@@ -114,8 +125,8 @@ PRIORITY: tuple[str, ...] = (
     "embedding_outliers_topk", "bpe_top_merges",
     "adamic_adar_link_prediction", "entity_resolution_customers",
     "seasonal_baseline_events", "windowed_distinct_users",
-    "skew_salted_join", "dedup_canonical_pick", "token_budget_allocation",
-    "k_anonymity_audit", "inverted_index_postings", "assoc_rules_events",
+    "dedup_canonical_pick", "token_budget_allocation", "k_anonymity_audit",
+    "inverted_index_postings", "assoc_rules_events",
     "stratified_kfold_assign",
     # -- round-5 tier --
     "rfm_customer_segments", "markov_transition_events",
@@ -164,8 +175,7 @@ PRIORITY: tuple[str, ...] = (
     "simpson_paradox_check", "tokenizer_fertility_by_lang",
     "vocab_coverage_estimates", "theil_index_decomposition",
     "mcnemar_bigram_vs_marginal", "dedup_embedding_cosine",
-    "dedup_ngram_jaccard", "q9_product_type_profit",
-    "events_sessionize_30m",
+    "dedup_ngram_jaccard", "events_sessionize_30m",
     # -- round-8 tier --
     "pagerank_part_supplier", "bfs_hops_from_hub", "kcore_cosupplier_peel",
     "lpa_cosupplier_communities", "modularity_cosupplier",
@@ -186,7 +196,7 @@ PRIORITY: tuple[str, ...] = (
     "events_sliding_30m15m", "events_tumbling_1h",
     "grouping_sets_status_priority", "hll_intersect_cohorts",
     "hll_orders_by_flag",
-    # -- round-9 tier (freshest) --
+    # -- round-9 tier --
     "sql_drift_psi_event_values", "weighted_sample_docs", "ann_ivf_topk",
     "ann_pq_topk", "ann_ivfpq_topk", "sql_entropy_event_types",
     "expectations_violation_counts", "join_size_estimate",
@@ -198,16 +208,13 @@ PRIORITY: tuple[str, ...] = (
     "jl_projection_distortion", "agg_metrics_summary",
     "regression_detect_metrics", "multimodal_audio_features",
     "textrank_keywords", "forecast_backtest_mape", "quantile_sketch_values",
-    "q2_min_cost_supplier", "q3_top_unshipped_orders",
-    "q4_order_priority_check", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q10_returned_items", "q11_important_stock",
-    "q12_priority_class_counts", "q13_customer_distribution",
-    "q14_promo_revenue_share", "q15_top_supplier",
+    "q2_min_cost_supplier", "q4_order_priority_check", "q7_volume_shipping",
+    "q8_market_share", "q11_important_stock", "q12_priority_class_counts",
+    "q13_customer_distribution", "q14_promo_revenue_share",
     "q16_supplier_part_buckets", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_disjunctive_revenue",
-    "q20_excess_stock_suppliers", "q21_waiting_supplier",
-    "q22_idle_balance_by_country", "lead_lag_order_gaps",
+    "q18_large_volume_customers", "q20_excess_stock_suppliers",
+    "q21_waiting_supplier", "q22_idle_balance_by_country",
+    "lead_lag_order_gaps",
 )
 
 
