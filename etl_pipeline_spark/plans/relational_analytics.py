@@ -451,15 +451,26 @@ def _boot_oracle() -> str:
             {weight_rows}
         ),
         reps AS (
-            -- weighted replicate mean on the cents lattice: SUM(w·cents)
-            -- is exact (HUGEINT here, DECIMAL(38,0) on the Spark side —
-            -- BIGINT would overflow near tens of TB), so the FLOOR
-            -- half-up chain is identical doubles in both engines instead
-            -- of ROUND over a jittered double sum that can tie at 1e-4
-            SELECT b, FLOOR(CAST(SUM(w * CAST(ROUND(o_totalprice * 100, 0)
-                                              AS BIGINT)) AS DOUBLE)
-                            * 100.0e0 / SUM(w) + 0.5e0) / 10000.0e0 AS m
-            FROM rep GROUP BY b
+            -- exact weighted replicate mean on the cents lattice, kept
+            -- FAST: the inner pass groups by (b, w) — w has only the 7
+            -- Poisson CASE values — so the hot aggregation stays plain
+            -- BIGINT cents sums (each (b,w) cell bounded ~total/7, inside
+            -- BIGINT through ~50 TB); only the 224-row outer sum widens
+            -- to 128-bit (HUGEINT here, DECIMAL(38,0) on the Spark side)
+            -- for the w·sc products that would overflow BIGINT. The FLOOR
+            -- half-up chain then sees identical doubles in both engines,
+            -- instead of ROUND over a jittered double sum that can tie
+            -- at 1e-4 (the q1 product-sum class).
+            SELECT b, FLOOR(CAST(SUM(CAST(w AS HUGEINT) * sc) AS DOUBLE)
+                            * 100.0e0 / SUM(w * nw) + 0.5e0)
+                      / 10000.0e0 AS m
+            FROM (
+                SELECT b, w,
+                       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sc,
+                       CAST(COUNT(*) AS BIGINT) AS nw
+                FROM rep GROUP BY b, w
+            ) g
+            GROUP BY b
         ),
         ranked AS (
             SELECT b, m,
@@ -492,8 +503,10 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     key_sql = "CAST(o_orderkey AS STRING)"
     n_groups = (_BOOT_B + _CHUNKS_PER_MD5 - 1) // _CHUNKS_PER_MD5
+    # cents decode ABOVE the explode: once per order, not once per
+    # (order, replicate) — measured 0.7 s of the replicate pass at sf0.1
     hashed = o.select(
-        "o_totalprice",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
         *[F.expr(_digest_sql(key_sql, g)).alias(f"m{g}") for g in range(n_groups)],
     )
 
@@ -509,19 +522,26 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (4.3 s); a struct-array explode re-evaluates element expressions
     # past the Generate (10.2 s); this explode-then-CASE shape is 2.8 s.
     rep = hashed.select(
-        "o_totalprice",
+        "cents",
         F.posexplode(
             F.array(*[F.expr(u_from_digest(b)) for b in range(_BOOT_B)])
         ).alias("b", "u"),
-    ).select("o_totalprice", "b", F.expr(_poisson_w_sql("u")).alias("w"))
-    # exact weighted mean (see the oracle note): DECIMAL(38,0) accumulator
-    # mirrors DuckDB's HUGEINT sum, FLOOR half-up replaces the tie-prone
-    # ROUND over a jittered double sum
-    reps = rep.groupBy("b").agg(
+    ).select("cents", "b", F.expr(_poisson_w_sql("u")).alias("w"))
+    # exact weighted mean (see the oracle note): hot pass is plain BIGINT
+    # cents sums per (b, w) — 7 weight values — and only the 224-row
+    # outer sum widens to DECIMAL(38,0) (mirrors DuckDB's HUGEINT); the
+    # FLOOR half-up replaces the tie-prone ROUND over a jittered double
+    # sum. Measured at sf0.1 (warm): per-(row,b) 128-bit accumulation
+    # 4.1 s, flat BIGINT 3.2 s, this two-level + hoisted decode 2.5 s —
+    # at parity with the old jitter-prone double sum (2.4 s).
+    cells = rep.groupBy("b", "w").agg(
+        F.sum("cents").alias("sc"),
+        F.count(F.lit(1)).cast("bigint").alias("nw"),
+    )
+    reps = cells.groupBy("b").agg(
         F.expr(
-            "FLOOR(CAST(SUM(CAST(w * CAST(ROUND(o_totalprice * 100, 0)"
-            " AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)"
-            " * 100.0e0 / SUM(w) + 0.5e0) / 10000.0e0"
+            "FLOOR(CAST(SUM(CAST(w AS DECIMAL(38,0)) * sc) AS DOUBLE)"
+            " * 100.0e0 / SUM(w * nw) + 0.5e0) / 10000.0e0"
         ).alias("m")
     )
     # 32 rows from here down — the global windows are bounded by B, and
