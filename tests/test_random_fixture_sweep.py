@@ -8,7 +8,8 @@ duplicate timestamps AND a full-payload duplicate event row; empty,
 1-token, repeated-token, whitespace-hostile, and non-ASCII documents;
 an exact-duplicate document pair; zero-norm, exact-duplicate, and
 constant embeddings; a single-member language stratum; an orphan
-foreign key; a zero order total; BETWEEN-boundary discounts; a
+foreign key; a zero order total; two NEGATIVE order totals (refund
+rows — one sub-1 magnitude, one large); BETWEEN-boundary discounts; a
 guaranteed (custkey, orderdate) duplicate; an hour-aligned event and an
 exact-30-minute session gap; and (r10) multimodal payload plants on
 every fake-codec branch — zero-length and single-byte blobs on the
@@ -171,6 +172,13 @@ def _gen_star(out_dir: str, seed: int) -> None:
     # uniqueness checks must count BOTH participants in both engines
     orders.loc[3, "o_custkey"] = orders.loc[2, "o_custkey"]
     orders.loc[3, "o_orderdate"] = orders.loc[2, "o_orderdate"]
+    # NEGATIVE totals (refund/correction rows on user data — the r10
+    # advisor scenario): one sub-1 magnitude (Benford out-of-domain via
+    # ABS) and one large refund — money sums, rank devices, and the
+    # FLOOR half-up means must hold parity on negatives (half-up toward
+    # +inf is the documented convention, identical in both engines)
+    orders.loc[4, "o_totalprice"] = -0.75
+    orders.loc[6, "o_totalprice"] = -4321.09
     write("orders", orders)
 
     n_li = 150
