@@ -693,14 +693,23 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pattern_vshape_prices",
     oracle="""
-        WITH monthly AS (
+        WITH cells AS (
             SELECT l_partkey,
                    CAST(EXTRACT(year FROM l_shipdate) * 12
                         + EXTRACT(month FROM l_shipdate) - 1 AS BIGINT) AS m,
-                   CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
-                              * 1.0e0 / SUM(CAST(l_quantity AS BIGINT)) + 0.5)
-                        AS BIGINT) AS p
+                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sc,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sq
             FROM lineitem GROUP BY 1, 2
+        ),
+        monthly AS (
+            -- a (part, month) cell whose lines carry ZERO total quantity
+            -- has no unit price: 0-division is an ANSI crash in Spark
+            -- and NaN in DuckDB (probe-found via a planted zero-quantity
+            -- free-item line) — such months drop out of the series, the
+            -- Benford out-of-domain convention
+            SELECT l_partkey, m,
+                   CAST(FLOOR(sc * 1.0e0 / sq + 0.5) AS BIGINT) AS p
+            FROM cells WHERE sq > 0
         ),
         dirs AS (
             SELECT l_partkey, m, p,
@@ -773,10 +782,14 @@ def pattern_vshape_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
         )
         .groupBy("l_partkey", "m")
-        .agg(
-            F.expr(
-                "CAST(FLOOR(SUM(cents) * 1.0e0 / SUM(qty) + 0.5) AS BIGINT)"
-            ).alias("p")
+        .agg(F.sum("cents").alias("sc"), F.sum("qty").alias("sq"))
+        # zero-total-quantity cells have no unit price — dropped BEFORE
+        # the division so Spark's ANSI 0-divide can't fire (see oracle)
+        .filter(F.col("sq") > 0)
+        .select(
+            "l_partkey",
+            "m",
+            F.expr("CAST(FLOOR(sc * 1.0e0 / sq + 0.5) AS BIGINT)").alias("p"),
         )
     )
     w = Window.partitionBy("l_partkey").orderBy("m")

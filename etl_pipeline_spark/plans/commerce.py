@@ -262,6 +262,12 @@ def open_orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROUND(LN(l.l_extendedprice / l.l_quantity), 6) AS x,
                    ROUND(LN(l.l_quantity), 6) AS y
             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            -- log-log domain: a zero/negative price or quantity has no
+            -- logarithm (qty 0 is an ANSI 0-divide crash in Spark and
+            -- LN(inf) in DuckDB; price 0 is Spark NULL vs DuckDB -inf —
+            -- probe-found via a planted free-item line). Standard
+            -- practice excludes such lines from the regression.
+            WHERE l.l_extendedprice > 0 AND l.l_quantity > 0
         ),
         m AS (
             SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
@@ -280,11 +286,17 @@ def open_orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    d = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
-        "p_brand",
-        F.round(F.log(F.col("l_extendedprice") / F.col("l_quantity")), 6)
-        .alias("x"),
-        F.round(F.log(F.col("l_quantity")), 6).alias("y"),
+    d = (
+        li
+        # log-log domain filter — see the oracle note (probe-found)
+        .filter((F.col("l_extendedprice") > 0) & (F.col("l_quantity") > 0))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            "p_brand",
+            F.round(F.log(F.col("l_extendedprice") / F.col("l_quantity")), 6)
+            .alias("x"),
+            F.round(F.log(F.col("l_quantity")), 6).alias("y"),
+        )
     )
     m = d.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -410,6 +422,13 @@ def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN orders o ON o.o_orderkey = l.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
             GROUP BY 1, 2
+            -- zero-revenue parts are outside the revenue distribution's
+            -- support: the entropy convention is 0·ln(0) = 0, but LN(0)
+            -- is an error in DuckDB and NULL (a silently dropped term)
+            -- in Spark — sweep-found via the planted zero-price line.
+            -- Excluding them keeps both the entropy terms and n_parts on
+            -- the same support in both engines.
+            HAVING SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) > 0
         ),
         tot AS (
             SELECT segment, CAST(SUM(cents) AS BIGINT) AS total,
@@ -441,6 +460,8 @@ def effective_catalog_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("segment", "l_partkey")
         .agg(F.sum("c100").cast("bigint").alias("cents"))
+        # zero-mass cells leave the support BEFORE the LN — see oracle
+        .filter(F.col("cents") > 0)
     )
     tot = pr.groupBy("segment").agg(
         F.sum("cents").cast("bigint").alias("total"),

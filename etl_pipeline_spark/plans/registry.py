@@ -73,19 +73,30 @@ def register(
 # two), then 32 of the 37 remaining round-3 rows; the 5-row round-3
 # tail leads round 11. Ordering only — every query stays registered and
 # locally parity-checked (tests/test_oracle_parity.py, all 272).
-PRIORITY: tuple[str, ...] = (
-    # -- 11 queries whose text/plan CHANGED in round 10 (see above) --
+PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the round-10 main wave
+    #    (exact-cents conversion + advisor items + HITS TakeOrdered) --
     "q1_pricing_summary", "lookup_enrich_customers", "acf_daily_revenue",
     "seasonal_decompose_weekday", "seasonal_residual_anomalies",
     "bootstrap_revenue_ci", "sql_conditional_agg_filter",
     "sql_monthly_revenue_ma3", "benford_first_digit",
     "theil_sen_price_trend", "hits_hub_authority",
+    # -- 8 probe-found fixes (late round 10, free-item plants): the
+    #    partsupp proxy's zero-qty 0-divide (q2/q9/q11/q16/q20),
+    #    pattern_vshape's zero-qty month, price_elasticity's log-log
+    #    domain, effective_catalog_size's LN(0) zero-mass cells — text
+    #    changes, driver re-proof required same round --
+    "pattern_vshape_prices", "price_elasticity_loglog",
+    "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
+    "q16_supplier_part_buckets", "q20_excess_stock_suppliers",
+    "effective_catalog_size",
     # -- all 7 round-2-stale rows (driver-proof age: 8 rounds) --
     "percentile_event_values", "pivot_orders_status",
     "profile_approx_orders", "rollup_order_counts",
     "semi_join_include_filter", "set_ops_union_except",
     "window_range_trailing_spend",
-    # -- 32 round-3-stale rows (driver-proof age: 7 rounds) --
+    # -- 24 round-3-stale rows (incl. sql_outlier_iqr_fences, whose
+    #    fence tie was ALSO fixed this round); the 8 displaced round-3
+    #    rows join the round-11 lead below --
     "sql_ewma_user_values", "sql_correlated_scalar_count",
     "sql_equidepth_value_deciles", "bm25_keyword_topk", "cms_heavy_hitters",
     "collect_order_years", "decontaminate_eval_overlap",
@@ -96,26 +107,28 @@ PRIORITY: tuple[str, ...] = (
     "approx_distinct_users", "sql_not_in_null_aware",
     "sql_keep_first_per_key", "sql_histogram_event_values",
     "sql_intersect_except_all", "sql_unpivot_status_totals",
-    "sql_last_value_ignore_nulls", "sql_top_customer_per_segment",
-    "sql_funnel_view_click_purchase", "sql_pii_redaction",
-    "sql_outlier_iqr_fences", "sql_ntile_balance_quartiles",
+    "sql_outlier_iqr_fences",
+    # ---- below the driver's 50-row window: round 11's intended window
+    #      is literally the next 50 names — first the pre-staged revenue
+    #      wave (the 7 queries whose ROUND(SUM(<lattice product>), 2)
+    #      carries the q1-class theoretical .005 tie; q9 left the wave:
+    #      its sum_profit includes the dense-rational supplycost ratio,
+    #      the documented convention class), then the 8 round-3 rows
+    #      displaced by the late probe-fix wave, then the stale tiers
+    #      stalest-first --
+    "q3_top_unshipped_orders", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q10_returned_items", "q15_top_supplier",
+    "q19_disjunctive_revenue", "skew_salted_join",
+    # -- 9 round-3 rows: the first tail row plus the 8 displaced by
+    #    the late probe-fix wave --
+    "sql_regression_price_trend", "sql_last_value_ignore_nulls",
+    "sql_top_customer_per_segment", "sql_funnel_view_click_purchase",
+    "sql_pii_redaction", "sql_ntile_balance_quartiles",
     "sql_lateral_top2_orders", "sql_fuzzy_name_pairs",
     "sql_zscore_normalize_events",
-    # ---- below the driver's 50-row window: round 11's intended window
-    #      is literally the next 50 names. It LEADS with the pre-staged
-    #      round-11 plan-change wave — the 8 revenue/profit queries whose
-    #      ROUND(SUM(<lattice product>), 2) carries the same theoretical
-    #      .005-tie the r10 wave closed for q1 (sum on the 1e-4 lattice;
-    #      result-identical on all 14 probed/graded seeds, to be converted
-    #      to the exact-accumulator FLOOR device and driver-proven in the
-    #      same round) — then the stale tiers, stalest-first --
-    "q3_top_unshipped_orders", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q9_product_type_profit", "q10_returned_items",
-    "q15_top_supplier", "q19_disjunctive_revenue", "skew_salted_join",
     # -- round-3 tier --
-    "sql_regression_price_trend", "sql_mode_priority_by_status",
-    "unigram_surprisal_quality", "window_balance_distribution",
-    "windowed_heavy_hitters",
+    "sql_mode_priority_by_status", "unigram_surprisal_quality",
+    "window_balance_distribution", "windowed_heavy_hitters",
     # -- round-4 tier --
     "winnow_fingerprint_pairs", "embedding_sq8_topk", "ann_recall_eval",
     "anomaly_mad_events", "dedup_lsh_recall_eval", "feature_rolling_events",
@@ -164,13 +177,12 @@ PRIORITY: tuple[str, ...] = (
     "bh_fdr_nation_conversion", "blocking_quality_er",
     "brier_next_event_model", "capture_recapture_users", "cramers_v_pairs",
     "crosscorr_daily_lags", "croston_demand_forecast",
-    "doclen_log_histogram", "effective_catalog_size",
-    "embedding_centroid_drift", "entropy_rate_transitions",
-    "gumbel_weekly_max_revenue", "heaps_vocab_growth", "kendall_tau_daily",
-    "lexical_diversity_by_lang", "logrank_test_retention",
-    "lorenz_curve_deciles", "nb_overdispersion_purchases",
-    "open_orders_backlog_daily", "perfect_order_rate",
-    "price_elasticity_loglog", "readability_flesch_docs",
+    "doclen_log_histogram", "embedding_centroid_drift",
+    "entropy_rate_transitions", "gumbel_weekly_max_revenue",
+    "heaps_vocab_growth", "kendall_tau_daily", "lexical_diversity_by_lang",
+    "logrank_test_retention", "lorenz_curve_deciles",
+    "nb_overdispersion_purchases", "open_orders_backlog_daily",
+    "perfect_order_rate", "readability_flesch_docs",
     "repeat_purchase_interval", "session_next_event_accuracy",
     "simpson_paradox_check", "tokenizer_fertility_by_lang",
     "vocab_coverage_estimates", "theil_index_decomposition",
@@ -203,18 +215,16 @@ PRIORITY: tuple[str, ...] = (
     "auc_mann_whitney_embeddings", "dedup_chunk_exact",
     "dp_exponential_topk", "dp_noisy_counts_laplace",
     "funnel_latency_quantiles", "gini_revenue_concentration",
-    "nb_lang_classifier_eval", "novelty_rate_docs", "pattern_vshape_prices",
-    "price_index_laspeyres", "temperature_sampled_mix", "zipf_alpha_terms",
+    "nb_lang_classifier_eval", "novelty_rate_docs", "price_index_laspeyres",
+    "temperature_sampled_mix", "zipf_alpha_terms",
     "jl_projection_distortion", "agg_metrics_summary",
     "regression_detect_metrics", "multimodal_audio_features",
     "textrank_keywords", "forecast_backtest_mape", "quantile_sketch_values",
-    "q2_min_cost_supplier", "q4_order_priority_check", "q7_volume_shipping",
-    "q8_market_share", "q11_important_stock", "q12_priority_class_counts",
-    "q13_customer_distribution", "q14_promo_revenue_share",
-    "q16_supplier_part_buckets", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q20_excess_stock_suppliers",
-    "q21_waiting_supplier", "q22_idle_balance_by_country",
-    "lead_lag_order_gaps",
+    "q4_order_priority_check", "q7_volume_shipping", "q8_market_share",
+    "q12_priority_class_counts", "q13_customer_distribution",
+    "q14_promo_revenue_share", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q21_waiting_supplier",
+    "q22_idle_balance_by_country", "lead_lag_order_gaps",
 )
 
 

@@ -588,6 +588,14 @@ def q22_idle_balance_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against dimension-filtered probes at any SF (it grows with |part|, not
 # with |lineitem|).
 # --------------------------------------------------------------------------
+# Zero-quantity lines (free items on user data) carry no unit cost and
+# are excluded BEFORE the per-unit division: l_extendedprice / 0 is an
+# ANSI crash in Spark and inf in DuckDB — a parity break by crash,
+# probe-found (r10) via a planted qty-0 line. The row is seed-dependent
+# at runtime because Spark's runtime filters may prune it from some
+# consumers' scans before the aggregate — the same latent row crashes
+# q2/q9/q11/q16/q20 whenever it survives pruning. A zero-qty line also
+# contributes nothing to SUM(l_quantity), so availqty is unchanged.
 _PARTSUPP_CTE = """
         partsupp AS (
             SELECT l_partkey AS ps_partkey,
@@ -595,6 +603,7 @@ _PARTSUPP_CTE = """
                    SUM(l_quantity) AS ps_availqty,
                    MIN(l_extendedprice / l_quantity) AS ps_supplycost
             FROM lineitem
+            WHERE l_quantity > 0
             GROUP BY l_partkey, l_suppkey
         )
 """
@@ -602,11 +611,18 @@ _PARTSUPP_CTE = """
 
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
-    ).agg(
-        F.sum("l_quantity").alias("ps_availqty"),
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+    return (
+        li.filter(F.col("l_quantity") > 0)  # see _PARTSUPP_CTE note
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.sum("l_quantity").alias("ps_availqty"),
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "ps_supplycost"
+            ),
+        )
     )
 
 

@@ -175,6 +175,83 @@ def test_iqr_fence_exact_half_cent_midpoint(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Probe finds 18-20 (r10, planted free-item lines): a ZERO-QUANTITY
+# lineitem crashed (a) the synthesized partsupp proxy's MIN(price/qty) —
+# ANSI 0-divide in Spark vs inf in DuckDB, reaching q2/q9/q11/q16/q20
+# whenever runtime-filter pruning let the row survive — (b)
+# pattern_vshape's zero-qty month cell, and (c) price_elasticity's
+# log-log transform; a ZERO-PRICE line additionally split the engines on
+# LN(0) (Spark NULL vs DuckDB error/-inf). All excluded at the source:
+# zero-qty lines carry no unit cost; log domains require positives. The
+# adopted sweep plants (lineitem rows 5 and 10) fail pre-fix registry-
+# wide; these direct pins keep the operator-level contract visible.
+# ---------------------------------------------------------------------------
+def _write_lineitem(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus",
+        "CAST(l_shipdate AS TIMESTAMP_NTZ) AS l_shipdate",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_partsupp_proxy_skips_zero_quantity_lines(spark, tmp_path):
+    from etl_pipeline_spark.plans.tpch_extended import _partsupp
+
+    rows = [
+        (1, 1, 1, 1, 10.0, 100.00, 0.0, 0.0, "N", "O", "1995-01-01"),
+        (1, 1, 1, 2, 0.0, 55.00, 0.0, 0.0, "N", "O", "1995-01-02"),  # free
+        (2, 2, 2, 1, 0.0, 0.00, 0.0, 0.0, "N", "O", "1995-01-03"),  # only
+    ]
+    sf = _write_lineitem(spark, tmp_path, rows)
+    got = {(r.ps_partkey, r.ps_suppkey): r for r in _partsupp(spark, sf).collect()}
+    # the all-zero-qty (2,2) group has no unit cost and drops out
+    assert set(got) == {(1, 1)}
+    # the mixed group derives cost from the positive-qty line only
+    assert got[(1, 1)].ps_supplycost == 10.0 and got[(1, 1)].ps_availqty == 10.0
+
+
+def test_vshape_drops_zero_quantity_month(spark, tmp_path):
+    rows = [
+        (1, 1, 1, 1, 10.0, 100.00, 0.0, 0.0, "N", "O", "1995-01-10"),
+        (2, 1, 1, 1, 0.0, 77.00, 0.0, 0.0, "N", "O", "1995-02-10"),  # qty-0
+        (3, 1, 1, 1, 10.0, 50.00, 0.0, 0.0, "N", "O", "1995-03-10"),
+    ]
+    sf = _write_lineitem(spark, tmp_path, rows)
+    spec = REGISTRY["pattern_vshape_prices"]
+    df = spec.spark_fn(spark, sf)  # pre-fix: ANSI DIVIDE_BY_ZERO here
+    con = _duck_for(sf, ["lineitem"])
+    assert_oracle_match(df, con, spec.oracle, "vshape_zero_qty_edge")
+
+
+def test_price_elasticity_excludes_log_domain_violations(spark, tmp_path):
+    rows = [
+        (1, 1, 1, 1, 2.0, 100.00, 0.0, 0.0, "N", "O", "1995-01-10"),
+        (2, 1, 1, 1, 0.0, 77.00, 0.0, 0.0, "N", "O", "1995-01-11"),  # qty-0
+        (3, 1, 1, 1, 5.0, 0.00, 0.0, 0.0, "N", "O", "1995-01-12"),  # price-0
+        (4, 1, 1, 1, 4.0, 120.00, 0.0, 0.0, "N", "O", "1995-01-13"),
+    ]
+    sf = _write_lineitem(spark, tmp_path, rows)
+    part = spark.createDataFrame(
+        [(1, "BRAND_1")], "p_partkey bigint, p_brand string"
+    )
+    part.coalesce(1).write.parquet(str(tmp_path / "part.parquet"))
+    spec = REGISTRY["price_elasticity_loglog"]
+    df = spec.spark_fn(spark, sf)  # pre-fix: ANSI 0-divide / LN split
+    con = _duck_for(sf, ["lineitem", "part"])
+    assert_oracle_match(df, con, spec.oracle, "elasticity_domain_edge")
+    assert df.collect()[0].n_lines == 2  # only the two in-domain lines
+
+
+# ---------------------------------------------------------------------------
 # Session-cache LRU-of-applications cap (round-9 advisor nit 7): a process
 # that drives plan functions across many sessions and never constructs
 # Pipeline must not grow the memo registry without bound — entries of the

@@ -9,7 +9,8 @@ duplicate timestamps AND a full-payload duplicate event row; empty,
 an exact-duplicate document pair; zero-norm, exact-duplicate, and
 constant embeddings; a single-member language stratum; an orphan
 foreign key; a zero order total; two NEGATIVE order totals (refund
-rows — one sub-1 magnitude, one large); BETWEEN-boundary discounts; a
+rows — one sub-1 magnitude, one large); a zero-quantity and a
+zero-price lineitem (free items); BETWEEN-boundary discounts; a
 guaranteed (custkey, orderdate) duplicate; an hour-aligned event and an
 exact-30-minute session gap; and (r10) multimodal payload plants on
 every fake-codec branch — zero-length and single-byte blobs on the
@@ -204,8 +205,21 @@ def _gen_star(out_dir: str, seed: int) -> None:
                 "l_linenumber": pd.array(
                     [linenum(ok) for ok in okeys], dtype="int32"
                 ),
-                "l_quantity": [float(rng.randrange(1, 51)) for _ in range(n_li)],
-                "l_extendedprice": [_cents(rng, 100, 10_000_000) for _ in range(n_li)],
+                # FREE-ITEM plants (r10, found bugs 18-20 on first
+                # contact): a ZERO-QUANTITY line crashed the synthesized
+                # partsupp proxy's MIN(price/qty) (ANSI 0-divide vs DuckDB
+                # inf — q2/q9/q11/q16/q20, seed-dependent via runtime
+                # filter pruning), pattern_vshape's zero-qty month cell,
+                # and price_elasticity's log-log domain; a ZERO-PRICE line
+                # pins LN(0) (Spark NULL vs DuckDB -inf) exclusion
+                "l_quantity": [
+                    0.0 if i == 4 else float(rng.randrange(1, 51))
+                    for i in range(n_li)
+                ],
+                "l_extendedprice": [
+                    0.0 if i == 9 else _cents(rng, 100, 10_000_000)
+                    for i in range(n_li)
+                ],
                 "l_discount": [
                     0.05 if i == 0 else 0.07 if i == 1
                     else rng.randrange(0, 11) / 100.0
