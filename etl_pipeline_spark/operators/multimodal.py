@@ -38,7 +38,13 @@ MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("kind", StringType(), False),  # image | audio | video
-        StructField("payload", BinaryType(), False),
+        # NULLABLE: an absent blob (failed fetch, NULL source column) is
+        # in-domain user data — decode emits NULL features for it and the
+        # derived extractors (ahash/bands/frames/resize) skip it, the same
+        # row-dropping their SQL oracles' NULL propagation produces
+        # (probe-found via a planted NULL document body crashing the
+        # kernels' bytes(None))
+        StructField("payload", BinaryType(), True),
         StructField("meta_mime", StringType(), True),
         StructField("meta_source", StringType(), True),
     ]
@@ -48,8 +54,8 @@ MEDIA_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("kind", StringType(), False),
-        StructField("n_bytes", LongType(), False),
-        StructField("content_hash", StringType(), False),
+        StructField("n_bytes", LongType(), True),  # NULL for absent blobs
+        StructField("content_hash", StringType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("channels", IntegerType(), True),
@@ -88,6 +94,26 @@ def _make_fake_decoder():
 
         out = []
         for _, row in pdf.iterrows():
+            channels = (
+                3
+                if row["kind"] == "image"
+                else (1 if row["kind"] == "audio" else None)
+            )
+            if row["payload"] is None:
+                # absent blob: NULL byte/hash/dim features, kind-derived
+                # channels stay — mirrors the oracle's NULL propagation
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "n_bytes": None,
+                        "content_hash": None,
+                        "width": None,
+                        "height": None,
+                        "channels": channels,
+                    }
+                )
+                continue
             payload = bytes(row["payload"])
             digest = _hashlib.md5(payload).hexdigest()
             h = int(digest[:8], 16)
@@ -99,9 +125,7 @@ def _make_fake_decoder():
                     "content_hash": digest,
                     "width": 64 + (h % 512) if row["kind"] == "image" else None,
                     "height": 64 + ((h >> 9) % 512) if row["kind"] == "image" else None,
-                    "channels": 3
-                    if row["kind"] == "image"
-                    else (1 if row["kind"] == "audio" else None),
+                    "channels": channels,
                 }
             )
         return _pd.DataFrame(out, columns=feature_columns)
@@ -180,6 +204,8 @@ def resize_media(
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
+                if row["payload"] is None:  # absent blob: nothing to resize
+                    continue
                 seed = _hashlib.md5(bytes(row["payload"])).digest()
                 reps = (n_out // len(seed)) + 1
                 rows.append(
@@ -222,6 +248,8 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
+                if row["payload"] is None:  # absent blob: no frames
+                    continue
                 payload = bytes(row["payload"])
                 n = min(max_frames, 1 + len(payload) % max_frames)
                 for i in range(n):
@@ -283,6 +311,8 @@ def perceptual_ahash(media: DataFrame, codec: str = "fake") -> DataFrame:
         for pdf in batches:
             ids, his, los = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # absent blob: no hash row (the
+                    continue  # oracle's NULL chain emits no pixels)
                 data = bytes(payload)
                 n = len(data)
                 if n == 0:  # empty payload: all-zero hash, no crash
@@ -353,6 +383,8 @@ def audio_band_energies(
         for pdf in batches:
             ids, bands, counts, energies = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # absent blob: no bands (the oracle's
+                    continue  # len(NULL) series is empty)
                 data = bytes(payload)
                 n = len(data)
                 if n == 0:  # empty payload: no bands, no crash

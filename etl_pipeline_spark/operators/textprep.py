@@ -52,8 +52,13 @@ def chunk_tokens(
     """
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
+    # NULL bodies follow the EMPTY-doc convention (one chunk, zero
+    # tokens): without the coalesce, Spark's null-skipping greatest/
+    # least/concat_ws fabricate a (n_tokens=20, chunk_text='') row while
+    # DuckDB emits NULLs — a silent value divergence (probe-found via a
+    # planted NULL document body).
     return (
-        tokenize(df, text_col)
+        tokenize(df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))), text_col)
         .select(
             id_col,
             "toks",

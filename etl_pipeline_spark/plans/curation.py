@@ -318,7 +318,15 @@ def _ccnet_oracle() -> str:
         )
         SELECT lang, bucket,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               ROUND(AVG(cross_entropy), 6) AS mean_ce,
+               -- per-doc cross_entropy is 6-dp ROUNDED upstream (the
+               -- round-before-accumulate rule), i.e. a 1e-6 LATTICE —
+               -- so its mean is the exact-sum FLOOR class, NOT the
+               -- transcendental convention (sweep-found: a bucket mean
+               -- landed on a 6-dp tie once the NULL-body plants shifted
+               -- membership). MIN/MAX pick existing lattice values and
+               -- stay exact under ROUND.
+               FLOOR(SUM(CAST(ROUND(cross_entropy * 1.0e6, 0) AS BIGINT))
+                     * 1.0e0 / COUNT(*) + 0.5e0) / 1.0e6 AS mean_ce,
                ROUND(MIN(cross_entropy), 6) AS min_ce,
                ROUND(MAX(cross_entropy), 6) AS max_ce
         FROM bucketed
@@ -359,7 +367,11 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.round(F.avg("cross_entropy"), 6).alias("mean_ce"),
+            # exact-lattice mean — see the oracle note (sweep-found tie)
+            F.expr(
+                "FLOOR(SUM(CAST(ROUND(cross_entropy * 1.0e6, 0) AS BIGINT))"
+                " * 1.0e0 / COUNT(*) + 0.5e0) / 1.0e6"
+            ).alias("mean_ce"),
             F.round(F.min("cross_entropy"), 6).alias("min_ce"),
             F.round(F.max("cross_entropy"), 6).alias("max_ce"),
         )

@@ -86,11 +86,16 @@ def _ahash_oracle() -> str:
     )
     return f"""
         WITH imgs AS (
-            SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
+            -- NULL bodies are absent blobs: the kernel skips them (no
+            -- hash exists), so the oracle must too — without the filter,
+            -- NULL pixels fabricate an all-zero hash that cross-pairs
+            -- with every empty payload (probe-found via planted NULLs)
+            SELECT doc_id AS media_id, text FROM documents
+            WHERE doc_id % 3 = 0 AND text IS NOT NULL
             UNION ALL
             SELECT doc_id + 100000 AS media_id,
                    substr(text, 1, 4) || 'zzz' || substr(text, 8) AS text
-            FROM documents WHERE doc_id % 3 = 0
+            FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
         ),
         px AS (
             SELECT media_id, i.i,

@@ -37,7 +37,10 @@ _PS_EDGE_CACHE: dict[tuple, DataFrame] = register_cache({})
     "doc_chunk_overlap",
     oracle=r"""
         WITH toks AS (
-            SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+            -- COALESCE: NULL bodies follow the empty-doc convention
+            -- (one chunk, zero tokens) — see chunk_tokens
+            SELECT doc_id,
+                   regexp_split_to_array(TRIM(COALESCE(text, '')), '\s+') AS toks
             FROM documents
         ),
         starts AS (

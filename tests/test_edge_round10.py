@@ -259,6 +259,34 @@ def test_price_elasticity_excludes_log_domain_violations(spark, tmp_path):
 # build() makes eviction of a live app correctness-neutral: next touch
 # rebuilds).
 # ---------------------------------------------------------------------------
+def test_fake_decode_null_payload_yields_null_features():
+    """Probe finds 22-24 (NULL document bodies = absent blobs): the decode
+    kernel must emit NULL byte/hash/dim features — mirroring the SQL
+    oracle's NULL propagation — instead of crashing on bytes(None);
+    kind-derived channels stay. (The derived extractors skip such rows;
+    the adopted sweep plants pin those paths registry-wide.)"""
+    import pandas as pd
+
+    from etl_pipeline_spark.operators.multimodal import fake_decode_batch
+
+    out = fake_decode_batch(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "kind": ["image", "audio"],
+                "payload": [None, b"ab"],
+                "meta_mime": [None, None],
+                "meta_source": [None, None],
+            }
+        )
+    )
+    r0 = out.iloc[0]
+    assert r0["n_bytes"] is None or pd.isna(r0["n_bytes"])
+    assert r0["content_hash"] is None
+    assert r0["channels"] == 3  # kind-derived, payload-independent
+    assert out.iloc[1]["n_bytes"] == 2
+
+
 def test_app_lru_cap_evicts_stalest_application(spark, monkeypatch):
     from etl_pipeline_spark.utils import session_cache as sc
 

@@ -10,7 +10,8 @@ an exact-duplicate document pair; zero-norm, exact-duplicate, and
 constant embeddings; a single-member language stratum; an orphan
 foreign key; a zero order total; two NEGATIVE order totals (refund
 rows — one sub-1 magnitude, one large); a zero-quantity and a
-zero-price lineitem (free items); BETWEEN-boundary discounts; a
+zero-price lineitem (free items); NULL document bodies on all three
+modality branches (absent blobs); BETWEEN-boundary discounts; a
 guaranteed (custkey, orderdate) duplicate; an hour-aligned event and an
 exact-30-minute session gap; and (r10) multimodal payload plants on
 every fake-codec branch — zero-length and single-byte blobs on the
@@ -311,6 +312,15 @@ def _gen_star(out_dir: str, seed: int) -> None:
             # text-as-payload kernels document a byte==char ASCII
             # assumption that real media bytes would not have
             texts.append("héllo wörld 中文 données 👍 " + rng.choice(_WORDS))
+        elif i in (7, 8, 9):
+            # NULL document bodies on ALL THREE modality branches
+            # (doc 8 video, doc 9 image, doc 10 audio) — absent blobs /
+            # unfetched rows on user data. Found bugs 22-24 on first
+            # contact: the multimodal kernels crashed on bytes(None), the
+            # aHash oracle fabricated all-zero hashes for NULL pixels,
+            # and chunking's null-skipping greatest/concat_ws fabricated
+            # a 20-token empty chunk where DuckDB emitted NULLs.
+            texts.append(None)
         elif i == 12:
             texts.append("q")  # doc 13 % 3 == 1: SINGLE-BYTE audio blob
         elif i == 13:
@@ -340,7 +350,10 @@ def _gen_star(out_dir: str, seed: int) -> None:
                 # only one split half, 1-doc lang aggregates)
                 "lang": ["ja" if i == 4 else rng.choice(_LANGS) for i in range(n_doc)],
                 "source": [f"src{rng.randrange(0, 6)}" for _ in range(n_doc)],
-                "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+                "n_chars": pd.array(
+                    [len(t) if t is not None else 0 for t in texts],
+                    dtype="int64",
+                ),
             }
         ),
     )
@@ -473,11 +486,12 @@ _ROUND_AVG_EXEMPT = {
     "agg_success_rate",
     # bness = (σ−μ)/(σ+μ) with σ a SQRT — transcendental per-user values,
     # not on any decimal lattice; midpoints are measure-zero (the ANOVA
-    # jitter convention, documented at the query).
+    # jitter convention, documented at the query). NOTE the exemption
+    # test is "is the AVG input UNROUNDED?": ccnet_perplexity_buckets
+    # was exempted here as LN-derived, but its per-doc cross_entropy is
+    # 6-dp ROUNDED upstream — a lattice — and the sweep caught its
+    # bucket mean on a 6-dp tie (bug 25); it now uses the FLOOR device.
     "burstiness_user_interarrival",
-    # cross_entropy is a LN-derived double — transcendental, same
-    # convention.
-    "ccnet_perplexity_buckets",
     # APE terms are |Δcents|/cents ratios with per-day denominators —
     # dense rationals, not a fixed decimal lattice; day-domain mean,
     # jitter ~1e-16 vs the 6-dp round (documented at the query). The
