@@ -64,17 +64,32 @@ def detect_regressions(
     else:
         cur_lit = current_run if isinstance(current_run, Column) else F.lit(current_run)
     val = F.round(F.col(value_col), 6)
+    # 1e-6-unit integer twin of val: the 6-dp-rounded input is a LATTICE,
+    # so the 4-dp baseline_mean/current_value outputs use the portable
+    # FLOOR half-up over exact integers — ROUND over the jittered AVG (or
+    # over a single lattice point sitting ON a .00005 repr-tie) splits
+    # the engines (probe-found, seed 283). _mean/_std stay double for the
+    # z/magnitude ratios (dense-rational convention).
     base = (
         history.filter(F.col(run_col) < cur_lit)
         .groupBy(*series_cols)
         .agg(
             F.avg(val).alias("_mean"),
+            F.expr(
+                f"FLOOR(SUM(CAST(ROUND(ROUND({value_col}, 6) * 1.0e6, 0)"
+                " AS BIGINT)) * 1.0e0 / 100.0e0 / COUNT(*) + 0.5e0) / 1.0e4"
+            ).alias("_mean4"),
             F.stddev_pop(val).alias("_std"),
             F.count(F.lit(1)).alias("n_history"),
         )
     )
     cur = history.filter(F.col(run_col) == cur_lit).select(
-        *series_cols, val.alias("current_value")
+        *series_cols,
+        val.alias("current_value"),
+        F.expr(
+            "FLOOR(" + f"CAST(ROUND(ROUND({value_col}, 6) * 1.0e6, 0) AS BIGINT)"
+            " * 1.0e0 / 100.0e0 + 0.5e0) / 1.0e4"
+        ).alias("_cur4"),
     )
     z = F.when(
         F.col("_std") > 0, (F.col("current_value") - F.col("_mean")) / F.col("_std")
@@ -104,8 +119,8 @@ def detect_regressions(
     )
     return flagged.select(
         *series_cols,
-        F.round("current_value", 4).alias("current_value"),
-        F.round("_mean", 4).alias("baseline_mean"),
+        F.col("_cur4").alias("current_value"),  # FLOOR device — see above
+        F.col("_mean4").alias("baseline_mean"),
         F.round("_std", 4).alias("baseline_std"),
         "n_history",
         "z_score",

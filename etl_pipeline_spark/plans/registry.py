@@ -80,7 +80,7 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "bootstrap_revenue_ci", "sql_conditional_agg_filter",
     "sql_monthly_revenue_ma3", "benford_first_digit",
     "theil_sen_price_trend", "hits_hub_authority",
-    # -- 9 probe-found fixes (late round 10, free-item + NULL-body
+    # -- 10 probe-found fixes (late round 10, free-item + NULL-body
     #    plants): the
     #    partsupp proxy's zero-qty 0-divide (q2/q9/q11/q16/q20),
     #    pattern_vshape's zero-qty month, price_elasticity's log-log
@@ -90,7 +90,7 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
     "q16_supplier_part_buckets", "q20_excess_stock_suppliers",
     "effective_catalog_size",
-    "ccnet_perplexity_buckets",
+    "ccnet_perplexity_buckets", "regression_detect_metrics",
     # -- all 7 round-2-stale rows (driver-proof age: 8 rounds) --
     "percentile_event_values", "pivot_orders_status",
     "profile_approx_orders", "rollup_order_counts",
@@ -108,8 +108,7 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "scd2_state_at_purchase", "snapshot_diff_orders",
     "approx_distinct_users", "sql_not_in_null_aware",
     "sql_keep_first_per_key", "sql_histogram_event_values",
-    "sql_intersect_except_all",
-    "sql_outlier_iqr_fences",
+        "sql_outlier_iqr_fences",
     # ---- below the driver's 50-row window: round 11's intended window
     #      is literally the next 50 names — first the pre-staged revenue
     #      wave (the 7 queries whose ROUND(SUM(<lattice product>), 2)
@@ -123,7 +122,7 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "q19_disjunctive_revenue", "skew_salted_join",
     # -- 9 round-3 rows: the first tail row plus the 8 displaced by
     #    the late probe-fix wave --
-    "sql_regression_price_trend", "sql_unpivot_status_totals", "sql_last_value_ignore_nulls",
+    "sql_regression_price_trend", "sql_intersect_except_all", "sql_unpivot_status_totals", "sql_last_value_ignore_nulls",
     "sql_top_customer_per_segment", "sql_funnel_view_click_purchase",
     "sql_pii_redaction", "sql_ntile_balance_quartiles",
     "sql_lateral_top2_orders", "sql_fuzzy_name_pairs",
@@ -220,7 +219,7 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "nb_lang_classifier_eval", "novelty_rate_docs", "price_index_laspeyres",
     "temperature_sampled_mix", "zipf_alpha_terms",
     "jl_projection_distortion", "agg_metrics_summary",
-    "regression_detect_metrics", "multimodal_audio_features",
+    "multimodal_audio_features",
     "textrank_keywords", "forecast_backtest_mape", "quantile_sketch_values",
     "q4_order_priority_check", "q7_volume_shipping", "q8_market_share",
     "q12_priority_class_counts", "q13_customer_distribution",

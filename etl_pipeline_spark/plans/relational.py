@@ -1268,17 +1268,28 @@ _DAY_NS = 86_400_000_000_000
         ),
         cur_run AS (SELECT MAX(run_day) AS d FROM hist),
         base AS (
+            -- bm: the 4-dp baseline mean over the 1e-6-LATTICE metrics
+            -- uses the portable FLOOR half-up over the exact integer sum
+            -- (probe-found: ROUND over the jittered AVG flipped on a
+            -- 4-dp tie); m stays double for the z/magnitude ratios
             SELECT event_type, AVG(ROUND(metric, 6)) AS m,
+                   FLOOR(SUM(CAST(ROUND(ROUND(metric, 6) * 1.0e6, 0)
+                                  AS BIGINT)) * 1.0e0 / 100.0e0 / COUNT(*)
+                         + 0.5e0) / 1.0e4 AS bm,
                    stddev_pop(ROUND(metric, 6)) AS s,
                    CAST(COUNT(*) AS BIGINT) AS n_history
             FROM hist CROSS JOIN cur_run WHERE run_day < d GROUP BY 1
         ),
         cur AS (
-            SELECT event_type, ROUND(metric, 6) AS current_value
+            -- cur4: same device on the single lattice point (a value ON
+            -- a .00005 repr-tie splits the engines' native ROUND)
+            SELECT event_type, ROUND(metric, 6) AS current_value,
+                   FLOOR(CAST(ROUND(ROUND(metric, 6) * 1.0e6, 0) AS BIGINT)
+                         * 1.0e0 / 100.0e0 + 0.5e0) / 1.0e4 AS cur4
             FROM hist CROSS JOIN cur_run WHERE run_day = d
         ),
         j AS (
-            SELECT c.event_type, c.current_value, b.m, b.s,
+            SELECT c.event_type, c.current_value, c.cur4, b.m, b.bm, b.s,
                    COALESCE(b.n_history, CAST(0 AS BIGINT)) AS n_history,
                    ROUND(CASE WHEN b.s > 0
                               THEN (c.current_value - b.m) / b.s
@@ -1289,8 +1300,8 @@ _DAY_NS = 86_400_000_000_000
             FROM cur c LEFT JOIN base b ON b.event_type = c.event_type
         )
         SELECT event_type,
-               ROUND(current_value, 4) AS current_value,
-               ROUND(m, 4) AS baseline_mean,
+               cur4 AS current_value,
+               bm AS baseline_mean,
                ROUND(s, 4) AS baseline_std,
                n_history, z_score, magnitude_pct,
                CAST(n_history >= 3 AND ABS(z_score) > 2.0
