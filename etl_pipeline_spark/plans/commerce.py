@@ -436,8 +436,12 @@ def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM pr GROUP BY 1
         )
         SELECT pr.segment, MAX(t.n_parts) AS n_parts,
+               -- + 0.0e0 normalizes IEEE negative zero: a single-part
+               -- segment gives -SUM(1·ln 1) = -0.0, which DuckDB keeps
+               -- while Spark's BigDecimal ROUND has no -0 (probe-found
+               -- on a truncated tiny corpus)
                ROUND(-SUM((pr.cents * 1.0 / t.total)
-                          * LN(pr.cents * 1.0 / t.total)), 6) AS entropy,
+                          * LN(pr.cents * 1.0 / t.total)) + 0.0e0, 6) AS entropy,
                ROUND(EXP(-SUM((pr.cents * 1.0 / t.total)
                               * LN(pr.cents * 1.0 / t.total))), 2)
                    AS effective_parts
@@ -473,7 +477,8 @@ def effective_catalog_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(
             F.max("n_parts").alias("n_parts"),
-            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            # + 0.0 normalizes -0.0 — see the oracle note
+            F.round(-F.sum(p * F.log(p)) + F.lit(0.0), 6).alias("entropy"),
             F.round(F.exp(-F.sum(p * F.log(p))), 2).alias("effective_parts"),
         )
     )

@@ -119,7 +119,11 @@ _TE_M = 10
         ),
         gm AS (SELECT SUM(o_totalprice) / COUNT(*) AS gmean FROM orders)
         SELECT o.o_orderkey, o.o_orderpriority,
-               ROUND((g.s - o.o_totalprice) / (g.n - 1), 6) AS te_loo,
+               -- NULLIF: a singleton group has no leave-one-out peers —
+               -- NULL, not an ANSI 0-divide (probe-found on a truncated
+               -- tiny corpus); the smoothed variant's denominator never
+               -- vanishes
+               ROUND((g.s - o.o_totalprice) / NULLIF(g.n - 1, 0), 6) AS te_loo,
                ROUND((g.s - o.o_totalprice + {_TE_M} * gm.gmean)
                      / (g.n - 1 + {_TE_M}), 6) AS te_smoothed
         FROM orders o JOIN g USING (o_orderpriority) CROSS JOIN gm
@@ -144,8 +148,10 @@ def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderpriority",
             F.round(
-                (F.col("s") - F.col("o_totalprice")) / (F.col("n") - 1), 6
-            ).alias("te_loo"),
+                (F.col("s") - F.col("o_totalprice"))
+                / F.nullif(F.col("n") - 1, F.lit(0)),
+                6,
+            ).alias("te_loo"),  # singleton group → NULL, see oracle
             F.round(
                 (F.col("s") - F.col("o_totalprice") + _TE_M * F.col("gmean"))
                 / (F.col("n") - 1 + _TE_M),

@@ -80,25 +80,29 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "bootstrap_revenue_ci", "sql_conditional_agg_filter",
     "sql_monthly_revenue_ma3", "benford_first_digit",
     "theil_sen_price_trend", "hits_hub_authority",
-    # -- 10 probe-found fixes (late round 10, free-item + NULL-body
-    #    plants): the
-    #    partsupp proxy's zero-qty 0-divide (q2/q9/q11/q16/q20),
-    #    pattern_vshape's zero-qty month, price_elasticity's log-log
-    #    domain, effective_catalog_size's LN(0) zero-mass cells — text
-    #    changes, driver re-proof required same round --
+    # -- 14 probe-found fixes (late round 10; free-item, NULL-body, and
+    #    tiny-corpus plants): partsupp-proxy zero-qty 0-divide
+    #    (q2/q9/q11/q16/q20), vshape zero-qty month, price-elasticity and
+    #    effective-catalog log domains, ccnet lattice mean, regression
+    #    detector lattice outputs, laspeyres zero-qty/zero-basket, q14
+    #    zero-revenue share, regr_* moment form (zero-variance groups),
+    #    target-encode singleton groups — text changes, driver re-proof
+    #    required same round --
     "pattern_vshape_prices", "price_elasticity_loglog",
     "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
     "q16_supplier_part_buckets", "q20_excess_stock_suppliers",
-    "effective_catalog_size",
-    "ccnet_perplexity_buckets", "regression_detect_metrics",
+    "effective_catalog_size", "ccnet_perplexity_buckets",
+    "regression_detect_metrics", "price_index_laspeyres",
+    "q14_promo_revenue_share", "sql_regression_price_trend",
+    "target_encode_priority",
     # -- all 7 round-2-stale rows (driver-proof age: 8 rounds) --
     "percentile_event_values", "pivot_orders_status",
     "profile_approx_orders", "rollup_order_counts",
     "semi_join_include_filter", "set_ops_union_except",
     "window_range_trailing_spend",
-    # -- 24 round-3-stale rows (incl. sql_outlier_iqr_fences, whose
-    #    fence tie was ALSO fixed this round); the 8 displaced round-3
-    #    rows join the round-11 lead below --
+    # -- 18 round-3-stale rows (incl. sql_outlier_iqr_fences, whose
+    #    fence tie was ALSO fixed this round); the displaced round-3 rows
+    #    join the round-11 lead below --
     "sql_ewma_user_values", "sql_correlated_scalar_count",
     "sql_equidepth_value_deciles", "bm25_keyword_topk", "cms_heavy_hitters",
     "collect_order_years", "decontaminate_eval_overlap",
@@ -106,35 +110,31 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "key_skew_partkey", "keyword_and_search", "profile_orders",
     "repetition_quality", "resample_ffill_user_6h",
     "scd2_state_at_purchase", "snapshot_diff_orders",
-    "approx_distinct_users", "sql_not_in_null_aware",
-    "sql_keep_first_per_key", "sql_histogram_event_values",
-        "sql_outlier_iqr_fences",
+    "sql_outlier_iqr_fences",
     # ---- below the driver's 50-row window: round 11's intended window
     #      is literally the next 50 names — first the pre-staged revenue
     #      wave (the 7 queries whose ROUND(SUM(<lattice product>), 2)
     #      carries the q1-class theoretical .005 tie; q9 left the wave:
     #      its sum_profit includes the dense-rational supplycost ratio,
-    #      the documented convention class), then the 8 round-3 rows
-    #      displaced by the late probe-fix wave, then the stale tiers
-    #      stalest-first --
+    #      the documented convention class), then the displaced/tail
+    #      round-3 rows, then the stale tiers stalest-first --
     "q3_top_unshipped_orders", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "q15_top_supplier",
     "q19_disjunctive_revenue", "skew_salted_join",
-    # -- 9 round-3 rows: the first tail row plus the 8 displaced by
-    #    the late probe-fix wave --
-    "sql_regression_price_trend", "sql_intersect_except_all", "sql_unpivot_status_totals", "sql_last_value_ignore_nulls",
-    "sql_top_customer_per_segment", "sql_funnel_view_click_purchase",
-    "sql_pii_redaction", "sql_ntile_balance_quartiles",
-    "sql_lateral_top2_orders", "sql_fuzzy_name_pairs",
-    "sql_zscore_normalize_events",
-    # -- round-3 tier --
+    # -- round-3 rows displaced by the probe-fix waves + tail --
+    "approx_distinct_users", "sql_not_in_null_aware",
+    "sql_keep_first_per_key", "sql_histogram_event_values",
+    "sql_intersect_except_all", "sql_unpivot_status_totals",
+    "sql_last_value_ignore_nulls", "sql_top_customer_per_segment",
+    "sql_funnel_view_click_purchase", "sql_pii_redaction",
+    "sql_ntile_balance_quartiles", "sql_lateral_top2_orders",
+    "sql_fuzzy_name_pairs", "sql_zscore_normalize_events",
     "sql_mode_priority_by_status", "unigram_surprisal_quality",
     "window_balance_distribution", "windowed_heavy_hitters",
     # -- round-4 tier --
     "winnow_fingerprint_pairs", "embedding_sq8_topk", "ann_recall_eval",
     "anomaly_mad_events", "dedup_lsh_recall_eval", "feature_rolling_events",
-    "target_encode_priority", "windowed_quantiles",
-    "cohort_retention_users", "chisq_event_daypart",
+    "windowed_quantiles", "cohort_retention_users", "chisq_event_daypart",
     "corr_lineitem_moments", "multimodal_video_frame_dedup",
     "embedding_outliers_topk", "bpe_top_merges",
     "adamic_adar_link_prediction", "entity_resolution_customers",
@@ -146,8 +146,7 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "rfm_customer_segments", "markov_transition_events",
     "change_point_cusum_events", "late_data_accounting",
     "attribution_credit_events", "stickiness_dau_mau",
-    "corpus_curation_e2e", "dsir_importance_select",
-    "session_path_topk",
+    "corpus_curation_e2e", "dsir_importance_select", "session_path_topk",
     "ks_test_purchase_view", "anova_f_totalprice_priority",
     "mutual_info_status_priority", "l_diversity_audit",
     "pagination_page_manifest", "range_join_click_attribution",
@@ -216,16 +215,16 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "auc_mann_whitney_embeddings", "dedup_chunk_exact",
     "dp_exponential_topk", "dp_noisy_counts_laplace",
     "funnel_latency_quantiles", "gini_revenue_concentration",
-    "nb_lang_classifier_eval", "novelty_rate_docs", "price_index_laspeyres",
+    "nb_lang_classifier_eval", "novelty_rate_docs",
     "temperature_sampled_mix", "zipf_alpha_terms",
     "jl_projection_distortion", "agg_metrics_summary",
-    "multimodal_audio_features",
-    "textrank_keywords", "forecast_backtest_mape", "quantile_sketch_values",
+    "multimodal_audio_features", "textrank_keywords",
+    "forecast_backtest_mape", "quantile_sketch_values",
     "q4_order_priority_check", "q7_volume_shipping", "q8_market_share",
     "q12_priority_class_counts", "q13_customer_distribution",
-    "q14_promo_revenue_share", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q21_waiting_supplier",
-    "q22_idle_balance_by_country", "lead_lag_order_gaps",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q21_waiting_supplier", "q22_idle_balance_by_country",
+    "lead_lag_order_gaps",
 )
 
 

@@ -861,10 +861,14 @@ def q12_priority_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue_share",
     oracle="""
         SELECT ROUND(
+                   -- NULLIF: an all-zero-revenue month (free-item lines
+                   -- only) has no defined promo share — NULL, not an
+                   -- ANSI 0-divide (probe-found on a truncated corpus)
                    100.0 * SUM(CASE WHEN p_type = 'PROMO'
                                     THEN l_extendedprice * (1 - l_discount)
                                     ELSE 0 END)
-                   / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+                   / NULLIF(SUM(l_extendedprice * (1 - l_discount)), 0), 4)
+               AS promo_revenue_pct
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
@@ -882,7 +886,11 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+        .agg(
+            F.round(
+                100.0 * F.sum(promo) / F.nullif(F.sum(rev), F.lit(0.0)), 4
+            ).alias("promo_revenue_pct")  # zero-revenue month → NULL
+        )
     )
 
 

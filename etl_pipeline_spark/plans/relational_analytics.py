@@ -1155,15 +1155,21 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "price_index_laspeyres",
     oracle="""
-        WITH yp AS (
+        WITH ypc AS (
             SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
                    l_partkey,
-                   CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100, 0)
-                                       AS BIGINT))
-                              * 1.0e0 / SUM(CAST(l_quantity AS BIGINT)) + 0.5)
-                        AS BIGINT) AS p,
-                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+                   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sc,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sq
             FROM lineitem GROUP BY 1, 2
+        ),
+        yp AS (
+            -- zero-total-quantity cells have no unit price (the
+            -- pattern_vshape convention — probe-found ANSI 0-divide via
+            -- the planted free-item line); they drop from the basket
+            SELECT yr, l_partkey,
+                   CAST(FLOOR(sc * 1.0e0 / sq + 0.5) AS BIGINT) AS p,
+                   CAST(sq AS BIGINT) AS q
+            FROM ypc WHERE sq > 0
         ),
         base AS (
             SELECT l_partkey, p AS p0, q AS q0 FROM yp
@@ -1180,10 +1186,13 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1
         )
         SELECT yr, n_parts,
-               ROUND(CAST(l_num AS DOUBLE) / l_den, 6) AS laspeyres,
-               ROUND(CAST(p_num AS DOUBLE) / p_den, 6) AS paasche,
-               ROUND(SQRT((CAST(l_num AS DOUBLE) / l_den)
-                          * (CAST(p_num AS DOUBLE) / p_den)), 6) AS fisher
+               -- NULLIF: an all-zero-price base basket has no defined
+               -- index — NULL, not an ANSI 0-divide
+               ROUND(CAST(l_num AS DOUBLE) / NULLIF(l_den, 0), 6) AS laspeyres,
+               ROUND(CAST(p_num AS DOUBLE) / NULLIF(p_den, 0), 6) AS paasche,
+               ROUND(SQRT((CAST(l_num AS DOUBLE) / NULLIF(l_den, 0))
+                          * (CAST(p_num AS DOUBLE) / NULLIF(p_den, 0))), 6)
+                   AS fisher
         FROM m
     """,
     tags=("relational", "index", "revenue"),
@@ -1200,11 +1209,14 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
         )
         .groupBy("yr", "l_partkey")
-        .agg(
-            F.expr(
-                "CAST(FLOOR(SUM(cents) * 1.0e0 / SUM(qty) + 0.5) AS BIGINT)"
-            ).alias("p"),
-            F.sum("qty").cast("bigint").alias("q"),
+        .agg(F.sum("cents").alias("sc"), F.sum("qty").alias("sq"))
+        # zero-qty cells drop BEFORE the unit-price division — see oracle
+        .filter(F.col("sq") > 0)
+        .select(
+            "yr",
+            "l_partkey",
+            F.expr("CAST(FLOOR(sc * 1.0e0 / sq + 0.5) AS BIGINT)").alias("p"),
+            F.col("sq").cast("bigint").alias("q"),
         )
     )
     min_yr = yp.agg(F.min("yr").alias("base_yr"))
@@ -1226,8 +1238,8 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("p0") * F.col("q")).cast("bigint").alias("p_den"),
         )
     )
-    lasp = F.col("l_num").cast("double") / F.col("l_den")
-    paas = F.col("p_num").cast("double") / F.col("p_den")
+    lasp = F.col("l_num").cast("double") / F.nullif(F.col("l_den"), F.lit(0))
+    paas = F.col("p_num").cast("double") / F.nullif(F.col("p_den"), F.lit(0))
     return m.select(
         "yr",
         "n_parts",

@@ -529,11 +529,27 @@ _sql_query(
 _sql_query(
     "sql_regression_price_trend",
     """
+        WITH m AS (
+            -- moment aggregates only (regr_sxx/sxy/syy/avgx/avgy never
+            -- divide); the native regr_slope/corr aggregates divide
+            -- INSIDE the aggregation, so a zero-variance group (one
+            -- order, or all-equal custkeys) is an ANSI crash in Spark
+            -- that no outer CASE can guard (probe-found on a truncated
+            -- tiny corpus). Degenerate groups are NULL via NULLIF in
+            -- both engines.
+            SELECT o_orderpriority,
+                   regr_sxx(o_totalprice, o_custkey) AS sxx,
+                   regr_sxy(o_totalprice, o_custkey) AS sxy,
+                   regr_syy(o_totalprice, o_custkey) AS syy,
+                   regr_avgx(o_totalprice, o_custkey) AS ax,
+                   regr_avgy(o_totalprice, o_custkey) AS ay
+            FROM orders GROUP BY o_orderpriority
+        )
         SELECT o_orderpriority,
-               ROUND(regr_slope(o_totalprice, o_custkey), 6) AS slope,
-               ROUND(regr_intercept(o_totalprice, o_custkey), 6) AS intercept,
-               ROUND(corr(o_totalprice, o_custkey), 6) AS r
-        FROM orders GROUP BY o_orderpriority
+               ROUND(sxy / NULLIF(sxx, 0), 6) AS slope,
+               ROUND(ay - (sxy / NULLIF(sxx, 0)) * ax, 6) AS intercept,
+               ROUND(sxy / NULLIF(SQRT(sxx * syy), 0), 6) AS r
+        FROM m
     """,
     doc="per-priority least-squares fit via regr_* moment aggregates",
     tags=("sql", "stats", "agg"),

@@ -406,10 +406,27 @@ def _gen_star(out_dir: str, seed: int) -> None:
 _SWEEP_QUERIES = sorted(REGISTRY)
 
 
-@pytest.fixture(scope="module", params=[11, 23])
+# the third fixture truncates each fact table to its plant-heavy prefix —
+# single-part segments, singleton priority groups, zero-variance regression
+# groups, one-month baskets. Found five bugs on first contact (r10: the
+# entropy -0.0 split, laspeyres/q14/regr_*/target-encode ANSI 0-divides);
+# kept to pin degenerate-size behavior registry-wide.
+_TINY_KEEP = {"orders": 12, "lineitem": 20, "events": 30, "documents": 8,
+              "embeddings": 6}
+
+
+@pytest.fixture(scope="module", params=[11, 23, "tiny11"])
 def random_sf(request, tmp_path_factory):
+    tiny = isinstance(request.param, str)
+    seed = 11 if tiny else request.param
     out = str(tmp_path_factory.mktemp(f"rand_sf_{request.param}"))
-    _gen_star(out, seed=request.param)
+    _gen_star(out, seed=seed)
+    if tiny:
+        import pyarrow.parquet as _pq
+
+        for t, k in _TINY_KEEP.items():
+            tbl = _pq.read_table(f"{out}/{t}.parquet")
+            _pq.write_table(tbl.slice(0, k), f"{out}/{t}.parquet")
     con = duckdb.connect()
     for t in _TABLES:
         con.execute(
