@@ -1802,9 +1802,16 @@ def session_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM d)
         SELECT decile, n_customers,
                cents / 100.0 AS revenue,
-               ROUND(SUM(cents) OVER (ORDER BY decile
+               -- FLOOR device: the cumulative share is a ratio of exact
+               -- integers whose double can sit exactly ON a 1e-6
+               -- repr-tie where the engines' native ROUND split
+               -- (probe-found, tiny seed 131); NULLIF guards the
+               -- all-zero-revenue corpus
+               FLOOR(CAST(SUM(cents) OVER (ORDER BY decile
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     * 1.0 / t.total, 6) AS lorenz_cum_share
+                          AS DOUBLE)
+                     * 1.0e6 / NULLIF(t.total, 0) + 0.5e0) / 1.0e6
+                   AS lorenz_cum_share
         FROM d CROSS JOIN t
     """,
     tags=("agg", "window", "concentration"),
@@ -1837,8 +1844,14 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile",
         "n_customers",
         (F.col("cents") / 100.0).alias("revenue"),
-        F.round(
-            F.sum("cents").over(w) * 1.0 / F.col("total"), 6
+        # FLOOR device over the exact-integer ratio — see oracle note
+        (
+            F.floor(
+                F.sum("cents").over(w).cast("double") * 1.0e6
+                / F.nullif(F.col("total"), F.lit(0))
+                + 0.5
+            )
+            / 1.0e6
         ).alias("lorenz_cum_share"),
     )
 

@@ -80,44 +80,39 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "bootstrap_revenue_ci", "sql_conditional_agg_filter",
     "sql_monthly_revenue_ma3", "benford_first_digit",
     "theil_sen_price_trend", "hits_hub_authority",
-    # -- 14 probe-found fixes (late round 10; free-item, NULL-body, and
-    #    tiny-corpus plants): partsupp-proxy zero-qty 0-divide
-    #    (q2/q9/q11/q16/q20), vshape zero-qty month, price-elasticity and
-    #    effective-catalog log domains, ccnet lattice mean, regression
-    #    detector lattice outputs, laspeyres zero-qty/zero-basket, q14
-    #    zero-revenue share, regr_* moment form (zero-variance groups),
-    #    target-encode singleton groups — text changes, driver re-proof
-    #    required same round --
+    # -- 18 probe-found fixes (late round 10; free-item, NULL-body, and
+    #    tiny-corpus plants over 15 fresh seeds): zero-qty/zero-price,
+    #    NULL-blob, zero-variance/singleton-group, zero-total-share, and
+    #    lattice/repr-tie classes — see COVERAGE.md round 10; text
+    #    changes, driver re-proof required same round --
     "pattern_vshape_prices", "price_elasticity_loglog",
     "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
     "q16_supplier_part_buckets", "q20_excess_stock_suppliers",
     "effective_catalog_size", "ccnet_perplexity_buckets",
     "regression_detect_metrics", "price_index_laspeyres",
     "q14_promo_revenue_share", "sql_regression_price_trend",
-    "target_encode_priority",
+    "target_encode_priority", "abc_xyz_inventory_matrix",
+    "auc_mann_whitney_embeddings", "hhi_segment_concentration",
+    "lorenz_curve_deciles",
     # -- all 7 round-2-stale rows (driver-proof age: 8 rounds) --
     "percentile_event_values", "pivot_orders_status",
     "profile_approx_orders", "rollup_order_counts",
     "semi_join_include_filter", "set_ops_union_except",
     "window_range_trailing_spend",
-    # -- 18 round-3-stale rows (incl. sql_outlier_iqr_fences, whose
-    #    fence tie was ALSO fixed this round); the displaced round-3 rows
+    # -- 14 round-3-stale rows (incl. sql_outlier_iqr_fences, whose
+    #    fence tie was ALSO fixed this round); displaced round-3 rows
     #    join the round-11 lead below --
     "sql_ewma_user_values", "sql_correlated_scalar_count",
     "sql_equidepth_value_deciles", "bm25_keyword_topk", "cms_heavy_hitters",
     "collect_order_years", "decontaminate_eval_overlap",
     "dedup_simhash_hamming", "doc_chunk_overlap", "incremental_agg_orders",
     "key_skew_partkey", "keyword_and_search", "profile_orders",
-    "repetition_quality", "resample_ffill_user_6h",
-    "scd2_state_at_purchase", "snapshot_diff_orders",
     "sql_outlier_iqr_fences",
     # ---- below the driver's 50-row window: round 11's intended window
-    #      is literally the next 50 names — first the pre-staged revenue
-    #      wave (the 7 queries whose ROUND(SUM(<lattice product>), 2)
-    #      carries the q1-class theoretical .005 tie; q9 left the wave:
-    #      its sum_profit includes the dense-rational supplycost ratio,
-    #      the documented convention class), then the displaced/tail
-    #      round-3 rows, then the stale tiers stalest-first --
+    #      is literally the next 50 names — the pre-staged revenue wave
+    #      (7 queries with the q1-class product-sum tie; q9 left it for
+    #      the dense-rational supplycost), then displaced/stale round-3
+    #      rows, then the stale tiers stalest-first --
     "q3_top_unshipped_orders", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "q15_top_supplier",
     "q19_disjunctive_revenue", "skew_salted_join",
@@ -125,6 +120,8 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "approx_distinct_users", "sql_not_in_null_aware",
     "sql_keep_first_per_key", "sql_histogram_event_values",
     "sql_intersect_except_all", "sql_unpivot_status_totals",
+    "repetition_quality", "resample_ffill_user_6h",
+    "scd2_state_at_purchase", "snapshot_diff_orders",
     "sql_last_value_ignore_nulls", "sql_top_customer_per_segment",
     "sql_funnel_view_click_purchase", "sql_pii_redaction",
     "sql_ntile_balance_quartiles", "sql_lateral_top2_orders",
@@ -160,15 +157,14 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "purchase_streaks_histogram", "cohort_ltv_curve",
     "item_cooccurrence_topk", "nelson_aalen_hazard", "ztest_conversion_ab",
     "burstiness_user_interarrival", "session_bounce_rate",
-    "hhi_segment_concentration", "crossdoc_ngram_dup_mass",
-    "diff_in_diff_purchase", "cuped_variance_reduction",
-    "er_precision_recall", "t_closeness_audit", "knn_label_accuracy",
-    "spearman_corr_daily", "gini_split_finder_price",
-    "new_vs_returning_revenue", "abc_xyz_inventory_matrix",
-    "pareto_abc_revenue", "quantile_normalize_values", "dedup_minhash_lsh",
-    "dedup_exact_hash", "cms_partkey_estimates", "hll_orderkey_cardinality",
-    "tfidf_top_terms", "bigram_pmi_top", "pack_sequences_budget",
-    "quality_filter_gopher", "pagination_page_slice", "cdc_merge_orders",
+    "crossdoc_ngram_dup_mass", "diff_in_diff_purchase",
+    "cuped_variance_reduction", "er_precision_recall", "t_closeness_audit",
+    "knn_label_accuracy", "spearman_corr_daily", "gini_split_finder_price",
+    "new_vs_returning_revenue", "pareto_abc_revenue",
+    "quantile_normalize_values", "dedup_minhash_lsh", "dedup_exact_hash",
+    "cms_partkey_estimates", "hll_orderkey_cardinality", "tfidf_top_terms",
+    "bigram_pmi_top", "pack_sequences_budget", "quality_filter_gopher",
+    "pagination_page_slice", "cdc_merge_orders",
     # -- round-7 tier --
     "holt_winters_daily", "markov_attribution_removal",
     "dedup_containment_pairs", "grid_nearest_poi", "revenue_bridge_monthly",
@@ -180,14 +176,14 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "doclen_log_histogram", "embedding_centroid_drift",
     "entropy_rate_transitions", "gumbel_weekly_max_revenue",
     "heaps_vocab_growth", "kendall_tau_daily", "lexical_diversity_by_lang",
-    "logrank_test_retention", "lorenz_curve_deciles",
-    "nb_overdispersion_purchases", "open_orders_backlog_daily",
-    "perfect_order_rate", "readability_flesch_docs",
-    "repeat_purchase_interval", "session_next_event_accuracy",
-    "simpson_paradox_check", "tokenizer_fertility_by_lang",
-    "vocab_coverage_estimates", "theil_index_decomposition",
-    "mcnemar_bigram_vs_marginal", "dedup_embedding_cosine",
-    "dedup_ngram_jaccard", "events_sessionize_30m",
+    "logrank_test_retention", "nb_overdispersion_purchases",
+    "open_orders_backlog_daily", "perfect_order_rate",
+    "readability_flesch_docs", "repeat_purchase_interval",
+    "session_next_event_accuracy", "simpson_paradox_check",
+    "tokenizer_fertility_by_lang", "vocab_coverage_estimates",
+    "theil_index_decomposition", "mcnemar_bigram_vs_marginal",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "events_sessionize_30m",
     # -- round-8 tier --
     "pagerank_part_supplier", "bfs_hops_from_hub", "kcore_cosupplier_peel",
     "lpa_cosupplier_communities", "modularity_cosupplier",
@@ -212,8 +208,7 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "sql_drift_psi_event_values", "weighted_sample_docs", "ann_ivf_topk",
     "ann_pq_topk", "ann_ivfpq_topk", "sql_entropy_event_types",
     "expectations_violation_counts", "join_size_estimate",
-    "auc_mann_whitney_embeddings", "dedup_chunk_exact",
-    "dp_exponential_topk", "dp_noisy_counts_laplace",
+    "dedup_chunk_exact", "dp_exponential_topk", "dp_noisy_counts_laplace",
     "funnel_latency_quantiles", "gini_revenue_concentration",
     "nb_lang_classifier_eval", "novelty_rate_docs",
     "temperature_sampled_mix", "zipf_alpha_terms",

@@ -1277,10 +1277,14 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT cr.c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
-               ROUND(SUM((CAST(cr.cents AS DOUBLE) / seg.seg_cents)
-                         * (CAST(cr.cents AS DOUBLE) / seg.seg_cents))
+               -- NULLIF: a zero-total segment (refund/zero orders only)
+               -- has no defined shares — NULL, not an ANSI 0-divide
+               -- (probe-found on a truncated corpus; Spark 4 ANSI throws
+               -- on DOUBLE/0 too)
+               ROUND(SUM((CAST(cr.cents AS DOUBLE) / NULLIF(seg.seg_cents, 0))
+                         * (CAST(cr.cents AS DOUBLE) / NULLIF(seg.seg_cents, 0)))
                      * 10000, 6) AS hhi,
-               ROUND(MAX(CAST(cr.cents AS DOUBLE) / seg.seg_cents), 6)
+               ROUND(MAX(CAST(cr.cents AS DOUBLE) / NULLIF(seg.seg_cents, 0)), 6)
                    AS top_share
         FROM cr JOIN seg ON seg.c_mktsegment = cr.c_mktsegment
         GROUP BY 1
@@ -1303,7 +1307,9 @@ def hhi_segment_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = cr.groupBy("c_mktsegment").agg(
         F.sum("cents").cast("bigint").alias("seg_cents")
     )
-    share = F.col("cents").cast("double") / F.col("seg_cents")
+    share = F.col("cents").cast("double") / F.nullif(
+        F.col("seg_cents"), F.lit(0)
+    )  # zero-total segment -> NULL shares (see oracle)
     return (
         cr.join(F.broadcast(seg), "c_mktsegment")
         .groupBy("c_mktsegment")
@@ -1459,28 +1465,36 @@ def er_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM p),
         abc AS (
+            -- NULLIF: an all-zero-revenue corpus has no defined shares;
+            -- NULL falls through to 'C' identically in both engines
+            -- (Spark 4 ANSI throws on DOUBLE/0 too — probe-found)
             SELECT l_partkey, cents, n_m, s1, s2,
                    CASE WHEN ROUND(CAST(SUM(cents) OVER w AS DOUBLE)
-                                   / tot.total, 6) <= 0.80 THEN 'A'
+                                   / NULLIF(tot.total, 0), 6) <= 0.80 THEN 'A'
                         WHEN ROUND(CAST(SUM(cents) OVER w AS DOUBLE)
-                                   / tot.total, 6) <= 0.95 THEN 'B'
+                                   / NULLIF(tot.total, 0), 6) <= 0.95 THEN 'B'
                         ELSE 'C' END AS abc_class
             FROM p CROSS JOIN tot
             WINDOW w AS (ORDER BY cents DESC, l_partkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ),
         xyz AS (
+            -- NULLIF mean: a part with ZERO total demand (free-item
+            -- lines only) has an undefined CV — NULL falls through to
+            -- 'Z' (most irregular), the side DuckDB's inf already took
             SELECT l_partkey, cents, abc_class,
                    CASE WHEN ROUND(SQRT(GREATEST(
                                  CAST(s2 AS DOUBLE) / n_m
                                  - (CAST(s1 AS DOUBLE) / n_m)
                                    * (CAST(s1 AS DOUBLE) / n_m), 0.0))
-                             / (CAST(s1 AS DOUBLE) / n_m), 6) < 0.5 THEN 'X'
+                             / NULLIF(CAST(s1 AS DOUBLE) / n_m, 0.0e0), 6)
+                             < 0.5 THEN 'X'
                         WHEN ROUND(SQRT(GREATEST(
                                  CAST(s2 AS DOUBLE) / n_m
                                  - (CAST(s1 AS DOUBLE) / n_m)
                                    * (CAST(s1 AS DOUBLE) / n_m), 0.0))
-                             / (CAST(s1 AS DOUBLE) / n_m), 6) < 1.0 THEN 'Y'
+                             / NULLIF(CAST(s1 AS DOUBLE) / n_m, 0.0e0), 6)
+                             < 1.0 THEN 'Y'
                         ELSE 'Z' END AS xyz_class
             FROM abc
         )
@@ -1528,7 +1542,9 @@ def abc_xyz_inventory_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=("l_partkey",),
         value_col="cents",
     )
-    share = F.round(F.col("cum").cast("double") / F.col("total"), 6)
+    share = F.round(
+        F.col("cum").cast("double") / F.nullif(F.col("total"), F.lit(0)), 6
+    )  # all-zero corpus → NULL share → 'C' (see oracle)
     abc = p.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
         "cents",
@@ -1546,7 +1562,7 @@ def abc_xyz_inventory_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
             )
         )
-        / mean,
+        / F.nullif(mean, F.lit(0.0)),  # zero-demand part → 'Z' (oracle)
         6,
     )
     xyz = abc.select(

@@ -206,7 +206,11 @@ _AUC_POS_MIN = 5
         )
         SELECT n_pos, n_neg,
                FLOOR(u_stat * 10 + 0.5) / 10 AS u_stat,
-               FLOOR(u_stat / (CAST(n_pos AS DOUBLE) * n_neg) * 1e6 + 0.5) / 1e6
+               -- NULLIF: AUC is undefined when either class is empty —
+               -- NULL, not an ANSI 0-divide (probe-found on a truncated
+               -- corpus whose labels collapsed to one class)
+               FLOOR(u_stat / NULLIF(CAST(n_pos AS DOUBLE) * n_neg, 0.0e0)
+                     * 1e6 + 0.5) / 1e6
                    AS auc
         FROM u
     """,
@@ -243,8 +247,9 @@ def auc_mann_whitney_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neg",
         F.expr("FLOOR(u_raw * 10 + 0.5) / 10").alias("u_stat"),
         F.expr(
-            "FLOOR(u_raw / (CAST(n_pos AS DOUBLE) * n_neg) * 1e6 + 0.5) / 1e6"
-        ).alias("auc"),
+            "FLOOR(u_raw / NULLIF(CAST(n_pos AS DOUBLE) * n_neg, 0.0e0)"
+            " * 1e6 + 0.5) / 1e6"
+        ).alias("auc"),  # single-class corpus -> NULL (see oracle)
     )
 
 
