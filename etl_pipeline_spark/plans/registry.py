@@ -51,105 +51,78 @@ def register(
 
 # Export order. The driver's correctness run processes exactly the first
 # 50 registered queries per round, and the window ROTATES each round —
-# the top-50 below is round 10's window; everything after it is ordered
-# stalest-first (latest driver row round 3 → 9, recomputed from the
-# CORRECTNESS_r01–r09 union, not from prior prose) so round 11's window
-# is simply the next 50 names. Round 10 leads with the 11 queries whose
-# text/plan changed this round: the exact-cents conversion wave (q1
-# avg_qty/avg_price/avg_disc, lookup_enrich avg_acctbal, acf mu, the two
-# seasonal day-means, bootstrap boot_mean, and the two same-text SQL
-# sites sql_conditional_agg_filter / sql_monthly_revenue_ma3 — every
-# remaining ROUND(AVG(<lattice double>), n) replaced by the portable
-# FLOOR half-up chain over exact order-free BIGINT sums, closing the
-# theoretical run-to-run partial-agg-order risk the r9 midpoint scan
-# documented), benford_first_digit (ABS before FLOOR so negative totals
-# are excluded instead of crashing the ANSI digit cast — advisor item),
-# theil_sen_price_trend (OLS moment SUMs cast to DOUBLE before the
-# COUNT(*) cross-multiplications, which would overflow BIGINT near a
-# ~260-month span — advisor item), and hits_hub_authority (top-25
-# read-out now TakeOrderedAndProject instead of a single-partition
-# global window; hash-identical). Then ALL SEVEN round-2-stale rows
-# (the judge-recomputed set — COVERAGE.md's r9 pre-stage had named only
-# two), then 32 of the 37 remaining round-3 rows; the 5-row round-3
-# tail leads round 11. Ordering only — every query stays registered and
-# locally parity-checked (tests/test_oracle_parity.py, all 272).
-PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the round-10 main wave
-    #    (exact-cents conversion + advisor items + HITS TakeOrdered) --
-    "q1_pricing_summary", "lookup_enrich_customers", "acf_daily_revenue",
-    "seasonal_decompose_weekday", "seasonal_residual_anomalies",
-    "bootstrap_revenue_ci", "sql_conditional_agg_filter",
-    "sql_monthly_revenue_ma3", "benford_first_digit",
-    "theil_sen_price_trend", "hits_hub_authority",
-    # -- 18 probe-found fixes (late round 10; free-item, NULL-body, and
-    #    tiny-corpus plants over 15 fresh seeds): zero-qty/zero-price,
-    #    NULL-blob, zero-variance/singleton-group, zero-total-share, and
-    #    lattice/repr-tie classes — see COVERAGE.md round 10; text
-    #    changes, driver re-proof required same round --
-    "pattern_vshape_prices", "price_elasticity_loglog",
-    "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
-    "q16_supplier_part_buckets", "q20_excess_stock_suppliers",
-    "effective_catalog_size", "ccnet_perplexity_buckets",
-    "regression_detect_metrics", "price_index_laspeyres",
-    "q14_promo_revenue_share", "sql_regression_price_trend",
-    "target_encode_priority", "abc_xyz_inventory_matrix",
-    "auc_mann_whitney_embeddings", "hhi_segment_concentration",
-    "lorenz_curve_deciles",
-    # -- all 7 round-2-stale rows (driver-proof age: 8 rounds) --
-    "percentile_event_values", "pivot_orders_status",
-    "profile_approx_orders", "rollup_order_counts",
-    "semi_join_include_filter", "set_ops_union_except",
-    "window_range_trailing_spend",
-    # -- 14 round-3-stale rows (incl. sql_outlier_iqr_fences, whose
-    #    fence tie was ALSO fixed this round); displaced round-3 rows
-    #    join the round-11 lead below --
-    "sql_ewma_user_values", "sql_correlated_scalar_count",
-    "sql_equidepth_value_deciles", "bm25_keyword_topk", "cms_heavy_hitters",
-    "collect_order_years", "decontaminate_eval_overlap",
-    "dedup_simhash_hamming", "doc_chunk_overlap", "incremental_agg_orders",
-    "key_skew_partkey", "keyword_and_search", "profile_orders",
-    "sql_outlier_iqr_fences",
-    # ---- below the driver's 50-row window: round 11's intended window
-    #      is literally the next 50 names — the pre-staged revenue wave
-    #      (7 queries with the q1-class product-sum tie; q9 left it for
-    #      the dense-rational supplycost), then displaced/stale round-3
-    #      rows, then the stale tiers stalest-first --
+# the top-50 below is round 11's window; everything after it is ordered
+# stalest-first (latest driver row recomputed from the CORRECTNESS_r01–
+# r10 union) so round 12's window is simply the next 50 names. Round 11
+# leads with the six queries whose REACHABLE HELPERS or ORACLE TEXT
+# changed in round 10 without a same-round driver re-proof (the r10
+# verdict's rotation-trigger gap: the NULL-payload kernel wave touched
+# operators/multimodal.py and the aHash oracle at multimodal_plan.py,
+# and the session-cache LRU cap touched the memoized-relation plumbing
+# under pagerank/textrank, but only the registered-function diff drove
+# the window), then the six exact-cents revenue conversions landing THIS
+# round (q3/q5/q6/q10/q15/q19 — the q1 sum_disc_price device; q9 stays
+# on ROUND(SUM) by the documented dense-rational supplycost convention),
+# then the stale tiers stalest-first. Ordering only — every query stays
+# registered and locally parity-checked (tests/test_oracle_parity.py,
+# all 272). The rotation trigger is now enforced mechanically:
+# tests/test_rotation_trigger.py diffs each query's full oracle text AND
+# the transitive source of its plan function against the last
+# driver-proven snapshot (scripts/rotation_snapshot.py) and fails if a
+# changed query is outside the top-50.
+PRIORITY: tuple[str, ...] = (
+    # -- 6 queries whose REACHABLE source or oracle changed in r10
+    #    without a same-round driver re-proof: the 4 multimodal queries
+    #    (NULL-payload kernel totality + aHash oracle NULL-pixel fix;
+    #    last driver rows r5/r8/r9/r4 — verdict item #1) plus pagerank /
+    #    textrank, which the new mechanical trigger (rotation_snapshot
+    #    pointed at efa9d64→3068aa9) ALSO flags: their memoized-relation
+    #    plumbing (utils/session_cache.py LRU cap) changed in r10 --
+    "multimodal_ahash_neardup", "multimodal_decode_features",
+    "multimodal_audio_features", "multimodal_video_frame_dedup",
+    "pagerank_part_supplier", "textrank_keywords",
+    # -- round-11 exact-cents revenue wave (text/plan change THIS round:
+    #    ROUND(SUM(price·(1−disc)),2) → exact-cents FLOOR half-up) --
     "q3_top_unshipped_orders", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "q15_top_supplier",
-    "q19_disjunctive_revenue", "skew_salted_join",
-    # -- round-3 rows displaced by the probe-fix waves + tail --
-    "approx_distinct_users", "sql_not_in_null_aware",
+    "q19_disjunctive_revenue",
+    # -- stale round-3 rows (displaced from the r10 window by the
+    #    probe-fix waves) --
+    "skew_salted_join", "approx_distinct_users", "sql_not_in_null_aware",
     "sql_keep_first_per_key", "sql_histogram_event_values",
     "sql_intersect_except_all", "sql_unpivot_status_totals",
-    "repetition_quality", "resample_ffill_user_6h",
-    "scd2_state_at_purchase", "snapshot_diff_orders",
-    "sql_last_value_ignore_nulls", "sql_top_customer_per_segment",
-    "sql_funnel_view_click_purchase", "sql_pii_redaction",
-    "sql_ntile_balance_quartiles", "sql_lateral_top2_orders",
-    "sql_fuzzy_name_pairs", "sql_zscore_normalize_events",
-    "sql_mode_priority_by_status", "unigram_surprisal_quality",
-    "window_balance_distribution", "windowed_heavy_hitters",
-    # -- round-4 tier --
+    "repetition_quality", "resample_ffill_user_6h", "scd2_state_at_purchase",
+    "snapshot_diff_orders", "sql_last_value_ignore_nulls",
+    "sql_top_customer_per_segment", "sql_funnel_view_click_purchase",
+    "sql_pii_redaction", "sql_ntile_balance_quartiles",
+    "sql_lateral_top2_orders", "sql_fuzzy_name_pairs",
+    "sql_zscore_normalize_events", "sql_mode_priority_by_status",
+    "unigram_surprisal_quality", "window_balance_distribution",
+    "windowed_heavy_hitters",
+    # -- round-4 tier (first 15; the 7-row tail leads round 12) --
     "winnow_fingerprint_pairs", "embedding_sq8_topk", "ann_recall_eval",
     "anomaly_mad_events", "dedup_lsh_recall_eval", "feature_rolling_events",
     "windowed_quantiles", "cohort_retention_users", "chisq_event_daypart",
-    "corr_lineitem_moments", "multimodal_video_frame_dedup",
-    "embedding_outliers_topk", "bpe_top_merges",
+    "corr_lineitem_moments", "embedding_outliers_topk", "bpe_top_merges",
     "adamic_adar_link_prediction", "entity_resolution_customers",
-    "seasonal_baseline_events", "windowed_distinct_users",
-    "dedup_canonical_pick", "token_budget_allocation", "k_anonymity_audit",
-    "inverted_index_postings", "assoc_rules_events",
-    "stratified_kfold_assign",
+    "seasonal_baseline_events",
+    # ---- below the driver's 50-row window: round 12's intended window
+    #      is literally the next 50 names — the spilled round-4 tail,
+    #      then the stale tiers stalest-first; the 50 rows the driver
+    #      just proved in round 10 sit at the very end ----
+    "windowed_distinct_users", "dedup_canonical_pick",
+    "token_budget_allocation", "k_anonymity_audit", "inverted_index_postings",
+    "assoc_rules_events", "stratified_kfold_assign",
     # -- round-5 tier --
     "rfm_customer_segments", "markov_transition_events",
     "change_point_cusum_events", "late_data_accounting",
-    "attribution_credit_events", "stickiness_dau_mau",
-    "corpus_curation_e2e", "dsir_importance_select", "session_path_topk",
-    "ks_test_purchase_view", "anova_f_totalprice_priority",
-    "mutual_info_status_priority", "l_diversity_audit",
-    "pagination_page_manifest", "range_join_click_attribution",
-    "asof_purchase_last_view", "ann_cosine_topk",
-    "bigram_perplexity_quality", "sql_table_checksum_orders",
-    "kmeans_embedding_clusters", "multimodal_ahash_neardup",
+    "attribution_credit_events", "stickiness_dau_mau", "corpus_curation_e2e",
+    "dsir_importance_select", "session_path_topk", "ks_test_purchase_view",
+    "anova_f_totalprice_priority", "mutual_info_status_priority",
+    "l_diversity_audit", "pagination_page_manifest",
+    "range_join_click_attribution", "asof_purchase_last_view",
+    "ann_cosine_topk", "bigram_perplexity_quality",
+    "sql_table_checksum_orders", "kmeans_embedding_clusters",
     "split_leakage_check", "interval_merge_sessions", "window_rank_running",
     # -- round-6 tier --
     "kaplan_meier_retention", "ndcg_label_ranking",
@@ -172,36 +145,33 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "runs_test_daily_revenue", "allen_interval_profile",
     "bh_fdr_nation_conversion", "blocking_quality_er",
     "brier_next_event_model", "capture_recapture_users", "cramers_v_pairs",
-    "crosscorr_daily_lags", "croston_demand_forecast",
-    "doclen_log_histogram", "embedding_centroid_drift",
-    "entropy_rate_transitions", "gumbel_weekly_max_revenue",
-    "heaps_vocab_growth", "kendall_tau_daily", "lexical_diversity_by_lang",
-    "logrank_test_retention", "nb_overdispersion_purchases",
-    "open_orders_backlog_daily", "perfect_order_rate",
-    "readability_flesch_docs", "repeat_purchase_interval",
-    "session_next_event_accuracy", "simpson_paradox_check",
-    "tokenizer_fertility_by_lang", "vocab_coverage_estimates",
-    "theil_index_decomposition", "mcnemar_bigram_vs_marginal",
-    "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "events_sessionize_30m",
+    "crosscorr_daily_lags", "croston_demand_forecast", "doclen_log_histogram",
+    "embedding_centroid_drift", "entropy_rate_transitions",
+    "gumbel_weekly_max_revenue", "heaps_vocab_growth", "kendall_tau_daily",
+    "lexical_diversity_by_lang", "logrank_test_retention",
+    "nb_overdispersion_purchases", "open_orders_backlog_daily",
+    "perfect_order_rate", "readability_flesch_docs",
+    "repeat_purchase_interval", "session_next_event_accuracy",
+    "simpson_paradox_check", "tokenizer_fertility_by_lang",
+    "vocab_coverage_estimates", "theil_index_decomposition",
+    "mcnemar_bigram_vs_marginal", "dedup_embedding_cosine",
+    "dedup_ngram_jaccard", "events_sessionize_30m",
     # -- round-8 tier --
-    "pagerank_part_supplier", "bfs_hops_from_hub", "kcore_cosupplier_peel",
+    "bfs_hops_from_hub", "kcore_cosupplier_peel",
     "lpa_cosupplier_communities", "modularity_cosupplier",
     "assortativity_cosupplier", "jaccard_link_prediction",
-    "triangle_cosupplier_stats", "agg_success_rate",
-    "ann_bucketed_sign_lsh", "bbox_range_filter", "dedup_cluster_assign",
-    "doc_fingerprints", "exists_big_quantity_orders", "json_extract_props",
-    "lang_id_confusion", "mapping_resolution",
-    "mapping_validation_violations", "multimodal_decode_features",
-    "naming_sanitize_chain", "point_in_aoi_filter",
-    "profile_orders_columns", "scalar_subquery_above_avg",
-    "sde_name_derivation", "simhash_fingerprints",
-    "source_fc_reverse_match", "stratified_sample_langs",
-    "text_quality_scores", "token_stats", "top_tokens_per_lang",
-    "train_test_split_assign", "unique_name_allocation",
-    "url_parse_extract", "wgs84_sniff_rule", "anti_join_missing",
-    "bloom_supplier_prune", "cube_lineitem_flags", "distinct_dedupe",
-    "events_sliding_30m15m", "events_tumbling_1h",
+    "triangle_cosupplier_stats", "agg_success_rate", "ann_bucketed_sign_lsh",
+    "bbox_range_filter", "dedup_cluster_assign", "doc_fingerprints",
+    "exists_big_quantity_orders", "json_extract_props", "lang_id_confusion",
+    "mapping_resolution", "mapping_validation_violations",
+    "naming_sanitize_chain", "point_in_aoi_filter", "profile_orders_columns",
+    "scalar_subquery_above_avg", "sde_name_derivation",
+    "simhash_fingerprints", "source_fc_reverse_match",
+    "stratified_sample_langs", "text_quality_scores", "token_stats",
+    "top_tokens_per_lang", "train_test_split_assign",
+    "unique_name_allocation", "url_parse_extract", "wgs84_sniff_rule",
+    "anti_join_missing", "bloom_supplier_prune", "cube_lineitem_flags",
+    "distinct_dedupe", "events_sliding_30m15m", "events_tumbling_1h",
     "grouping_sets_status_priority", "hll_intersect_cohorts",
     "hll_orders_by_flag",
     # -- round-9 tier --
@@ -210,16 +180,36 @@ PRIORITY: tuple[str, ...] = (    # -- 11 queries whose text/plan changed in the 
     "expectations_violation_counts", "join_size_estimate",
     "dedup_chunk_exact", "dp_exponential_topk", "dp_noisy_counts_laplace",
     "funnel_latency_quantiles", "gini_revenue_concentration",
-    "nb_lang_classifier_eval", "novelty_rate_docs",
-    "temperature_sampled_mix", "zipf_alpha_terms",
-    "jl_projection_distortion", "agg_metrics_summary",
-    "multimodal_audio_features", "textrank_keywords",
+    "nb_lang_classifier_eval", "novelty_rate_docs", "temperature_sampled_mix",
+    "zipf_alpha_terms", "jl_projection_distortion", "agg_metrics_summary",
     "forecast_backtest_mape", "quantile_sketch_values",
     "q4_order_priority_check", "q7_volume_shipping", "q8_market_share",
     "q12_priority_class_counts", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q18_large_volume_customers",
     "q21_waiting_supplier", "q22_idle_balance_by_country",
     "lead_lag_order_gaps",
+    # -- round-10 window (driver-proven in CORRECTNESS_r10, freshest) --
+    "q1_pricing_summary", "lookup_enrich_customers", "acf_daily_revenue",
+    "seasonal_decompose_weekday", "seasonal_residual_anomalies",
+    "bootstrap_revenue_ci", "sql_conditional_agg_filter",
+    "sql_monthly_revenue_ma3", "benford_first_digit", "theil_sen_price_trend",
+    "hits_hub_authority", "pattern_vshape_prices", "price_elasticity_loglog",
+    "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
+    "q16_supplier_part_buckets", "q20_excess_stock_suppliers",
+    "effective_catalog_size", "ccnet_perplexity_buckets",
+    "regression_detect_metrics", "price_index_laspeyres",
+    "q14_promo_revenue_share", "sql_regression_price_trend",
+    "target_encode_priority", "abc_xyz_inventory_matrix",
+    "auc_mann_whitney_embeddings", "hhi_segment_concentration",
+    "lorenz_curve_deciles", "percentile_event_values", "pivot_orders_status",
+    "profile_approx_orders", "rollup_order_counts",
+    "semi_join_include_filter", "set_ops_union_except",
+    "window_range_trailing_spend", "sql_ewma_user_values",
+    "sql_correlated_scalar_count", "sql_equidepth_value_deciles",
+    "bm25_keyword_topk", "cms_heavy_hitters", "collect_order_years",
+    "decontaminate_eval_overlap", "dedup_simhash_hamming",
+    "doc_chunk_overlap", "incremental_agg_orders", "key_skew_partkey",
+    "keyword_and_search", "profile_orders", "sql_outlier_iqr_fences",
 )
 
 

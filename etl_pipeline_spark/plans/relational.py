@@ -16,6 +16,18 @@ from pyspark.sql.window import Window
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
 
+# Exact-cents discounted-revenue device (q1's sum_disc_price, shared by the
+# q3/q5 revenue sums): cents(price) × (100 − disc_pct) is an exact integer
+# on the 1e-4 lattice; Spark accumulates it in DECIMAL(38,0) (the oracle's
+# BIGINT sum widens to HUGEINT) so the 2-dp half-up round is order-free.
+_REV_DISC_SPARK = (
+    "FLOOR(CAST(SUM(CAST("
+    "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+    " * CAST(100 - ROUND(l_discount * 100, 0) AS BIGINT)"
+    " AS DECIMAL(38,0))) AS DOUBLE)"
+    " / 100.0e0 + 0.5e0) / 100.0e0"
+)
+
 
 # --------------------------------------------------------------------------
 # Flagship: scan → pushdown filter → hash agg (partial+final) → sort.
@@ -117,13 +129,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: customer filter prunes before the join; orders⋈lineitem is the big
 # shuffle — both sides hash-partitioned on orderkey; top-k is a TakeOrdered,
 # no global sort materialization.
+# Revenue uses the exact-cents device (q1's sum_disc_price): the discounted
+# price is exact on the 1e-4 lattice, so the sum accumulates as an exact
+# 128-bit integer (DECIMAL(38,0) / HUGEINT) and the 2-dp round is
+# order-free — no partial-agg jitter can flip a .005 tie, and the
+# DESC-revenue sort key is bit-identical in both engines.
 # --------------------------------------------------------------------------
 @register(
     "q3_top_unshipped_orders",
     oracle="""
         SELECT
             l_orderkey,
-            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            FLOOR(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                           * CAST(100 - ROUND(l_discount * 100, 0) AS BIGINT))
+                       AS DOUBLE)
+                  / 100.0e0 + 0.5e0) / 100.0e0 AS revenue,
             o_orderdate,
             o_orderpriority
         FROM customer
@@ -147,11 +167,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(F.expr(_REV_DISC_SPARK).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -169,7 +185,10 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
             n_name,
-            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FLOOR(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                           * CAST(100 - ROUND(l_discount * 100, 0) AS BIGINT))
+                       AS DOUBLE)
+                  / 100.0e0 + 0.5e0) / 100.0e0 AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -203,11 +222,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(F.expr(_REV_DISC_SPARK).alias("revenue"))
     )
 
 
@@ -554,11 +569,16 @@ def window_rank_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Single-group filter aggregation (TPC-H Q6 shape) — the all-pushdown query:
 # every predicate reaches the scan, agg collapses to one row.
+# Revenue is price × discount — exact on the 1e-4 lattice, so it takes the
+# exact-cents device (integer accumulate, order-free 2-dp half-up round).
 # --------------------------------------------------------------------------
 @register(
     "q6_forecast_revenue",
     oracle="""
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT FLOOR(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                              * CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                          AS DOUBLE)
+                     / 100.0e0 + 0.5e0) / 100.0e0 AS revenue,
                COUNT(*) AS n_lines
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -578,7 +598,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.expr(
+                "FLOOR(CAST(SUM(CAST("
+                "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+                " * CAST(ROUND(l_discount * 100, 0) AS BIGINT)"
+                " AS DECIMAL(38,0))) AS DOUBLE)"
+                " / 100.0e0 + 0.5e0) / 100.0e0"
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

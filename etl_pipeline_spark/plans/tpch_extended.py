@@ -39,6 +39,24 @@ def _ts(lit: str) -> F.Column:
     return F.expr(f"CAST('{lit} 00:00:00' AS TIMESTAMP_NTZ)")
 
 
+# Exact-cents discounted-revenue device (relational.py q1's sum_disc_price;
+# q10/q15/q19 here): cents(price) × (100 − disc_pct) is exact on the 1e-4
+# lattice; Spark accumulates DECIMAL(38,0) (oracle: BIGINT sum → HUGEINT)
+# so the 2-dp half-up round is order-free — stable under any partial-agg
+# order, and revenue compares/sorts bit-identically across engines.
+_REV_DISC_SPARK = (
+    "FLOOR(CAST(SUM(CAST("
+    "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+    " * CAST(100 - ROUND(l_discount * 100, 0) AS BIGINT)"
+    " AS DECIMAL(38,0))) AS DOUBLE)"
+    " / 100.0e0 + 0.5e0) / 100.0e0"
+)
+_REV_DISC_DUCK = """FLOOR(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                           * CAST(100 - ROUND(l_discount * 100, 0) AS BIGINT))
+                       AS DOUBLE)
+                  / 100.0e0 + 0.5e0) / 100.0e0"""
+
+
 # --------------------------------------------------------------------------
 # TPC-H Q7 — volume shipping between two nations, by direction and year.
 # Scale: both nation dims broadcast (25 rows); supplier broadcasts (tiny vs
@@ -181,9 +199,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
         SELECT c_custkey, c_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               {_REV_DISC_DUCK} AS revenue,
                ROUND(c_acctbal, 2) AS acctbal,
                n_name
         FROM customer
@@ -211,11 +229,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(F.expr(_REV_DISC_SPARK).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -268,15 +282,17 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q15 — top supplier by quarterly revenue: a reused CTE (revenue per
 # supplier) consumed twice — once for the scalar MAX, once for the join.
 # Scale: the revenue relation is one shuffle over lineitem; it is tiny
-# (one row per supplier) so BOTH consumers broadcast it; revenue is rounded
-# BEFORE the max/equality so the float compare is stable across engines.
+# (one row per supplier) so BOTH consumers broadcast it; revenue takes the
+# exact-cents device BEFORE the max/equality, so the float compare is on
+# identical correctly-rounded doubles in both engines — a .005 midpoint
+# tie cannot split the winner set.
 # --------------------------------------------------------------------------
 @register(
     "q15_top_supplier",
-    oracle="""
+    oracle=f"""
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                   {_REV_DISC_DUCK} AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -294,9 +310,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        F.expr(_REV_DISC_SPARK).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     supp = load_table(spark, sf_dir, "supplier")
@@ -413,8 +427,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q19_disjunctive_revenue",
-    oracle="""
-        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    oracle=f"""
+        SELECT {_REV_DISC_DUCK} AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_lines
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
@@ -451,9 +465,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.expr(_REV_DISC_SPARK).alias("revenue"),
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )

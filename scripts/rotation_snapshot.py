@@ -1,0 +1,296 @@
+"""Rotation-trigger fingerprints: which queries changed since their last
+driver proof?
+
+The driver's correctness window is ``PRIORITY[:50]`` — any query whose
+RESULT could have changed in a round must be rotated into it (same-round
+driver proof). Round 10 showed that diffing only the registered function
+bodies is under-inclusive: the multimodal NULL-payload wave changed
+``operators/multimodal.py`` kernels and one oracle string, silently
+invalidating the driver rows of four queries whose own function text
+never moved. This module keys the trigger on what actually determines a
+query's result:
+
+    fingerprint(name) = md5( full oracle SQL text
+                           + transitive source of the plan function )
+
+"Transitive source" walks the registered function's code objects: every
+``co_names`` global that resolves inside ``etl_pipeline_spark`` is
+followed — functions and classes recursively (class bodies include their
+methods, which are walked too), package modules by file-content hash,
+and module-level constants (the SQL device strings!) by ``repr``.
+Closure cells and nested code objects (lambdas, comprehensions) are
+walked the same way. pyspark / stdlib names are skipped: they are pinned
+by the container, not by this repo.
+
+Snapshot lifecycle (``scripts/rotation_snapshot.json``):
+
+- ``python scripts/rotation_snapshot.py init``   — fingerprint all
+  queries (bootstrap, or after a full local drive_contract proof of the
+  entire registry).
+- ``python scripts/rotation_snapshot.py update`` — re-fingerprint ONLY
+  the current window ``PRIORITY[:50]`` (run at round close: those rows
+  are what the driver is about to prove). Non-window entries are
+  deliberately immutable — overwriting one would erase the evidence
+  that its query drifted from its last driver proof.
+- ``python scripts/rotation_snapshot.py check``  — print queries whose
+  fingerprint differs from the snapshot, flagging any outside the
+  window (exit 1). ``tests/test_rotation_trigger.py`` runs the same
+  predicate in pytest.
+"""
+from __future__ import annotations
+
+import ast
+import hashlib
+import importlib
+import inspect
+import json
+import os
+import sys
+import textwrap
+import types
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+_PKG = "etl_pipeline_spark"
+SNAPSHOT_PATH = os.path.join(_REPO, "scripts", "rotation_snapshot.json")
+
+# Queries exempt from the window requirement THIS round only. Each entry
+# needs (a) a reason string, (b) a full local drive_contract proof at
+# sf0.001 AND sf0.01 noted in COVERAGE.md. Intended for repo-wide
+# refactors (e.g. a load_table signature change) that touch every
+# query's closure at once — 272 cannot fit a 50-row window. Keep empty
+# otherwise.
+ROTATION_EXEMPT: dict[str, str] = {}
+
+
+def _module_file_hash(mod: types.ModuleType) -> str:
+    path = getattr(mod, "__file__", None)
+    if not path or not os.path.exists(path):
+        return f"<no-file:{mod.__name__}>"
+    with open(path, "rb") as fh:
+        return hashlib.md5(fh.read()).hexdigest()
+
+
+def _stable_repr(value, depth: int = 0) -> str:
+    """Deterministic across processes: plain ``repr`` embeds memory
+    addresses for arbitrary objects and hash-randomized ordering for
+    sets — both would make every fingerprint differ run-to-run."""
+    if depth > 6:
+        return "<deep>"
+    if value is None or isinstance(value, (bool, int, float, str, bytes)):
+        return repr(value)
+    if isinstance(value, tuple):
+        inner = ",".join(_stable_repr(v, depth + 1) for v in value)
+        return f"({inner})"
+    if isinstance(value, frozenset):
+        inner = ",".join(sorted(_stable_repr(v, depth + 1) for v in value))
+        return f"{{{inner}}}"
+    if isinstance(value, (list, set, dict)):
+        # mutable container: its runtime CONTENT is process state (an
+        # LRU cache fills as queries run) — fingerprinting the value
+        # would make results depend on execution history. The caller
+        # substitutes the defining module's file hash instead, which
+        # still catches source edits.
+        return f"<mutable:{type(value).__qualname__}>"
+    # arbitrary object (compiled regex, Window spec, …): identify by
+    # type; its construction text lives in the defining module, which
+    # the caller hashes alongside
+    return f"<obj:{type(value).__module__}.{type(value).__qualname__}>"
+
+
+def _code_names(code: types.CodeType) -> set[str]:
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_names(const)
+    return names
+
+
+def _local_imports(source: str) -> list:
+    """Objects brought in by import statements ANYWHERE in the function
+    (function-local ``from pkg.mod import kernel`` never reaches
+    ``__globals__``, so the co_names walk alone would miss the kernel —
+    exactly the r10 multimodal gap)."""
+    out: list = []
+    try:
+        tree = ast.parse(textwrap.dedent(source))
+    except SyntaxError:
+        return out
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(_PKG):
+            try:
+                mod = importlib.import_module(node.module)
+            except ImportError:
+                continue
+            for alias in node.names:
+                obj = getattr(mod, alias.name, None)
+                if obj is not None:
+                    out.append(obj)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith(_PKG):
+                    try:
+                        out.append(importlib.import_module(alias.name))
+                    except ImportError:
+                        pass
+    return out
+
+
+def _safe_source(obj) -> str:
+    try:
+        return inspect.getsource(obj)
+    except (OSError, TypeError):
+        return f"<unsourcable:{getattr(obj, '__qualname__', repr(obj))}>"
+
+
+def _transitive_parts(fn) -> dict[str, str]:
+    """{stable-key: source-or-repr} for everything reachable from fn
+    inside the package."""
+    parts: dict[str, str] = {}
+    stack: list = [fn]
+    seen: set[int] = set()
+    while stack:
+        obj = stack.pop()
+        if id(obj) in seen:
+            continue
+        seen.add(id(obj))
+
+        if isinstance(obj, types.ModuleType):
+            if obj.__name__.startswith(_PKG):
+                parts[f"module:{obj.__name__}"] = _module_file_hash(obj)
+            continue
+
+        if inspect.isclass(obj):
+            if getattr(obj, "__module__", "").startswith(_PKG):
+                parts[f"class:{obj.__module__}.{obj.__qualname__}"] = _safe_source(obj)
+                for attr in obj.__dict__.values():
+                    if isinstance(attr, (types.FunctionType, staticmethod, classmethod)):
+                        stack.append(getattr(attr, "__func__", attr))
+            continue
+
+        func = getattr(obj, "__func__", obj)  # unwrap bound methods
+        code = getattr(func, "__code__", None)
+        if code is None:
+            continue
+        if not getattr(func, "__module__", "").startswith(_PKG):
+            continue
+        src = _safe_source(func)
+        parts[f"fn:{func.__module__}.{func.__qualname__}"] = src
+        stack.extend(_local_imports(src))
+
+        module_globals = getattr(func, "__globals__", {})
+        for name in sorted(_code_names(code)):
+            if name not in module_globals:
+                continue
+            value = module_globals[name]
+            if isinstance(value, types.ModuleType):
+                stack.append(value)
+            elif inspect.isclass(value) or callable(value):
+                stack.append(value)
+            else:
+                # module-level constant (SQL device strings, lattice
+                # scales, config dicts) — its VALUE is part of the plan
+                sr = _stable_repr(value)
+                if "<obj:" in sr or "<mutable:" in sr:
+                    # opaque / mutable: fall back to the defining
+                    # module's file hash so source edits are caught
+                    # without depending on runtime state
+                    mod = sys.modules.get(func.__module__)
+                    sr += ":" + (_module_file_hash(mod) if mod else "?")
+                parts[f"const:{func.__module__}.{name}"] = sr
+        for cell in func.__closure__ or ():
+            try:
+                inner = cell.cell_contents
+            except ValueError:
+                continue
+            if callable(inner) or isinstance(inner, types.ModuleType):
+                stack.append(inner)
+            else:
+                sr = _stable_repr(inner)
+                if "<obj:" in sr or "<mutable:" in sr:
+                    mod = sys.modules.get(func.__module__)
+                    sr += ":" + (_module_file_hash(mod) if mod else "?")
+                parts[f"cell:{func.__module__}.{func.__qualname__}"] = sr
+    return parts
+
+
+def fingerprints() -> dict[str, str]:
+    from etl_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    out: dict[str, str] = {}
+    for name, spec in sorted(REGISTRY.items()):
+        h = hashlib.md5()
+        h.update((spec.oracle or "<no-oracle>").encode())
+        for key, text in sorted(_transitive_parts(spec.spark_fn).items()):
+            h.update(key.encode())
+            h.update(text.encode())
+        out[name] = h.hexdigest()
+    return out
+
+
+def window() -> list[str]:
+    from etl_pipeline_spark.plans.registry import PRIORITY
+
+    return list(PRIORITY[:50])
+
+
+def load_snapshot() -> dict[str, str]:
+    if not os.path.exists(SNAPSHOT_PATH):
+        return {}
+    with open(SNAPSHOT_PATH) as fh:
+        return json.load(fh)
+
+
+def changed_queries() -> dict[str, str]:
+    """{name: 'changed'|'new'} for queries whose fingerprint differs
+    from (or is absent in) the snapshot."""
+    snap = load_snapshot()
+    out: dict[str, str] = {}
+    for name, fp in fingerprints().items():
+        if name not in snap:
+            out[name] = "new"
+        elif snap[name] != fp:
+            out[name] = "changed"
+    return out
+
+
+def _main(argv: list[str]) -> int:
+    cmd = argv[0] if argv else "check"
+    if cmd == "init":
+        with open(SNAPSHOT_PATH, "w") as fh:
+            json.dump(fingerprints(), fh, indent=0, sort_keys=True)
+        print(f"wrote full snapshot ({SNAPSHOT_PATH})")
+        return 0
+    if cmd == "update":
+        snap = load_snapshot()
+        fresh = fingerprints()
+        win = window()
+        for name in win:
+            snap[name] = fresh[name]
+        with open(SNAPSHOT_PATH, "w") as fh:
+            json.dump(snap, fh, indent=0, sort_keys=True)
+        print(f"updated {len(win)} window fingerprints")
+        return 0
+    if cmd == "check":
+        win = set(window())
+        bad = []
+        for name, kind in sorted(changed_queries().items()):
+            loc = "IN window" if name in win else "OUTSIDE window"
+            exempt = " (exempt)" if name in ROTATION_EXEMPT else ""
+            print(f"{name}: {kind}, {loc}{exempt}")
+            if name not in win and name not in ROTATION_EXEMPT:
+                bad.append(name)
+        if bad:
+            print(f"\nFAIL: {len(bad)} changed queries outside the driver window: {bad}")
+            return 1
+        print("OK: every changed query is inside the driver window")
+        return 0
+    print(__doc__)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main(sys.argv[1:]))
