@@ -22,6 +22,7 @@ executor — the same constraint any non-splittable local format has.)
 
 from __future__ import annotations
 
+import os
 import re
 import sqlite3
 from typing import Any
@@ -36,19 +37,36 @@ def strip_main_prefix(name: str) -> str:
     return _MAIN_PREFIX.sub("", name)
 
 
+def _connect_ro(gpkg_path: str) -> sqlite3.Connection:
+    """Read-only connection with a staging-grade contract (fuzz-pinned,
+    tests/test_parser_fuzz.py): a missing path raises FileNotFoundError —
+    plain ``sqlite3.connect`` would silently CREATE an empty database
+    file, leaving a corrupt artifact in the staging area — and the
+    mode=ro URI guarantees no loader code path can mutate the source."""
+    if not os.path.exists(gpkg_path):
+        raise FileNotFoundError(f"GeoPackage not found: {gpkg_path}")
+    return sqlite3.connect(f"file:{gpkg_path}?mode=ro", uri=True)
+
+
 def list_feature_classes(gpkg_path: str) -> list[str]:
     """Feature classes from gpkg_contents; plain tables when the file is
-    bare SQLite (the reference's accessibility-validation fallback)."""
-    with sqlite3.connect(gpkg_path) as con:
+    bare SQLite (the reference's accessibility-validation fallback).
+    Non-SQLite bytes raise ValueError, not a raw sqlite3.DatabaseError."""
+    with _connect_ro(gpkg_path) as con:
         try:
             rows = con.execute(
                 "SELECT table_name FROM gpkg_contents WHERE data_type = 'features'"
             ).fetchall()
         except sqlite3.OperationalError:
-            rows = con.execute(
-                "SELECT name FROM sqlite_master WHERE type='table' "
-                "AND name NOT LIKE 'sqlite_%' AND name NOT LIKE 'gpkg_%'"
-            ).fetchall()
+            try:
+                rows = con.execute(
+                    "SELECT name FROM sqlite_master WHERE type='table' "
+                    "AND name NOT LIKE 'sqlite_%' AND name NOT LIKE 'gpkg_%'"
+                ).fetchall()
+            except sqlite3.DatabaseError as exc:
+                raise ValueError(f"not a SQLite/GeoPackage file: {gpkg_path}") from exc
+        except sqlite3.DatabaseError as exc:
+            raise ValueError(f"not a SQLite/GeoPackage file: {gpkg_path}") from exc
     return [strip_main_prefix(r[0]) for r in rows]
 
 
@@ -67,7 +85,7 @@ def select_feature_classes(
 
 
 def _table_columns(gpkg_path: str, table: str) -> list[tuple[str, str]]:
-    with sqlite3.connect(gpkg_path) as con:
+    with _connect_ro(gpkg_path) as con:
         info = con.execute(f'PRAGMA table_info("{table}")').fetchall()
     return [(r[1], (r[2] or "").upper()) for r in info]
 
@@ -75,7 +93,7 @@ def _table_columns(gpkg_path: str, table: str) -> list[tuple[str, str]]:
 def load_table(spark: SparkSession, gpkg_path: str, table: str) -> DataFrame:
     """Driver-side read (config-scale tables): sqlite3 → pandas → DataFrame.
     Geometry BLOBs survive as binary columns."""
-    with sqlite3.connect(gpkg_path) as con:
+    with _connect_ro(gpkg_path) as con:
         pdf = pd.read_sql_query(f'SELECT * FROM "{table}"', con)
     for col in pdf.columns:
         if pdf[col].dtype == object:
@@ -90,7 +108,7 @@ def load_table_distributed(
 ) -> DataFrame:
     """Executor-side partitioned read: split the rowid range into
     ``num_partitions`` slices, each scanned by its own task."""
-    with sqlite3.connect(gpkg_path) as con:
+    with _connect_ro(gpkg_path) as con:
         lo, hi = con.execute(f'SELECT MIN(rowid), MAX(rowid) FROM "{table}"').fetchone()
     if lo is None:
         return load_table(spark, gpkg_path, table).limit(0)
@@ -107,7 +125,9 @@ def load_table_distributed(
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                with _sq.connect(path) as con:
+                # mode=ro mirrors the driver-side contract: no executor
+                # can create or mutate the source file
+                with _sq.connect(f"file:{path}?mode=ro", uri=True) as con:
                     part = _pd.read_sql_query(
                         f'SELECT * FROM "{tbl}" WHERE rowid BETWEEN ? AND ?',
                         con,
