@@ -457,6 +457,16 @@ _DECIMAL_EXEMPT = {
     "gini_revenue_concentration",
     "q1_pricing_summary",
     "bootstrap_revenue_ci",
+    # r11 revenue wave: the same q1-class device — DECIMAL(38,0) SUM over
+    # exact integer-lattice products cents × (100−disc_c) (q6: cents ×
+    # disc_c), cast to DOUBLE before the single division; no decimal
+    # division anywhere.
+    "q3_top_unshipped_orders",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
 }
 
 _DECIMAL_RE = None  # compiled lazily
