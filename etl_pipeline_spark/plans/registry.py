@@ -81,6 +81,10 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_ahash_neardup", "multimodal_decode_features",
     "multimodal_audio_features", "multimodal_video_frame_dedup",
     "pagerank_part_supplier", "textrank_keywords",
+    # -- round-11 probe fix (bug 27, tiny-corpus seed 419): runs-test
+    #    zero-variance guard — text change THIS round, driver re-proof
+    #    required same round --
+    "runs_test_daily_revenue",
     # -- round-11 exact-cents revenue wave (text/plan change THIS round:
     #    ROUND(SUM(price·(1−disc)),2) → exact-cents FLOOR half-up) --
     "q3_top_unshipped_orders", "q5_local_supplier_volume",
@@ -105,12 +109,12 @@ PRIORITY: tuple[str, ...] = (
     "windowed_quantiles", "cohort_retention_users", "chisq_event_daypart",
     "corr_lineitem_moments", "embedding_outliers_topk", "bpe_top_merges",
     "adamic_adar_link_prediction", "entity_resolution_customers",
-    "seasonal_baseline_events",
     # ---- below the driver's 50-row window: round 12's intended window
     #      is literally the next 50 names — the spilled round-4 tail,
     #      then the stale tiers stalest-first; the 50 rows the driver
     #      just proved in round 10 sit at the very end ----
-    "windowed_distinct_users", "dedup_canonical_pick",
+    "seasonal_baseline_events", "windowed_distinct_users",
+    "dedup_canonical_pick",
     "token_budget_allocation", "k_anonymity_audit", "inverted_index_postings",
     "assoc_rules_events", "stratified_kfold_assign",
     # -- round-5 tier --
@@ -142,7 +146,7 @@ PRIORITY: tuple[str, ...] = (
     "holt_winters_daily", "markov_attribution_removal",
     "dedup_containment_pairs", "grid_nearest_poi", "revenue_bridge_monthly",
     "spend_percentile_by_segment", "wasserstein_value_drift",
-    "runs_test_daily_revenue", "allen_interval_profile",
+    "allen_interval_profile",
     "bh_fdr_nation_conversion", "blocking_quality_er",
     "brier_next_event_model", "capture_recapture_users", "cramers_v_pairs",
     "crosscorr_daily_lags", "croston_demand_forecast", "doclen_log_histogram",

@@ -1954,14 +1954,25 @@ def mcnemar_bigram_vs_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
-               ROUND(1.0 + 2.0 * n1 * n2 / (n1 + n2), 6) AS expected_runs,
-               CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN NULL
+               -- n1+n2 = 0 (every day AT the median, signs empty) makes
+               -- the mean itself undefined → NULL, not a 0/0 (tiny-
+               -- corpus probe, bug 27's sibling branch)
+               CASE WHEN n1 + n2 = 0 THEN NULL
+                    ELSE ROUND(1.0 + 2.0 * n1 * n2 / (n1 + n2), 6)
+               END AS expected_runs,
+               -- zero-variance guard: 2·n1·n2 − n1 − n2 = 0 exactly at
+               -- n1 = n2 = 1 (probe-found, bug 27: DuckDB fabricated a
+               -- NaN z while ANSI Spark threw DIVIDE_BY_ZERO) — the
+               -- statistic is undefined, same convention as n1/n2 = 0
+               CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2
+                         OR 2 * n1 * n2 - n1 - n2 <= 0 THEN NULL
                     ELSE ROUND((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
                                / SQRT(2.0 * n1 * n2
                                       * (2.0 * n1 * n2 - n1 - n2)
                                       / ((n1 + n2) * 1.0 * (n1 + n2)
                                          * (n1 + n2 - 1))), 6) END AS z,
-               CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN 0
+               CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2
+                         OR 2 * n1 * n2 - n1 - n2 <= 0 THEN 0
                     ELSE CAST(ABS((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
                                / SQRT(2.0 * n1 * n2
                                       * (2.0 * n1 * n2 - n1 - n2)
@@ -2028,12 +2039,17 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (2.0 * n1 * n2 - n1 - n2)
         / ((n1 + n2) * 1.0 * (n1 + n2) * (n1 + n2 - 1))
     )
-    degen = (n1 == 0) | (n2 == 0) | (n1 + n2 < 2)
+    # zero-variance guard (probe-found, bug 27): 2·n1·n2 − n1 − n2 = 0
+    # exactly at n1 = n2 = 1 — the unguarded z was an ANSI 0-divide here
+    # (and a fabricated NaN in the oracle); statistic undefined → NULL z,
+    # reject 0, the same convention as the n1/n2 = 0 branch
+    degen = (n1 == 0) | (n2 == 0) | (n1 + n2 < 2) | (2 * n1 * n2 - n1 - n2 <= 0)
     return runs.select(
         n1.alias("n_above"),
         n2.alias("n_below"),
         r.alias("n_runs"),
-        F.round(er, 6).alias("expected_runs"),
+        # all-at-median corpus: signs is empty, the mean is undefined
+        F.when(n1 + n2 == 0, F.lit(None)).otherwise(F.round(er, 6)).alias("expected_runs"),
         F.when(degen, F.lit(None)).otherwise(F.round(z, 6)).alias("z"),
         F.when(degen, F.lit(0))
         .otherwise((F.abs(z) > 1.96).cast("int"))
