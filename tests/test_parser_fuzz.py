@@ -241,6 +241,78 @@ def test_gpkg_loader_cannot_mutate_source(tmp_path):
 
 
 # --------------------------------------------------------------------------
+# GeoJSON loader degenerates (spark.read.json tolerates raw bytes, so the
+# pre-fix failures surfaced as AnalysisExceptions off the inferred schema)
+# --------------------------------------------------------------------------
+
+_FC_COLS = ["geom_type", "coordinates_json", "x", "y", "crs_name"]
+
+
+def _write_geojson(tmp_path, payload: bytes) -> str:
+    p = tmp_path / "f.geojson"
+    p.write_bytes(payload)
+    return str(p)
+
+
+def test_geojson_non_json_raises_valueerror(spark, tmp_path):
+    from etl_pipeline_spark.sources.geojson import load_feature_collection
+
+    p = _write_geojson(tmp_path, b"this is not json {{{")
+    with pytest.raises(ValueError, match="not a GeoJSON FeatureCollection"):
+        load_feature_collection(spark, p)
+
+
+def test_geojson_json_without_features_raises(spark, tmp_path):
+    from etl_pipeline_spark.sources.geojson import load_feature_collection
+
+    p = _write_geojson(tmp_path, b'{"type": "Topology", "objects": {}}')
+    with pytest.raises(ValueError, match="not a GeoJSON FeatureCollection"):
+        load_feature_collection(spark, p)
+
+
+def test_geojson_empty_feature_collection_is_legal(spark, tmp_path):
+    # spec-legal: zero features ([] infers array<string> — no element
+    # struct). Pre-fix: AnalysisException from feature.geometry extraction.
+    from etl_pipeline_spark.sources.geojson import load_feature_collection
+
+    p = _write_geojson(tmp_path, b'{"type": "FeatureCollection", "features": []}')
+    df = load_feature_collection(spark, p)
+    assert df.columns == _FC_COLS
+    assert df.count() == 0
+
+
+def test_geojson_all_null_geometry_is_legal(spark, tmp_path):
+    # spec-legal: unlocated features (geometry: null) — NULL geom columns
+    from etl_pipeline_spark.sources.geojson import load_feature_collection
+
+    p = _write_geojson(
+        tmp_path,
+        b'{"type": "FeatureCollection", "features": ['
+        b'{"type": "Feature", "properties": {"a": 1}, "geometry": null}]}',
+    )
+    row = load_feature_collection(spark, p).collect()[0]
+    assert row["a"] == 1
+    assert row["geom_type"] is None and row["x"] is None and row["y"] is None
+
+
+def test_geojson_missing_properties_and_string_crs(spark, tmp_path):
+    # features without a properties object, plus a non-struct crs value —
+    # both degraded pre-fix to AnalysisException
+    from etl_pipeline_spark.sources.geojson import load_feature_collection
+
+    p = _write_geojson(
+        tmp_path,
+        b'{"type": "FeatureCollection", "crs": "EPSG:4326", "features": ['
+        b'{"type": "Feature", "geometry": {"type": "Point", "coordinates": [1.5, 2.5]}}]}',
+    )
+    df = load_feature_collection(spark, p)
+    assert df.columns == _FC_COLS
+    row = df.collect()[0]
+    assert row["geom_type"] == "Point" and row["x"] == 1.5 and row["y"] == 2.5
+    assert row["crs_name"] is None
+
+
+# --------------------------------------------------------------------------
 # hypothesis sweeps: arbitrary bytes never escape the contract
 # --------------------------------------------------------------------------
 
