@@ -60,6 +60,34 @@ class Transport(Protocol):
         ...
 
 
+def _as_dict(value: Any, ctx: str) -> dict:
+    """Server responses are UNTRUSTED input: a top-level JSON array or
+    scalar where an object is required must be a clean ValueError naming
+    the endpoint, not an AttributeError off ``.get`` (fuzz-pinned,
+    tests/test_parser_fuzz.py)."""
+    if not isinstance(value, dict):
+        raise ValueError(f"{ctx}: expected a JSON object, got {type(value).__name__}")
+    return value
+
+
+def _feature_list(page: dict, ctx: str) -> list:
+    """A non-list ``features`` value would silently .extend() its
+    characters/keys into the feature set — corruption, not a crash."""
+    got = page.get("features", [])
+    if not isinstance(got, list):
+        raise ValueError(f"{ctx}: 'features' is {type(got).__name__}, expected a list")
+    return got
+
+
+def _link_list(doc: dict, ctx: str) -> list[dict]:
+    """``links`` tolerant-read: non-list → error; non-object entries are
+    dropped (they cannot carry rel/href)."""
+    links = doc.get("links") or []
+    if not isinstance(links, list):
+        raise ValueError(f"{ctx}: 'links' is not a list")
+    return [l for l in links if isinstance(l, dict)]
+
+
 # --------------------------------------------------------------------------
 # S3: true-filename resolution from Content-Disposition
 # --------------------------------------------------------------------------
@@ -171,14 +199,28 @@ class RestApiFetcher:
     pages_fetched: int = field(default=0, init=False)
 
     def service_metadata(self) -> dict:
-        return self.transport.get_json(self.service_url, {"f": "json"})
+        return _as_dict(
+            self.transport.get_json(self.service_url, {"f": "json"}), self.service_url
+        )
 
     def resolve_layers(self) -> list[int]:
-        """Explicit ids → discover-all → single-FeatureServer fallback."""
+        """Explicit ids → discover-all → single-FeatureServer fallback.
+        Malformed layer entries (non-object, missing/junk id) raise
+        ValueError — a wrong silently-skipped layer is missing data."""
         if self.layer_ids:
             return list(self.layer_ids)
         meta = self.service_metadata()
-        layers = [int(l["id"]) for l in meta.get("layers", [])]
+        entries = meta.get("layers") or []
+        if not isinstance(entries, list):
+            raise ValueError(f"{self.service_url}: 'layers' is not a list")
+        layers = []
+        for entry in entries:
+            try:
+                layers.append(int(entry["id"]))
+            except (TypeError, KeyError, ValueError) as exc:
+                raise ValueError(
+                    f"{self.service_url}: malformed layer entry {entry!r}"
+                ) from exc
         if layers:
             return layers
         # FeatureServer with no layer list → layer 0
@@ -214,16 +256,22 @@ class RestApiFetcher:
     def fetch_layer(self, layer_id: int) -> list[dict]:
         """Offset-pagination loop with exceededTransferLimit handling."""
         layer_url = f"{self.service_url.rstrip('/')}/{layer_id}/query"
-        meta = self.transport.get_json(
-            f"{self.service_url.rstrip('/')}/{layer_id}", {"f": "json"}
+        meta = _as_dict(
+            self.transport.get_json(
+                f"{self.service_url.rstrip('/')}/{layer_id}", {"f": "json"}
+            ),
+            layer_url,
         )
         page_size = self.resolve_max_records(meta)
         features: list[dict] = []
         offset = 0
         while True:
-            page = self.transport.get_json(layer_url, self.query_params(offset, page_size))
+            page = _as_dict(
+                self.transport.get_json(layer_url, self.query_params(offset, page_size)),
+                layer_url,
+            )
             self.pages_fetched += 1
-            got = page.get("features", [])
+            got = _feature_list(page, layer_url)
             features.extend(got)
             more = page.get("exceededTransferLimit", False) or len(got) == page_size
             if not got or not more:
@@ -272,18 +320,29 @@ class OgcApiFetcher:
 
     def discover_collections(self) -> list[str]:
         """Collection discovery; follows a rel="data" link from the landing
-        page when /collections isn't directly present."""
-        doc = self.transport.get_json(f"{self.base_url.rstrip('/')}/collections")
+        page when /collections isn't directly present. Malformed collection
+        entries raise ValueError (missing data must be loud, not skipped)."""
+        url = f"{self.base_url.rstrip('/')}/collections"
+        doc = _as_dict(self.transport.get_json(url), url)
         if "collections" not in doc:
-            landing = self.transport.get_json(self.base_url)
+            landing = _as_dict(self.transport.get_json(self.base_url), self.base_url)
             data_link = next(
-                (l["href"] for l in landing.get("links", []) if l.get("rel") == "data"), None
+                (l.get("href") for l in _link_list(landing, self.base_url)
+                 if l.get("rel") == "data" and l.get("href")),
+                None,
             )
             if data_link:
-                doc = self.transport.get_json(
-                    urllib.parse.urljoin(self.base_url + "/", data_link)
-                )
-        return [c["id"] for c in doc.get("collections", [])]
+                url = urllib.parse.urljoin(self.base_url + "/", data_link)
+                doc = _as_dict(self.transport.get_json(url), url)
+        entries = doc.get("collections") or []
+        if not isinstance(entries, list):
+            raise ValueError(f"{url}: 'collections' is not a list")
+        ids = []
+        for entry in entries:
+            if not isinstance(entry, dict) or not isinstance(entry.get("id"), str):
+                raise ValueError(f"{url}: malformed collection entry {entry!r}")
+            ids.append(entry["id"])
+        return ids
 
     def select_collections(self) -> tuple[list[str], list[str]]:
         """Include-filter (case-insensitive) + the configured∖found anti-set
@@ -309,10 +368,14 @@ class OgcApiFetcher:
         url = self._items_url(collection_id)
         features: list[dict] = []
         while url:
-            page = self.transport.get_json(url)
+            page = _as_dict(self.transport.get_json(url), url)
             self.pages_fetched += 1
-            features.extend(page.get("features", []))
-            nxt = next((l["href"] for l in page.get("links", []) if l.get("rel") == "next"), None)
+            features.extend(_feature_list(page, url))
+            nxt = next(
+                (l.get("href") for l in _link_list(page, url)
+                 if l.get("rel") == "next" and l.get("href")),
+                None,
+            )
             url = urllib.parse.urljoin(url, nxt) if nxt else None
         return features
 
@@ -339,8 +402,12 @@ def atom_resource_urls(feed_xml: str | bytes) -> list[str]:
     """Enclosure (preferred) or plain href links from all entries, deduped
     order-preserving — the set-dedupe at atom_feed.py:83-103 made
     deterministic. Pass bytes to let the parser honor a non-UTF-8
-    encoding declared in the XML prolog."""
-    root = ET.fromstring(feed_xml)
+    encoding declared in the XML prolog. Malformed XML raises ValueError
+    (not a raw ET.ParseError — feed bytes are untrusted input)."""
+    try:
+        root = ET.fromstring(feed_xml)
+    except ET.ParseError as exc:
+        raise ValueError(f"malformed Atom feed: {exc}") from exc
     seen: dict[str, None] = {}
     for entry in root.iter(f"{_ATOM_NS}entry"):
         links = list(entry.iter(f"{_ATOM_NS}link"))

@@ -313,6 +313,93 @@ def test_geojson_missing_properties_and_string_crs(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# Fetcher parsing of hostile SERVER responses (the canned-server tests
+# cover well-formed payloads; these pin the malformed ones)
+# --------------------------------------------------------------------------
+
+
+class _JunkTransport:
+    """Always returns the same canned value, whatever the URL."""
+
+    def __init__(self, payload):
+        self.payload = payload
+
+    def get_json(self, url, params=None):
+        return self.payload
+
+    def head_headers(self, url):
+        return {}
+
+
+def test_rest_top_level_json_array_raises():
+    from etl_pipeline_spark.sources.fetchers import RestApiFetcher
+
+    f = RestApiFetcher(_JunkTransport([1, 2, 3]), "http://svc/FeatureServer")
+    with pytest.raises(ValueError, match="expected a JSON object"):
+        f.resolve_layers()
+
+
+def test_rest_malformed_layer_entry_raises():
+    from etl_pipeline_spark.sources.fetchers import RestApiFetcher
+
+    f = RestApiFetcher(
+        _JunkTransport({"layers": [{"id": "not-an-int-x"}]}), "http://svc/FeatureServer"
+    )
+    with pytest.raises(ValueError, match="malformed layer entry"):
+        f.resolve_layers()
+
+
+def test_rest_features_as_string_raises_not_extends():
+    # pre-fix: features.extend("abc") silently appended the CHARACTERS
+    # of the string as "features" — corruption, not even a crash
+    from etl_pipeline_spark.sources.fetchers import RestApiFetcher
+
+    f = RestApiFetcher(
+        _JunkTransport({"features": "abc", "maxRecordCount": 10}),
+        "http://svc/FeatureServer",
+        layer_ids=(0,),
+    )
+    with pytest.raises(ValueError, match="'features' is str"):
+        f.fetch_layer(0)
+
+
+def test_ogc_malformed_collection_entry_raises():
+    from etl_pipeline_spark.sources.fetchers import OgcApiFetcher
+
+    f = OgcApiFetcher(_JunkTransport({"collections": [{"title": "no id"}]}), "http://ogc")
+    with pytest.raises(ValueError, match="malformed collection entry"):
+        f.discover_collections()
+
+
+def test_ogc_next_link_without_href_terminates():
+    # a rel="next" link missing href must end pagination, not KeyError
+    from etl_pipeline_spark.sources.fetchers import OgcApiFetcher
+
+    page = {"features": [{"type": "Feature"}], "links": [{"rel": "next"}]}
+    f = OgcApiFetcher(_JunkTransport(page), "http://ogc")
+    assert len(f.fetch_collection("roads")) == 1
+
+
+def test_atom_malformed_xml_raises_valueerror():
+    from etl_pipeline_spark.sources.fetchers import atom_resource_urls
+
+    with pytest.raises(ValueError, match="malformed Atom feed"):
+        atom_resource_urls(b"<feed><entry></feed>")  # mismatched tags
+
+
+@settings(max_examples=150, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=256))
+def test_fuzz_atom_feed_valueerror_or_list(blob):
+    from etl_pipeline_spark.sources.fetchers import atom_resource_urls
+
+    try:
+        urls = atom_resource_urls(blob)
+    except ValueError:
+        return
+    assert isinstance(urls, list)
+
+
+# --------------------------------------------------------------------------
 # hypothesis sweeps: arbitrary bytes never escape the contract
 # --------------------------------------------------------------------------
 
