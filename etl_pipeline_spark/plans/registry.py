@@ -90,6 +90,9 @@ PRIORITY: tuple[str, ...] = (
     "q3_top_unshipped_orders", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "q15_top_supplier",
     "q19_disjunctive_revenue",
+    # -- round-11 probe finds (tiny-corpus seed 541): the same exact-
+    #    cents device for the two remaining product-revenue sums --
+    "q7_volume_shipping",
     # -- stale round-3 rows (displaced from the r10 window by the
     #    probe-fix waves) --
     "skew_salted_join", "approx_distinct_users", "sql_not_in_null_aware",
@@ -108,13 +111,13 @@ PRIORITY: tuple[str, ...] = (
     "anomaly_mad_events", "dedup_lsh_recall_eval", "feature_rolling_events",
     "windowed_quantiles", "cohort_retention_users", "chisq_event_daypart",
     "corr_lineitem_moments", "embedding_outliers_topk", "bpe_top_merges",
-    "adamic_adar_link_prediction", "entity_resolution_customers",
+    "adamic_adar_link_prediction",
     # ---- below the driver's 50-row window: round 12's intended window
     #      is literally the next 50 names — the spilled round-4 tail,
     #      then the stale tiers stalest-first; the 50 rows the driver
     #      just proved in round 10 sit at the very end ----
-    "seasonal_baseline_events", "windowed_distinct_users",
-    "dedup_canonical_pick",
+    "entity_resolution_customers", "seasonal_baseline_events",
+    "windowed_distinct_users", "dedup_canonical_pick",
     "token_budget_allocation", "k_anonymity_audit", "inverted_index_postings",
     "assoc_rules_events", "stratified_kfold_assign",
     # -- round-5 tier --
@@ -187,7 +190,7 @@ PRIORITY: tuple[str, ...] = (
     "nb_lang_classifier_eval", "novelty_rate_docs", "temperature_sampled_mix",
     "zipf_alpha_terms", "jl_projection_distortion", "agg_metrics_summary",
     "forecast_backtest_mape", "quantile_sketch_values",
-    "q4_order_priority_check", "q7_volume_shipping", "q8_market_share",
+    "q4_order_priority_check", "q8_market_share",
     "q12_priority_class_counts", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q18_large_volume_customers",
     "q21_waiting_supplier", "q22_idle_balance_by_country",

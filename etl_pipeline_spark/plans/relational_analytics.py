@@ -686,7 +686,13 @@ _SALTS = 8
     oracle="""
         SELECT p.p_brand,
                CAST(COUNT(*) AS BIGINT) AS n_items,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               -- exact-cents device (q1 sum_disc_price): probe seed
+               -- tiny541 landed a brand's revenue sum exactly on a .005
+               -- tie, where ROUND(SUM(double)) split the engines
+               FLOOR(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                              * CAST(100 - ROUND(l.l_discount * 100, 0) AS BIGINT))
+                          AS DOUBLE)
+                     / 100.0e0 + 0.5e0) / 100.0e0 AS revenue
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         GROUP BY p.p_brand
     """,
@@ -705,8 +711,12 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, part, "p_partkey", n_salts=_SALTS, tiebreak="l_orderkey")
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        F.expr(
+            "FLOOR(CAST(SUM(CAST("
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+            " * CAST(100 - ROUND(l_discount * 100, 0) AS BIGINT)"
+            " AS DECIMAL(38,0))) AS DOUBLE)"
+            " / 100.0e0 + 0.5e0) / 100.0e0"
         ).alias("revenue"),
     )
 

@@ -68,12 +68,17 @@ _REV_DISC_DUCK = """FLOOR(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGIN
     "q7_volume_shipping",
     oracle="""
         SELECT supp_nation, cust_nation, l_year,
-               ROUND(SUM(volume), 2) AS revenue
+               -- exact-cents device (q1 sum_disc_price): the volume sum is
+               -- an exact 1e-4-lattice integer, so the 2-dp round cannot
+               -- sit on an engine-dependent .005 tie (probe class, r11)
+               FLOOR(CAST(SUM(vol_e4) AS DOUBLE)
+                     / 100.0e0 + 0.5e0) / 100.0e0 AS revenue
         FROM (
             SELECT n1.n_name AS supp_nation,
                    n2.n_name AS cust_nation,
                    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-                   l_extendedprice * (1 - l_discount) AS volume
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(100 - ROUND(l_discount * 100, 0) AS BIGINT) AS vol_e4
             FROM supplier
             JOIN lineitem ON s_suppkey = l_suppkey
             JOIN orders   ON o_orderkey = l_orderkey
@@ -115,11 +120,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.expr(_REV_DISC_SPARK).alias("revenue"))
     )
 
 

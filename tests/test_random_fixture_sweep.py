@@ -467,6 +467,9 @@ _DECIMAL_EXEMPT = {
     "q10_returned_items",
     "q15_top_supplier",
     "q19_disjunctive_revenue",
+    # probe finds (tiny541 revenue tie): same device
+    "q7_volume_shipping",
+    "skew_salted_join",
 }
 
 _DECIMAL_RE = None  # compiled lazily
