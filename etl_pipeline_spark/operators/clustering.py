@@ -84,7 +84,20 @@ def kmeans_fit_assign(
     # init: first k vectors by id, rounded like every later round
     first_k = emb.orderBy("vec_id").limit(k).collect()
     if not first_k:
-        raise ValueError("corpus has no rows — cannot fit k-means")
+        # empty corpus → empty assignment, matching the oracle's empty
+        # result (empty-input probe, r11), not an exception
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        emb.unpersist()
+        return corpus.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("vec_id", corpus.schema[id_col].dataType),
+                    StructField("cluster", IntegerType()),
+                ]
+            ),
+        )
     import math
 
     init = [

@@ -35,7 +35,12 @@ def profile(df: DataFrame) -> DataFrame:
     aggs = []
     for field in df.schema.fields:
         c = field.name
-        aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"{c}__nulls"))
+        # COALESCE: an EMPTY relation has zero nulls, but SUM over empty
+        # is NULL — the oracle's COUNT(*) FILTER form yields 0 (empty-
+        # input probe, r11)
+        aggs.append(
+            F.coalesce(F.sum(F.isnull(c).cast("long")), F.lit(0)).alias(f"{c}__nulls")
+        )
         aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
         if isinstance(field.dataType, NumericType):
             aggs.append(F.min(F.col(c).cast("double")).alias(f"{c}__min"))

@@ -707,7 +707,12 @@ def _ordered_sample(
     in the CORPUS: both engines assign them cell 0 (all-NaN/NULL scores
     tie-break by cell asc) and their candidate cosines are NULL, sorting
     last — the engine-wide zero-norm convention. The DuckDB oracles'
-    sample CTEs carry the same norm filter."""
+    sample CTEs carry the same norm filter.
+
+    Empty / all-zero-norm corpora return [] — the query-level contract is
+    an EMPTY top-k result (the oracle's sample CTE is empty too), not an
+    exception (empty-input probe, r11); ``build_ivfpq_index`` still
+    refuses to MATERIALIZE an index of nothing."""
     rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .filter(F.expr(_NORM.format(v=vec_col)) > 0.0)
@@ -715,11 +720,28 @@ def _ordered_sample(
         .limit(sample_limit)
         .collect()
     )
-    if not rows:
-        raise ValueError(
-            "corpus has no non-zero-norm rows — cannot build an ANN index"
-        )
     return [[float(x) for x in r.v] for r in rows]
+
+
+def _empty_topk(corpus: DataFrame, id_col: str, score_name: str) -> DataFrame:
+    """Empty (query_id, neighbor_id, rank, <score>) result with the
+    corpus's id type — what every top-k returns for an empty /
+    all-zero-norm corpus (the oracle's empty sample CTE yields the same
+    zero rows)."""
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    idt = corpus.schema[id_col].dataType
+    return corpus.sparkSession.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("query_id", idt),
+                StructField("neighbor_id", idt),
+                StructField("rank", IntegerType(), False),
+                StructField(score_name, DoubleType()),
+            ]
+        ),
+    )
 
 
 def _norm_unrolled_sql(v: str, dim: int) -> str:
@@ -898,6 +920,8 @@ def ivf_topk_relational(
 
     def build():
         sample = _ordered_sample(corpus, id_col, vec_col, sample_limit)
+        if not sample:  # empty corpus → empty top-k (probe, r11)
+            return None, None
         dim = len(sample[0])
         pivots = _pivot_rows(sample, ncells)
         piv1 = _pivot_array(spark, pivots)
@@ -912,6 +936,8 @@ def ivf_topk_relational(
         else (session_key(spark), index_cache_key, "ivf", id_col, vec_col, ncells, sample_limit)
     )
     pivots, cells = _index_artifacts(memo_key, build)
+    if pivots is None:
+        return _empty_topk(corpus, id_col, "cosine")
     id_type, qrows = _collect_queries(corpus.filter(query_filter), id_col, vec_col)
     probes = _probe_local(spark, qrows, id_type, pivots, nprobe, keep_vec=True)
     cand = probes.join(cells, "cell").filter(
@@ -1117,6 +1143,8 @@ def pq_topk_relational(
 
     def build():
         sample = _ordered_sample(corpus, id_col, vec_col, sample_limit)
+        if not sample:  # empty corpus → empty top-k (probe, r11)
+            return None, None
         dim = len(sample[0])
         dsub = dim // m
         entries = _codebook_entries(sample, m, ksub)
@@ -1132,6 +1160,8 @@ def pq_topk_relational(
         else (session_key(spark), index_cache_key, "pq", id_col, vec_col, m, ksub, sample_limit)
     )
     entries, wide = _index_artifacts(memo_key, build)
+    if entries is None:
+        return _empty_topk(corpus, id_col, "approx_cosine")
     id_type, qrows = _collect_queries(corpus.filter(query_filter), id_col, vec_col)
     qdt = _pq_query_tables(spark, qrows, id_type, entries, m, ksub)
     lookup = " + ".join(f"dt[{j * ksub} + _c{j}]" for j in range(m))
@@ -1181,6 +1211,8 @@ def ivfpq_topk_relational(
 
     def build():
         sample = _ordered_sample(corpus, id_col, vec_col, sample_limit)
+        if not sample:  # empty corpus → empty top-k (probe, r11)
+            return None, None, None
         dim = len(sample[0])
         dsub = dim // m
         pivots = _pivot_rows(sample, ncells)
@@ -1220,6 +1252,8 @@ def ivfpq_topk_relational(
         )
     )
     pivots, entries, encoded = _index_artifacts(memo_key, build)
+    if pivots is None:
+        return _empty_topk(corpus, id_col, "approx_cosine")
     id_type, qrows = _collect_queries(corpus.filter(query_filter), id_col, vec_col)
     probes = _probe_local(spark, qrows, id_type, pivots, nprobe, keep_vec=False)
     qdt = _pq_query_tables(spark, qrows, id_type, entries, m, ksub)
@@ -1274,6 +1308,12 @@ def build_ivfpq_index(
     returns (equality pinned in tests)."""
     spark = corpus.sparkSession
     sample = _ordered_sample(corpus, id_col, vec_col, sample_limit)
+    if not sample:
+        # materializing an index of NOTHING is a caller error — unlike
+        # the inline top-k queries, stay loud here
+        raise ValueError(
+            "corpus has no non-zero-norm rows — cannot build an ANN index"
+        )
     dim = len(sample[0])
     dsub = dim // m
     pivots = _pivot_rows(sample, ncells)
@@ -1423,8 +1463,8 @@ def sq8_topk(
     qrow = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
     )
-    if not qrow:
-        raise ValueError("corpus has no rows — cannot run SQ8 top-k")
+    if not qrow:  # empty corpus → empty top-k (probe, r11)
+        return _empty_topk(corpus, id_col, "score_sq8")
     qid = qrow[0][id_col]
     qvec = [float(x) for x in qrow[0][vec_col]]
     dim = len(qvec)

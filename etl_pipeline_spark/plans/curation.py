@@ -93,7 +93,11 @@ def _curation_oracle() -> str:
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM s4)
         )
         SELECT stage_idx, stage, n_docs,
-               ROUND(n_docs * 1.0 / (SELECT n FROM n0), 6) AS frac_of_input
+               -- NULLIF: an EMPTY corpus has no defined stage fractions —
+               -- NULL, not an ANSI 0-divide / fabricated NaN (empty-input
+               -- probe, r11)
+               ROUND(n_docs * 1.0 / NULLIF((SELECT n FROM n0), 0), 6)
+                   AS frac_of_input
         FROM stages
     """
 
@@ -167,12 +171,14 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         )
     )
+    # COALESCE: stage SUMs over an EMPTY corpus are NULL, the oracle's
+    # per-stage COUNTs are 0 (empty-input probe, r11)
     agg = f3.agg(
         F.count(F.lit(1)).cast("bigint").alias("n0"),
-        F.sum("keep1").cast("bigint").alias("n1"),
-        F.sum("keep2").cast("bigint").alias("n2"),
-        F.sum("keep3").cast("bigint").alias("n3"),
-        F.sum("keep4").cast("bigint").alias("n4"),
+        F.coalesce(F.sum("keep1"), F.lit(0)).cast("bigint").alias("n1"),
+        F.coalesce(F.sum("keep2"), F.lit(0)).cast("bigint").alias("n2"),
+        F.coalesce(F.sum("keep3"), F.lit(0)).cast("bigint").alias("n3"),
+        F.coalesce(F.sum("keep4"), F.lit(0)).cast("bigint").alias("n4"),
     )
     stages = agg.select(
         F.expr(
@@ -189,7 +195,10 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s.stage_idx",
         "s.stage",
         "s.n_docs",
-        F.round(F.col("s.n_docs") * 1.0 / F.col("n0"), 6).alias("frac_of_input"),
+        # NULLIF mirrors the oracle: empty corpus → NULL fractions
+        F.round(
+            F.col("s.n_docs") * 1.0 / F.nullif(F.col("n0").cast("double"), F.lit(0.0)), 6
+        ).alias("frac_of_input"),
     )
 
 

@@ -106,30 +106,39 @@ PRIORITY: tuple[str, ...] = (
     "sql_zscore_normalize_events", "sql_mode_priority_by_status",
     "unigram_surprisal_quality", "window_balance_distribution",
     "windowed_heavy_hitters",
-    # -- round-4 tier (first 15; the 7-row tail leads round 12) --
+    # -- round-11 empty-input probe wave (zero-row fact tables — text or
+    #    reachable-helper change THIS round, driver re-proof required):
+    #    cube/rollup grand-total convention, curation NULL fractions,
+    #    cramers ungrouped pair row, logrank reject coalesce, profile
+    #    zero-null counts, ANN/k-means empty-corpus empty results --
+    "cube_lineitem_flags", "rollup_order_counts", "corpus_curation_e2e",
+    "cramers_v_pairs", "logrank_test_retention", "profile_orders",
+    "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
+    "kmeans_embedding_clusters",
+    # -- round-4 tier (first 3; the rest leads round 12) --
     "winnow_fingerprint_pairs", "embedding_sq8_topk", "ann_recall_eval",
-    "anomaly_mad_events", "dedup_lsh_recall_eval", "feature_rolling_events",
-    "windowed_quantiles", "cohort_retention_users", "chisq_event_daypart",
-    "corr_lineitem_moments", "embedding_outliers_topk", "bpe_top_merges",
-    "adamic_adar_link_prediction",
     # ---- below the driver's 50-row window: round 12's intended window
     #      is literally the next 50 names — the spilled round-4 tail,
     #      then the stale tiers stalest-first; the 50 rows the driver
     #      just proved in round 10 sit at the very end ----
-    "entity_resolution_customers", "seasonal_baseline_events",
-    "windowed_distinct_users", "dedup_canonical_pick",
+    "anomaly_mad_events", "dedup_lsh_recall_eval", "feature_rolling_events",
+    "windowed_quantiles", "cohort_retention_users", "chisq_event_daypart",
+    "corr_lineitem_moments", "embedding_outliers_topk", "bpe_top_merges",
+    "adamic_adar_link_prediction", "entity_resolution_customers",
+    "seasonal_baseline_events", "windowed_distinct_users",
+    "dedup_canonical_pick",
     "token_budget_allocation", "k_anonymity_audit", "inverted_index_postings",
     "assoc_rules_events", "stratified_kfold_assign",
     # -- round-5 tier --
     "rfm_customer_segments", "markov_transition_events",
     "change_point_cusum_events", "late_data_accounting",
-    "attribution_credit_events", "stickiness_dau_mau", "corpus_curation_e2e",
+    "attribution_credit_events", "stickiness_dau_mau",
     "dsir_importance_select", "session_path_topk", "ks_test_purchase_view",
     "anova_f_totalprice_priority", "mutual_info_status_priority",
     "l_diversity_audit", "pagination_page_manifest",
     "range_join_click_attribution", "asof_purchase_last_view",
     "ann_cosine_topk", "bigram_perplexity_quality",
-    "sql_table_checksum_orders", "kmeans_embedding_clusters",
+    "sql_table_checksum_orders",
     "split_leakage_check", "interval_merge_sessions", "window_rank_running",
     # -- round-6 tier --
     "kaplan_meier_retention", "ndcg_label_ranking",
@@ -151,11 +160,11 @@ PRIORITY: tuple[str, ...] = (
     "spend_percentile_by_segment", "wasserstein_value_drift",
     "allen_interval_profile",
     "bh_fdr_nation_conversion", "blocking_quality_er",
-    "brier_next_event_model", "capture_recapture_users", "cramers_v_pairs",
+    "brier_next_event_model", "capture_recapture_users",
     "crosscorr_daily_lags", "croston_demand_forecast", "doclen_log_histogram",
     "embedding_centroid_drift", "entropy_rate_transitions",
     "gumbel_weekly_max_revenue", "heaps_vocab_growth", "kendall_tau_daily",
-    "lexical_diversity_by_lang", "logrank_test_retention",
+    "lexical_diversity_by_lang",
     "nb_overdispersion_purchases", "open_orders_backlog_daily",
     "perfect_order_rate", "readability_flesch_docs",
     "repeat_purchase_interval", "session_next_event_accuracy",
@@ -177,13 +186,13 @@ PRIORITY: tuple[str, ...] = (
     "stratified_sample_langs", "text_quality_scores", "token_stats",
     "top_tokens_per_lang", "train_test_split_assign",
     "unique_name_allocation", "url_parse_extract", "wgs84_sniff_rule",
-    "anti_join_missing", "bloom_supplier_prune", "cube_lineitem_flags",
+    "anti_join_missing", "bloom_supplier_prune",
     "distinct_dedupe", "events_sliding_30m15m", "events_tumbling_1h",
     "grouping_sets_status_priority", "hll_intersect_cohorts",
     "hll_orders_by_flag",
     # -- round-9 tier --
-    "sql_drift_psi_event_values", "weighted_sample_docs", "ann_ivf_topk",
-    "ann_pq_topk", "ann_ivfpq_topk", "sql_entropy_event_types",
+    "sql_drift_psi_event_values", "weighted_sample_docs",
+    "sql_entropy_event_types",
     "expectations_violation_counts", "join_size_estimate",
     "dedup_chunk_exact", "dp_exponential_topk", "dp_noisy_counts_laplace",
     "funnel_latency_quantiles", "gini_revenue_concentration",
@@ -209,14 +218,14 @@ PRIORITY: tuple[str, ...] = (
     "target_encode_priority", "abc_xyz_inventory_matrix",
     "auc_mann_whitney_embeddings", "hhi_segment_concentration",
     "lorenz_curve_deciles", "percentile_event_values", "pivot_orders_status",
-    "profile_approx_orders", "rollup_order_counts",
+    "profile_approx_orders",
     "semi_join_include_filter", "set_ops_union_except",
     "window_range_trailing_spend", "sql_ewma_user_values",
     "sql_correlated_scalar_count", "sql_equidepth_value_deciles",
     "bm25_keyword_topk", "cms_heavy_hitters", "collect_order_years",
     "decontaminate_eval_overlap", "dedup_simhash_hamming",
     "doc_chunk_overlap", "incremental_agg_orders", "key_skew_partkey",
-    "keyword_and_search", "profile_orders", "sql_outlier_iqr_fences",
+    "keyword_and_search", "sql_outlier_iqr_fences",
 )
 
 

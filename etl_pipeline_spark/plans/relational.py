@@ -625,6 +625,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ROUND(SUM(o_totalprice), 2)        AS total_value
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        -- empty-input convention: Spark's rollup() emits NO rows over an
+        -- empty relation; the zero-count grand-total row DuckDB emits is
+        -- dropped in both engines (probe, r11)
+        HAVING COUNT(*) > 0
     """,
     tags=("agg", "rollup"),
 )
@@ -760,6 +764,10 @@ def percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(l_quantity) AS total_qty
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
+        -- empty-input convention: Spark's cube() emits NO rows over an
+        -- empty relation, while the SQL standard (and DuckDB) emit one
+        -- zero-count grand-total row; both engines drop it (probe, r11)
+        HAVING COUNT(*) > 0
     """,
     tags=("agg", "cube"),
 )

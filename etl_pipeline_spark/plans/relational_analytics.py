@@ -1667,7 +1667,10 @@ _LR_CRIT_05 = 3.841
                CASE WHEN var_sum <= 0 THEN NULL
                     ELSE ROUND(o_minus_e * o_minus_e / var_sum, 6) END
                    AS chi2,
-               CASE WHEN var_sum <= 0 THEN 0
+               -- COALESCE: an EMPTY event table leaves var_sum NULL (not
+               -- 0), which fell through to a NULL reject while the engine
+               -- said 0 — no data means no rejection (empty-input probe)
+               CASE WHEN COALESCE(var_sum, 0) <= 0 THEN 0
                     ELSE CAST(o_minus_e * o_minus_e / var_sum
                               > {_LR_CRIT_05} AS INT) END AS reject_05
         FROM terms

@@ -1309,8 +1309,10 @@ def _cramers_cte(pair: str, table: str, ca: str, cb: str) -> str:
                        CAST(COUNT(*) AS BIGINT) AS n_cell
                 FROM {table} GROUP BY 1, 2
             )
-        )
-        GROUP BY 1"""
+        )"""
+        # ungrouped on purpose: an EMPTY table still yields the pair row
+        # (n NULL, r = c = 0), matching Spark's ungrouped agg — GROUP BY
+        # over the constant emitted zero rows there (empty-input probe)
 
 
 @register(

@@ -410,23 +410,29 @@ _SWEEP_QUERIES = sorted(REGISTRY)
 # single-part segments, singleton priority groups, zero-variance regression
 # groups, one-month baskets. Found five bugs on first contact (r10: the
 # entropy -0.0 split, laspeyres/q14/regr_*/target-encode ANSI 0-divides);
-# kept to pin degenerate-size behavior registry-wide.
+# kept to pin degenerate-size behavior registry-wide. The fourth fixture
+# EMPTIES every fact table (dims stay) — the empty-partition/-day case at
+# 100 TB. Found eleven parity breaks on first contact (r11): ANSI
+# 0-divides, the cube/rollup grand-total convention, NULL-vs-0 empty sums,
+# fabricated/missing constant-group rows, and hard ValueErrors from the
+# ANN/k-means index builders.
 _TINY_KEEP = {"orders": 12, "lineitem": 20, "events": 30, "documents": 8,
               "embeddings": 6}
 
 
-@pytest.fixture(scope="module", params=[11, 23, "tiny11"])
+@pytest.fixture(scope="module", params=[11, 23, "tiny11", "empty11"])
 def random_sf(request, tmp_path_factory):
-    tiny = isinstance(request.param, str)
-    seed = 11 if tiny else request.param
+    tiny = isinstance(request.param, str) and request.param.startswith("tiny")
+    empty = isinstance(request.param, str) and request.param.startswith("empty")
+    seed = 11 if (tiny or empty) else request.param
     out = str(tmp_path_factory.mktemp(f"rand_sf_{request.param}"))
     _gen_star(out, seed=seed)
-    if tiny:
+    if tiny or empty:
         import pyarrow.parquet as _pq
 
         for t, k in _TINY_KEEP.items():
             tbl = _pq.read_table(f"{out}/{t}.parquet")
-            _pq.write_table(tbl.slice(0, k), f"{out}/{t}.parquet")
+            _pq.write_table(tbl.slice(0, 0 if empty else k), f"{out}/{t}.parquet")
     con = duckdb.connect()
     for t in _TABLES:
         con.execute(
