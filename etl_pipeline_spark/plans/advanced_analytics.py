@@ -276,11 +276,16 @@ def _textrank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         mn AS (SELECT MIN(m) AS m0 FROM monthly),
         ols AS (
+            -- NULLIF: a single-month corpus has zero x-variance — the OLS
+            -- slope is undefined (the row is dropped by the empty ts
+            -- cross join anyway, but ANSI Spark would error before that;
+            -- one-row probe, r11)
             SELECT ROUND(
                 (COUNT(*) * CAST(SUM((m - m0) * vm) AS DOUBLE)
                  - CAST(SUM(m - m0) AS DOUBLE) * CAST(SUM(vm) AS DOUBLE))
-                / (COUNT(*) * CAST(SUM((m - m0) * (m - m0)) AS DOUBLE)
-                   - CAST(SUM(m - m0) AS DOUBLE) * CAST(SUM(m - m0) AS DOUBLE))
+                / NULLIF(COUNT(*) * CAST(SUM((m - m0) * (m - m0)) AS DOUBLE)
+                   - CAST(SUM(m - m0) AS DOUBLE) * CAST(SUM(m - m0) AS DOUBLE),
+                   0)
                 / 1000000.0e0, 6) AS ols_slope,
                    CAST(COUNT(*) AS BIGINT) AS n_months
             FROM monthly CROSS JOIN mn
@@ -325,11 +330,13 @@ def theil_sen_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("slope").alias("theil_sen_slope"))
     mn = monthly.agg(F.min("m").alias("m0"))
     ols = monthly.crossJoin(F.broadcast(mn)).agg(
+        # NULLIF mirrors the oracle: single-month → undefined OLS slope
+        # instead of an ANSI 0-divide (one-row probe, r11)
         F.expr(
             "ROUND((COUNT(*) * CAST(SUM((m - m0) * vm) AS DOUBLE)"
             " - CAST(SUM(m - m0) AS DOUBLE) * CAST(SUM(vm) AS DOUBLE))"
-            " / (COUNT(*) * CAST(SUM((m - m0) * (m - m0)) AS DOUBLE)"
-            " - CAST(SUM(m - m0) AS DOUBLE) * CAST(SUM(m - m0) AS DOUBLE))"
+            " / NULLIF(COUNT(*) * CAST(SUM((m - m0) * (m - m0)) AS DOUBLE)"
+            " - CAST(SUM(m - m0) AS DOUBLE) * CAST(SUM(m - m0) AS DOUBLE), 0)"
             " / 1000000.0e0, 6)"
         ).alias("ols_slope"),
         F.count(F.lit(1)).cast("bigint").alias("n_months"),

@@ -148,11 +148,13 @@ def chisq_event_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corr_sql(x: str, y: str) -> str:
-    """Pearson r from moment sums, identical text in both engines."""
+    """Pearson r from moment sums, identical text in both engines.
+    NULLIF: a zero-variance side (single row, constant column) leaves r
+    undefined — NULL, not an ANSI 0-divide (one-row probe, r11)."""
     return (
         f"(SUM({x} * {y}) - SUM({x}) * SUM({y}) / COUNT(*))"
-        f" / (SQRT(SUM({x} * {x}) - SUM({x}) * SUM({x}) / COUNT(*))"
-        f" * SQRT(SUM({y} * {y}) - SUM({y}) * SUM({y}) / COUNT(*)))"
+        f" / NULLIF(SQRT(SUM({x} * {x}) - SUM({x}) * SUM({x}) / COUNT(*))"
+        f" * SQRT(SUM({y} * {y}) - SUM({y}) * SUM({y}) / COUNT(*)), 0)"
     )
 
 

@@ -103,9 +103,6 @@ PRIORITY: tuple[str, ...] = (
     "sql_top_customer_per_segment", "sql_funnel_view_click_purchase",
     "sql_pii_redaction", "sql_ntile_balance_quartiles",
     "sql_lateral_top2_orders", "sql_fuzzy_name_pairs",
-    "sql_zscore_normalize_events", "sql_mode_priority_by_status",
-    "unigram_surprisal_quality", "window_balance_distribution",
-    "windowed_heavy_hitters",
     # -- round-11 empty-input probe wave (zero-row fact tables — text or
     #    reachable-helper change THIS round, driver re-proof required):
     #    cube/rollup grand-total convention, curation NULL fractions,
@@ -115,15 +112,25 @@ PRIORITY: tuple[str, ...] = (
     "cramers_v_pairs", "logrank_test_retention", "profile_orders",
     "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
     "kmeans_embedding_clusters",
-    # -- round-4 tier (first 3; the rest leads round 12) --
-    "winnow_fingerprint_pairs", "embedding_sq8_topk", "ann_recall_eval",
+    # -- round-11 one-row probe wave (single-row fact tables — degenerate
+    #    dof / zero-variance / zero-bin-width / empty-resample guards;
+    #    text change THIS round, driver re-proof required) --
+    "anova_f_totalprice_priority", "bootstrap_revenue_ci",
+    "corr_lineitem_moments", "nb_overdispersion_purchases",
+    "sql_drift_psi_event_values", "ks_test_purchase_view",
+    "theil_sen_price_trend",
+    # -- round-4 tier --
+    "embedding_sq8_topk",
     # ---- below the driver's 50-row window: round 12's intended window
     #      is literally the next 50 names — the spilled round-4 tail,
     #      then the stale tiers stalest-first; the 50 rows the driver
     #      just proved in round 10 sit at the very end ----
+    "sql_zscore_normalize_events", "sql_mode_priority_by_status",
+    "unigram_surprisal_quality", "window_balance_distribution",
+    "windowed_heavy_hitters", "winnow_fingerprint_pairs", "ann_recall_eval",
     "anomaly_mad_events", "dedup_lsh_recall_eval", "feature_rolling_events",
     "windowed_quantiles", "cohort_retention_users", "chisq_event_daypart",
-    "corr_lineitem_moments", "embedding_outliers_topk", "bpe_top_merges",
+    "embedding_outliers_topk", "bpe_top_merges",
     "adamic_adar_link_prediction", "entity_resolution_customers",
     "seasonal_baseline_events", "windowed_distinct_users",
     "dedup_canonical_pick",
@@ -133,8 +140,8 @@ PRIORITY: tuple[str, ...] = (
     "rfm_customer_segments", "markov_transition_events",
     "change_point_cusum_events", "late_data_accounting",
     "attribution_credit_events", "stickiness_dau_mau",
-    "dsir_importance_select", "session_path_topk", "ks_test_purchase_view",
-    "anova_f_totalprice_priority", "mutual_info_status_priority",
+    "dsir_importance_select", "session_path_topk",
+    "mutual_info_status_priority",
     "l_diversity_audit", "pagination_page_manifest",
     "range_join_click_attribution", "asof_purchase_last_view",
     "ann_cosine_topk", "bigram_perplexity_quality",
@@ -165,7 +172,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_centroid_drift", "entropy_rate_transitions",
     "gumbel_weekly_max_revenue", "heaps_vocab_growth", "kendall_tau_daily",
     "lexical_diversity_by_lang",
-    "nb_overdispersion_purchases", "open_orders_backlog_daily",
+    "open_orders_backlog_daily",
     "perfect_order_rate", "readability_flesch_docs",
     "repeat_purchase_interval", "session_next_event_accuracy",
     "simpson_paradox_check", "tokenizer_fertility_by_lang",
@@ -191,7 +198,7 @@ PRIORITY: tuple[str, ...] = (
     "grouping_sets_status_priority", "hll_intersect_cohorts",
     "hll_orders_by_flag",
     # -- round-9 tier --
-    "sql_drift_psi_event_values", "weighted_sample_docs",
+    "weighted_sample_docs",
     "sql_entropy_event_types",
     "expectations_violation_counts", "join_size_estimate",
     "dedup_chunk_exact", "dp_exponential_topk", "dp_noisy_counts_laplace",
@@ -207,8 +214,8 @@ PRIORITY: tuple[str, ...] = (
     # -- round-10 window (driver-proven in CORRECTNESS_r10, freshest) --
     "q1_pricing_summary", "lookup_enrich_customers", "acf_daily_revenue",
     "seasonal_decompose_weekday", "seasonal_residual_anomalies",
-    "bootstrap_revenue_ci", "sql_conditional_agg_filter",
-    "sql_monthly_revenue_ma3", "benford_first_digit", "theil_sen_price_trend",
+    "sql_conditional_agg_filter",
+    "sql_monthly_revenue_ma3", "benford_first_digit",
     "hits_hub_authority", "pattern_vshape_prices", "price_elasticity_loglog",
     "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
     "q16_supplier_part_buckets", "q20_excess_stock_suppliers",

@@ -471,6 +471,12 @@ def _boot_oracle() -> str:
                 FROM rep GROUP BY b, w
             ) g
             GROUP BY b
+            -- drop zero-weight replicates: a tiny corpus can draw w = 0
+            -- for EVERY row of a replicate (empty resample — no defined
+            -- mean; an ANSI 0-divide on the Spark side pre-fix, and NULL
+            -- means would rank differently across engines). One-row
+            -- probe, r11.
+            HAVING SUM(w * nw) > 0
         ),
         ranked AS (
             SELECT b, m,
@@ -538,12 +544,15 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("sc"),
         F.count(F.lit(1)).cast("bigint").alias("nw"),
     )
+    # NULLIF + isNotNull = the oracle's HAVING SUM(w·nw) > 0: an empty
+    # resample (all-zero Poisson weights on a tiny corpus) has no defined
+    # mean and leaves the replicate set (one-row probe, r11)
     reps = cells.groupBy("b").agg(
         F.expr(
             "FLOOR(CAST(SUM(CAST(w AS DECIMAL(38,0)) * sc) AS DOUBLE)"
-            " * 100.0e0 / SUM(w * nw) + 0.5e0) / 10000.0e0"
+            " * 100.0e0 / NULLIF(SUM(w * nw), 0) + 0.5e0) / 10000.0e0"
         ).alias("m")
-    )
+    ).where(F.col("m").isNotNull())
     # 32 rows from here down — the global windows are bounded by B, and
     # the CI band comes out of ONE conditional aggregate over the ranked
     # rows so the whole query scans orders exactly once (a crossJoin of

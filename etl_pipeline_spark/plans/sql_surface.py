@@ -613,8 +613,14 @@ _sql_query(
         ),
         binned AS (
             SELECT event_type,
-                   LEAST(9, GREATEST(0,
-                       CAST(FLOOR((value - lo) / ((hi - lo) / 10)) AS INT))) AS bin,
+                   -- NULLIF + COALESCE: a constant-valued (or single-row)
+                   -- corpus has hi = lo, so the bin width is 0 — every
+                   -- row lands in bin 0 instead of an ANSI 0-divide
+                   -- (one-row probe, r11)
+                   LEAST(9, GREATEST(0, COALESCE(
+                       CAST(FLOOR((value - lo)
+                                  / NULLIF((hi - lo) / 10, 0)) AS INT),
+                       0))) AS bin,
                    event_id % 2 AS half
             FROM events, stats
         ),

@@ -108,8 +108,11 @@ def _two_level_cumsum(
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ),
         d AS (
-            SELECT MAX(ABS(CAST(c.c1 AS DOUBLE) / t.n1t
-                           - CAST(c.c2 AS DOUBLE) / t.n2t)) AS ksd
+            -- NULLIF: an EMPTY sample side (no purchases, or no views, in
+            -- a degenerate corpus) leaves both ECDFs — and D — undefined:
+            -- NULL, not an ANSI 0-divide (one-row probe, r11)
+            SELECT MAX(ABS(CAST(c.c1 AS DOUBLE) / NULLIF(t.n1t, 0)
+                           - CAST(c.c2 AS DOUBLE) / NULLIF(t.n2t, 0))) AS ksd
             FROM c CROSS JOIN t
         ),
         r AS (
@@ -151,9 +154,11 @@ def ks_test_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         cum.crossJoin(t)
         .select(
+            # NULLIF mirrors the oracle: an empty sample side leaves D
+            # undefined (one-row probe, r11)
             F.expr(
-                "ABS(CAST(cum_n1 AS DOUBLE) / n1t"
-                " - CAST(cum_n2 AS DOUBLE) / n2t)"
+                "ABS(CAST(cum_n1 AS DOUBLE) / NULLIF(n1t, 0)"
+                " - CAST(cum_n2 AS DOUBLE) / NULLIF(n2t, 0))"
             ).alias("gap")
         )
         .agg(F.expr("FLOOR(MAX(gap) * 1e6 + 0.5) / 1e6").alias("ks_d"))
@@ -273,11 +278,16 @@ _ANOVA_SSW = "(SUM(q) - SUM(s * s / n))"
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
                CAST(SUM(n) AS BIGINT) AS n_rows,
-               FLOOR(({_ANOVA_SSB} / (COUNT(*) - 1))
-                     / ({_ANOVA_SSW} / (SUM(n) - COUNT(*)))
-                     * 1e6 + 0.5) / 1e6 AS f_stat,
-               FLOOR({_ANOVA_SSB} / ({_ANOVA_SSB} + {_ANOVA_SSW})
-                     * 1e6 + 0.5) / 1e6 AS eta_sq
+               -- degenerate dof guard (one-row probe, r11): a single
+               -- group (dfb = 0) or n_rows = n_groups (dfw = 0) leaves F
+               -- undefined — NULL, not an ANSI 0-divide / fabricated inf
+               CASE WHEN COUNT(*) < 2 OR SUM(n) - COUNT(*) <= 0 THEN NULL
+                    ELSE FLOOR(({_ANOVA_SSB} / (COUNT(*) - 1))
+                               / ({_ANOVA_SSW} / (SUM(n) - COUNT(*)))
+                               * 1e6 + 0.5) / 1e6 END AS f_stat,
+               CASE WHEN {_ANOVA_SSB} + {_ANOVA_SSW} <= 0 THEN NULL
+                    ELSE FLOOR({_ANOVA_SSB} / ({_ANOVA_SSB} + {_ANOVA_SSW})
+                               * 1e6 + 0.5) / 1e6 END AS eta_sq
         FROM g
     """,
     tags=("stats", "hypothesis-test", "narrow"),
@@ -300,14 +310,19 @@ def anova_f_totalprice_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
         F.sum("n").cast("bigint").alias("n_rows"),
+        # degenerate dof / zero-total-SS guards mirror the oracle (one-row
+        # probe, r11): F and eta_sq are NULL where their denominators
+        # vanish, never an ANSI 0-divide
         F.expr(
-            f"FLOOR(({_ANOVA_SSB} / (COUNT(*) - 1))"
+            f"CASE WHEN COUNT(*) < 2 OR SUM(n) - COUNT(*) <= 0 THEN NULL"
+            f" ELSE FLOOR(({_ANOVA_SSB} / (COUNT(*) - 1))"
             f" / ({_ANOVA_SSW} / (SUM(n) - COUNT(*)))"
-            f" * 1e6 + 0.5) / 1e6"
+            f" * 1e6 + 0.5) / 1e6 END"
         ).alias("f_stat"),
         F.expr(
-            f"FLOOR({_ANOVA_SSB} / ({_ANOVA_SSB} + {_ANOVA_SSW})"
-            f" * 1e6 + 0.5) / 1e6"
+            f"CASE WHEN {_ANOVA_SSB} + {_ANOVA_SSW} <= 0 THEN NULL"
+            f" ELSE FLOOR({_ANOVA_SSB} / ({_ANOVA_SSB} + {_ANOVA_SSW})"
+            f" * 1e6 + 0.5) / 1e6 END"
         ).alias("eta_sq"),
     )
 
@@ -1589,16 +1604,26 @@ def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(k * k) AS BIGINT) AS s2
             FROM u
         )
+        -- degenerate guards (one-row probe, r11): a single user leaves
+        -- the SAMPLE variance (n−1 denominator) undefined, and a zero
+        -- purchase mean leaves the dispersion ratio undefined — NULL in
+        -- both engines, never an ANSI 0-divide. Guards are ORDERED so the
+        -- variance expression is never evaluated at n < 2.
         SELECT n AS n_users,
                ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_purchases,
-               ROUND((CAST(s2 AS DOUBLE) / n
-                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-                     * n / (n - 1), 6) AS var_purchases,
-               ROUND(((CAST(s2 AS DOUBLE) / n
-                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-                      * n / (n - 1)) / (CAST(s1 AS DOUBLE) / n), 6)
-                   AS dispersion_index,
-               CASE WHEN (CAST(s2 AS DOUBLE) / n
+               CASE WHEN n < 2 THEN NULL
+                    ELSE ROUND((CAST(s2 AS DOUBLE) / n
+                                - (CAST(s1 AS DOUBLE) / n)
+                                  * (CAST(s1 AS DOUBLE) / n))
+                               * n / (n - 1), 6) END AS var_purchases,
+               CASE WHEN n < 2 OR s1 = 0 THEN NULL
+                    ELSE ROUND(((CAST(s2 AS DOUBLE) / n
+                                 - (CAST(s1 AS DOUBLE) / n)
+                                   * (CAST(s1 AS DOUBLE) / n))
+                                * n / (n - 1)) / (CAST(s1 AS DOUBLE) / n), 6)
+               END AS dispersion_index,
+               CASE WHEN n < 2 THEN NULL
+                    WHEN (CAST(s2 AS DOUBLE) / n
                           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
                          * n / (n - 1) <= CAST(s1 AS DOUBLE) / n THEN NULL
                     ELSE ROUND((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
@@ -1606,7 +1631,8 @@ def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    - (CAST(s1 AS DOUBLE) / n)
                                      * (CAST(s1 AS DOUBLE) / n)) * n / (n - 1)
                                   - CAST(s1 AS DOUBLE) / n), 6) END AS nb_r,
-               CASE WHEN (CAST(s2 AS DOUBLE) / n
+               CASE WHEN n < 2 THEN NULL
+                    WHEN (CAST(s2 AS DOUBLE) / n
                           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
                          * n / (n - 1) <= CAST(s1 AS DOUBLE) / n THEN NULL
                     ELSE ROUND((CAST(s1 AS DOUBLE) / n)
@@ -1637,14 +1663,21 @@ def nb_overdispersion_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         n.alias("n_users"),
         F.round(mean, 6).alias("mean_purchases"),
-        F.round(var, 6).alias("var_purchases"),
-        F.round(var / mean, 6).alias("dispersion_index"),
-        F.when(under, F.lit(None))
+        # ordered degenerate guards mirror the oracle (one-row probe,
+        # r11): the n < 2 branch short-circuits so the sample-variance
+        # n−1 denominator is never evaluated there
+        F.when(n < 2, F.lit(None)).otherwise(F.round(var, 6)).alias("var_purchases"),
+        F.when((n < 2) | (F.col("s1") == 0), F.lit(None))
+        .otherwise(F.round(var / mean, 6))
+        .alias("dispersion_index"),
+        F.when(n < 2, F.lit(None))
+        .when(under, F.lit(None))
         .otherwise(F.round(mean * mean / (var - mean), 6))
         .alias("nb_r"),
-        F.when(under, F.lit(None)).otherwise(F.round(mean / var, 6)).alias(
-            "nb_p"
-        ),
+        F.when(n < 2, F.lit(None))
+        .when(under, F.lit(None))
+        .otherwise(F.round(mean / var, 6))
+        .alias("nb_p"),
     )
 
 

@@ -33,15 +33,17 @@ _ensure_loaded()
 def run_seed(spark, param: str) -> list[str]:
     tiny = param.startswith("tiny")
     empty = param.startswith("empty")
-    seed = int(param[4:]) if tiny else int(param[5:]) if empty else int(param)
+    one = param.startswith("one")
+    seed = int(param.lstrip("tinyemptyone") or "11")
     out = tempfile.mkdtemp(prefix=f"probe_{param}_")
     _gen_star(out, seed=seed)
-    if tiny or empty:
+    if tiny or empty or one:
         import pyarrow.parquet as pq
 
         for t, k in _TINY_KEEP.items():
+            keep = 0 if empty else 1 if one else k
             tbl = pq.read_table(f"{out}/{t}.parquet")
-            pq.write_table(tbl.slice(0, 0 if empty else k), f"{out}/{t}.parquet")
+            pq.write_table(tbl.slice(0, keep), f"{out}/{t}.parquet")
     con = duckdb.connect()
     for t in _TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet')")

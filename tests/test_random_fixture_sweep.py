@@ -415,24 +415,28 @@ _SWEEP_QUERIES = sorted(REGISTRY)
 # 100 TB. Found eleven parity breaks on first contact (r11): ANSI
 # 0-divides, the cube/rollup grand-total convention, NULL-vs-0 empty sums,
 # fabricated/missing constant-group rows, and hard ValueErrors from the
-# ANN/k-means index builders.
+# ANN/k-means index builders. The fifth keeps exactly ONE row per fact
+# table — the singleton case between tiny and empty: degenerate dof
+# (n−1 = 0), zero variance, zero histogram width, empty bootstrap
+# resamples. Found five more ANSI 0-divides on first contact (r11).
 _TINY_KEEP = {"orders": 12, "lineitem": 20, "events": 30, "documents": 8,
               "embeddings": 6}
 
 
-@pytest.fixture(scope="module", params=[11, 23, "tiny11", "empty11"])
+@pytest.fixture(scope="module", params=[11, 23, "tiny11", "empty11", "one11"])
 def random_sf(request, tmp_path_factory):
-    tiny = isinstance(request.param, str) and request.param.startswith("tiny")
-    empty = isinstance(request.param, str) and request.param.startswith("empty")
-    seed = 11 if (tiny or empty) else request.param
+    mode = request.param if isinstance(request.param, str) else ""
+    tiny, empty, one = mode.startswith("tiny"), mode.startswith("empty"), mode.startswith("one")
+    seed = 11 if mode else request.param
     out = str(tmp_path_factory.mktemp(f"rand_sf_{request.param}"))
     _gen_star(out, seed=seed)
-    if tiny or empty:
+    if mode:
         import pyarrow.parquet as _pq
 
         for t, k in _TINY_KEEP.items():
+            keep = 0 if empty else 1 if one else k
             tbl = _pq.read_table(f"{out}/{t}.parquet")
-            _pq.write_table(tbl.slice(0, 0 if empty else k), f"{out}/{t}.parquet")
+            _pq.write_table(tbl.slice(0, keep), f"{out}/{t}.parquet")
     con = duckdb.connect()
     for t in _TABLES:
         con.execute(
