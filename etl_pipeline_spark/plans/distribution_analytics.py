@@ -88,10 +88,14 @@ _DAY_NS = 86_400_000_000_000
             FROM pairs GROUP BY 1
         )
         SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+               -- + 0.0e0 normalizes IEEE -0.0: a zero covariance reaches
+               -- the round as ±1e-18 depending on engine fp association,
+               -- and '-0.0' vs '0.0' splits the stringified hash (probe
+               -- seed 719, r11 — the quantile-slope class)
                CASE WHEN xc = 1 OR yc = 1 THEN NULL ELSE
                ROUND((sxy / n - (sx / n) * (sy / n))
                      / SQRT((sxx / n - (sx / n) * (sx / n))
-                            * (syy / n - (sy / n) * (sy / n))), 6)
+                            * (syy / n - (sy / n) * (sy / n))), 6) + 0.0e0
                END AS ccf
         FROM mom
     """,
@@ -135,8 +139,9 @@ def crosscorr_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         F.col("lag").cast("bigint").alias("lag"),
         F.col("n").alias("n_days"),
+        # + 0.0 normalizes -0.0 — see the oracle note (probe 719, r11)
         F.when((F.col("xc") == 1) | (F.col("yc") == 1), F.lit(None)).otherwise(
-            F.round(r, 6)
+            F.round(r, 6) + F.lit(0.0)
         ).alias("ccf"),
     )
 

@@ -102,7 +102,7 @@ PRIORITY: tuple[str, ...] = (
     "snapshot_diff_orders", "sql_last_value_ignore_nulls",
     "sql_top_customer_per_segment", "sql_funnel_view_click_purchase",
     "sql_pii_redaction", "sql_ntile_balance_quartiles",
-    "sql_lateral_top2_orders", "sql_fuzzy_name_pairs",
+    "sql_lateral_top2_orders",
     # -- round-11 empty-input probe wave (zero-row fact tables — text or
     #    reachable-helper change THIS round, driver re-proof required):
     #    cube/rollup grand-total convention, curation NULL fractions,
@@ -118,14 +118,15 @@ PRIORITY: tuple[str, ...] = (
     "anova_f_totalprice_priority", "bootstrap_revenue_ci",
     "corr_lineitem_moments", "nb_overdispersion_purchases",
     "sql_drift_psi_event_values", "ks_test_purchase_view",
-    "theil_sen_price_trend",
+    "theil_sen_price_trend", "crosscorr_daily_lags",
     # -- round-4 tier --
     "embedding_sq8_topk",
     # ---- below the driver's 50-row window: round 12's intended window
     #      is literally the next 50 names — the spilled round-4 tail,
     #      then the stale tiers stalest-first; the 50 rows the driver
     #      just proved in round 10 sit at the very end ----
-    "sql_zscore_normalize_events", "sql_mode_priority_by_status",
+    "sql_fuzzy_name_pairs", "sql_zscore_normalize_events",
+    "sql_mode_priority_by_status",
     "unigram_surprisal_quality", "window_balance_distribution",
     "windowed_heavy_hitters", "winnow_fingerprint_pairs", "ann_recall_eval",
     "anomaly_mad_events", "dedup_lsh_recall_eval", "feature_rolling_events",
@@ -168,7 +169,7 @@ PRIORITY: tuple[str, ...] = (
     "allen_interval_profile",
     "bh_fdr_nation_conversion", "blocking_quality_er",
     "brier_next_event_model", "capture_recapture_users",
-    "crosscorr_daily_lags", "croston_demand_forecast", "doclen_log_histogram",
+    "croston_demand_forecast", "doclen_log_histogram",
     "embedding_centroid_drift", "entropy_rate_transitions",
     "gumbel_weekly_max_revenue", "heaps_vocab_growth", "kendall_tau_daily",
     "lexical_diversity_by_lang",
