@@ -20,8 +20,8 @@ and a long max-size payload on video (the codecs read the text's UTF-8
 bytes as the blob, so these ARE the hostile media payloads). A query
 whose parity silently depends on a fixture accident (no ties, dense
 days, all-positive values, FK integrity, ASCII text) fails HERE
-instead of on user data — twelve real engine-parity bug classes found
-so far.
+instead of on user data — forty-two engine-parity bug classes found
+so far across rounds 9–11 (see COVERAGE.md).
 
 Same compare as the driver: row count + column names + order-insensitive
 stringified values (tests/conftest.canonicalize).
