@@ -106,7 +106,11 @@ def test_sq8_reconstruction_error_bounded(spark):
         assert abs(r.score_sq8 - exact_dot) <= bound
 
 
-def test_sq8_empty_corpus_raises(spark):
+def test_sq8_empty_corpus_returns_empty(spark):
+    # r11 empty-input convention: an empty corpus yields an EMPTY top-k
+    # with the documented schema (the oracle's empty sample CTE produces
+    # the same zero rows), not a driver-side ValueError
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
-    with pytest.raises(ValueError, match="no rows"):
-        sq8_topk(empty)
+    out = sq8_topk(empty)
+    assert out.columns == ["query_id", "neighbor_id", "rank", "score_sq8"]
+    assert out.count() == 0

@@ -347,6 +347,9 @@ def test_kmeans_guards(spark):
         kmeans_fit_assign(df, k=0)
     with _pytest.raises(ValueError):
         kmeans_fit_assign(df, n_iter=0)
+    # r11 empty-input convention: empty corpus → empty assignment with
+    # the documented schema, matching the oracle's empty result
     empty = df.filter("vec_id < 0")
-    with _pytest.raises(ValueError):
-        kmeans_fit_assign(empty)
+    out = kmeans_fit_assign(empty)
+    assert out.columns == ["vec_id", "cluster"]
+    assert out.count() == 0

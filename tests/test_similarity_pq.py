@@ -97,16 +97,21 @@ def test_relational_ann_misuse_raises_clear_errors(spark):
         _codebook_entries([[1.0] * 64], m=8, ksub=1)
     with pytest.raises(ValueError, match="divisible"):
         _codebook_entries([[1.0] * 10], m=3, ksub=4)
+    # r11 empty-input convention: empty / all-zero-norm corpora sample to
+    # [] (inline top-k queries return empty frames); only the PERSISTED
+    # index build stays loud
+    from etl_pipeline_spark.operators.similarity import build_ivfpq_index
+
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
-    with pytest.raises(ValueError, match="no non-zero-norm rows"):
-        _ordered_sample(empty, "vec_id", "embedding", 16)
+    assert _ordered_sample(empty, "vec_id", "embedding", 16) == []
     # an all-zero corpus is untrainable too (zero-norm vectors are
     # excluded from index training, round-9 sweep fix)
     zeros = spark.createDataFrame(
         [(1, [0.0, 0.0]), (2, [0.0, 0.0])], "vec_id bigint, embedding array<float>"
     )
+    assert _ordered_sample(zeros, "vec_id", "embedding", 16) == []
     with pytest.raises(ValueError, match="no non-zero-norm rows"):
-        _ordered_sample(zeros, "vec_id", "embedding", 16)
+        build_ivfpq_index(zeros, "/tmp/never-written-ivfpq")
 
 
 def test_persisted_ivfpq_index_roundtrip_and_pruning(spark, emb, tmp_path):
