@@ -286,7 +286,7 @@ def _textrank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / NULLIF(COUNT(*) * CAST(SUM((m - m0) * (m - m0)) AS DOUBLE)
                    - CAST(SUM(m - m0) AS DOUBLE) * CAST(SUM(m - m0) AS DOUBLE),
                    0)
-                / 1000000.0e0, 6) AS ols_slope,
+                / 1000000.0e0, 6) + 0.0e0 AS ols_slope,
                    CAST(COUNT(*) AS BIGINT) AS n_months
             FROM monthly CROSS JOIN mn
         )
@@ -337,7 +337,7 @@ def theil_sen_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(SUM(m - m0) AS DOUBLE) * CAST(SUM(vm) AS DOUBLE))"
             " / NULLIF(COUNT(*) * CAST(SUM((m - m0) * (m - m0)) AS DOUBLE)"
             " - CAST(SUM(m - m0) AS DOUBLE) * CAST(SUM(m - m0) AS DOUBLE), 0)"
-            " / 1000000.0e0, 6)"
+            " / 1000000.0e0, 6) + 0.0e0"  # -0.0 normalization (bug-42 class)
         ).alias("ols_slope"),
         F.count(F.lit(1)).cast("bigint").alias("n_months"),
     )

@@ -676,7 +676,12 @@ _ACF_MAX_LAG = 7
         )
         SELECT p.lag,
                CAST(COUNT(*) AS BIGINT) AS n_pairs,
-               ROUND(SUM(p.d0 * p.dk) / MIN(dn.ss), 6) AS acf
+               -- NULLIF: a CONSTANT daily series has ss = 0 (every
+               -- deviation exactly 0 on the cents lattice) — the ACF is
+               -- undefined, not an ANSI 0-divide / NaN (bug 43, r11);
+               -- + 0.0e0 normalizes IEEE -0.0 (the bug-42 class)
+               ROUND(SUM(p.d0 * p.dk) / NULLIF(MIN(dn.ss), 0), 6) + 0.0e0
+                   AS acf
         FROM pairs p CROSS JOIN denom dn
         GROUP BY p.lag
     """,
@@ -729,7 +734,12 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lag",
             "n_pairs",
-            F.round(F.col("num") / F.col("ss"), 6).alias("acf"),
+            # NULLIF: constant series → ss = 0 → undefined ACF (bug 43);
+            # + 0.0 normalizes -0.0 (bug-42 class)
+            (
+                F.round(F.col("num") / F.nullif(F.col("ss"), F.lit(0.0)), 6)
+                + F.lit(0.0)
+            ).alias("acf"),
         )
     )
 
@@ -1559,10 +1569,13 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM ranked
         )
         SELECT n AS n_days,
+               -- + 0.0e0 normalizes IEEE -0.0 (the crosscorr bug-42
+               -- class: a zero rank-covariance reaches the round as
+               -- ±1e-18 depending on engine fp association)
                CASE WHEN x_const = 1 OR y_const = 1 THEN NULL ELSE
                ROUND((sxy / n - (sx / n) * (sy / n))
                      / SQRT((sxx / n - (sx / n) * (sx / n))
-                            * (syy / n - (sy / n) * (sy / n))), 6)
+                            * (syy / n - (sy / n) * (sy / n))), 6) + 0.0e0
                END AS spearman_rho
         FROM mom
     """,
@@ -1607,7 +1620,7 @@ def spearman_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x_const") == 1) | (F.col("y_const") == 1),
             F.lit(None).cast("double"),
         )
-        .otherwise(F.round(rho, 6))
+        .otherwise(F.round(rho, 6) + F.lit(0.0))  # -0.0 normalization
         .alias("spearman_rho"),
     )
 

@@ -60,9 +60,12 @@ def register(
 # operators/multimodal.py and the aHash oracle at multimodal_plan.py,
 # and the session-cache LRU cap touched the memoized-relation plumbing
 # under pagerank/textrank, but only the registered-function diff drove
-# the window), then the six exact-cents revenue conversions landing THIS
-# round (q3/q5/q6/q10/q15/q19 — the q1 sum_disc_price device; q9 stays
-# on ROUND(SUM) by the documented dense-rational supplycost convention),
+# the window), then the round-11 waves: the exact-cents revenue
+# conversions (q3/q5/q6/q10/q15/q19 + probe-found q7/skew — the q1
+# sum_disc_price device; q9 stays on ROUND(SUM) by the documented
+# dense-rational supplycost convention), the empty-/one-row-input
+# totality waves, and the proactive -0.0/constant-series wave — 39
+# changed queries total, with stale-r3 fill to 50 —
 # then the stale tiers stalest-first. Ordering only — every query stays
 # registered and locally parity-checked (tests/test_oracle_parity.py,
 # all 272). The rotation trigger is now enforced mechanically:
@@ -100,9 +103,6 @@ PRIORITY: tuple[str, ...] = (
     "sql_intersect_except_all", "sql_unpivot_status_totals",
     "repetition_quality", "resample_ffill_user_6h", "scd2_state_at_purchase",
     "snapshot_diff_orders", "sql_last_value_ignore_nulls",
-    "sql_top_customer_per_segment", "sql_funnel_view_click_purchase",
-    "sql_pii_redaction", "sql_ntile_balance_quartiles",
-    "sql_lateral_top2_orders",
     # -- round-11 empty-input probe wave (zero-row fact tables — text or
     #    reachable-helper change THIS round, driver re-proof required):
     #    cube/rollup grand-total convention, curation NULL fractions,
@@ -111,7 +111,7 @@ PRIORITY: tuple[str, ...] = (
     "cube_lineitem_flags", "rollup_order_counts", "corpus_curation_e2e",
     "cramers_v_pairs", "logrank_test_retention", "profile_orders",
     "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-    "kmeans_embedding_clusters",
+    "kmeans_embedding_clusters", "embedding_sq8_topk",
     # -- round-11 one-row probe wave (single-row fact tables — degenerate
     #    dof / zero-variance / zero-bin-width / empty-resample guards;
     #    text change THIS round, driver re-proof required) --
@@ -119,12 +119,18 @@ PRIORITY: tuple[str, ...] = (
     "corr_lineitem_moments", "nb_overdispersion_purchases",
     "sql_drift_psi_event_values", "ks_test_purchase_view",
     "theil_sen_price_trend", "crosscorr_daily_lags",
-    # -- round-4 tier --
-    "embedding_sq8_topk",
+    # -- round-11 proactive -0.0 / constant-series wave (the bug-42/43
+    #    classes closed family-wide; text change THIS round) --
+    "spearman_corr_daily", "sql_regression_price_trend",
+    "cuped_variance_reduction", "simpson_paradox_check",
+    "acf_daily_revenue",
     # ---- below the driver's 50-row window: round 12's intended window
     #      is literally the next 50 names — the spilled round-4 tail,
     #      then the stale tiers stalest-first; the 50 rows the driver
     #      just proved in round 10 sit at the very end ----
+    "sql_top_customer_per_segment",
+    "sql_funnel_view_click_purchase", "sql_pii_redaction",
+    "sql_ntile_balance_quartiles", "sql_lateral_top2_orders",
     "sql_fuzzy_name_pairs", "sql_zscore_normalize_events",
     "sql_mode_priority_by_status",
     "unigram_surprisal_quality", "window_balance_distribution",
@@ -155,8 +161,8 @@ PRIORITY: tuple[str, ...] = (
     "item_cooccurrence_topk", "nelson_aalen_hazard", "ztest_conversion_ab",
     "burstiness_user_interarrival", "session_bounce_rate",
     "crossdoc_ngram_dup_mass", "diff_in_diff_purchase",
-    "cuped_variance_reduction", "er_precision_recall", "t_closeness_audit",
-    "knn_label_accuracy", "spearman_corr_daily", "gini_split_finder_price",
+    "er_precision_recall", "t_closeness_audit",
+    "knn_label_accuracy", "gini_split_finder_price",
     "new_vs_returning_revenue", "pareto_abc_revenue",
     "quantile_normalize_values", "dedup_minhash_lsh", "dedup_exact_hash",
     "cms_partkey_estimates", "hll_orderkey_cardinality", "tfidf_top_terms",
@@ -176,7 +182,7 @@ PRIORITY: tuple[str, ...] = (
     "open_orders_backlog_daily",
     "perfect_order_rate", "readability_flesch_docs",
     "repeat_purchase_interval", "session_next_event_accuracy",
-    "simpson_paradox_check", "tokenizer_fertility_by_lang",
+    "tokenizer_fertility_by_lang",
     "vocab_coverage_estimates", "theil_index_decomposition",
     "mcnemar_bigram_vs_marginal", "dedup_embedding_cosine",
     "dedup_ngram_jaccard", "events_sessionize_30m",
@@ -213,7 +219,7 @@ PRIORITY: tuple[str, ...] = (
     "q21_waiting_supplier", "q22_idle_balance_by_country",
     "lead_lag_order_gaps",
     # -- round-10 window (driver-proven in CORRECTNESS_r10, freshest) --
-    "q1_pricing_summary", "lookup_enrich_customers", "acf_daily_revenue",
+    "q1_pricing_summary", "lookup_enrich_customers",
     "seasonal_decompose_weekday", "seasonal_residual_anomalies",
     "sql_conditional_agg_filter",
     "sql_monthly_revenue_ma3", "benford_first_digit",
@@ -222,7 +228,7 @@ PRIORITY: tuple[str, ...] = (
     "q16_supplier_part_buckets", "q20_excess_stock_suppliers",
     "effective_catalog_size", "ccnet_perplexity_buckets",
     "regression_detect_metrics", "price_index_laspeyres",
-    "q14_promo_revenue_share", "sql_regression_price_trend",
+    "q14_promo_revenue_share",
     "target_encode_priority", "abc_xyz_inventory_matrix",
     "auc_mann_whitney_embeddings", "hhi_segment_concentration",
     "lorenz_curve_deciles", "percentile_event_values", "pivot_orders_status",

@@ -1805,7 +1805,8 @@ _SIMPSON_SLOPE = (
         sl AS (
             SELECT stratum, gid, n,
                    CASE WHEN xc = 1 THEN NULL
-                        ELSE ROUND({_SIMPSON_SLOPE}, 6) END AS slope
+                        -- + 0.0e0 normalizes IEEE -0.0 (bug-42 class)
+                        ELSE ROUND({_SIMPSON_SLOPE}, 6) + 0.0e0 END AS slope
             FROM m
         ),
         w AS (
@@ -1839,7 +1840,7 @@ def simpson_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gid",
         "n",
         F.when(F.col("xc") == 1, F.lit(None))
-        .otherwise(F.round(F.expr(_SIMPSON_SLOPE), 6))
+        .otherwise(F.round(F.expr(_SIMPSON_SLOPE), 6) + F.lit(0.0))
         .alias("slope"),
     )
     # unpartitioned window over the 4-row grouped relation (group domain)

@@ -546,9 +546,12 @@ _sql_query(
             FROM orders GROUP BY o_orderpriority
         )
         SELECT o_orderpriority,
-               ROUND(sxy / NULLIF(sxx, 0), 6) AS slope,
-               ROUND(ay - (sxy / NULLIF(sxx, 0)) * ax, 6) AS intercept,
-               ROUND(sxy / NULLIF(SQRT(sxx * syy), 0), 6) AS r
+               -- + 0.0e0 normalizes IEEE -0.0: a zero covariance reaches
+               -- the round as ±1e-18 depending on engine fp association
+               -- (the crosscorr bug-42 class)
+               ROUND(sxy / NULLIF(sxx, 0), 6) + 0.0e0 AS slope,
+               ROUND(ay - (sxy / NULLIF(sxx, 0)) * ax, 6) + 0.0e0 AS intercept,
+               ROUND(sxy / NULLIF(SQRT(sxx * syy), 0), 6) + 0.0e0 AS r
         FROM m
     """,
     doc="per-priority least-squares fit via regr_* moment aggregates",

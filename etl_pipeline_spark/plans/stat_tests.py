@@ -713,11 +713,14 @@ _CUPED_STATS_DUCK = """
             FROM u
         )
         SELECT n AS n_users,
+               -- + 0.0e0 on the signed outputs normalizes IEEE -0.0 (the
+               -- crosscorr bug-42 class: zero covariance reaches the
+               -- round as engine-dependent ±1e-18)
                CASE WHEN x_const = 1 THEN NULL ELSE
                ROUND(({_CUPED_STATS_DUCK})
                      / (CAST(sxx AS DOUBLE) / n
                         - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)),
-                     6) END AS theta,
+                     6) + 0.0e0 END AS theta,
                ROUND((CAST(syy AS DOUBLE) / n
                       - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
                      / 10000, 6) AS var_y,
@@ -728,7 +731,7 @@ _CUPED_STATS_DUCK = """
                         / (CAST(sxx AS DOUBLE) / n
                            - (CAST(sx AS DOUBLE) / n)
                              * (CAST(sx AS DOUBLE) / n)))
-                     / 10000, 6) END AS var_cuped,
+                     / 10000, 6) + 0.0e0 END AS var_cuped,
                CASE WHEN x_const = 1 OR y_const = 1 THEN NULL ELSE
                ROUND((({_CUPED_STATS_DUCK}) * ({_CUPED_STATS_DUCK})
                       / (CAST(sxx AS DOUBLE) / n
@@ -796,10 +799,13 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     y_const = F.col("y_const") == 1
     return mom.select(
         F.col("n").alias("n_users"),
-        F.when(x_const, null_d).otherwise(F.round(cov / var_x, 6)).alias("theta"),
+        # + 0.0 normalizes -0.0 on the signed outputs (bug-42 class)
+        F.when(x_const, null_d)
+        .otherwise(F.round(cov / var_x, 6) + F.lit(0.0))
+        .alias("theta"),
         F.round(var_y / 10000, 6).alias("var_y"),
         F.when(x_const, null_d)
-        .otherwise(F.round((var_y - cov * cov / var_x) / 10000, 6))
+        .otherwise(F.round((var_y - cov * cov / var_x) / 10000, 6) + F.lit(0.0))
         .alias("var_cuped"),
         F.when(x_const | y_const, null_d)
         .otherwise(F.round((cov * cov / var_x) / var_y, 6))

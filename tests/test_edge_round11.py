@@ -64,6 +64,40 @@ def test_runs_test_zero_variance_n1_eq_n2_eq_1(spark, tmp_path):
     assert_oracle_match(df, con, spec.oracle, "runs_test_zero_variance")
 
 
+def _write_orders(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate", "o_orderpriority",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    return str(tmp_path), con
+
+
+def test_acf_constant_series_is_null_not_zero_divide(spark, tmp_path):
+    # bug 43: constant daily revenue → every deviation is exactly 0 on
+    # the cents lattice → ss = 0 → the unguarded acf was an ANSI
+    # DIVIDE_BY_ZERO in Spark and a fabricated NaN in DuckDB; both now
+    # emit NULL (the autocorrelation of a constant series is undefined)
+    rows = [
+        (i + 1, 1, "F", 100.00, f"1995-01-{i + 1:02d} 00:00:00", "1-URGENT")
+        for i in range(10)
+    ]
+    sf, con = _write_orders(spark, tmp_path, rows)
+    spec = REGISTRY["acf_daily_revenue"]
+    df = spec.spark_fn(spark, sf)  # must not crash under ANSI
+    assert all(r["acf"] is None for r in df.collect())
+    assert_oracle_match(df, con, spec.oracle, "acf_constant_series")
+
+
 def test_runs_test_all_days_at_median(spark, tmp_path):
     # every day's cents equal → the median equals every value, the signs
     # relation is empty, and the runs statistics are undefined: NULL
