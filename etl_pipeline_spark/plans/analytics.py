@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.embeddings import EMB_VALID_ORACLE, load_embeddings
 from etl_pipeline_spark.sources.star import load_table
 
 _WEEK_NS = 7 * 24 * 3_600_000_000_000
@@ -199,11 +200,11 @@ def corr_lineitem_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "embedding_outliers_topk",
-    oracle="""
+    oracle=f"""
         WITH px AS (
             SELECT vec_id, i.i AS pos,
                    CAST(embedding[i.i + 1] AS DOUBLE) AS v
-            FROM embeddings,
+            FROM {EMB_VALID_ORACLE} embeddings,
                  LATERAL (SELECT unnest(generate_series(0, 63)) AS i) i
         ),
         cen AS (
@@ -226,7 +227,7 @@ def corr_lineitem_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "quality"),
 )
 def embedding_outliers_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     px = emb.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("pos", "v0")
     ).select("vec_id", "pos", F.col("v0").cast("double").alias("v"))

@@ -33,6 +33,7 @@ from etl_pipeline_spark.operators.fingerprint import (
 from etl_pipeline_spark.operators.similarity import cosine_topk, sign_lsh_topk, sq8_topk
 from etl_pipeline_spark.plans.llm import _BUCKET_DIMS, _BUCKET_DUCK, _COS_DUCK
 from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.embeddings import EMB_VALID_ORACLE, load_embeddings
 from etl_pipeline_spark.sources.star import load_table
 
 
@@ -270,8 +271,8 @@ def _sq8_oracle(dim: int) -> str:
     for t in terms:
         score = f"({score} + {t})"
     return f"""
-        WITH s AS (SELECT {stats_cols} FROM embeddings),
-        q AS (SELECT vec_id AS qid, embedding FROM embeddings
+        WITH s AS (SELECT {stats_cols} FROM {EMB_VALID_ORACLE} embeddings),
+        q AS (SELECT vec_id AS qid, embedding FROM {EMB_VALID_ORACLE} embeddings
               ORDER BY vec_id LIMIT 1)
         SELECT query_id, neighbor_id, rank, score_sq8
         FROM (
@@ -279,7 +280,7 @@ def _sq8_oracle(dim: int) -> str:
                    ROUND({score}, 6) AS score_sq8,
                    ROW_NUMBER() OVER (
                        ORDER BY ROUND({score}, 6) DESC, c.vec_id) AS rank
-            FROM embeddings c, s, q
+            FROM {EMB_VALID_ORACLE} c, s, q
             WHERE c.vec_id <> q.qid
         )
         WHERE rank <= 10
@@ -292,7 +293,7 @@ def _sq8_oracle(dim: int) -> str:
     tags=("llm", "similarity", "quantization"),
 )
 def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return sq8_topk(emb, k=10)
 
 
@@ -311,12 +312,12 @@ def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ROW_NUMBER() OVER (
                            PARTITION BY q.vec_id
                            ORDER BY {_COS_DUCK} DESC, c.vec_id) AS rank
-                FROM embeddings q
-                JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+                FROM {EMB_VALID_ORACLE} q
+                JOIN {EMB_VALID_ORACLE} c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
             ) WHERE rank <= 3
         ),
         b AS (
-            SELECT vec_id, embedding, {_BUCKET_DUCK} AS bucket FROM embeddings
+            SELECT vec_id, embedding, {_BUCKET_DUCK} AS bucket FROM {EMB_VALID_ORACLE} embeddings
         ),
         approx AS (
             SELECT query_id, neighbor_id FROM (
@@ -340,7 +341,7 @@ def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "eval"),
 )
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     exact = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3).select(
         "query_id", "neighbor_id"
     )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from etl_pipeline_spark.operators.graph import label_propagation
 from etl_pipeline_spark.plans.corpus_quality import COSUPPLIER_EDGE_CTES
 from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.embeddings import EMB_VALID_ORACLE, load_embeddings
 from etl_pipeline_spark.sources.star import load_table
 from etl_pipeline_spark.utils.session_cache import memoized_relation, register_cache
 
@@ -316,10 +317,10 @@ def kmeans_assign_ctes(k: int, n_iter: int) -> str:
         px AS (
             SELECT vec_id, i.i AS pos,
                    CAST(embedding[i.i + 1] AS DOUBLE) AS v
-            FROM embeddings,
+            FROM {EMB_VALID_ORACLE} embeddings,
                  LATERAL (SELECT unnest(generate_series(0, 63)) AS i) i
         ),
-        init AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}),
+        init AS (SELECT vec_id FROM {EMB_VALID_ORACLE} embeddings ORDER BY vec_id LIMIT {k}),
         c0 AS (
             SELECT r.j, p.pos, FLOOR(p.v * 1e6 + 0.5) / 1e6 AS c
             FROM (SELECT vec_id,
@@ -372,7 +373,7 @@ def _kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_spark.operators.clustering import kmeans_fit_assign
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     assigned = kmeans_fit_assign(emb, k=_KM_K, n_iter=_KM_ITER)
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),

@@ -253,19 +253,35 @@ def sde_name_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # §2.6 JSON: get_json_object over the raw props payload — the reference
 # walks response JSON imperatively (etl/loaders/geojson_loader.py:20-99).
+#
+# Hostile-payload convention (r11 probe, bug 44): event payloads on user
+# data are DIRTY — malformed JSON, empty strings, NULLs, non-object roots,
+# non-numeric / float / overflowing `k`. The engines disagree on every one
+# of those when extracted naively: Spark get_json_object returns NULL on
+# malformed JSON while DuckDB's ->> RAISES; ANSI Spark CAST('abc') raises
+# while DuckDB TRY_CAST('99.5') ROUNDS to 100 (Spark try_cast: NULL).
+# Convention: k_value is defined iff the payload is valid JSON AND $.k is
+# a lossless integer literal (regexp '^-?[0-9]+$' guard in BOTH engines,
+# try-cast for the int64-overflow tail); every other row yields NULL.
 # --------------------------------------------------------------------------
 @register(
     "json_extract_props",
     oracle="""
-        SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value
-        FROM events
-        WHERE CAST(props->>'k' AS BIGINT) > 80
+        SELECT event_id, k_value FROM (
+            SELECT event_id,
+                   TRY_CAST(CASE WHEN json_valid(props)
+                                  AND regexp_matches(props->>'k', '^-?[0-9]+$')
+                            THEN props->>'k' END AS BIGINT) AS k_value
+            FROM events
+        )
+        WHERE k_value > 80
     """,
     tags=("kernel", "json"),
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    raw = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(raw.rlike(r"^-?[0-9]+$"), raw.try_cast("bigint"))
     return ev.select("event_id", k.alias("k_value")).filter(F.col("k_value") > 80)
 
 

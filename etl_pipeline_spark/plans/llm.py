@@ -52,6 +52,7 @@ from etl_pipeline_spark.operators.similarity import (
 )
 from etl_pipeline_spark.utils.session_cache import register_cache, session_key
 from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.embeddings import EMB_VALID_ORACLE, load_embeddings
 from etl_pipeline_spark.sources.star import load_table
 
 # ---------------------------------------------------------------------------
@@ -423,15 +424,15 @@ _COS_DUCK = (
                    ROW_NUMBER() OVER (
                        PARTITION BY q.vec_id
                        ORDER BY {_COS_DUCK} DESC, c.vec_id) AS rank
-            FROM embeddings q
-            JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+            FROM {EMB_VALID_ORACLE} q
+            JOIN {EMB_VALID_ORACLE} c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
         )
         WHERE rank <= 5
     """,
     tags=("llm", "similarity"),
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
@@ -452,7 +453,7 @@ _BUCKET_DUCK = " + ".join(
     "ann_bucketed_sign_lsh",
     oracle=f"""
         WITH b AS (
-            SELECT vec_id, embedding, {_BUCKET_DUCK} AS bucket FROM embeddings
+            SELECT vec_id, embedding, {_BUCKET_DUCK} AS bucket FROM {EMB_VALID_ORACLE} embeddings
         )
         SELECT query_id, neighbor_id, bucket, rank, ROUND(cosine, 6) AS cosine
         FROM (
@@ -469,7 +470,7 @@ _BUCKET_DUCK = " + ".join(
     tags=("llm", "similarity", "lsh"),
 )
 def ann_bucketed_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return sign_lsh_topk(emb, F.col("vec_id") < 10, dims=_BUCKET_DIMS, k=3)
 
 
@@ -508,9 +509,13 @@ def _duck_ivf_ctes(ncells: int, nprobe: int) -> str:
             -- zero-norm pivot scores 0/0 against everything) — mirrors
             -- operators/similarity._ordered_sample
             SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn, embedding AS v
-            FROM (SELECT vec_id, embedding FROM embeddings
-                  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
-                                         CAST(embedding AS DOUBLE[])) > 0
+            -- norm check in TOTAL form (list_sum skips NULLs instead of
+            -- raising like list_dot_product): DuckDB may conjoin this
+            -- predicate with the validity filter and evaluate it FIRST,
+            -- so it must not crash on raw invalid rows (r11 bug 45)
+            FROM (SELECT vec_id, embedding FROM {EMB_VALID_ORACLE} embeddings
+                  WHERE coalesce(list_sum(list_transform(
+                            CAST(embedding AS DOUBLE[]), x -> x * x)), 0) > 0
                   ORDER BY vec_id LIMIT {_ANN_SAMPLE})
         ),
         mx AS (SELECT MAX(rn) AS mx FROM s),
@@ -523,7 +528,7 @@ def _duck_ivf_ctes(ncells: int, nprobe: int) -> str:
         csc AS (
             SELECT e.vec_id AS nid, e.embedding AS ce, p.cell,
                    ROUND({_duck_cos("e.embedding", "p.pe")}, 6) AS cs
-            FROM embeddings e CROSS JOIN piv p
+            FROM {EMB_VALID_ORACLE} e CROSS JOIN piv p
         ),
         cells AS (
             SELECT nid, ce, cell FROM (
@@ -549,10 +554,14 @@ def _duck_pq_ctes(m: int, ksub: int) -> str:
     a_enc = f"list_slice(cn.ne, b.sub * (len(cn.ne) // {m}) + 1, (b.sub + 1) * (len(cn.ne) // {m}))"
     return f"""
         nrm0 AS (
+            -- norm in TOTAL form: sn's `WHERE nr > 0` gets inlined by the
+            -- optimizer into a predicate that may evaluate before the
+            -- validity filter; list_sum skips NULLs where
+            -- list_dot_product raises (r11 bug 45)
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                         CAST(embedding AS DOUBLE[]))) AS nr
-            FROM embeddings
+                   sqrt(coalesce(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> x * x)), 0)) AS nr
+            FROM {EMB_VALID_ORACLE} embeddings
         ),
         cn AS (
             -- whole-list NULL for zero-norm vectors: x / 0 would yield a
@@ -631,7 +640,7 @@ def _ivf_oracle() -> str:
     tags=("llm", "similarity", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return ivf_topk_relational(
         emb, F.col("vec_id") < 10, ncells=8, nprobe=2, k=3, sample_limit=_ANN_SAMPLE,
         index_cache_key=sf_dir,
@@ -664,7 +673,7 @@ def _pq_oracle() -> str:
     tags=("llm", "similarity", "pq"),
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return pq_topk_relational(
         emb, F.col("vec_id") < 10, m=8, ksub=16, k=3, sample_limit=_ANN_SAMPLE,
         index_cache_key=sf_dir,
@@ -705,7 +714,7 @@ def _ivfpq_oracle() -> str:
     tags=("llm", "similarity", "ivf", "pq"),
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return ivfpq_topk_relational(
         emb, F.col("vec_id") < 10, ncells=8, nprobe=2, m=8, ksub=16, k=3,
         sample_limit=_ANN_SAMPLE, index_cache_key=sf_dir,
@@ -885,14 +894,14 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                ROUND({_COS_DUCK.replace('q.embedding', 'a.embedding').replace('c.embedding', 'b.embedding')}, 6)
                    AS cosine
-        FROM embeddings a
-        JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM {EMB_VALID_ORACLE} a
+        JOIN {EMB_VALID_ORACLE} b ON a.vec_id < b.vec_id
         WHERE {_COS_DUCK.replace('q.embedding', 'a.embedding').replace('c.embedding', 'b.embedding')} >= 0.5
     """,
     tags=("llm", "dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     return cosine_pairs(emb, threshold=0.5)
 
 
@@ -1044,7 +1053,7 @@ _NDCG_K = 10
     oracle=f"""
         WITH q AS (
             SELECT vec_id AS query_id, embedding, label AS q_label
-            FROM embeddings WHERE vec_id < 10
+            FROM {EMB_VALID_ORACLE} embeddings WHERE vec_id < 10
         ),
         topk AS (
             SELECT query_id, q_label, n_label, rank FROM (
@@ -1052,7 +1061,7 @@ _NDCG_K = 10
                        ROW_NUMBER() OVER (
                            PARTITION BY q.query_id
                            ORDER BY {_COS_DUCK} DESC, c.vec_id) AS rank
-                FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+                FROM q JOIN {EMB_VALID_ORACLE} c ON c.vec_id <> q.query_id
             ) WHERE rank <= {_NDCG_K}
         ),
         dcg AS (
@@ -1062,7 +1071,7 @@ _NDCG_K = 10
             FROM topk GROUP BY 1, 2
         ),
         lc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_lab
-               FROM embeddings GROUP BY 1),
+               FROM {EMB_VALID_ORACLE} embeddings GROUP BY 1),
         nrel AS (
             SELECT d.query_id, d.dcg_raw, lc.n_lab - 1 AS n_rel
             FROM dcg d JOIN lc ON lc.label = d.q_label
@@ -1088,7 +1097,7 @@ _NDCG_K = 10
 def ndcg_label_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_spark.operators.similarity import cosine_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     topk = cosine_topk(emb, queries, k=_NDCG_K)
     qlab = queries.select(
@@ -1160,7 +1169,7 @@ _KNN_K = 10
     oracle=f"""
         WITH q AS (
             SELECT vec_id AS query_id, embedding, label AS q_label
-            FROM embeddings WHERE vec_id < 10
+            FROM {EMB_VALID_ORACLE} embeddings WHERE vec_id < 10
         ),
         topk AS (
             SELECT query_id, q_label, n_label FROM (
@@ -1168,7 +1177,7 @@ _KNN_K = 10
                        ROW_NUMBER() OVER (
                            PARTITION BY q.query_id
                            ORDER BY {_COS_DUCK} DESC, c.vec_id) AS rank
-                FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+                FROM q JOIN {EMB_VALID_ORACLE} c ON c.vec_id <> q.query_id
             ) WHERE rank <= {_KNN_K}
         ),
         votes AS (
@@ -1195,7 +1204,7 @@ _KNN_K = 10
 def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_spark.operators.similarity import cosine_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     topk = cosine_topk(emb, queries, k=_KNN_K)
     qlab = queries.select(
@@ -1238,11 +1247,11 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "embedding_centroid_drift",
-    oracle="""
+    oracle=f"""
         WITH px AS (
             SELECT vec_id % 2 AS split, i.i AS pos,
                    CAST(embedding[i.i + 1] AS DOUBLE) AS v
-            FROM embeddings,
+            FROM {EMB_VALID_ORACLE} embeddings,
                  LATERAL (SELECT unnest(generate_series(0, 63)) AS i) i
         ),
         cen AS (
@@ -1265,7 +1274,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "drift"),
 )
 def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     px = emb.select(
         (F.col("vec_id") % 2).alias("split"),
         F.posexplode(F.col("embedding")).alias("pos", "v0"),

@@ -64,8 +64,11 @@ def register(
 # conversions (q3/q5/q6/q10/q15/q19 + probe-found q7/skew — the q1
 # sum_disc_price device; q9 stays on ROUND(SUM) by the documented
 # dense-rational supplycost convention), the empty-/one-row-input
-# totality waves, and the proactive -0.0/constant-series wave — 39
-# changed queries total, with stale-r3 fill to 50 —
+# totality waves, the proactive -0.0/constant-series wave, and the
+# hostile-input wave (malformed-JSON payloads + embedding validity,
+# bugs 44-45) — 50 changed queries total (the wave displaced the
+# stale-r3 fill; its 12th..18th overflow rows are ROTATION_EXEMPT with
+# part-level proofs and lead the r12 window) —
 # then the stale tiers stalest-first. Ordering only — every query stays
 # registered and locally parity-checked (tests/test_oracle_parity.py,
 # all 272). The rotation trigger is now enforced mechanically:
@@ -96,13 +99,17 @@ PRIORITY: tuple[str, ...] = (
     # -- round-11 probe finds (tiny-corpus seed 541): the same exact-
     #    cents device for the two remaining product-revenue sums --
     "q7_volume_shipping",
-    # -- stale round-3 rows (displaced from the r10 window by the
-    #    probe-fix waves) --
-    "skew_salted_join", "approx_distinct_users", "sql_not_in_null_aware",
-    "sql_keep_first_per_key", "sql_histogram_event_values",
-    "sql_intersect_except_all", "sql_unpivot_status_totals",
-    "repetition_quality", "resample_ffill_user_6h", "scd2_state_at_purchase",
-    "snapshot_diff_orders", "sql_last_value_ignore_nulls",
+    "skew_salted_join",
+    # -- round-11 hostile-input probe wave (bugs 44-45, text/oracle change
+    #    THIS round, driver re-proof required): malformed-JSON payload
+    #    convention for json_extract_props; embedding validity convention
+    #    (NULL/NaN/Inf/wrong-dim vectors dropped at load in BOTH engines)
+    #    for every embedding query not already in the window above --
+    "json_extract_props", "ann_cosine_topk", "ann_bucketed_sign_lsh",
+    "ann_recall_eval", "dedup_embedding_cosine", "knn_label_accuracy",
+    "ndcg_label_ranking", "embedding_centroid_drift",
+    "embedding_outliers_topk", "jl_projection_distortion",
+    "auc_mann_whitney_embeddings",
     # -- round-11 empty-input probe wave (zero-row fact tables — text or
     #    reachable-helper change THIS round, driver re-proof required):
     #    cube/rollup grand-total convention, curation NULL fractions,
@@ -128,21 +135,41 @@ PRIORITY: tuple[str, ...] = (
     #      is literally the next 50 names — the spilled round-4 tail,
     #      then the stale tiers stalest-first; the 50 rows the driver
     #      just proved in round 10 sit at the very end ----
+    # -- round 12 MUST lead with the 18 ROTATION_EXEMPT rows of the r11
+    #    hostile-input wave: sql_zscore_normalize_events (zero-sigma NULLIF
+    #    + -0.0 normalization; result-identical at sf0.001/sf0.01, see
+    #    COVERAGE.md) and the 17 module-sibling queries whose only moved
+    #    fingerprint part is a <mutable:cache> module hash — then the 11
+    #    stale-r3 fill rows displaced by the wave --
+    "sql_zscore_normalize_events",
+    "bigram_perplexity_quality", "bigram_pmi_top", "ccnet_perplexity_buckets",
+    "dedup_canonical_pick", "dedup_cluster_assign", "dedup_lsh_recall_eval",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "hits_hub_authority",
+    "inverted_index_postings", "mapping_resolution", "point_in_aoi_filter",
+    "split_leakage_check", "stratified_sample_langs", "tfidf_top_terms",
+    "train_test_split_assign", "zipf_alpha_terms",
+    "approx_distinct_users",
+    "sql_not_in_null_aware",
+    "sql_keep_first_per_key",
+    "sql_histogram_event_values",
+    "sql_intersect_except_all",
+    "sql_unpivot_status_totals",
+    "repetition_quality",
+    "resample_ffill_user_6h",
+    "scd2_state_at_purchase",
+    "snapshot_diff_orders",
+    "sql_last_value_ignore_nulls",
     "sql_top_customer_per_segment",
     "sql_funnel_view_click_purchase", "sql_pii_redaction",
     "sql_ntile_balance_quartiles", "sql_lateral_top2_orders",
-    "sql_fuzzy_name_pairs", "sql_zscore_normalize_events",
-    "sql_mode_priority_by_status",
+    "sql_fuzzy_name_pairs", "sql_mode_priority_by_status",
     "unigram_surprisal_quality", "window_balance_distribution",
-    "windowed_heavy_hitters", "winnow_fingerprint_pairs", "ann_recall_eval",
-    "anomaly_mad_events", "dedup_lsh_recall_eval", "feature_rolling_events",
+    "windowed_heavy_hitters", "winnow_fingerprint_pairs", "anomaly_mad_events", "feature_rolling_events",
     "windowed_quantiles", "cohort_retention_users", "chisq_event_daypart",
-    "embedding_outliers_topk", "bpe_top_merges",
+    "bpe_top_merges",
     "adamic_adar_link_prediction", "entity_resolution_customers",
     "seasonal_baseline_events", "windowed_distinct_users",
-    "dedup_canonical_pick",
-    "token_budget_allocation", "k_anonymity_audit", "inverted_index_postings",
-    "assoc_rules_events", "stratified_kfold_assign",
+    "token_budget_allocation", "k_anonymity_audit", "assoc_rules_events", "stratified_kfold_assign",
     # -- round-5 tier --
     "rfm_customer_segments", "markov_transition_events",
     "change_point_cusum_events", "late_data_accounting",
@@ -151,22 +178,19 @@ PRIORITY: tuple[str, ...] = (
     "mutual_info_status_priority",
     "l_diversity_audit", "pagination_page_manifest",
     "range_join_click_attribution", "asof_purchase_last_view",
-    "ann_cosine_topk", "bigram_perplexity_quality",
     "sql_table_checksum_orders",
-    "split_leakage_check", "interval_merge_sessions", "window_rank_running",
+    "interval_merge_sessions", "window_rank_running",
     # -- round-6 tier --
-    "kaplan_meier_retention", "ndcg_label_ranking",
-    "ewma_control_chart_daily", "mann_kendall_trend_revenue",
+    "kaplan_meier_retention", "ewma_control_chart_daily", "mann_kendall_trend_revenue",
     "purchase_streaks_histogram", "cohort_ltv_curve",
     "item_cooccurrence_topk", "nelson_aalen_hazard", "ztest_conversion_ab",
     "burstiness_user_interarrival", "session_bounce_rate",
     "crossdoc_ngram_dup_mass", "diff_in_diff_purchase",
     "er_precision_recall", "t_closeness_audit",
-    "knn_label_accuracy", "gini_split_finder_price",
+    "gini_split_finder_price",
     "new_vs_returning_revenue", "pareto_abc_revenue",
-    "quantile_normalize_values", "dedup_minhash_lsh", "dedup_exact_hash",
-    "cms_partkey_estimates", "hll_orderkey_cardinality", "tfidf_top_terms",
-    "bigram_pmi_top", "pack_sequences_budget", "quality_filter_gopher",
+    "quantile_normalize_values", "dedup_exact_hash",
+    "cms_partkey_estimates", "hll_orderkey_cardinality", "pack_sequences_budget", "quality_filter_gopher",
     "pagination_page_slice", "cdc_merge_orders",
     # -- round-7 tier --
     "holt_winters_daily", "markov_attribution_removal",
@@ -176,7 +200,7 @@ PRIORITY: tuple[str, ...] = (
     "bh_fdr_nation_conversion", "blocking_quality_er",
     "brier_next_event_model", "capture_recapture_users",
     "croston_demand_forecast", "doclen_log_histogram",
-    "embedding_centroid_drift", "entropy_rate_transitions",
+    "entropy_rate_transitions",
     "gumbel_weekly_max_revenue", "heaps_vocab_growth", "kendall_tau_daily",
     "lexical_diversity_by_lang",
     "open_orders_backlog_daily",
@@ -184,22 +208,19 @@ PRIORITY: tuple[str, ...] = (
     "repeat_purchase_interval", "session_next_event_accuracy",
     "tokenizer_fertility_by_lang",
     "vocab_coverage_estimates", "theil_index_decomposition",
-    "mcnemar_bigram_vs_marginal", "dedup_embedding_cosine",
-    "dedup_ngram_jaccard", "events_sessionize_30m",
+    "mcnemar_bigram_vs_marginal", "events_sessionize_30m",
     # -- round-8 tier --
     "bfs_hops_from_hub", "kcore_cosupplier_peel",
     "lpa_cosupplier_communities", "modularity_cosupplier",
     "assortativity_cosupplier", "jaccard_link_prediction",
-    "triangle_cosupplier_stats", "agg_success_rate", "ann_bucketed_sign_lsh",
-    "bbox_range_filter", "dedup_cluster_assign", "doc_fingerprints",
-    "exists_big_quantity_orders", "json_extract_props", "lang_id_confusion",
-    "mapping_resolution", "mapping_validation_violations",
-    "naming_sanitize_chain", "point_in_aoi_filter", "profile_orders_columns",
+    "triangle_cosupplier_stats", "agg_success_rate", "bbox_range_filter", "doc_fingerprints",
+    "exists_big_quantity_orders", "lang_id_confusion",
+    "mapping_validation_violations",
+    "naming_sanitize_chain", "profile_orders_columns",
     "scalar_subquery_above_avg", "sde_name_derivation",
     "simhash_fingerprints", "source_fc_reverse_match",
-    "stratified_sample_langs", "text_quality_scores", "token_stats",
-    "top_tokens_per_lang", "train_test_split_assign",
-    "unique_name_allocation", "url_parse_extract", "wgs84_sniff_rule",
+    "text_quality_scores", "token_stats",
+    "top_tokens_per_lang", "unique_name_allocation", "url_parse_extract", "wgs84_sniff_rule",
     "anti_join_missing", "bloom_supplier_prune",
     "distinct_dedupe", "events_sliding_30m15m", "events_tumbling_1h",
     "grouping_sets_status_priority", "hll_intersect_cohorts",
@@ -211,7 +232,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_chunk_exact", "dp_exponential_topk", "dp_noisy_counts_laplace",
     "funnel_latency_quantiles", "gini_revenue_concentration",
     "nb_lang_classifier_eval", "novelty_rate_docs", "temperature_sampled_mix",
-    "zipf_alpha_terms", "jl_projection_distortion", "agg_metrics_summary",
+    "agg_metrics_summary",
     "forecast_backtest_mape", "quantile_sketch_values",
     "q4_order_priority_check", "q8_market_share",
     "q12_priority_class_counts", "q13_customer_distribution",
@@ -223,14 +244,13 @@ PRIORITY: tuple[str, ...] = (
     "seasonal_decompose_weekday", "seasonal_residual_anomalies",
     "sql_conditional_agg_filter",
     "sql_monthly_revenue_ma3", "benford_first_digit",
-    "hits_hub_authority", "pattern_vshape_prices", "price_elasticity_loglog",
+    "pattern_vshape_prices", "price_elasticity_loglog",
     "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
     "q16_supplier_part_buckets", "q20_excess_stock_suppliers",
-    "effective_catalog_size", "ccnet_perplexity_buckets",
-    "regression_detect_metrics", "price_index_laspeyres",
+    "effective_catalog_size", "regression_detect_metrics", "price_index_laspeyres",
     "q14_promo_revenue_share",
     "target_encode_priority", "abc_xyz_inventory_matrix",
-    "auc_mann_whitney_embeddings", "hhi_segment_concentration",
+    "hhi_segment_concentration",
     "lorenz_curve_deciles", "percentile_event_values", "pivot_orders_status",
     "profile_approx_orders",
     "semi_join_include_filter", "set_ops_union_except",

@@ -514,7 +514,11 @@ _sql_query(
             FROM events GROUP BY event_type
         )
         SELECT e.event_id, e.event_type,
-               ROUND((e.value - s.mu) / s.sigma, 6) AS value_z
+               -- NULLIF: a constant-valued group has sigma 0 (n>1) — ANSI
+               -- Spark raises where DuckDB fabricates inf; z is undefined,
+               -- NULL in both (r11 probe tiny877). + 0.0e0 normalizes IEEE
+               -- -0.0 at the zero-z boundary (the crosscorr bug-42 class).
+               ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 6) + 0.0e0 AS value_z
         FROM events e JOIN stats s ON e.event_type = s.event_type
     """,
     doc="per-event-type z-score normalization (broadcast stats join)",

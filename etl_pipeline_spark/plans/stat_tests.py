@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.embeddings import EMB_VALID_ORACLE, load_embeddings
 from etl_pipeline_spark.sources.star import load_table
 
 # ---------------------------------------------------------------------------
@@ -194,7 +195,7 @@ _AUC_POS_MIN = 5
                         AS BIGINT) AS np,
                    CAST(SUM(CASE WHEN label >= {_AUC_POS_MIN} THEN 0 ELSE 1 END)
                         AS BIGINT) AS nn
-            FROM embeddings GROUP BY 1
+            FROM {EMB_VALID_ORACLE} embeddings GROUP BY 1
         ),
         c AS (
             SELECT np, nn,
@@ -228,7 +229,7 @@ def auc_mann_whitney_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     addend is an exact dyadic double (integers and halves), so the sum
     is engine-identical before the one final division.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     s = emb.groupBy(
         F.expr("CAST(embedding[0] AS DOUBLE)").alias("score")
     ).agg(

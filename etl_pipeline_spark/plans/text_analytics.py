@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_pipeline_spark.plans.registry import register
+from etl_pipeline_spark.sources.embeddings import EMB_VALID_ORACLE, load_embeddings
 from etl_pipeline_spark.sources.star import load_table
 from etl_pipeline_spark.utils.session_cache import register_cache, session_key
 
@@ -572,7 +573,7 @@ def _jl_oracle() -> str:
             CROSS JOIN (SELECT unnest(generate_series(0, {_JL_IN - 1})) AS i)
         ),
         sample AS (
-            SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_JL_SAMPLE}
+            SELECT vec_id, embedding FROM {EMB_VALID_ORACLE} embeddings WHERE vec_id < {_JL_SAMPLE}
         ),
         vx AS (
             SELECT vec_id,
@@ -643,7 +644,7 @@ def jl_project(
     tags=("similarity", "embedding", "narrow"),
 )
 def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
+    emb = load_embeddings(spark, sf_dir).filter(
         F.col("vec_id") < _JL_SAMPLE
     )
     proj = jl_project(emb)

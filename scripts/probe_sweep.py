@@ -3,7 +3,10 @@ FRESH seeds (and optional tiny truncations) without pytest overhead.
 
 Usage: python scripts/probe_sweep.py SEED [SEED ...]
        python scripts/probe_sweep.py tiny401 401 419
-       python scripts/probe_sweep.py empty401   # zero-row FACT tables
+       python scripts/probe_sweep.py empty401    # zero-row FACT tables
+       python scripts/probe_sweep.py hostile401  # corrupt-input plants
+                                                 # (EXTRA, beyond the ones
+                                                 # adopted into _gen_star)
 
 Reuses the sweep's fixture generator and canonical compare so a failure
 here is exactly a failure the adopted sweep would show once the seed's
@@ -30,11 +33,93 @@ from tests.test_random_fixture_sweep import _TABLES, _TINY_KEEP, _gen_star
 _ensure_loaded()
 
 
+def _plant_hostile(out: str) -> None:
+    """Corrupt-input plants a 100 TB pipeline sees daily — malformed JSON
+    event payloads and invalid embedding rows (NULL vector, NULL
+    component, NaN/Inf component, wrong dimension). Found bugs 44-45 on
+    first contact (16 queries); the core plants are since ADOPTED into
+    _gen_star, so this mode now layers EXTRA hostile rows on top."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{out}/events.parquet").to_pandas()
+    hostile_props = ["not json", "", None, '{"k": "abc"}', "[1, 2]",
+                     '{"k": 99.5}', "{bad", '{"k": true}', '{"k": null}']
+    for i, p in enumerate(hostile_props):
+        ev.loc[i + 5, "props"] = p
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   f"{out}/events.parquet")
+
+    tbl = pq.read_table(f"{out}/embeddings.parquet")
+    vecs = tbl.column("embedding").to_pylist()
+    labels = tbl.column("label").to_pylist()
+    dim = 64
+    base = [0.25] * dim
+    extra = [
+        None,                                  # NULL vector
+        base[:-1] + [None],                    # NULL component
+        base[:-1] + [float("nan")],            # NaN component
+        base[:-1] + [float("inf")],            # +Inf component
+        [0.25] * 32,                           # wrong dimension (short)
+        [0.25] * (dim + 3),                    # wrong dimension (long)
+        [],                                    # empty vector
+    ]
+    nv = len(vecs)
+    vecs.extend(extra)
+    labels.extend([7] * len(extra))
+    schema = pa.schema([
+        pa.field("vec_id", pa.int64()),
+        pa.field("embedding", pa.list_(pa.float32())),
+        pa.field("label", pa.int32()),
+    ])
+    out_tbl = pa.Table.from_pydict(
+        {"vec_id": list(range(1, nv + len(extra) + 1)),
+         "embedding": vecs, "label": labels},
+        schema=schema,
+    )
+    pq.write_table(out_tbl, f"{out}/embeddings.parquet")
+
+
+def _plant_nulls(out: str) -> None:
+    """Scratch-only (until adopted): NULLs in nullable NON-KEY columns —
+    the missing-attribute rows every 100 TB ingest carries. Keys and the
+    join graph stay intact; one row per column goes NULL. The interesting
+    divergence class: Spark orders NULLS FIRST on ASC by default, DuckDB
+    NULLS LAST."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plan = {
+        "orders": {"o_orderdate": 7, "o_totalprice": 8, "o_orderpriority": 9,
+                   "o_orderstatus": 10},
+        "lineitem": {"l_shipdate": 6, "l_discount": 7, "l_quantity": 8,
+                     "l_extendedprice": 10, "l_returnflag": 11,
+                     "l_linestatus": 12, "l_tax": 13},
+        "customer": {"c_acctbal": 5, "c_mktsegment": 6},
+        "part": {"p_type": 4, "p_brand": 5, "p_retailprice": 6, "p_size": 7},
+        "events": {"value": 16, "event_type": 17, "ts": 18},
+        "documents": {"lang": 11, "source": 12},
+        "embeddings": {"label": 2},
+    }
+    for t, cols in plan.items():
+        tbl = pq.read_table(f"{out}/{t}.parquet")
+        for c, row in cols.items():
+            field = tbl.schema.field(c)
+            vals = tbl.column(c).to_pylist()
+            vals[row] = None  # true parquet NULL (pandas would write NaN)
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index(c), field, pa.array(vals, field.type)
+            )
+        pq.write_table(tbl, f"{out}/{t}.parquet")
+
+
 def run_seed(spark, param: str) -> list[str]:
     tiny = param.startswith("tiny")
     empty = param.startswith("empty")
     one = param.startswith("one")
-    seed = int(param.lstrip("tinyemptyone") or "11")
+    hostile = param.startswith("hostile")
+    nulls = param.startswith("nulls")
+    seed = int(param.lstrip("tinyemptyonhstlu") or "11")
     out = tempfile.mkdtemp(prefix=f"probe_{param}_")
     _gen_star(out, seed=seed)
     if tiny or empty or one:
@@ -44,6 +129,10 @@ def run_seed(spark, param: str) -> list[str]:
             keep = 0 if empty else 1 if one else k
             tbl = pq.read_table(f"{out}/{t}.parquet")
             pq.write_table(tbl.slice(0, keep), f"{out}/{t}.parquet")
+    if hostile:
+        _plant_hostile(out)
+    if nulls:
+        _plant_nulls(out)
     con = duckdb.connect()
     for t in _TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet')")

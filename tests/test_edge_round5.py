@@ -849,13 +849,15 @@ def identical_embeddings(spark, tmp_path):
     """Five IDENTICAL vectors (every cosine exactly 1 — ranking falls
     entirely to the vec_id tiebreak): labels 1,1,1,2,2. Query 0 sees a
     2-2 vote tie (its own class minus self vs the other class), which
-    must break to the SMALLEST label."""
+    must break to the SMALLEST label. Vectors are EMB_DIM-wide so the
+    r11 validity convention (sources/embeddings.py) keeps them."""
+    v = [1.0] + [0.0] * 63
     rows = [
-        (0, [1.0, 0.0], 1),
-        (1, [1.0, 0.0], 1),
-        (2, [1.0, 0.0], 1),
-        (3, [1.0, 0.0], 2),
-        (4, [1.0, 0.0], 2),
+        (0, v, 1),
+        (1, v, 1),
+        (2, v, 1),
+        (3, v, 2),
+        (4, v, 2),
     ]
     spark.createDataFrame(
         rows, "vec_id bigint, embedding array<float>, label int"

@@ -250,6 +250,19 @@ def _gen_star(out_dir: str, seed: int) -> None:
     # negative and zero values are in-domain
     ev_value = [_cents(rng, -100000, 1000000) for _ in range(n_ev)]
     ev_props = ['{"k": %d}' % rng.randrange(0, 100) for _ in range(n_ev)]
+    # HOSTILE payloads (r11 bug 44): event payloads on user data are
+    # dirty — malformed JSON (Spark get_json_object → NULL, DuckDB ->>
+    # RAISES), NULL, non-object roots, non-numeric / float / huge `k`.
+    # json_extract_props defines k_value iff the payload is valid JSON
+    # and $.k is a lossless integer literal; every one of these rows
+    # must yield NULL in BOTH engines. Placed at 5.. (rows 0-4 carry the
+    # dup/boundary plants); indices < 30 so the tiny prefix keeps them.
+    for off, hp in enumerate([
+        "not json", "", None, '{"k": "abc"}', "[1, 2]", '{"k": 99.5}',
+        "{bad", '{"k": true}', '{"k": null}',
+        '{"k": 9999999999999999999999}',
+    ]):
+        ev_props[5 + off] = hp
     # full payload duplicate: rows 1 and 2 differ ONLY by event_id —
     # dedup/sessionize/window tie-breaks must resolve on event_id alone
     for lst in (ev_ts, ev_user, ev_type, ev_value, ev_props):
@@ -383,11 +396,29 @@ def _gen_star(out_dir: str, seed: int) -> None:
             pa.field("label", pa.int32()),
         ]
     )
+    # INVALID embeddings (r11 bug 45): corrupt rows a 100 TB corpus sees
+    # daily — the validity convention (sources/embeddings.py) drops them
+    # at load in BOTH engines, so every embedding query must be blind to
+    # them. One NaN-poisoned vector sits INSIDE the tiny prefix (index 4,
+    # vec_id 5) so the truncated fixtures exercise the filter too; the
+    # other six classes are appended past the prefix.
+    vecs[4] = [0.25] * (dim - 1) + [float("nan")]
+    vecs.extend(
+        [
+            None,                                 # NULL vector
+            [0.25] * (dim - 1) + [None],          # NULL component
+            [0.25] * (dim - 1) + [float("inf")],  # +Inf component
+            [0.25] * (dim // 2),                  # wrong dimension (short)
+            [0.25] * (dim + 3),                   # wrong dimension (long)
+            [],                                   # empty vector
+        ]
+    )
+    n_all = len(vecs)
     tbl = pa.Table.from_pydict(
         {
-            "vec_id": list(range(1, n_vec + 1)),
+            "vec_id": list(range(1, n_all + 1)),
             "embedding": vecs,
-            "label": [rng.randrange(0, 10) for _ in range(n_vec)],
+            "label": [rng.randrange(0, 10) for _ in range(n_all)],
         },
         schema=emb_schema,
     )
@@ -419,6 +450,10 @@ _SWEEP_QUERIES = sorted(REGISTRY)
 # table — the singleton case between tiny and empty: degenerate dof
 # (n−1 = 0), zero variance, zero histogram width, empty bootstrap
 # resamples. Found five more ANSI 0-divides on first contact (r11).
+# All five params additionally carry the r11 HOSTILE-INPUT plants baked
+# into _gen_star itself (malformed JSON payloads, invalid embedding
+# rows — bugs 44-45, found via scripts/probe_sweep.py hostileN): every
+# run pins the corrupt-input conventions registry-wide.
 _TINY_KEEP = {"orders": 12, "lineitem": 20, "events": 30, "documents": 8,
               "embeddings": 6}
 
