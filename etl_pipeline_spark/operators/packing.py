@@ -128,6 +128,22 @@ def range_bucketed_rank(
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     pc = list(partition_cols)
+
+    def _nullsafe_join(left: DataFrame, right: DataFrame, cols: list[str]) -> DataFrame:
+        # PARTITION BY groups NULL keys together, so the broadcast joins
+        # back to the per-partition relations must too — a plain equi-join
+        # silently DROPS NULL-key partitions (r11 nulls probe: the
+        # NULL-segment customer vanished from the Spark ranking while the
+        # oracle window kept it)
+        r = right
+        for c in cols:
+            r = r.withColumnRenamed(c, f"__j_{c}")
+        cond = None
+        for c in cols:
+            e = F.col(c).eqNullSafe(F.col(f"__j_{c}"))
+            cond = e if cond is None else cond & e
+        return left.join(F.broadcast(r), cond).drop(*[f"__j_{c}" for c in cols])
+
     kd = F.col(key).cast("double")
     bounds = (
         df.groupBy(*pc).agg(F.min(kd).alias("__lo"), F.max(kd).alias("__hi"))
@@ -135,7 +151,7 @@ def range_bucketed_rank(
         else df.agg(F.min(kd).alias("__lo"), F.max(kd).alias("__hi"))
     )
     rows = (
-        df.join(F.broadcast(bounds), pc)
+        _nullsafe_join(df, bounds, pc)
         if pc
         else df.crossJoin(F.broadcast(bounds))
     )
@@ -187,7 +203,7 @@ def range_bucketed_rank(
         )
     offsets = totals.select(*off_cols)
 
-    out = rows.join(F.broadcast(offsets), [*pc, "__bucket"])
+    out = _nullsafe_join(rows, offsets, [*pc, "__bucket"])
     key_ord = F.asc(key) if ascending else F.desc(key)
     intra = Window.partitionBy(*pc, "__bucket")
     if value_col is not None:

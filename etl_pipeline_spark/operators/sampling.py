@@ -33,8 +33,17 @@ def hash_u32_sql(id_expr: str, seed: str) -> str:
 
     Decodes the first 8 hex chars via instr-arithmetic — evaluates
     identically in Spark SQL and DuckDB (no conv()/from_hex divergence).
+
+    NULL ids hash via a sentinel (r11 nulls probe): Spark's concat
+    propagates NULL (md5 → NULL → NaN noise downstream) while DuckDB's
+    concat SKIPS NULL arguments (hashing just the seed) — the engines
+    disagreed on every NULL-key group. coalesce to a fixed token gives
+    both engines one deterministic draw for the missing-key group.
     """
-    h = f"md5(concat('{seed}', ':', CAST({id_expr} AS STRING)))"
+    h = (
+        f"md5(concat('{seed}', ':',"
+        f" coalesce(CAST({id_expr} AS STRING), '__null__')))"
+    )
     decoded = " + ".join(
         f"CAST(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1 AS BIGINT)"
         f" * {16 ** (7 - i)}"

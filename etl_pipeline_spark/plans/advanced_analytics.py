@@ -250,13 +250,19 @@ def _textrank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "theil_sen_price_trend",
     oracle="""
         WITH monthly AS (
+            -- o_orderdate/o_totalprice IS NOT NULL (r11 nulls probe): the
+            -- trend is over dated, priced orders — an all-NULL-price
+            -- month's NULL slope would lead Spark's median-rank order and
+            -- trail DuckDB's
             SELECT (EXTRACT(year FROM o_orderdate) * 12
                     + EXTRACT(month FROM o_orderdate) - 1) AS m,
                    CAST(FLOOR(
                        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
                             AS BIGINT) * 10000.0e0 / COUNT(*) + 0.5)
                        AS BIGINT) AS vm
-            FROM orders GROUP BY 1
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+            GROUP BY 1
         ),
         mv AS (SELECT m, vm, vm / 1000000.0e0 AS v FROM monthly),
         prs AS (
@@ -298,7 +304,9 @@ def _textrank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "timeseries", "robust"),
 )
 def theil_sen_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     monthly = (
         orders.select(
             (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
@@ -618,7 +626,11 @@ _SP_TOPK = 20
                    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {_SP_GAP_NS}
                         OR LAG(epoch_ns(ts)) OVER w IS NULL
                         THEN 1 ELSE 0 END AS new_session
-            FROM events
+            -- ts/event_type IS NOT NULL (r11 nulls probe): the chain
+            -- convention — untimestamped events have no place on the gap
+            -- timeline, typeless events contribute no path step (DuckDB's
+            -- string_agg would skip them while the step count still moved)
+            FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
         ),
         tagged AS (
@@ -649,8 +661,10 @@ _SP_TOPK = 20
     tags=("timeseries", "session", "funnel"),
 )
 def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     )
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(order_w)
@@ -913,10 +927,14 @@ def _markov_oracle() -> str:
     )
     return f"""
         WITH seq AS (
+            -- ts/event_type IS NOT NULL (r11 nulls probe): the chain
+            -- convention — a NULL channel is no state (it crashed the
+            -- driver-side edge sort) and an untimestamped touch has no
+            -- position in the path
             SELECT user_id, event_type,
                    LAG(event_type) OVER w AS prev,
                    LEAD(event_type) OVER w AS nxt
-            FROM events
+            FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         trans AS (
@@ -979,8 +997,10 @@ def _markov_oracle() -> str:
     tags=("events", "attribution", "graph"),
 )
 def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(

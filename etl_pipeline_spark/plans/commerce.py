@@ -72,6 +72,12 @@ def _cents(expr: str) -> F.Column:
     "spend_percentile_by_segment",
     oracle=f"""
         WITH spend AS (
+            -- cents IS NOT NULL (r11 nulls probe): a customer whose every
+            -- order price is missing has no rankable spend — the engines
+            -- would seat the NULL at opposite ends of the percent order.
+            -- The NULL-segment partition itself is KEPT (PARTITION BY
+            -- groups NULLs; the Spark-side range_bucketed_rank now joins
+            -- its per-partition offsets null-safely to match).
             SELECT o_custkey, CAST(SUM({_CENTS_DUCK}) AS BIGINT) AS cents
             FROM orders GROUP BY 1
         )
@@ -81,6 +87,7 @@ def _cents(expr: str) -> F.Column:
                    PARTITION BY c.c_mktsegment ORDER BY s.cents), 6)
                    AS pct_rank
         FROM customer c JOIN spend s ON s.o_custkey = c.c_custkey
+        WHERE s.cents IS NOT NULL
     """,
     tags=("commerce", "window", "percentile"),
 )
@@ -91,7 +98,7 @@ def spend_percentile_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spend = orders.groupBy("o_custkey").agg(
         F.sum(_cents("o_totalprice")).cast("bigint").alias("cents")
-    )
+    ).filter(F.col("cents").isNotNull())
     joined = cust.join(
         spend, cust.c_custkey == spend.o_custkey
     ).select("c_custkey", "segment", "cents")
@@ -190,7 +197,11 @@ def perfect_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                    {_EPOCH_DAY_DUCK} AS d0,
                    CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
                                   MAX(l.l_shipdate)) AS BIGINT) AS d1
+            -- endpoint NULL guards (r11 nulls probe): an undated order (or
+            -- a line with no shipdate) has no interval — its NULL day key
+            -- would lead Spark's running-sum order and trail DuckDB's
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
             GROUP BY 1, 2
         ),
         delta AS (
@@ -213,8 +224,12 @@ def perfect_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("commerce", "timeseries", "interval"),
 )
 def open_orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
     span = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", _day_epoch().alias("d0"))
@@ -329,11 +344,14 @@ def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
     "repeat_purchase_interval",
     oracle=f"""
         WITH o AS (
+            -- o_orderdate IS NOT NULL (r11 nulls probe): an undated order
+            -- has no place in the purchase timeline — its NULL day would
+            -- lead Spark's LAG order and trail DuckDB's, fabricating a gap
             SELECT o_custkey, {_EPOCH_DAY_DUCK} AS d,
                    LAG({_EPOCH_DAY_DUCK}) OVER (
                        PARTITION BY o_custkey
                        ORDER BY {_EPOCH_DAY_DUCK}, o_orderkey) AS prev_d
-            FROM orders
+            FROM orders WHERE o_orderdate IS NOT NULL
         ),
         g AS (
             SELECT c.c_mktsegment AS segment, o.d - o.prev_d AS gap
@@ -363,7 +381,9 @@ def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("commerce", "window", "retention"),
 )
 def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("segment")
     )
@@ -606,10 +626,13 @@ _CROSTON_W = (
     "croston_demand_forecast",
     oracle=f"""
         WITH pm AS (
+            -- l_shipdate IS NOT NULL (r11 nulls probe): an undated
+            -- shipment has no demand month — its NULL m would lead
+            -- Spark's epoch order and trail DuckDB's, shifting every gap
             SELECT l_partkey,
                    year(l_shipdate) * 12 + month(l_shipdate) - 1 AS m,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
-            FROM lineitem GROUP BY 1, 2
+            FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1, 2
         ),
         mn AS (SELECT MIN(m) AS m0 FROM pm),
         seq AS (
@@ -638,7 +661,9 @@ _CROSTON_W = (
     tags=("commerce", "forecast", "timeseries"),
 )
 def croston_demand_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
     pm = (
         li.select(
             "l_partkey",

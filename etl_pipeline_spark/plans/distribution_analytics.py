@@ -165,7 +165,11 @@ def crosscorr_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS BIGINT) AS ca,
                    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
                         END) AS BIGINT) AS cb
-            FROM events WHERE event_type IN ('view', 'purchase')
+            -- value IS NOT NULL (r11 nulls probe): the ECDFs integrate
+            -- over reported values — a NULL cents group would lead
+            -- Spark's cumulative order and trail DuckDB's
+            FROM events
+            WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
             GROUP BY 1
         ),
         tot AS (
@@ -192,6 +196,7 @@ def crosscorr_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "purchase")
+        & F.col("value").isNotNull()
     )
     h = ev.groupBy(
         F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("v")
@@ -414,14 +419,18 @@ def lexical_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brier_next_event_model",
     oracle="""
         WITH t AS (
+            -- ts/event_type IS NOT NULL (r11 nulls probe): the markov
+            -- chain convention — untimestamped events have no order,
+            -- typeless events are no state; kk filters identically so the
+            -- state count matches the chain's alphabet
             SELECT user_id, event_type,
                    LAG(event_type) OVER (PARTITION BY user_id
                        ORDER BY epoch_ns(ts), event_id) AS prev_type
-            FROM events
+            FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
         ),
         kk AS (
             SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
-            FROM events
+            FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
         ),
         train AS (
             SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS c
@@ -457,8 +466,10 @@ def lexical_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "ml", "eval"),
 )
 def brier_next_event_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     )
     kk = ev.agg(F.countDistinct("event_type").cast("bigint").alias("k"))
     lag_w = Window.partitionBy("user_id").orderBy("ts", "event_id")

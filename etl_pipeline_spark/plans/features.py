@@ -51,7 +51,10 @@ _HITS_EDGE_CACHE: dict[tuple, "DataFrame"] = register_cache({})
                    LAG(value, 1) OVER win AS lag1,
                    SUM(value) OVER win3 AS s3,
                    SUM(value * value) OVER win3 AS ss3
-            FROM events
+            -- ts IS NOT NULL (r11 nulls probe): an untimestamped event has
+            -- no place in the rolling order — the engines seat it at
+            -- opposite partition ends, shifting every lag/rolling frame
+            FROM events WHERE ts IS NOT NULL
             WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id),
                    win3 AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -67,8 +70,10 @@ _HITS_EDGE_CACHE: dict[tuple, "DataFrame"] = register_cache({})
     tags=("features", "window"),
 )
 def feature_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .filter(F.col("ts").isNotNull())
     )
     win = Window.partitionBy("user_id").orderBy("ts", "event_id")
     win3 = win.rowsBetween(-2, 0)
@@ -932,7 +937,10 @@ def _gsf_gini_duck(prefix: str, n: str) -> str:
                        f" ELSE 0 END) AS BIGINT) AS c{i}"
                        for i, c in enumerate(_GSF_CLASSES)
                    )}
-            FROM orders GROUP BY 1
+            -- o_totalprice IS NOT NULL (r11 nulls probe): a split on price
+            -- needs a price — the NULL bin would lead Spark's cumulative
+            -- class counts and trail DuckDB's
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
         ),
         cum AS (
             SELECT bin,
@@ -992,7 +1000,9 @@ def _gsf_gini_duck(prefix: str, n: str) -> str:
 )
 def gini_split_finder_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cls = len(_GSF_CLASSES)
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     cells = orders.groupBy(
         F.expr(f"CAST(FLOOR(o_totalprice / {_GSF_BIN}) AS BIGINT)").alias("bin")
     ).agg(

@@ -233,12 +233,17 @@ def mapping_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE 'Underlag_' || split_part(event_type || '_' || CAST(user_id AS VARCHAR), '_', 1) END
                 AS sde_dataset,
             split_part(event_type || '_' || CAST(user_id AS VARCHAR), '_', 2) AS sde_fc
-        FROM events
+        -- event_type IS NOT NULL (r11 nulls probe): no name derives from a
+        -- missing type — DuckDB's split_part(NULL) yields '' (building a
+        -- phantom 'Underlag_') where Spark's yields NULL
+        FROM events WHERE event_type IS NOT NULL
     """,
     tags=("kernel", "string"),
 )
 def sde_name_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     name = F.concat(F.col("event_type"), F.lit("_"), F.col("user_id").cast("string"))
     authority = F.split_part(name, F.lit("_"), F.lit(1))
     return ev.select(

@@ -52,7 +52,12 @@ from etl_pipeline_spark.operators.similarity import (
 )
 from etl_pipeline_spark.utils.session_cache import register_cache, session_key
 from etl_pipeline_spark.plans.registry import register
-from etl_pipeline_spark.sources.embeddings import EMB_VALID_ORACLE, load_embeddings
+from etl_pipeline_spark.sources.embeddings import (
+    EMB_LABELED_ORACLE,
+    EMB_VALID_ORACLE,
+    load_embeddings,
+    load_labeled_embeddings,
+)
 from etl_pipeline_spark.sources.star import load_table
 
 # ---------------------------------------------------------------------------
@@ -1052,8 +1057,10 @@ _NDCG_K = 10
     "ndcg_label_ranking",
     oracle=f"""
         WITH q AS (
+            -- labeled convention (r11 nulls probe): an unlabeled vector
+            -- can neither vote nor be scored
             SELECT vec_id AS query_id, embedding, label AS q_label
-            FROM {EMB_VALID_ORACLE} embeddings WHERE vec_id < 10
+            FROM {EMB_LABELED_ORACLE} embeddings WHERE vec_id < 10
         ),
         topk AS (
             SELECT query_id, q_label, n_label, rank FROM (
@@ -1061,7 +1068,7 @@ _NDCG_K = 10
                        ROW_NUMBER() OVER (
                            PARTITION BY q.query_id
                            ORDER BY {_COS_DUCK} DESC, c.vec_id) AS rank
-                FROM q JOIN {EMB_VALID_ORACLE} c ON c.vec_id <> q.query_id
+                FROM q JOIN {EMB_LABELED_ORACLE} c ON c.vec_id <> q.query_id
             ) WHERE rank <= {_NDCG_K}
         ),
         dcg AS (
@@ -1071,7 +1078,7 @@ _NDCG_K = 10
             FROM topk GROUP BY 1, 2
         ),
         lc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_lab
-               FROM {EMB_VALID_ORACLE} embeddings GROUP BY 1),
+               FROM {EMB_LABELED_ORACLE} embeddings GROUP BY 1),
         nrel AS (
             SELECT d.query_id, d.dcg_raw, lc.n_lab - 1 AS n_rel
             FROM dcg d JOIN lc ON lc.label = d.q_label
@@ -1097,7 +1104,7 @@ _NDCG_K = 10
 def ndcg_label_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_spark.operators.similarity import cosine_topk
 
-    emb = load_embeddings(spark, sf_dir)
+    emb = load_labeled_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     topk = cosine_topk(emb, queries, k=_NDCG_K)
     qlab = queries.select(
@@ -1168,8 +1175,10 @@ _KNN_K = 10
     "knn_label_accuracy",
     oracle=f"""
         WITH q AS (
+            -- labeled convention (r11 nulls probe): an unlabeled vector
+            -- can neither vote nor be scored
             SELECT vec_id AS query_id, embedding, label AS q_label
-            FROM {EMB_VALID_ORACLE} embeddings WHERE vec_id < 10
+            FROM {EMB_LABELED_ORACLE} embeddings WHERE vec_id < 10
         ),
         topk AS (
             SELECT query_id, q_label, n_label FROM (
@@ -1177,7 +1186,7 @@ _KNN_K = 10
                        ROW_NUMBER() OVER (
                            PARTITION BY q.query_id
                            ORDER BY {_COS_DUCK} DESC, c.vec_id) AS rank
-                FROM q JOIN {EMB_VALID_ORACLE} c ON c.vec_id <> q.query_id
+                FROM q JOIN {EMB_LABELED_ORACLE} c ON c.vec_id <> q.query_id
             ) WHERE rank <= {_KNN_K}
         ),
         votes AS (
@@ -1204,7 +1213,7 @@ _KNN_K = 10
 def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_spark.operators.similarity import cosine_topk
 
-    emb = load_embeddings(spark, sf_dir)
+    emb = load_labeled_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     topk = cosine_topk(emb, queries, k=_KNN_K)
     qlab = queries.select(

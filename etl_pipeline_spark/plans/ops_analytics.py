@@ -320,10 +320,14 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "markov_transition_events",
     oracle="""
         WITH seq AS (
+            -- ts/event_type IS NOT NULL (r11 nulls probe): an
+            -- untimestamped event has no place in the chain (the engines
+            -- seat its NULL ordering key at opposite partition ends) and
+            -- a typeless event is no state — both leave the chain
             SELECT user_id, event_type,
                    LAG(event_type) OVER (PARTITION BY user_id
                        ORDER BY epoch_ns(ts), event_id) AS prev_type
-            FROM events
+            FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
         ),
         trans AS (
             SELECT prev_type AS from_type, event_type AS to_type,
@@ -342,8 +346,10 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "window", "markov"),
 )
 def markov_transition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = (
@@ -382,16 +388,20 @@ def markov_transition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quantile_normalize_values",
     oracle="""
+        -- value IS NOT NULL (r11 nulls probe): a missing value has no
+        -- rank — the engines seat it at opposite ends of the value order
         SELECT event_id, event_type, value,
                ROUND(PERCENT_RANK() OVER (
                    PARTITION BY event_type ORDER BY value), 6) AS pct_rank
-        FROM events
+        FROM events WHERE value IS NOT NULL
     """,
     tags=("window", "features", "normalize"),
 )
 def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull())
     )
     ranked = range_bucketed_rank(
         ev, "value", partition_cols=("event_type",), with_rank=True
@@ -423,14 +433,17 @@ _DAY_NS = 86_400_000_000_000
     "change_point_cusum_events",
     oracle=f"""
         WITH daily AS (
+            -- ts IS NOT NULL (r11 nulls probe): an untimestamped event has
+            -- no day — its NULL day_epoch group would lead Spark's cumsum
+            -- order and trail DuckDB's
             SELECT event_type,
                    (epoch_ns(ts) // {_DAY_NS}) * 86400 AS day_epoch,
                    ROUND(SUM(value) / COUNT(*), 6) AS day_mean
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         ),
         series AS (
             SELECT event_type, ROUND(SUM(value) / COUNT(*), 6) AS series_mean
-            FROM events GROUP BY 1
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
         ),
         cusum AS (
             SELECT d.event_type, d.day_epoch,
@@ -453,9 +466,14 @@ _DAY_NS = 86_400_000_000_000
     tags=("timeseries", "window", "changepoint"),
 )
 def change_point_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.expr(f"(ts DIV {_DAY_NS}) * 86400").alias("day_epoch"),
-        "value",
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr(f"(ts DIV {_DAY_NS}) * 86400").alias("day_epoch"),
+            "value",
+        )
     )
     daily = ev.groupBy("event_type", "day_epoch").agg(
         F.round(F.sum("value") / F.count(F.lit(1)), 6).alias("day_mean")
@@ -649,9 +667,16 @@ _ACF_MAX_LAG = 7
     "acf_daily_revenue",
     oracle=f"""
         WITH daily AS (
+            -- o_orderdate/o_totalprice IS NOT NULL (r11 nulls probe): an
+            -- undated order has no day (the NULL day_epoch row would lead
+            -- Spark's row-number order and trail DuckDB's), and a day
+            -- whose only orders carry no price has no revenue point (its
+            -- NULL rev pairs count differently per engine)
             SELECT {_EPOCH_DAY_DUCK} AS day_epoch,
                    ROUND(SUM(o_totalprice), 2) AS rev
-            FROM orders GROUP BY 1
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+            GROUP BY 1
         ),
         -- series mean via the exact-cents device (rev is 2-dp by
         -- construction): SUM(cents) is an exact order-free BIGINT, so the
@@ -688,7 +713,9 @@ _ACF_MAX_LAG = 7
     tags=("timeseries", "stats", "diagnostic"),
 )
 def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     daily = orders.groupBy(
         F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz"))
         .cast("bigint")
@@ -781,9 +808,12 @@ _EWMA_NUM, _EWMA_DEN = _ewma_terms_duck()
     "ewma_control_chart_daily",
     oracle=f"""
         WITH daily AS (
+            -- o_orderdate IS NOT NULL (r11 nulls probe): an undated order
+            -- has no day — its NULL day_epoch row would lead Spark's LAG
+            -- chain and trail DuckDB's, shifting every EWMA term
             SELECT {_EPOCH_DAY_DUCK} AS day_epoch,
                    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
-            FROM orders GROUP BY 1
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
         ),
         z AS (
             SELECT day_epoch, cents,
@@ -803,7 +833,9 @@ _EWMA_NUM, _EWMA_DEN = _ewma_terms_duck()
     tags=("timeseries", "window", "anomaly"),
 )
 def ewma_control_chart_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     daily = orders.groupBy(
         F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz"))
         .cast("bigint")
@@ -1047,13 +1079,16 @@ def purchase_streaks_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cohort_ltv_curve",
     oracle=f"""
         WITH ev AS (
+            -- ts IS NOT NULL (r11 nulls probe): an untimestamped event has
+            -- no month — its NULL age_month cell would lead Spark's
+            -- cumulative-LTV order and trail DuckDB's
             SELECT user_id,
                    CAST(EXTRACT(year FROM ts) * 12
                         + EXTRACT(month FROM ts) - 1 AS BIGINT) AS em,
                    CASE WHEN event_type = 'purchase'
                         THEN CAST(ROUND(value * 100, 0) AS BIGINT)
                         ELSE 0 END AS cents
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         coh AS (SELECT user_id, MIN(em) AS cohort_month FROM ev GROUP BY 1),
         sizes AS (
@@ -1080,7 +1115,9 @@ def purchase_streaks_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("cohort", "window", "revenue"),
 )
 def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         "user_id",
         (
             F.year(
@@ -1159,9 +1196,12 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "seasonal_decompose_weekday",
     oracle=f"""
         WITH daily AS (
+            -- o_orderdate IS NOT NULL (r11 nulls probe): an undated order
+            -- has no day — its NULL day_epoch row would lead Spark's
+            -- centered 7-day window and trail DuckDB's
             SELECT {_EPOCH_DAY_DUCK} AS day_epoch,
                    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
-            FROM orders GROUP BY 1
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
         ),
         tr AS (
             SELECT day_epoch, cents,
@@ -1185,7 +1225,9 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "window", "seasonal"),
 )
 def seasonal_decompose_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     daily = orders.groupBy(
         F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz"))
         .cast("bigint")
@@ -1418,9 +1460,12 @@ _SRA_K = 3.0
     "seasonal_residual_anomalies",
     oracle=f"""
         WITH daily AS (
+            -- o_orderdate IS NOT NULL (r11 nulls probe, latent sibling of
+            -- seasonal_decompose_weekday): the NULL day_epoch row would
+            -- lead Spark's centered 7-day window and trail DuckDB's
             SELECT {_EPOCH_DAY_DUCK} AS day_epoch,
                    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
-            FROM orders GROUP BY 1
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
         ),
         tr AS (
             SELECT day_epoch, cents, cents / 100.0 AS rev,
@@ -1465,7 +1510,9 @@ _SRA_K = 3.0
     tags=("timeseries", "anomaly", "seasonal"),
 )
 def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     daily = orders.groupBy(
         F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz"))
         .cast("bigint")
@@ -1547,10 +1594,16 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spearman_corr_daily",
     oracle=f"""
         WITH daily AS (
+            -- o_orderdate/o_totalprice IS NOT NULL (r11 nulls probe): the
+            -- series is over dated, priced orders — a day whose only
+            -- orders carry no price would rank its NULL x at opposite
+            -- ends of the engines' rank order
             SELECT {_EPOCH_DAY_DUCK} AS day_epoch,
                    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS x,
                    CAST(COUNT(*) AS BIGINT) AS y
-            FROM orders GROUP BY 1
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+            GROUP BY 1
         ),
         ranked AS (
             SELECT
@@ -1582,7 +1635,9 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "stats", "correlation"),
 )
 def spearman_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     daily = orders.groupBy(
         F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz"))
         .cast("bigint")
@@ -1713,10 +1768,13 @@ def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_next_event_accuracy",
     oracle="""
         WITH t AS (
+            -- ts/event_type IS NOT NULL (r11 nulls probe): the markov
+            -- chain convention — untimestamped events have no order,
+            -- typeless events are no state
             SELECT user_id, event_type,
                    LAG(event_type) OVER (PARTITION BY user_id
                        ORDER BY ts, event_id) AS prev_type
-            FROM events
+            FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
         ),
         train AS (
             SELECT prev_type, event_type, COUNT(*) AS c
@@ -1746,8 +1804,10 @@ def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "ml", "eval"),
 )
 def session_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     )
     lag_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = ev.withColumn("prev_type", F.lag("event_type").over(lag_w)).where(
@@ -1897,10 +1957,17 @@ def _hw_oracle() -> str:
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
                    CAST(cents AS DOUBLE) / 100.0 AS x
             FROM (
+                -- ts/value IS NOT NULL (r11 nulls probe): the demand
+                -- series is over timestamped, valued purchases — a NULL
+                -- day would lead Spark's collect order and trail
+                -- DuckDB's, and an all-NULL-value day has no point
                 SELECT epoch_ns(ts) // {_DAY_NS} AS day,
                        CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
                             AS BIGINT) AS cents
-                FROM events WHERE event_type = 'purchase' GROUP BY 1
+                FROM events
+                WHERE event_type = 'purchase'
+                  AND ts IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1
             )
         ),
         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM d),
@@ -1947,7 +2014,9 @@ def _hw_oracle() -> str:
 )
 def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
     )
     daily = (
         ev.groupBy(F.expr(f"ts DIV {_DAY_NS}").alias("day"))

@@ -539,10 +539,11 @@ def agg_success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
             o_custkey,
             o_orderkey,
-            RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+            RANK() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)
                 AS spend_rank,
             ROUND(SUM(o_totalprice) OVER (
-                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                 AS running_spend
         FROM orders
@@ -551,11 +552,17 @@ def agg_success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_rank_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit NULL placement (r11 nulls probe): Spark orders ASC NULLS
+    # FIRST where DuckDB orders NULLS LAST — an undated order would lead
+    # one engine's running-spend timeline and trail the other's.
+    # Convention: rows missing the ordering attribute accumulate last.
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
-    rank_w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    rank_w = Window.partitionBy("o_custkey").orderBy(
+        F.desc_nulls_last("o_totalprice"), F.asc("o_orderkey")
+    )
     run_w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderdate"), F.asc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return orders.select(
@@ -1026,15 +1033,21 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
                array_to_string(list_sort(list_distinct(list(
                    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)))), ',')
                    AS order_years
+        -- o_orderdate IS NOT NULL (r11 nulls probe): an undated order has
+        -- no year — a customer with ONLY undated orders came back as ''
+        -- from Spark's concat_ws-over-empty-set vs NULL from DuckDB's
+        -- string_agg
         FROM customer JOIN orders ON c_custkey = o_custkey
-        WHERE c_custkey < 100
+        WHERE c_custkey < 100 AND o_orderdate IS NOT NULL
         GROUP BY c_custkey
     """,
     tags=("agg", "array"),
 )
 def collect_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .groupBy("c_custkey")
@@ -1109,13 +1122,18 @@ def window_range_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(PERCENT_RANK() OVER w, 6)        AS pct_rank,
                ROUND(CUME_DIST() OVER w, 6)           AS cume
         FROM customer
-        WHERE c_nationkey < 5
+        WHERE c_nationkey < 5 AND c_acctbal IS NOT NULL
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
     tags=("window", "distribution"),
 )
 def window_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    # c_acctbal IS NOT NULL (r11 nulls probe): a missing balance has no
+    # rank — Spark's NULLS FIRST would seat it in quartile 1, DuckDB's
+    # NULLS LAST in quartile 4, shifting cume/pct for the whole nation.
+    cust = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_nationkey") < 5) & F.col("c_acctbal").isNotNull()
+    )
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return cust.select(
         "c_nationkey",
@@ -1148,10 +1166,14 @@ def window_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM orders WHERE o_orderkey % 89 <> 0
         )
         SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+               -- IS NOT DISTINCT FROM (r11 nulls probe): the operator's
+               -- comparison is null-safe (NULL == NULL is a match, NULL vs
+               -- value is a change) — plain `=` would send a both-sides-NULL
+               -- status row to 'changed' instead of 'unchanged'
                CASE WHEN old.o_orderkey IS NULL THEN 'added'
                     WHEN new.o_orderkey IS NULL THEN 'removed'
-                    WHEN old.o_orderstatus = new.o_orderstatus
-                         AND old.price = new.price THEN 'unchanged'
+                    WHEN old.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus
+                         AND old.price IS NOT DISTINCT FROM new.price THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
     """,

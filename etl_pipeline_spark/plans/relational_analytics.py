@@ -281,8 +281,11 @@ _IV_NS = 30 * 60 * 1_000_000_000  # 30-minute interval per event
     "interval_merge_sessions",
     oracle=f"""
         WITH iv AS (
+            -- ts IS NOT NULL (r11 nulls probe): an untimestamped event
+            -- carries no interval — the engines seat its NULL ordering key
+            -- at opposite ends of the island chain
             SELECT user_id, event_id, epoch_ns(ts) AS t
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         flagged AS (
             SELECT user_id, event_id, t,
@@ -314,7 +317,11 @@ _IV_NS = 30 * 60 * 1_000_000_000  # 30-minute interval per event
     tags=("timeseries", "window", "sessionize"),
 )
 def interval_merge_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .filter(F.col("ts").isNotNull())
+    )
     order = [F.col("ts"), F.col("event_id")]
     w_prev = (
         Window.partitionBy("user_id")
@@ -2009,7 +2016,13 @@ _ALLEN_CASE = """
                                       TIMESTAMP '1970-01-01 00:00:00',
                                       l.l_shipdate) AS BIGINT)) AS e,
                    o.o_orderkey AS ok
+            -- endpoint NULL guards (r11 nulls probe): an interval needs
+            -- both endpoints — an undated order (s NULL) sits at opposite
+            -- ends of the engines' start ordering and its ladder
+            -- comparisons all fall through to 'other'; e is NULL only when
+            -- every lineitem of the order has a NULL shipdate
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
             GROUP BY 1, 2, 4
         ),
         pairs AS (
@@ -2026,11 +2039,15 @@ _ALLEN_CASE = """
     tags=("relational", "temporal", "intervals"),
 )
 def allen_interval_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .filter(F.col("o_orderdate").isNotNull())
     )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_shipdate"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .filter(F.col("l_shipdate").isNotNull())
     )
     epoch0 = F.lit("1970-01-01").cast("timestamp_ntz")
     iv = (

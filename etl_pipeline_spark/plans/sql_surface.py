@@ -79,9 +79,13 @@ _sql_query(
     """
         SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice
         FROM (
+            -- explicit NULLS LAST (r11 nulls probe): Spark defaults ASC to
+            -- NULLS FIRST, DuckDB to NULLS LAST — an undated order would be
+            -- "first" in one engine and last in the other. Convention: an
+            -- undated order is never first unless the key has no dated one.
             SELECT o_custkey, o_orderkey, o_totalprice,
                    ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_orderdate, o_orderkey) AS rn
+                                      ORDER BY o_orderdate NULLS LAST, o_orderkey) AS rn
             FROM orders
         )
         WHERE rn = 1 AND o_custkey < 300
@@ -106,7 +110,10 @@ _sql_query(
                ROUND(CAST(floor(value / 25.0) AS INT) * 25.0, 2) AS lo_edge,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                ROUND(SUM(value), 2) AS sum_value
-        FROM events GROUP BY 1, 2
+        -- value IS NOT NULL (r11 nulls probe): a missing value has no bin —
+        -- the NULL-bin row's lo_edge surfaces as DECIMAL None on the Spark
+        -- side vs double NaN on DuckDB's; a histogram excludes missing values
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     """,
     doc="equal-width value histogram (20 x 25.0 bins) over events",
     tags=("sql", "agg", "histogram"),
@@ -165,7 +172,10 @@ _IGN_SELECT = """
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2), -1.0)
                    AS last_purchase_value
-        FROM events WHERE user_id < 50
+        -- ts IS NOT NULL (r11 nulls probe): an untimestamped event cannot
+        -- sit on the carry-forward timeline — Spark would order it first,
+        -- DuckDB last, shifting every subsequent carry for that user
+        FROM events WHERE user_id < 50 AND ts IS NOT NULL
 """
 
 
@@ -204,9 +214,12 @@ _sql_query(
     "sql_monthly_revenue_ma3",
     """
         WITH monthly AS (
+          -- o_orderdate IS NOT NULL (r11 nulls probe): an undated order has
+          -- no month — the NULL ym group would lead the trailing window in
+          -- Spark (NULLS FIRST) and trail it in DuckDB (NULLS LAST)
           SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
                  ROUND(SUM(o_totalprice), 2) AS revenue
-          FROM orders GROUP BY 1
+          FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
         )
         SELECT ym, revenue,
                -- exact-cents windowed mean (the q1 device): the trailing
@@ -259,9 +272,13 @@ _sql_query(
 # differ only in list-building dialect.
 _EWMA_DUCK = """
         WITH arrs AS (
+          -- ts IS NOT NULL (r11 nulls probe): an untimestamped event has
+          -- no fold position — DuckDB's list ORDER BY seats the NULL last
+          -- while Spark's array_sort over the (ts, ...) struct seats it
+          -- first, reordering the whole recursive fold
           SELECT user_id, list(value ORDER BY ts, event_id) AS vals
           FROM events
-          WHERE user_id < 100
+          WHERE user_id < 100 AND ts IS NOT NULL
           GROUP BY user_id
         )
         SELECT user_id,
@@ -272,9 +289,10 @@ _EWMA_DUCK = """
 
 _EWMA_SPARK = """
         WITH ordered AS (
+          -- ts IS NOT NULL: mirror of the oracle's fold-position rule
           SELECT user_id, array_sort(collect_list(struct(ts, event_id, value))) AS evs
           FROM events
-          WHERE user_id < 100
+          WHERE user_id < 100 AND ts IS NOT NULL
           GROUP BY user_id
         ),
         arrs AS (SELECT user_id, transform(evs, e -> e.value) AS vals FROM ordered)
@@ -310,8 +328,11 @@ _sql_query(
                ROUND(MAX(value), 2) AS hi,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM (
+          -- value IS NOT NULL (r11 nulls probe): a missing value has no
+          -- rank — Spark's NULLS FIRST would push it into bucket 1 and
+          -- DuckDB's NULLS LAST into bucket 10, shifting every boundary
           SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
-          FROM events
+          FROM events WHERE value IS NOT NULL
         )
         GROUP BY bucket
     """,
@@ -401,9 +422,13 @@ _sql_query(
 _sql_query(
     "sql_ntile_balance_quartiles",
     """
+        -- c_acctbal IS NOT NULL (r11 nulls probe): a missing balance has
+        -- no quartile — Spark's NULLS FIRST would seat it in quartile 1,
+        -- DuckDB's NULLS LAST in quartile 4, shifting every boundary
         SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
                CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
-        FROM customer WHERE c_mktsegment = 'BUILDING'
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal IS NOT NULL
     """,
     doc="equal-frequency account-balance quartiles (NTILE)",
     tags=("sql", "window"),
@@ -573,9 +598,14 @@ _sql_query(
             FROM orders GROUP BY 1, 2
         ),
         r AS (
+            -- NULLS LAST tiebreak (r11 nulls probe): a missing priority
+            -- stays a countable category, but on a count tie Spark's
+            -- NULLS-FIRST default would crown it the mode while DuckDB's
+            -- NULLS-LAST crowns the smallest real value
             SELECT o_orderstatus, o_orderpriority, cnt,
                    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
-                                      ORDER BY cnt DESC, o_orderpriority) AS rn,
+                                      ORDER BY cnt DESC,
+                                               o_orderpriority NULLS LAST) AS rn,
                    SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n_total
             FROM c
         )

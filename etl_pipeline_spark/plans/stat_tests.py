@@ -44,7 +44,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.plans.registry import register
-from etl_pipeline_spark.sources.embeddings import EMB_VALID_ORACLE, load_embeddings
+from etl_pipeline_spark.sources.embeddings import (
+    EMB_LABELED_ORACLE,
+    load_embeddings,
+    load_labeled_embeddings,
+)
 from etl_pipeline_spark.sources.star import load_table
 
 # ---------------------------------------------------------------------------
@@ -96,8 +100,11 @@ def _two_level_cumsum(
                         AS BIGINT) AS n1,
                    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
                         AS BIGINT) AS n2
+            -- value IS NOT NULL (r11 nulls probe): the ECDF is over
+            -- reported values — a NULL value group would lead Spark's
+            -- cumulative order and trail DuckDB's, shifting D
             FROM events
-            WHERE event_type IN ('purchase', 'view')
+            WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
             GROUP BY value
         ),
         t AS (SELECT CAST(SUM(n1) AS BIGINT) AS n1t,
@@ -134,6 +141,7 @@ def ks_test_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS two-sample D between purchase and view value distributions."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
     )
     s = ev.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
@@ -195,7 +203,9 @@ _AUC_POS_MIN = 5
                         AS BIGINT) AS np,
                    CAST(SUM(CASE WHEN label >= {_AUC_POS_MIN} THEN 0 ELSE 1 END)
                         AS BIGINT) AS nn
-            FROM {EMB_VALID_ORACLE} embeddings GROUP BY 1
+            -- labeled convention (r11 nulls probe): an unlabeled
+            -- vector is neither a positive nor a negative
+            FROM {EMB_LABELED_ORACLE} embeddings GROUP BY 1
         ),
         c AS (
             SELECT np, nn,
@@ -229,7 +239,7 @@ def auc_mann_whitney_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     addend is an exact dyadic double (integers and halves), so the sum
     is engine-identical before the one final division.
     """
-    emb = load_embeddings(spark, sf_dir)
+    emb = load_labeled_embeddings(spark, sf_dir)
     s = emb.groupBy(
         F.expr("CAST(embedding[0] AS DOUBLE)").alias("score")
     ).agg(
@@ -1180,10 +1190,15 @@ def _dpe_score_sql() -> str:
                    ROUND({_dpe_score_sql()}, 6) AS score
             FROM c
         )
+        -- NULLS LAST tiebreak (r11 nulls probe): the NULL-type group now
+        -- scores via the hash sentinel; on an exact score tie its rank
+        -- must not depend on the engines' default NULL order
         SELECT event_type, n_true, score,
-               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, event_type ASC)
+               CAST(ROW_NUMBER() OVER (
+                    ORDER BY score DESC, event_type ASC NULLS LAST)
                     AS BIGINT) AS rank,
-               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, event_type ASC)
+               CAST(ROW_NUMBER() OVER (
+                    ORDER BY score DESC, event_type ASC NULLS LAST)
                     <= {_DPE_K} AS INT) AS selected
         FROM s
     """,
@@ -1199,7 +1214,7 @@ def dp_exponential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         F.round(F.expr(_dpe_score_sql()), 6).alias("score"),
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("event_type").asc())
+    w = Window.orderBy(F.col("score").desc(), F.asc_nulls_last("event_type"))
     return s.select(
         "event_type",
         "n_true",
@@ -1702,10 +1717,13 @@ def nb_overdispersion_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     "entropy_rate_transitions",
     oracle="""
         WITH t AS (
+            -- ts/event_type IS NOT NULL (r11 nulls probe): same chain
+            -- convention as markov_transition_events — an untimestamped
+            -- event has no place in the order, a typeless one is no state
             SELECT event_type AS dst,
                    LAG(event_type) OVER (PARTITION BY user_id
                        ORDER BY epoch_ns(ts), event_id) AS src
-            FROM events
+            FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
         ),
         c AS (
             SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
@@ -1741,8 +1759,10 @@ def nb_overdispersion_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "information", "events"),
 )
 def entropy_rate_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = ev.select(
@@ -1811,10 +1831,13 @@ def entropy_rate_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mcnemar_bigram_vs_marginal",
     oracle=f"""
         WITH t AS (
+            -- ts/event_type IS NOT NULL (r11 nulls probe): the markov
+            -- chain convention — untimestamped events have no order,
+            -- typeless events are no state
             SELECT user_id, event_type,
                    LAG(event_type) OVER (PARTITION BY user_id
                        ORDER BY epoch_ns(ts), event_id) AS prev
-            FROM events
+            FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
         ),
         train AS (
             SELECT prev, event_type AS nxt, CAST(COUNT(*) AS BIGINT) AS c
@@ -1869,8 +1892,10 @@ def entropy_rate_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "eval", "hypothesis"),
 )
 def mcnemar_bigram_vs_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = ev.withColumn("prev", F.lag("event_type").over(w)).where(
@@ -1967,10 +1992,16 @@ def mcnemar_bigram_vs_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "runs_test_daily_revenue",
     oracle=f"""
         WITH daily AS (
+            -- ts/value IS NOT NULL (r11 nulls probe): the series is over
+            -- timestamped, valued purchases — the NULL day would lead
+            -- Spark's run order and trail DuckDB's
             SELECT epoch_ns(ts) // {86_400_000_000_000} AS day,
                    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
                        AS cents
-            FROM events WHERE event_type = 'purchase' GROUP BY 1
+            FROM events
+            WHERE event_type = 'purchase'
+              AND ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1
         ),
         med AS (
             SELECT cents AS m FROM (
@@ -2027,7 +2058,9 @@ def mcnemar_bigram_vs_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
     )
     daily = ev.groupBy(F.expr("ts DIV 86400000000000").alias("day")).agg(
         F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))

@@ -110,7 +110,11 @@ def events_sliding_30m15m(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {_M30_NS}
                         OR LAG(epoch_ns(ts)) OVER w IS NULL
                         THEN 1 ELSE 0 END AS new_session
-            FROM events
+            -- ts IS NOT NULL (r11 nulls probe): an untimestamped event has
+            -- no place on the gap timeline — Spark opens a spurious session
+            -- for it at the partition head (NULLS FIRST), DuckDB absorbs it
+            -- at the tail (NULLS LAST)
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
         ),
         tagged AS (
@@ -141,7 +145,10 @@ def sessionize_30m(ev: DataFrame) -> DataFrame:
     session window ordered by ts alone, duplicate timestamps straddling a
     session boundary land in either session depending on engine-internal
     row order — nondeterministic at scale and divergent between engines
-    (fuzz-found; tests/test_engine_fuzz.py pins ties + exact-30m gaps)."""
+    (fuzz-found; tests/test_engine_fuzz.py pins ties + exact-30m gaps).
+    NULL-ts events are dropped (r11 nulls probe): they cannot sit on the
+    gap timeline, and the engines seat them at opposite partition ends."""
+    ev = ev.filter(F.col("ts").isNotNull())
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(order_w)
     new_session = F.when(prev.isNull() | ((F.col("ts") - prev) > _M30_NS), 1).otherwise(0)
@@ -180,7 +187,10 @@ def sessionize_30m(ev: DataFrame) -> DataFrame:
                        PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                        AS last_view_t
-            FROM events
+            -- ts IS NOT NULL (r11 nulls probe, latent sibling of the
+            -- sessionize fix): a NULL ts would lead Spark's running-max
+            -- frame and trail DuckDB's
+            FROM events WHERE ts IS NOT NULL
         )
         WHERE event_type = 'purchase' AND last_view_t IS NOT NULL
     """,
@@ -663,7 +673,10 @@ def windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {_M30_NS}
                         OR LAG(epoch_ns(ts)) OVER w IS NULL
                         THEN 1 ELSE 0 END AS new_session
-            FROM events
+            -- ts IS NOT NULL (r11 nulls probe): same drop-at-use rule as
+            -- events_sessionize_30m — the shared sessionize_30m helper
+            -- applies it Spark-side
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
         ),
         tagged AS (
@@ -691,7 +704,8 @@ def windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "session", "product-metric"),
 )
 def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts drop (r11 nulls probe) — same rule as sessionize_30m
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(order_w)
     new_session = F.when(

@@ -42,6 +42,16 @@ EMB_VALID_ORACLE = (
     " x -> x IS NOT NULL AND isfinite(x)), 'bool_and'), FALSE))"
 )
 
+# Label-consuming queries (kNN / NDCG / AUC eval) additionally require a
+# label: an unlabeled vector can neither vote nor be scored, and the
+# engines seat a NULL label at opposite ends of every vote/rank tiebreak
+# (r11 nulls probe). Same shape as the validity convention — drop at load
+# in BOTH engines.
+EMB_LABELED_ORACLE = (
+    f"(SELECT vec_id, embedding, label FROM {EMB_VALID_ORACLE} v"
+    " WHERE label IS NOT NULL)"
+)
+
 
 def load_embeddings(
     spark: SparkSession, sf_dir: str, *, dim: int = EMB_DIM
@@ -55,3 +65,14 @@ def load_embeddings(
         lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
     )
     return df.filter((F.size("embedding") == dim) & finite)
+
+
+def load_labeled_embeddings(
+    spark: SparkSession, sf_dir: str, *, dim: int = EMB_DIM
+) -> DataFrame:
+    """Valid embeddings that also carry a label (EMB_LABELED_ORACLE)."""
+    from pyspark.sql import functions as F
+
+    return load_embeddings(spark, sf_dir, dim=dim).filter(
+        F.col("label").isNotNull()
+    )

@@ -81,36 +81,16 @@ def _plant_hostile(out: str) -> None:
 
 
 def _plant_nulls(out: str) -> None:
-    """Scratch-only (until adopted): NULLs in nullable NON-KEY columns —
-    the missing-attribute rows every 100 TB ingest carries. Keys and the
-    join graph stay intact; one row per column goes NULL. The interesting
-    divergence class: Spark orders NULLS FIRST on ASC by default, DuckDB
-    NULLS LAST."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    """ADOPTED (r11): the missing-attribute plan now lives in
+    ``_gen_star`` itself (tests/test_random_fixture_sweep.py::_NULL_PLAN)
+    — every sweep fixture carries one NULL per nullable non-key column.
+    This mode re-applies the same plan (idempotent), kept so old probe
+    invocations keep working. Found 41 drop-at-use convention fixes
+    across 10 fresh seeds before adoption (Spark ASC NULLS FIRST vs
+    DuckDB NULLS LAST on every ordering/ranking/chain/series)."""
+    from tests.test_random_fixture_sweep import _plant_nulls as _adopted
 
-    plan = {
-        "orders": {"o_orderdate": 7, "o_totalprice": 8, "o_orderpriority": 9,
-                   "o_orderstatus": 10},
-        "lineitem": {"l_shipdate": 6, "l_discount": 7, "l_quantity": 8,
-                     "l_extendedprice": 10, "l_returnflag": 11,
-                     "l_linestatus": 12, "l_tax": 13},
-        "customer": {"c_acctbal": 5, "c_mktsegment": 6},
-        "part": {"p_type": 4, "p_brand": 5, "p_retailprice": 6, "p_size": 7},
-        "events": {"value": 16, "event_type": 17, "ts": 18},
-        "documents": {"lang": 11, "source": 12},
-        "embeddings": {"label": 2},
-    }
-    for t, cols in plan.items():
-        tbl = pq.read_table(f"{out}/{t}.parquet")
-        for c, row in cols.items():
-            field = tbl.schema.field(c)
-            vals = tbl.column(c).to_pylist()
-            vals[row] = None  # true parquet NULL (pandas would write NaN)
-            tbl = tbl.set_column(
-                tbl.schema.get_field_index(c), field, pa.array(vals, field.type)
-            )
-        pq.write_table(tbl, f"{out}/{t}.parquet")
+    _adopted(out)
 
 
 def run_seed(spark, param: str) -> list[str]:

@@ -425,6 +425,47 @@ def _gen_star(out_dir: str, seed: int) -> None:
     import pyarrow.parquet as pq
 
     pq.write_table(tbl, f"{out_dir}/embeddings.parquet")
+    _plant_nulls(out_dir)
+
+
+# Missing-attribute plan (r11 nulls probe, adopted like the hostile
+# plants): one row per nullable NON-KEY column goes NULL — the rows every
+# 100 TB ingest carries. Keys and the join graph stay intact. The
+# divergence class it pins: Spark orders ASC NULLS FIRST where DuckDB
+# orders NULLS LAST, so any ordering/ranking/chain/series that consumes
+# the column must drop (or explicitly place) the NULL at the point of
+# use — in BOTH engines (the drop-at-use convention; 41 queries fixed on
+# first contact across 10 probe seeds). Row indices sit inside the tiny
+# prefixes (_TINY_KEEP) and clear of the dup/boundary rows (0-4) and the
+# hostile-JSON rows (events 5-14).
+_NULL_PLAN: dict[str, dict[str, int]] = {
+    "orders": {"o_orderdate": 7, "o_totalprice": 8, "o_orderpriority": 9,
+               "o_orderstatus": 10},
+    "lineitem": {"l_shipdate": 6, "l_discount": 7, "l_quantity": 8,
+                 "l_extendedprice": 10, "l_returnflag": 11,
+                 "l_linestatus": 12, "l_tax": 13},
+    "customer": {"c_acctbal": 5, "c_mktsegment": 6},
+    "part": {"p_type": 4, "p_brand": 5, "p_retailprice": 6, "p_size": 7},
+    "events": {"value": 16, "event_type": 17, "ts": 18},
+    "documents": {"lang": 11, "source": 12},
+    "embeddings": {"label": 2},
+}
+
+
+def _plant_nulls(out_dir: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t, cols in _NULL_PLAN.items():
+        tbl = pq.read_table(f"{out_dir}/{t}.parquet")
+        for c, row in cols.items():
+            field = tbl.schema.field(c)
+            vals = tbl.column(c).to_pylist()
+            vals[row] = None  # true parquet NULL (pandas would write NaN)
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index(c), field, pa.array(vals, field.type)
+            )
+        pq.write_table(tbl, f"{out_dir}/{t}.parquet")
 
 
 # The FULL registry: every registered query has a DuckDB oracle, and as
