@@ -84,7 +84,11 @@ def sessionize_stream(
             return
 
         batches = [pdf for pdf in pdf_iter]
-        events = pd.concat(batches, ignore_index=True).sort_values(
+        events = pd.concat(batches, ignore_index=True)
+        # NULL-ts drop (r11 nulls wave): the batch twin's convention — an
+        # untimestamped event has no place on the gap timeline; a NaT/NaN
+        # here would poison the run-split arithmetic below
+        events = events[events[ts_col].notna()].sort_values(
             ts_col, kind="mergesort"
         )
         ts = events[ts_col].to_numpy()

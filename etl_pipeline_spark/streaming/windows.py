@@ -77,9 +77,12 @@ def sliding_sums(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
 def sessionized(stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
     """Session windows per user with an inactivity gap (streaming analog of
     events_sessionize_30m; session numbering differs — streaming reports
-    window bounds, not ordinals)."""
+    window bounds, not ordinals). NULL event times are dropped explicitly
+    (r11 nulls wave) — the batch twin's convention, made deterministic
+    here rather than left to session_window's NULL handling."""
     return (
-        stream.withWatermark("event_time", watermark)
+        stream.filter(F.col("event_time").isNotNull())
+        .withWatermark("event_time", watermark)
         .groupBy(F.session_window("event_time", gap), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(

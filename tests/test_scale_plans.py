@@ -839,3 +839,29 @@ def test_df_cap_drops_hot_shingles(spark):
     got = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(rel, 0.5, df_cap=4).collect()}
     # the 5-doc boilerplate clique (df=5 > cap=4) vanished; the rare pair survives
     assert got == {(10, 11): 1.0}
+
+
+def test_nulls_wave_isnotnull_filters_reach_the_scan(spark):
+    """The r11 drop-at-use NULL filters must be scan-pushed predicates
+    (PushedFilters: [IsNotNull(...)]), not post-scan Filter nodes over a
+    wider read — at 100 TB the difference is reading every row group vs
+    letting parquet statistics skip all-NULL pages. One representative
+    per input shape: orders date series, events timeline, ranking
+    measure."""
+    cases = {
+        "ewma_control_chart_daily": "IsNotNull(o_orderdate)",
+        "events_sessionize_30m": "IsNotNull(ts)",
+        "quantile_normalize_values": "IsNotNull(value)",
+        "window_balance_distribution": "IsNotNull(c_acctbal)",
+    }
+    for name, pushed in cases.items():
+        plan = _plan(spark, REGISTRY[name].spark_fn(spark, SF_DIR))
+        assert pushed in plan, f"{name}: {pushed} not pushed to scan"
+
+
+def test_labeled_embeddings_filter_is_scan_side(spark):
+    """load_labeled_embeddings' label requirement pushes IsNotNull(label)
+    to the embeddings scan (the array-validity predicate itself cannot
+    push — it stays a codegen'd post-scan filter, one pass, no shuffle)."""
+    plan = _plan(spark, REGISTRY["knn_label_accuracy"].spark_fn(spark, SF_DIR))
+    assert "IsNotNull(label)" in plan

@@ -136,3 +136,20 @@ def test_session_state_survives_query_restart(spark, tmp_path):
     ]
     # the merged (pre-restart + post-restart) session closed as one unit
     assert rows == [(1, 0, 15, 3, 7.0)]
+
+def test_null_ts_events_are_dropped_by_the_stream_twin(spark, tmp_path):
+    # r11 nulls wave: the batch sessionize drops untimestamped events
+    # (they cannot sit on the gap timeline) — the stateful stream twin
+    # must agree, not poison its run-split arithmetic with NaN
+    src = tmp_path / "sess_null_src"
+    src.mkdir()
+    rows = [(1, 0, 1.0), (1, 10, 2.0), (1, None, 99.0), (1, 2000, 5.0)]
+    spark.createDataFrame(rows, "user_id bigint, ts bigint, value double") \
+        .coalesce(1).write.parquet(str(src / "f0"))
+
+    got = {
+        (r.key, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in _run_stream(spark, str(src / "*"), "sess_null", gap=50).collect()
+    }
+    # the NULL-ts event contributes nothing; (2000,...) stays open
+    assert got == {(1, 0, 10, 2, 3.0)}
