@@ -20,12 +20,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import TABLES, load_table
+from etl_pipeline_spark.utils.session_cache import register_cache, session_key
+
+# Last sf_dir whose tables are registered as this session's temp views.
+# Re-registering 10 views per spark.sql query is pure driver-side catalog
+# chatter; skip it when the views already point at the right dataset, and
+# re-register (createOrReplaceTempView) when a session switches sf_dir.
+_VIEWS_MEMO: dict = register_cache({})
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose every star-schema table as a temp view for spark.sql use."""
+    key = (session_key(spark),)
+    if _VIEWS_MEMO.get(key) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_MEMO[key] = sf_dir
 
 
 def _sql_query(name: str, sql: str, doc: str, tags: tuple[str, ...]):

@@ -16,7 +16,11 @@ arithmetic on it — timezone-proof and identical in any session.
 
 from __future__ import annotations
 
+from threading import Lock
+
 from pyspark.sql import DataFrame, SparkSession
+
+from etl_pipeline_spark.utils.session_cache import register_cache, session_key
 
 TABLES = (
     "region",
@@ -65,17 +69,38 @@ EXPECTED_COLUMNS: dict[str, set[str]] = {
 }
 
 
+# Per-(session, sf_dir, table) memo of the ANALYZED relation. Every
+# `spark.read.parquet` call pays a driver-side schema-inference job
+# ("parquet at ..." in the UI) even for a path read moments ago in the
+# same session; a suite that touches the catalog hundreds of times
+# (register_views loads all 10 tables per SQL query) repays that job on
+# every call. Memoizing the DataFrame object reuses the analyzed scan
+# relation — the session-scoped analog of a catalog table's cached
+# metadata (guide §6: file-listing caches exist for exactly this).
+# NO persist() anywhere: the memo holds a lazy plan, so every action
+# still recomputes from the parquet input — plan reuse, not result
+# caching. Cleared with the other session memos via clear_caches().
+_TABLE_MEMO: dict = register_cache({})
+_TABLE_LOCK = Lock()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str, *, validate: bool = False) -> DataFrame:
     """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        # INT64 TIMESTAMP(NANOS) is unreadable as a Spark timestamp; read the
-        # physical int64 and treat `ts` as epoch-nanoseconds downstream.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = _events_ts_to_epoch_ns(df)
+    key = (session_key(spark), sf_dir, name)
+    with _TABLE_LOCK:
+        df = _TABLE_MEMO.get(key)
+    if df is None:
+        if name == "events":
+            # INT64 TIMESTAMP(NANOS) is unreadable as a Spark timestamp; read
+            # the physical int64 and treat `ts` as epoch-ns downstream.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = _events_ts_to_epoch_ns(df)
+        with _TABLE_LOCK:
+            df = _TABLE_MEMO.setdefault(key, df)
     if validate:
         missing = EXPECTED_COLUMNS[name] - set(df.columns)
         if missing:
