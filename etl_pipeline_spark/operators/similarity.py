@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_pipeline_spark.utils.parallelism import fan_out_scan
 from etl_pipeline_spark.utils.session_cache import register_cache, session_key
 from etl_pipeline_spark.utils.udfpickle import pickle_module_by_value
 
@@ -77,7 +78,11 @@ def cosine_topk(
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"))
+    # per-pair dot products are the scan stage's compute on the corpus
+    # side — fan a 1-split input out first (guide §2.5)
+    c = fan_out_scan(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"))
+    )
     scored = q.join(c, F.col("neighbor_id") != F.col("query_id")).select(
         "query_id", "neighbor_id", cosine_expr("qe", "ce").alias("cosine")
     )

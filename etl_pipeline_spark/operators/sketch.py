@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_pipeline_spark.utils.parallelism import fan_out_scan
+
 
 def hex8_expr(inner: str, *, fast: bool = False) -> str:
     """SQL decoding the first 8 md5 hex chars of `inner` to a BIGINT.
@@ -114,7 +116,10 @@ def cms_build(
     """
     key_sql = f"CAST({key_col} AS STRING)"
     n_groups = (depth + _CHUNKS_PER_MD5 - 1) // _CHUNKS_PER_MD5
-    hashed = df.select(
+    # the md5 family is the scan stage's real compute: fan the narrow key
+    # projection out first so an unsplittable input doesn't serialize the
+    # digest pass onto one core (guide §2.5; no-op on wide scans)
+    hashed = fan_out_scan(df.select(key_col)).select(
         *[F.expr(_digest_sql(key_sql, g)).alias(f"m{g}") for g in range(n_groups)]
     )
     cells = F.explode(

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_pipeline_spark.utils.parallelism import fan_out_scan
+
 
 def grid_nearest_join(
     points: DataFrame,
@@ -75,7 +77,9 @@ def grid_nearest_join(
             (F.expr(f"py DIV {cs}") + F.col("o.dy")).alias("cy"),
         )
     )
-    pts = points.select(
+    # the ring-1 candidate min-agg is the scan stage's compute on the
+    # point side — fan a 1-split input out first (guide §2.5)
+    pts = fan_out_scan(points.select(point_id, "x", "y")).select(
         point_id,
         "x",
         "y",

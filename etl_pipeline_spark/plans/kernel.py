@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from etl_pipeline_spark.functions.naming import sanitize_name, unique_names
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
+from etl_pipeline_spark.utils.parallelism import fan_out_scan
 
 
 # --------------------------------------------------------------------------
@@ -284,7 +285,9 @@ def sde_name_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("kernel", "json"),
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # JSON parsing is the scan stage's compute — fan the narrow
+    # projection out so a 1-split input doesn't run it on one core
+    ev = fan_out_scan(load_table(spark, sf_dir, "events").select("event_id", "props"))
     raw = F.get_json_object(F.col("props"), "$.k")
     k = F.when(raw.rlike(r"^-?[0-9]+$"), raw.try_cast("bigint"))
     return ev.select("event_id", k.alias("k_value")).filter(F.col("k_value") > 80)

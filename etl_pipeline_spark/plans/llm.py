@@ -59,6 +59,7 @@ from etl_pipeline_spark.sources.embeddings import (
     load_labeled_embeddings,
 )
 from etl_pipeline_spark.sources.star import load_table
+from etl_pipeline_spark.utils.parallelism import fan_out_scan
 
 # ---------------------------------------------------------------------------
 # shared shingle helpers (word 3-grams, distinct per doc)
@@ -289,7 +290,7 @@ _HEX_DECODE_FAST = "CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"
     tags=("llm", "dedup", "simhash"),
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
     hv = toks.select("doc_id", F.expr(_HEX_DECODE_FAST).alias("v"))
     votes = (
@@ -360,7 +361,7 @@ _SH_BANDS, _SH_BITS = 4, 8
     tags=("llm", "dedup", "simhash", "lsh"),
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
     hv = toks.select("doc_id", F.expr(_HEX_DECODE_FAST).alias("v"))
     votes = (

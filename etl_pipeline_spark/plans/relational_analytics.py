@@ -45,6 +45,7 @@ from pyspark.sql.window import Window
 from etl_pipeline_spark.operators.packing import range_bucketed_rank
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
+from etl_pipeline_spark.utils.parallelism import fan_out_scan
 
 # ---------------------------------------------------------------------------
 # Adamic–Adar link prediction over the top-3 co-supplier graph: for every
@@ -513,7 +514,13 @@ def _boot_oracle() -> str:
 def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_spark.operators.sketch import _CHUNKS_PER_MD5, _digest_sql
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # fan the two-column projection out before the digest family: the
+    # replicate pass (8 md5 + 32-way explode + Poisson CASE per order) is
+    # the scan stage's compute and an unsplittable input would run it on
+    # one core (guide §2.5; measured 2.5 s single-task at sf0.1)
+    o = fan_out_scan(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    )
     key_sql = "CAST(o_orderkey AS STRING)"
     n_groups = (_BOOT_B + _CHUNKS_PER_MD5 - 1) // _CHUNKS_PER_MD5
     # cents decode ABOVE the explode: once per order, not once per
