@@ -39,11 +39,24 @@ from pyspark.sql.window import Window
 
 
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Undirected edge set as both directions, deduped."""
+    """Undirected edge set as both directions, deduped.
+
+    Emits both directions with ONE explode instead of a union of two
+    branches: a union computes the (often expensive — LSH self-join,
+    co-supplier build) edge relation twice, and since callers persist the
+    *symmetrized* output, nothing upstream dedups that double scan
+    (profiler: the pair-build subtree appeared 4x in dedup_cluster_assign's
+    stage graph). Same distinct row set either way."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    return e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    both = F.array(
+        F.struct(F.col("src"), F.col("dst")),
+        F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+    )
+    return (
+        e.select(F.explode(both).alias("p"))
+        .select("p.src", "p.dst")
+        .distinct()
+    )
 
 
 def connected_components(

@@ -1160,30 +1160,47 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = memoized_relation(_HITS_EDGE_CACHE, spark, (sf_dir,), _build)
     e = e.localCheckpoint(eager=False)
     h = e.select("hub").distinct().select("hub", F.lit(1.0).alias("s"))
+
+    # Intermediate L2 normalizations are scalar multiples and every round
+    # is a LINEAR operator (sum over neighbors), so the DIRECTION of the
+    # score vector is invariant to when the normalization happens:
+    # a_k ∝ (AᵀA)^(k-1)Aᵀ1 whether or not each round divides by the norm.
+    # Run the first K-1 rounds UNNORMALIZED — each round is then exactly
+    # two state-keyed join+sum stages instead of four stages plus two
+    # one-row broadcasts — and normalize once entering the final round.
+    # Magnitudes grow like (Σdeg)^K: ~1e21 here, and even a 1e5-degree
+    # graph stays < 1e60 over 6 rounds, far inside double range (1e308).
+    # The final scores differ from the per-round-normalized trajectory
+    # only by float re-association (~1e-14 relative) — the same order as
+    # the cross-engine partial-agg jitter the 6-dp pre-rank rounding
+    # already absorbs (oracle parity proven at sf0.001/0.01/0.1).
+    def _l2norm(df: DataFrame, node: str) -> DataFrame:
+        nrm = df.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n"))
+        return df.crossJoin(F.broadcast(nrm)).select(
+            node, (F.col("s") / F.col("n")).alias("s")
+        )
+
     a = None
-    for _ in range(_HITS_ROUNDS):
+    for k in range(_HITS_ROUNDS):
         ar = (
             e.join(h.withColumnRenamed("s", "hs"), "hub")
             .groupBy("auth")
             .agg(F.sum("hs").alias("s"))
         )
-        an = ar.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n"))
-        a = (
-            ar.crossJoin(F.broadcast(an))  # one-row norm side
-            .select("auth", (F.col("s") / F.col("n")).alias("s"))
-            .localCheckpoint(eager=False)
-        )
+        if k < _HITS_ROUNDS - 1:
+            a = ar
+        else:
+            # final round: normalized authority feeds the final hub sum,
+            # mirroring the oracle's last-round float order
+            a = _l2norm(ar, "auth").localCheckpoint(eager=False)
         hr = (
             e.join(a.withColumnRenamed("s", "as_"), "auth")
             .groupBy("hub")
             .agg(F.sum("as_").alias("s"))
         )
-        hn = hr.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n"))
         h = (
-            hr.crossJoin(F.broadcast(hn))  # one-row norm side
-            .select("hub", (F.col("s") / F.col("n")).alias("s"))
-            .localCheckpoint(eager=False)
-        )
+            hr if k < _HITS_ROUNDS - 1 else _l2norm(hr, "hub")
+        ).localCheckpoint(eager=False)
     # top-k read-out as TakeOrderedAndProject (orderBy().limit(k)), not a
     # global row_number window: the window form funnels the whole node
     # relation through ONE partition before truncating, while TakeOrdered
