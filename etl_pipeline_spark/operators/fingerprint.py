@@ -62,33 +62,49 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     )
 
     def gen(batches):
-        import hashlib
-
+        # Vectorized kernel (guide §4.2: hand whole batches to a native
+        # columnar engine instead of looping rows in Python): the old
+        # per-gram `hashlib.md5` loop paid ~1 Python call per CHARACTER
+        # of corpus text; DuckDB executes the identical relational form
+        # (k-gram substr → md5 → w-window rolling min → distinct) in
+        # C++ over the whole batch. Same SQL shape the oracle pins, so
+        # the produced (doc_id, fp) SET is definitionally identical:
+        # md5() is lowercase hex in both, and VARCHAR MIN is the same
+        # bytewise order as Python's str min on hex digits.
+        import duckdb
         import pandas as pd
 
+        con = duckdb.connect()  # once per task, in-process
+        # rows 1-based: gram i = substr(text, i, k), i ≤ ng = max(len-k+1, 1);
+        # window p covers grams [p, p+w); valid p ≤ max(ng-w+1, 1).
+        sql = f"""
+            WITH d AS (
+                SELECT doc_id, text, GREATEST(LENGTH(text) - {k - 1}, 1) AS ng
+                FROM batch_df WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            ),
+            s AS (
+                SELECT doc_id, ng, text,
+                       UNNEST(GENERATE_SERIES(1, ng)) AS i
+                FROM d
+            ),
+            g AS (
+                SELECT doc_id, ng, i, md5(SUBSTR(text, i, {k})) AS h
+                FROM s
+            )
+            SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id, ng, i,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND {w - 1} FOLLOWING) AS fp
+                FROM g
+            ) WHERE i <= GREATEST(ng - {w - 1}, 1)
+        """
         for pdf in batches:
-            ids: list = []
-            fps: list[str] = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                # SQL null semantics: null text/id rows produce nothing
-                # (matches the relational form the oracle pins). NULL
-                # numeric ids arrive as float NaN through Arrow, so the
-                # check must be pd.isna, not `is None`
-                if pd.isna(did) or not isinstance(text, str):
-                    continue
-                ng = max(len(text) - k + 1, 1)
-                grams = [
-                    hashlib.md5(text[i : i + k].encode("utf-8")).hexdigest()
-                    for i in range(ng)
-                ]
-                seen: set[str] = set()
-                for p in range(max(ng - w + 1, 1)):
-                    m = min(grams[p : p + w])
-                    if m not in seen:
-                        seen.add(m)
-                        ids.append(did)
-                        fps.append(m)
-            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+            if len(pdf) == 0:
+                yield pd.DataFrame({"doc_id": [], "fp": []})
+                continue
+            batch_df = pdf[["doc_id", "text"]]  # noqa: F841 — duckdb scans it
+            yield con.execute(sql).df()
 
     return docs.select("doc_id", "text").mapInPandas(gen, schema)
 

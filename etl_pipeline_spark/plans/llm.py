@@ -50,7 +50,11 @@ from etl_pipeline_spark.operators.similarity import (
     pq_topk_relational,
     sign_lsh_topk,
 )
-from etl_pipeline_spark.utils.session_cache import register_cache, session_key
+from etl_pipeline_spark.utils.session_cache import (
+    memoized_relation,
+    register_cache,
+    session_key,
+)
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.embeddings import (
     EMB_LABELED_ORACLE,
@@ -81,6 +85,9 @@ _SHINGLES_DUCK = """
 
 
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+# exact-Jaccard near-dup pair relation, memoized per (session, sf_dir, thr)
+_JACCARD_PAIRS_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,8 +144,21 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> 
     and emits ZERO pairs here — such exact-duplicate mega-cliques are
     exact_dedup's job (hash-groupBy, uncapped), and the curation
     pipeline runs exact_dedup BEFORE this verifier for that reason.
-    The DuckDB oracles apply the identical cap filter."""
-    return jaccard_pairs(_doc_shingles(spark, sf_dir), threshold)
+    The DuckDB oracles apply the identical cap filter.
+
+    Memoized + persisted per (session, sf_dir, threshold) like the graph
+    waves' edge relations: five registered queries consume this exact
+    pair relation, and the shingle self-join that builds it is the
+    single most expensive shared subtree in the dedup family (profiler:
+    ~4 s of executor time per execution). The pair relation itself is
+    near-dup-sized (tiny next to the corpus); build() is pure in
+    (spark, sf_dir, threshold), so reuse is semantically invisible."""
+    return memoized_relation(
+        _JACCARD_PAIRS_CACHE,
+        spark,
+        (sf_dir, threshold),
+        lambda: jaccard_pairs(_doc_shingles(spark, sf_dir), threshold),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -76,6 +76,41 @@ def test_winnow_short_doc_still_fingerprinted(spark):
     assert len(fps) == 1  # one hash of the whole (short) text
 
 
+def test_winnow_null_rows_produce_nothing(spark):
+    """NULL doc_id / NULL text rows vanish (SQL null semantics). Pins the
+    vectorized kernel's NaN path: a nullable BIGINT id crosses Arrow →
+    pandas as float NaN, and the in-kernel engine must treat that NaN as
+    NULL (not a value) exactly like the old pd.isna row filter did."""
+    docs = spark.createDataFrame(
+        [(None, "abcdefghijklmnop"), (2, None), (3, "abcdefghijklmnop")],
+        "doc_id bigint, text string",
+    )
+    rows = winnow_fingerprints(docs, k=8, w=4).collect()
+    assert rows and all(r.doc_id == 3 for r in rows)
+
+
+def test_winnow_kernel_matches_reference_python(spark):
+    """The vectorized kernel emits the same (doc_id, fp) SET as a direct
+    Python transliteration of the winnowing definition."""
+    import hashlib
+
+    texts = ["the quick brown fox jumps", "abc", "aaaaaaaaaaaa", "x y z w v u t s"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts, 1)), "doc_id bigint, text string"
+    )
+    k, w = 8, 4
+    expect = set()
+    for did, text in enumerate(texts, 1):
+        ng = max(len(text) - k + 1, 1)
+        grams = [
+            hashlib.md5(text[i : i + k].encode()).hexdigest() for i in range(ng)
+        ]
+        for p in range(max(ng - w + 1, 1)):
+            expect.add((did, min(grams[p : p + w])))
+    got = {(r.doc_id, r.fp) for r in winnow_fingerprints(docs, k=k, w=w).collect()}
+    assert got == expect
+
+
 def test_shared_pairs_respects_df_cap(spark):
     # a fingerprint present in every doc is a stop-fingerprint at max_df=2
     docs = spark.createDataFrame(
