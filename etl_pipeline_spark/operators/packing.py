@@ -88,6 +88,7 @@ def range_bucketed_rank(
     n_buckets: int = 1024,
     with_rank: bool = False,
     with_row_number: bool = False,
+    dedupe_input: bool = False,
 ) -> DataFrame:
     """Value-ordered window stats WITHOUT a single-partition global sort.
 
@@ -128,6 +129,20 @@ def range_bucketed_rank(
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     pc = list(partition_cols)
+
+    # The input is consumed by three lineages below (bounds, the bucketed
+    # rows, the per-bucket totals) whose differing column prunings defeat
+    # exchange reuse — each lineage re-runs the caller's build. When that
+    # build is a fact-scan + aggregate down to an ENTITY-cardinality
+    # relation, one lazy localCheckpoint materializes it once, distributed,
+    # and saves two fact scans (guide §5: cache when reused and recompute
+    # is the expensive part; the profiler showed two full lineitem scans
+    # per abc_xyz execution). Opt-in per call site: a caller whose input
+    # IS the fact relation (quantile_normalize_values) must not pay a
+    # fact-sized materialization for two saved scans, and checkpointing
+    # there would also hide the scan's pushed filters from the plan.
+    if dedupe_input:
+        df = df.localCheckpoint(eager=False)
 
     def _nullsafe_join(left: DataFrame, right: DataFrame, cols: list[str]) -> DataFrame:
         # PARTITION BY groups NULL keys together, so the broadcast joins

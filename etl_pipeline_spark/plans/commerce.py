@@ -103,7 +103,14 @@ def spend_percentile_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         spend, cust.c_custkey == spend.o_custkey
     ).select("c_custkey", "segment", "cents")
     ranked = range_bucketed_rank(
-        joined, "cents", partition_cols=("segment",), with_rank=True
+        joined,
+        "cents",
+        partition_cols=("segment",),
+        with_rank=True,
+        # entity-cardinality input (one row per customer) built by a
+        # fact scan + aggregate + dimension join: dedupe it across the
+        # operator's three lineages (guide §5)
+        dedupe_input=True,
     )
     pct = (F.col("rnk") - 1).cast("double") / (F.col("n_part") - 1)
     return ranked.select(

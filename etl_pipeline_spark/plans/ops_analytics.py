@@ -222,6 +222,9 @@ def pareto_abc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ascending=False,
         tiebreak=("o_custkey",),
         value_col="rev_cents",
+        # entity-cardinality input built by a fact scan + aggregate:
+        # dedupe it across the operator's three lineages (guide §5)
+        dedupe_input=True,
     )
     share = F.round(F.col("cum").cast("double") / F.col("total"), 6)
     classed = ranked.crossJoin(F.broadcast(tot)).select(
@@ -632,6 +635,7 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ascending=True,
         tiebreak=("o_custkey",),
         with_row_number=True,
+        dedupe_input=True,
     ).select("rev_cents", "o_custkey", F.col("rn").alias("rnk"))
     return r.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
@@ -1903,6 +1907,7 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=("o_custkey",),
         with_rank=True,
         with_row_number=True,
+        dedupe_input=True,
     )
     d = r.groupBy(
         F.expr("(rn * 10 + n_part - 1) DIV n_part").alias("decile")

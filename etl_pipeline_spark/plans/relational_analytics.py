@@ -46,6 +46,10 @@ from etl_pipeline_spark.operators.packing import range_bucketed_rank
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
 from etl_pipeline_spark.utils.parallelism import fan_out_scan
+from etl_pipeline_spark.utils.session_cache import register_cache
+
+# shared two-rule ER cluster relation, memoized per (session, sf_dir)
+_ER_CLUSTERS_CACHE: dict[tuple, "DataFrame"] = register_cache({})
 
 # ---------------------------------------------------------------------------
 # Adamic–Adar link prediction over the top-3 co-supplier graph: for every
@@ -215,11 +219,23 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id, is_canonical, cluster_size) for the shared
-    two-rule ER corpus — used by the resolver and its eval."""
-    from etl_pipeline_spark.operators.graph import cluster_assignments
+    two-rule ER corpus — used by the resolver and its eval.
 
-    return cluster_assignments(
-        _er_candidate_pairs(spark, sf_dir), "id_a", "id_b"
+    Memoized + persisted per (session, sf_dir) like the edge relations:
+    both consumers (entity_resolution_customers, er_precision_recall)
+    otherwise re-run the candidate-pair build AND the iterative
+    connected-components rounds; build() is pure in (spark, sf_dir), so
+    reuse is semantically invisible."""
+    from etl_pipeline_spark.operators.graph import cluster_assignments
+    from etl_pipeline_spark.utils.session_cache import memoized_relation
+
+    return memoized_relation(
+        _ER_CLUSTERS_CACHE,
+        spark,
+        (sf_dir,),
+        lambda: cluster_assignments(
+            _er_candidate_pairs(spark, sf_dir), "id_a", "id_b"
+        ),
     )
 
 
@@ -1563,6 +1579,13 @@ def abc_xyz_inventory_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").cast("bigint").alias("s1"),
         F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("s2"),
     )
+    # p is consumed by tot AND (three times) inside range_bucketed_rank,
+    # and each consumption re-ran the lineitem scan + two-level aggregate
+    # (profiler: two full lineitem scans per execution). One caller-level
+    # lazy checkpoint of this PART-cardinality relation lets all four
+    # lineages share the materialized blocks (guide §5) — which is also
+    # why the operator call below does not need dedupe_input=True.
+    p = p.localCheckpoint(eager=False)
     tot = p.agg(F.sum("cents").cast("bigint").alias("total"))
     # integer cents make the cumsum order-free, so the two-level
     # range-bucketed prefix sum (operators/packing.py) is bit-identical

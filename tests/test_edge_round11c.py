@@ -217,3 +217,37 @@ def test_snapshot_diff_null_status_is_unchanged(spark, tmp_path):
     got = {r["o_orderkey"]: r["status"] for r in df.collect()}
     assert got[1] == "unchanged"
     assert_oracle_match(df, con, spec.oracle, "diff_null_status")
+
+
+def test_range_bucketed_rank_dedupe_input_is_row_identical(spark, tmp_path):
+    """r11 optimization knob: ``dedupe_input=True`` localCheckpoints the
+    operator's input so its three lineages (bounds, bucketed rows,
+    per-bucket totals) share one materialization instead of re-running
+    the caller's fact-scan + aggregate. Pin (a) the checkpoint actually
+    lands in the plan (ExistingRDD scan) and only then, and (b) the
+    output is row-identical on NULL-key-bearing data (the bug-49 shape,
+    the most checkpoint-sensitive input: NULL partitions must survive
+    the materialization too)."""
+    from etl_pipeline_spark.operators.packing import range_bucketed_rank
+
+    rows = [(i, float(i % 7), None if i % 5 == 0 else f"s{i % 3}") for i in range(60)]
+    # parquet-backed so the plain path has NO ExistingRDD scan of its own
+    # (a createDataFrame input is itself an ExistingRDD)
+    path = str(tmp_path / "rbr_input.parquet")
+    spark.createDataFrame(rows, "id long, key double, seg string").write.parquet(path)
+    df = spark.read.parquet(path)
+    kw = dict(
+        tiebreak=("id",),
+        value_col="key",
+        partition_cols=("seg",),
+        with_rank=True,
+        with_row_number=True,
+    )
+    plain = range_bucketed_rank(df, "key", **kw)
+    deduped = range_bucketed_rank(df, "key", dedupe_input=True, **kw)
+    assert "ExistingRDD" not in plain._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in deduped._jdf.queryExecution().executedPlan().toString()
+    key_cols = ["id", "seg", "key", "cum", "rnk", "rn", "n_part"]
+    a = sorted(map(tuple, plain.select(*key_cols).collect()))
+    b = sorted(map(tuple, deduped.select(*key_cols).collect()))
+    assert a == b and len(a) == 60
