@@ -77,7 +77,11 @@ def containment_pairs(
     frequency cap: the self-join runs on the ``df_cap``-capped shingle
     relation (sizes too — containment is exact over the capped
     relation), bounding per-key fan-out at df_cap² and total cost at
-    df_cap·|shingles|. Set ``df_cap=None`` only for bounded inputs."""
+    df_cap·|shingles|. Set ``df_cap=None`` only for bounded inputs —
+    or for inputs already capped by the caller (e.g. a persisted,
+    memoized shingle relation: this operator consumes its input FOUR
+    times, both self-join sides and both size lookups, so callers with
+    an expensive build should hand it a cached relation)."""
     if df_cap is not None:
         shingle_df = df_capped_shingles(shingle_df, df_cap)
     sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

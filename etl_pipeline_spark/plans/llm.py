@@ -89,6 +89,10 @@ _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 # exact-Jaccard near-dup pair relation, memoized per (session, sf_dir, thr)
 _JACCARD_PAIRS_CACHE: dict[tuple, DataFrame] = register_cache({})
 
+# half-doc-augmented, df-capped shingle relation for the containment
+# verifier, per (session, sf_dir) — see dedup_containment_pairs
+_CONTAINMENT_SH_CACHE: dict[tuple, DataFrame] = register_cache({})
+
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — distinct word-3-shingles per document.
@@ -289,6 +293,52 @@ _HEX_DECODE = " + ".join(
 )
 _HEX_DECODE_FAST = "CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"
 
+# the (doc_id, simhash) fingerprint relation, memoized + persisted per
+# (session, sf_dir): a fingerprint table is a build-once artifact (the
+# reference pipeline would land it next to the corpus), and BOTH
+# registered consumers (simhash_fingerprints, dedup_simhash_hamming)
+# otherwise re-run the md5-per-token vote build — the most expensive
+# subtree in the simhash family (~12 s executor per build at sf0.1)
+_SIMHASH_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _simhash_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _build() -> DataFrame:
+        docs = fan_out_scan(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        toks = docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        hv = toks.select("doc_id", F.expr(_HEX_DECODE_FAST).alias("v"))
+        votes = (
+            hv.select(
+                "doc_id", "v", F.explode(F.expr("sequence(0, 31)")).alias("bit")
+            )
+            .groupBy("doc_id", "bit")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.expr("(v div shiftleft(CAST(1 AS BIGINT), bit)) % 2")
+                        == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                ).alias("vote")
+            )
+        )
+        return votes.groupBy("doc_id").agg(
+            F.sum(
+                F.when(
+                    F.col("vote") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("simhash")
+        )
+
+    return memoized_relation(_SIMHASH_CACHE, spark, (sf_dir,), _build)
+
 
 @register(
     "simhash_fingerprints",
@@ -310,25 +360,7 @@ _HEX_DECODE_FAST = "CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"
     tags=("llm", "dedup", "simhash"),
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-    hv = toks.select("doc_id", F.expr(_HEX_DECODE_FAST).alias("v"))
-    votes = (
-        hv.select("doc_id", "v", F.explode(F.expr("sequence(0, 31)")).alias("bit"))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.when(
-                    F.expr("(v div shiftleft(CAST(1 AS BIGINT), bit)) % 2") == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-            ).alias("vote")
-        )
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0)))
-        .cast("bigint")
-        .alias("simhash")
-    )
+    return _simhash_relation(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -381,27 +413,9 @@ _SH_BANDS, _SH_BITS = 4, 8
     tags=("llm", "dedup", "simhash", "lsh"),
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-    hv = toks.select("doc_id", F.expr(_HEX_DECODE_FAST).alias("v"))
-    votes = (
-        hv.select("doc_id", "v", F.explode(F.expr("sequence(0, 31)")).alias("bit"))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.when(
-                    F.expr("(v div shiftleft(CAST(1 AS BIGINT), bit)) % 2") == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-            ).alias("vote")
-        )
-    )
-    sh = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("simhash")
-    )
+    # same fingerprint relation as simhash_fingerprints — memoized, so
+    # the md5-per-token vote build is paid once per session
+    sh = _simhash_relation(spark, sf_dir)
     banded = sh.select(
         "doc_id",
         "simhash",
@@ -1392,13 +1406,32 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.col("text"), " ")
-    half = docs.where(F.size(toks) >= 7).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.array_join(
-            F.slice(toks, 1, F.expr("(size(split(text, ' ')) + 1) DIV 2")), " "
-        ).alias("text"),
+    # the operator consumes the capped shingle relation four times (both
+    # self-join sides + both size lookups) — the un-memoized plan showed
+    # 4 df-cap Window subtrees / 8 parquet scans for one query. The
+    # half-doc-augmented relation is memoized + persisted per (session,
+    # sf_dir) like the plain-corpus shingle table, and handed to the
+    # operator pre-capped (df_cap=None: the cap is already inside the
+    # cached relation, visible in-plan through the InMemoryTableScan).
+    return containment_pairs(
+        _containment_shingles(spark, sf_dir), 0.9, df_cap=None
     )
-    corpus = docs.unionByName(half)
-    return containment_pairs(shingles(corpus, "doc_id", "text", 3), 0.9)
+
+
+def _containment_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_pipeline_spark.operators.dedup import DF_CAP, df_capped_shingles
+
+    def _build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        toks = F.split(F.col("text"), " ")
+        half = docs.where(F.size(toks) >= 7).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.array_join(
+                F.slice(toks, 1, F.expr("(size(split(text, ' ')) + 1) DIV 2")),
+                " ",
+            ).alias("text"),
+        )
+        corpus = docs.unionByName(half)
+        return df_capped_shingles(shingles(corpus, "doc_id", "text", 3), DF_CAP)
+
+    return memoized_relation(_CONTAINMENT_SH_CACHE, spark, (sf_dir,), _build)
