@@ -45,16 +45,24 @@ def incremental_agg_refresh(
     old→new diff. ``aggs`` must be full aggregate expressions with stable
     aliases matching ``prev_agg``'s columns.
     """
+    # changed_keys feeds two semi-joins and affected feeds three probes:
+    # left as lazy lineage, each consumer re-runs the full-outer diff (the
+    # profiler showed the old/new snapshots rebuilt 14x in one refresh).
+    # Both relations are CHANGE-volume-sized by this operator's contract,
+    # so materializing them once is exactly the production shape (guide
+    # §5: cache what is reused and expensive to recompute).
     changed_keys = (
         snapshot_diff(old, new, [row_key])
         .filter(F.col("status") != "unchanged")
         .select(row_key)
+        .localCheckpoint(eager=False)
     )
     affected = (
         old.join(changed_keys, row_key, "leftsemi")
         .select(*group_cols)
         .unionByName(new.join(changed_keys, row_key, "leftsemi").select(*group_cols))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     recomputed = (
         new.join(F.broadcast(affected), group_cols, "leftsemi")

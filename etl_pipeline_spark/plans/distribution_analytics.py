@@ -310,6 +310,8 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("decile"))
         .crossJoin(F.broadcast(mx))  # one-row max side
         .select("decile", F.expr("(max_id * decile) DIV 10").alias("thr"))
+        # 10 rows, consumed by both decile probes — don't re-run MAX(doc_id)
+        .localCheckpoint(eager=False)
     )
     n_i = (
         doc_tok.crossJoin(F.broadcast(thr))  # 10-row threshold side
@@ -333,6 +335,9 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log("n_tokens"), 6).alias("lx"),
             F.round(F.log("vocab"), 6).alias("ly"),
         )
+        # 10 rows, consumed by the moment aggregate AND the final select —
+        # without this both lineages re-tokenize the corpus (guide §5)
+        .localCheckpoint(eager=False)
     )
     mom = pts.agg(
         F.count(F.lit(1)).alias("n"),
@@ -630,7 +635,10 @@ def blocking_quality_er(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    pairs = _er_candidate_pairs(spark, sf_dir)
+    # consumed twice (candidate count + truth probe); candidate-set-sized,
+    # so one materialization beats re-running the two-rule pair builder
+    # (18 customer scans in the lazy plan — guide §5)
+    pairs = _er_candidate_pairs(spark, sf_dir).localCheckpoint(eager=False)
     nn = cust.agg(
         (
             F.count(F.lit(1))

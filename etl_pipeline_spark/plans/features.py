@@ -506,24 +506,35 @@ def nb_lang_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s"), F.asc("tok"))
         .limit(_NB_MAX_VOCAB)
         .select("tok")
+        # NOT checkpointed: the top-k prune must stay plan-visible
+        # (test_nb_vocab_prune_is_topk_and_model_broadcasts); the reused
+        # aggregates below are checkpointed instead
     )
     train_kept = train.join(F.broadcast(kept), "tok")
+    # (lang x vocab)-bounded; feeds the per-lang token totals AND the
+    # scored broadcast below
     cnt = train_kept.groupBy("lang", "tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    lang_tot = (
+    ).localCheckpoint(eager=False)
+    # lang-sized doc counts; n_tok per lang == SUM of cnt.c per lang and
+    # the corpus doc total == SUM of per-lang distinct-doc counts (every
+    # doc carries exactly one lang value) — exact integer identities that
+    # replace two more tokenize-the-corpus passes with aggregates over
+    # the bounded relations above
+    ld = (
         train.groupBy("lang")
         .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
-        .join(
-            train_kept.groupBy("lang").agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_tok")
-            ),
+        .localCheckpoint(eager=False)
+    )
+    lang_tot = (
+        ld.join(
+            cnt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n_tok")),
             "lang",
         )
         .select("lang", "n_tok", "n_docs")
     )
     vocab = kept.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
-    total = train.agg(F.countDistinct("doc_id").cast("bigint").alias("d"))
+    total = ld.agg(F.sum("n_docs").cast("bigint").alias("d"))
     scored = (
         test_toks.crossJoin(F.broadcast(lang_tot))
         .crossJoin(F.broadcast(vocab))

@@ -1535,7 +1535,9 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w) == 7,
             F.sum("cents").over(w),
         ).alias("sum7"),
-    ).filter(F.col("sum7").isNotNull())
+    ).filter(F.col("sum7").isNotNull()).localCheckpoint(eager=False)
+    # ^ day-domain; consumed by the weekday-effect aggregate AND the
+    # residual join — one materialization, not two orders scans
     eff = tr.groupBy(
         ((F.col("day_epoch") + 4) % 7).cast("bigint").alias("weekday")
     ).agg(
@@ -1556,6 +1558,8 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rev") - F.expr("sum7 / 700.0e0") - F.col("effect"), 2
             ).alias("residual"),
         )
+        # day-domain; consumed by the median, the MAD, and the final scan
+        .localCheckpoint(eager=False)
     )
     m = res.agg(
         F.round(F.expr("percentile(residual, 0.5)"), 6).alias("med")
@@ -2156,7 +2160,9 @@ def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("ng"),
         F.sum("cents").cast("bigint").alias("sg"),
         F.sum(x * F.log(x)).alias("sxlx"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ nation-sized (25 rows); consumed by the grand total AND the term
+    # aggregate — one materialization, not two orders-customer joins
     tot = g.agg(
         F.sum("ng").cast("bigint").alias("n"),
         F.sum("sg").cast("bigint").alias("s"),

@@ -842,13 +842,24 @@ def profile_approx_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("rho").alias("rho_max"))
     )
     est = hll_estimate_corrected_grouped(regs, ["col_name"], _HLL_P)
-    exact = None
-    for c in _PROFILE_COLS:
-        e = orders.agg(
-            F.lit(c).alias("col_name"),
-            F.count_distinct(F.col(c)).cast("bigint").alias("n_exact"),
+    # all exact distinct counts in ONE scan (multi-count_distinct expands
+    # to one Expand-based aggregate), then unpivoted — the previous
+    # one-agg-per-column union paid a full orders pass per column
+    wide = orders.agg(
+        *[
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"cd_{i}")
+            for i, c in enumerate(_PROFILE_COLS)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{c}', cd_{i}" for i, c in enumerate(_PROFILE_COLS)
+    )
+    exact = wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (col_name, n_exact)"
         )
-        exact = e if exact is None else exact.unionByName(e)
+    )
     return est.join(exact, "col_name").withColumn(
         "within_20pct",
         (F.abs(F.col("est") - F.col("n_exact")) <= 0.2 * F.col("n_exact")).cast(

@@ -33,6 +33,10 @@ from pyspark.sql.window import Window
 
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
+from etl_pipeline_spark.utils.session_cache import (
+    memoized_relation,
+    register_cache,
+)
 
 
 def _ts(lit: str) -> F.Column:
@@ -622,21 +626,33 @@ _PARTSUPP_CTE = """
 """
 
 
+# The proxy is a build-once, (part x supplier)-cardinality artifact
+# consumed by FIVE registered queries (q2/q9/q11/q16/q20, twice each in
+# q2's regional reuse and q11's held reuse) — the same transparent-reuse
+# shape as the co-supplier edge cache: memoize + persist per (session,
+# sf_dir); build() is pure, the first consumer pays the lineitem
+# aggregation inside its own timed run (guide §5).
+_PARTSUPP_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_quantity") > 0)  # see _PARTSUPP_CTE note
-        .groupBy(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
+    def _build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            li.filter(F.col("l_quantity") > 0)  # see _PARTSUPP_CTE note
+            .groupBy(
+                F.col("l_partkey").alias("ps_partkey"),
+                F.col("l_suppkey").alias("ps_suppkey"),
+            )
+            .agg(
+                F.sum("l_quantity").alias("ps_availqty"),
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                    "ps_supplycost"
+                ),
+            )
         )
-        .agg(
-            F.sum("l_quantity").alias("ps_availqty"),
-            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
-                "ps_supplycost"
-            ),
-        )
-    )
+
+    return memoized_relation(_PARTSUPP_CACHE, spark, (sf_dir,), _build)
 
 
 # --------------------------------------------------------------------------
