@@ -306,17 +306,26 @@ def points_in_polygon(
 def pip_sql_predicate(x: str, y: str, ring: list[tuple[float, float]]) -> str:
     """ANSI-SQL unrolling of the same even-odd ray cast (for oracles and
     engines without the UDF): parity of per-edge crossing counts, with the
-    intersection expression textually identical to the UDF's."""
+    intersection expression formula-identical to the UDF's. Every ring
+    literal is CAST(... AS DOUBLE): bare `1.9` parses as DECIMAL(2,1) in
+    both Spark and DuckDB, and decimal sub-expressions (exact `1.0-1.9`)
+    diverge from the UDF's IEEE-double arithmetic by one ULP — enough to
+    flip the crossing test for points landing exactly on a vertex/edge
+    (fuzz-found: ring [(0,0),(1,1.9),(0,1)], point (0,1))."""
     pts = list(ring)
     if pts[0] != pts[-1]:
         pts = pts + [pts[0]]
+
+    def d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
     terms = []
     for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
         if ay == by:
             continue
         terms.append(
-            f"(CASE WHEN (({ay} > {y}) <> ({by} > {y})) AND "
-            f"{x} < {ax} + ({y} - {ay}) * ({bx} - {ax}) / ({by} - {ay}) "
+            f"(CASE WHEN (({d(ay)} > {y}) <> ({d(by)} > {y})) AND "
+            f"{x} < {d(ax)} + ({y} - {d(ay)}) * ({d(bx)} - {d(ax)}) / ({d(by)} - {d(ay)}) "
             f"THEN 1 ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ") % 2 = 1"
