@@ -33,6 +33,25 @@ from etl_pipeline_spark.utils.session_cache import memoized_relation, register_c
 # customer→supplier bipartite HITS edges, memoized per (session, sf_dir)
 _HITS_EDGE_CACHE: dict[tuple, "DataFrame"] = register_cache({})
 
+# deterministic LPA labels over the co-supplier graph, memoized per
+# (session, sf_dir, n_iter): lpa_cosupplier_communities and
+# modularity_cosupplier run the IDENTICAL fixed-round propagation
+# (same edges, same tie rule, same round count) — one materialization
+# instead of two. label_propagation eagerly localCheckpoints its rounds,
+# so the memo entry is an already-materialized node-sized relation.
+_LPA_LABELS_CACHE: dict[tuple, "DataFrame"] = register_cache({})
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str, n_iter: int) -> DataFrame:
+    from etl_pipeline_spark.plans.corpus_quality import cosupplier_edges
+
+    return memoized_relation(
+        _LPA_LABELS_CACHE,
+        spark,
+        (sf_dir, n_iter),
+        lambda: label_propagation(cosupplier_edges(spark, sf_dir), n_iter=n_iter),
+    )
+
 
 # ---------------------------------------------------------------------------
 # Rolling features per user: lag-1 value, delta, trailing 3-event mean and
@@ -220,9 +239,7 @@ def _lpa_oracle(n_iter: int = _LPA_ITER) -> str:
     tags=("graph", "iterative"),
 )
 def lpa_cosupplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_pipeline_spark.plans.corpus_quality import cosupplier_edges
-
-    labels = label_propagation(cosupplier_edges(spark, sf_dir), n_iter=_LPA_ITER)
+    labels = _lpa_labels(spark, sf_dir, _LPA_ITER)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
@@ -773,7 +790,7 @@ def modularity_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_spark.plans.corpus_quality import cosupplier_edges
 
     edges = cosupplier_edges(spark, sf_dir)
-    labels = label_propagation(edges, n_iter=_LPA_ITER)
+    labels = _lpa_labels(spark, sf_dir, _LPA_ITER)
     sym = symmetrize(edges)
     mm = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     la = F.broadcast(labels.select(F.col("node").alias("src"),

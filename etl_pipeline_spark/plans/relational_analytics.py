@@ -1056,7 +1056,9 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
+        # order-domain; consumed by the occurrence counts AND the pair
+        # explode — one materialization, not two lineitem scans
+    ).localCheckpoint(eager=False)
     # occurrence counts come from the SAME basket relation (including
     # single-part baskets — they count toward n_occ, just emit no pairs)
     occ = (

@@ -25,6 +25,9 @@ _CACHED_EDGE_QUERIES = (
     "textrank_keywords",
     "hits_hub_authority",
     "bfs_hops_from_hub",  # co-supplier cache (pre-existing), same contract
+    # r11 wave 7: the memoized LPA label relation shared by both consumers
+    "lpa_cosupplier_communities",
+    "modularity_cosupplier",
 )
 
 
