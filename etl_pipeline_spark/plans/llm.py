@@ -93,6 +93,29 @@ _JACCARD_PAIRS_CACHE: dict[tuple, DataFrame] = register_cache({})
 # verifier, per (session, sf_dir) — see dedup_containment_pairs
 _CONTAINMENT_SH_CACHE: dict[tuple, DataFrame] = register_cache({})
 
+# near-dup cluster assignments (connected components over the jaccard
+# pair relation), memoized per (session, sf_dir, threshold):
+# dedup_cluster_assign and dedup_canonical_pick run the IDENTICAL
+# iterative min-label closure over the identical memoized pair relation
+# — the same transparent-reuse shape as the ER cluster memo
+# (relational_analytics._er_clusters). cluster_assignments eagerly
+# localCheckpoints its rounds, so the entry is already materialized and
+# cluster-count-sized.
+_DEDUP_CLUSTERS_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    return memoized_relation(
+        _DEDUP_CLUSTERS_CACHE,
+        spark,
+        (sf_dir, threshold),
+        lambda: cluster_assignments(
+            _jaccard_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b"),
+            "doc_a",
+            "doc_b",
+        ),
+    )
+
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — distinct word-3-shingles per document.
@@ -1020,8 +1043,7 @@ def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster ids via distributed connected components."""
-    pairs = _jaccard_pairs(spark, sf_dir, threshold=0.5).select("doc_a", "doc_b")
-    return cluster_assignments(pairs, "doc_a", "doc_b")
+    return _dedup_clusters(spark, sf_dir, threshold=0.5)
 
 
 # --------------------------------------------------------------------------

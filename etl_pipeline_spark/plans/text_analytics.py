@@ -435,11 +435,9 @@ def _canonical_pick_oracle() -> str:
     tags=("llm", "dedup", "graph"),
 )
 def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_pipeline_spark.operators.graph import cluster_assignments
-    from etl_pipeline_spark.plans.llm import _jaccard_pairs
+    from etl_pipeline_spark.plans.llm import _dedup_clusters
 
-    pairs = _jaccard_pairs(spark, sf_dir, threshold=0.5).select("doc_a", "doc_b")
-    members = cluster_assignments(pairs, "doc_a", "doc_b")
+    members = _dedup_clusters(spark, sf_dir, threshold=0.5)
     quality = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.array_distinct(F.split("text", " ")))

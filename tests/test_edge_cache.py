@@ -28,6 +28,10 @@ _CACHED_EDGE_QUERIES = (
     # r11 wave 7: the memoized LPA label relation shared by both consumers
     "lpa_cosupplier_communities",
     "modularity_cosupplier",
+    # r11 wave 8: the memoized near-dup cluster relation (CC over the
+    # jaccard pair memo) shared by assign + canonical-pick
+    "dedup_cluster_assign",
+    "dedup_canonical_pick",
 )
 
 
