@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_pipeline_spark.utils.local_rows import sql_literal, values_df
 from etl_pipeline_spark.utils.parallelism import fan_out_scan
 from etl_pipeline_spark.utils.session_cache import register_cache, session_key
 from etl_pipeline_spark.utils.udfpickle import pickle_module_by_value
@@ -172,8 +173,22 @@ def cosine_pairs(
         F.col(vec_col).alias("v"),
         (F.col(id_col) % nb).cast("int").alias("blk"),
     )
-    bp = spark.createDataFrame(
-        [(i, j) for i in range(nb) for j in range(i, nb)], "ba int, bb int"
+    # unordered block pairs derived from spark.range, not a parallelized
+    # Python list: createDataFrame pickles the pairs into
+    # defaultParallelism near-empty PythonRDD partitions, so every
+    # consuming stage pays one Python-worker round-trip per core; range
+    # is a JVM LocalTableScan-like source and also stays cheap when nb
+    # is large at scale (nb² enumeration, i <= j kept)
+    bp = (
+        # few-partition range: the pair table is tiny per row; one task
+        # per ~4M enumerated ids keeps the build single-task locally and
+        # still parallel if nb² ever gets huge
+        spark.range(0, nb * nb, 1, max(1, (nb * nb) // 4_000_000))
+        .select(
+            (F.col("id") / nb).cast("int").alias("ba"),
+            (F.col("id") % nb).cast("int").alias("bb"),
+        )
+        .where(F.col("ba") <= F.col("bb"))
     )
     a_side = v.join(F.broadcast(bp), F.col("blk") == F.col("ba")).select(
         "ba", "bb", "vid", "v", F.lit(0).alias("side")
@@ -776,11 +791,17 @@ def _pivot_array(spark, pivots: list[tuple[int, list[float], float]]) -> DataFra
     cell. Cross-joining this single row onto the corpus makes cell
     scoring a narrow projection — no corpus-side Exchange (and no
     repeated sample jobs) in the encode."""
-    return F.broadcast(
-        spark.createDataFrame(
-            [(pivots,)], "pivs array<struct<cell:int, pe:array<double>, pn:double>>"
-        )
+    # pure-SQL literal → LocalRelation: a createDataFrame here pickles the
+    # one row into defaultParallelism PythonRDD slices, and every
+    # execution's broadcast build then runs a cores-wide stage of idle
+    # Python-worker round-trips (~0.5-1 s each at local[32])
+    structs = ", ".join(
+        f"named_struct('cell', CAST({int(cell)} AS INT), "
+        f"'pe', {sql_literal(pe, 'array<double>')}, "
+        f"'pn', {sql_literal(pn, 'double')})"
+        for cell, pe, pn in pivots
     )
+    return F.broadcast(spark.sql(f"SELECT array({structs}) AS pivs"))
 
 
 # Per-pivot score inside a higher-order lambda: the same left-assoc
@@ -867,6 +888,17 @@ def _probe_local(
         )
         for _, cell in ranked[:nprobe]:
             rows.append((qid, qe, cell) if keep_vec else (qid, cell))
+    # LocalRelation when the id type has a literal encoding (always, for
+    # the registered queries) — see _pivot_array for why createDataFrame
+    # is the slow path here; kept as the fallback for exotic id types
+    id_sql = id_type.simpleString()
+    if rows and id_sql in ("bigint", "int", "string", "double"):
+        schema = (
+            f"query_id {id_sql}, qe array<double>, cell int"
+            if keep_vec
+            else f"query_id {id_sql}, cell int"
+        )
+        return F.broadcast(values_df(spark, rows, schema))
     fields = [StructField("query_id", id_type)]
     if keep_vec:
         fields.append(StructField("qe", ArrayType(DoubleType())))
@@ -1018,12 +1050,15 @@ def _codebook_array(spark, entries) -> DataFrame:
     """ONE broadcast row: array<struct<sub, code, cc, center>> — the whole
     codebook rides along each corpus task; the corpus side never shuffles
     (and no sample job re-runs per downstream use)."""
-    return F.broadcast(
-        spark.createDataFrame(
-            [(entries,)],
-            "cbs array<struct<sub:int, code:int, cc:double, center:array<double>>>",
-        )
+    # pure-SQL literal → LocalRelation (see _pivot_array)
+    structs = ", ".join(
+        f"named_struct('sub', CAST({int(sub)} AS INT), "
+        f"'code', CAST({int(code)} AS INT), "
+        f"'cc', {sql_literal(cc, 'double')}, "
+        f"'center', {sql_literal(center, 'array<double>')})"
+        for sub, code, cc, center in entries
     )
+    return F.broadcast(spark.sql(f"SELECT array({structs}) AS cbs"))
 
 
 def _code_col_exprs(m: int, ksub: int, dsub: int | None = None) -> list[Column]:
@@ -1115,6 +1150,13 @@ def _pq_query_tables(spark, qrows, id_type, entries, m: int, ksub: int) -> DataF
             aa = _py_dot(sv, sv)
             dt[sub * ksub + code] = aa + cc - 2 * _py_dot(sv, center)
         rows.append((qid, dt))
+    # LocalRelation fast path (see _pivot_array); createDataFrame fallback
+    # for exotic id types
+    id_sql = id_type.simpleString()
+    if rows and id_sql in ("bigint", "int", "string", "double"):
+        return F.broadcast(
+            values_df(spark, rows, f"query_id {id_sql}, dt array<double>")
+        )
     schema = StructType(
         [
             StructField("query_id", id_type),

@@ -37,6 +37,7 @@ from pyspark.sql.window import Window
 
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
+from etl_pipeline_spark.utils.local_rows import values_df
 from etl_pipeline_spark.utils.session_cache import memoized_relation, register_cache
 
 # sparsified word co-occurrence graph, memoized per (session, sf_dir)
@@ -1057,8 +1058,8 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         # No purchase mass (degenerate/filtered data): the oracle's
         # b2/eff CTEs are empty in this case — return empty, don't
         # divide by zero.
-        return spark.createDataFrame(
-            [], "channel string, removal_effect double, attribution_share double"
+        return values_df(
+            spark, [], "channel string, removal_effect double, attribution_share double"
         )
     effects = [
         (c, max(1.0 - _solve(c) / base_cp, 0.0)) for c in _MRK_CHANNELS
@@ -1072,6 +1073,6 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c, round6_half_up(e), round6_half_up(e / s) if s > 0 else None)
         for c, e in effects
     ]
-    return spark.createDataFrame(
-        rows, "channel string, removal_effect double, attribution_share double"
+    return values_df(
+        spark, rows, "channel string, removal_effect double, attribution_share double"
     )

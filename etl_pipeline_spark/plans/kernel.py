@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from etl_pipeline_spark.functions.naming import sanitize_name, unique_names
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
+from etl_pipeline_spark.utils.local_rows import values_df
 from etl_pipeline_spark.utils.parallelism import fan_out_scan
 
 
@@ -184,7 +185,9 @@ _MAPPING_VALUES_SQL = ", ".join(f"('{a}', '{b}', '{c}')" for a, b, c in _MAPPING
     tags=("kernel", "join", "broadcast"),
 )
 def mapping_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mapping = spark.createDataFrame(_MAPPING_ROWS, "staging_fc string, sde_dataset string, kind string")
+    mapping = values_df(
+        spark, _MAPPING_ROWS, "staging_fc string, sde_dataset string, kind string"
+    )
     fcs = load_table(spark, sf_dir, "part").select(F.col("p_brand").alias("fc")).distinct()
     exact = (
         fcs.join(
@@ -429,7 +432,8 @@ def url_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("kernel", "join", "fuzzy"),
 )
 def source_fc_reverse_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sources = spark.createDataFrame(
+    sources = values_df(
+        spark,
         [("MACHIN", "IND"), ("household", "HOME"), ("auto mobile", "CAR")],
         "src_name string, authority string",
     )
@@ -614,7 +618,7 @@ def expectations_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     # violation union silently drops clean checks — sweep-found on a
     # random corpus where range_totalprice had no violators). The check
     # domain is the literal check list: a 3-row broadcast left join.
-    names = spark.createDataFrame([(n,) for n in checks], "check_name string")
+    names = values_df(spark, [(n,) for n in checks], "check_name string")
     return names.join(counts, "check_name", "left").select(
         "check_name",
         F.coalesce("n_violations", F.lit(0)).cast("bigint").alias("n_violations"),

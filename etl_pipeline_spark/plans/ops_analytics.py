@@ -41,6 +41,7 @@ from pyspark.sql.window import Window
 from etl_pipeline_spark.operators.packing import range_bucketed_rank
 from etl_pipeline_spark.plans.registry import register
 from etl_pipeline_spark.sources.star import load_table
+from etl_pipeline_spark.utils.local_rows import values_df
 
 _EPOCH_DAY_DUCK = (
     "CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)"
@@ -2041,7 +2042,7 @@ def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs = [r["cents"] / 100.0 for r in daily.collect()]
     schema = "h bigint, forecast double, level double, trend double"
     if len(xs) < 15:
-        return spark.createDataFrame([], schema)
+        return values_df(spark, [], schema)
     l, b, s = _hw_solve(xs)
     # HALF_UP like the oracle's ROUND — Python round() is half-to-even
     # and diverges on exact 6-dp midpoints (the advisor-flagged class)
@@ -2056,7 +2057,7 @@ def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for h in range(1, 8)
     ]
-    return spark.createDataFrame(rows, schema)
+    return values_df(spark, rows, schema)
 
 
 def _hw_solve(xs: list[float]) -> tuple[float, float, list[float]]:
