@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_pipeline_spark.utils.local_rows import values_df
+
 
 def _cents_one_row(centroids: DataFrame) -> DataFrame:
     """(j, ce) rows → ONE row holding array<struct<j, ce>> sorted by j."""
@@ -104,9 +106,10 @@ def kmeans_fit_assign(
         (j, [math.floor(float(x) * 1e6 + 0.5) / 1e6 for x in r.embedding])
         for j, r in enumerate(first_k)
     ]
-    centroids = emb.sparkSession.createDataFrame(
-        init, "j int, ce array<double>"
-    )
+    # LocalRelation, not a parallelized python list: the init table is
+    # re-scanned by every Lloyd round's broadcast build, and a pickled-RDD
+    # table costs a cores-wide stage of Python round-trips per scan
+    centroids = values_df(emb.sparkSession, init, "j int, ce array<double>")
 
     assigned = None
     for t in range(n_iter):
