@@ -458,17 +458,24 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-duplicate mega-cliques are the exact_dedup operator's job,
     not this verifier's (operators/dedup.py:DF_CAP rationale)."""
     from etl_pipeline_spark.operators.dedup import (
-        jaccard_pairs,
         lsh_candidates,
         minhash_signatures,
     )
-    from etl_pipeline_spark.plans.llm import _BAND_SIZE, _N_HASHES, _doc_shingles
+    from etl_pipeline_spark.plans.llm import (
+        _BAND_SIZE,
+        _N_HASHES,
+        _doc_shingles,
+        _jaccard_pairs,
+    )
 
     sh = _doc_shingles(spark, sf_dir)
     cands = lsh_candidates(
         minhash_signatures(sh, _N_HASHES), _N_HASHES, _BAND_SIZE
     ).persist()
-    truth = jaccard_pairs(sh, 0.5).select("doc_a", "doc_b").persist()
+    # the truth side IS the memoized exact-Jaccard pair relation
+    # (identical function, input and threshold) — rebuilding it here
+    # re-ran the most expensive shared dedup subtree per execution
+    truth = _jaccard_pairs(spark, sf_dir, 0.5).select("doc_a", "doc_b")
     hits = cands.join(truth, ["doc_a", "doc_b"], "left_semi")
 
     n_cand = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
