@@ -457,21 +457,11 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually targets) is unaffected because truth is the denominator.
     Exact-duplicate mega-cliques are the exact_dedup operator's job,
     not this verifier's (operators/dedup.py:DF_CAP rationale)."""
-    from etl_pipeline_spark.operators.dedup import (
-        lsh_candidates,
-        minhash_signatures,
-    )
-    from etl_pipeline_spark.plans.llm import (
-        _BAND_SIZE,
-        _N_HASHES,
-        _doc_shingles,
-        _jaccard_pairs,
-    )
+    from etl_pipeline_spark.plans.llm import _jaccard_pairs, _lsh_candidate_pairs
 
-    sh = _doc_shingles(spark, sf_dir)
-    cands = lsh_candidates(
-        minhash_signatures(sh, _N_HASHES), _N_HASHES, _BAND_SIZE
-    ).persist()
+    # the memoized banded-LSH candidate relation — identical build in
+    # dedup_minhash_lsh (same hashes, bands, band keys)
+    cands = _lsh_candidate_pairs(spark, sf_dir)
     # the truth side IS the memoized exact-Jaccard pair relation
     # (identical function, input and threshold) — rebuilding it here
     # re-ran the most expensive shared dedup subtree per execution

@@ -93,6 +93,27 @@ _JACCARD_PAIRS_CACHE: dict[tuple, DataFrame] = register_cache({})
 # verifier, per (session, sf_dir) — see dedup_containment_pairs
 _CONTAINMENT_SH_CACHE: dict[tuple, DataFrame] = register_cache({})
 
+# banded-LSH candidate pairs over the shared shingle relation, memoized
+# per (session, sf_dir): a candidate table is a build-once artifact (two
+# seeded-md5 passes over every shingle + the band self-join), and BOTH
+# registered consumers (dedup_minhash_lsh, dedup_lsh_recall_eval) build
+# the identical relation — same hashes, bands, and band keys.
+_LSH_CANDIDATES_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return memoized_relation(
+        _LSH_CANDIDATES_CACHE,
+        spark,
+        (sf_dir,),
+        lambda: lsh_candidates(
+            minhash_signatures(_doc_shingles(spark, sf_dir), _N_HASHES),
+            _N_HASHES,
+            _BAND_SIZE,
+        ),
+    )
+
+
 # near-dup cluster assignments (connected components over the jaccard
 # pair relation), memoized per (session, sf_dir, threshold):
 # dedup_cluster_assign and dedup_canonical_pick run the IDENTICAL
@@ -295,8 +316,7 @@ _BANDS_DUCK = ", ".join(
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
-    cands = lsh_candidates(minhash_signatures(sh, _N_HASHES), _N_HASHES, _BAND_SIZE)
-    return jaccard_verify(cands, sh, 0.5)
+    return jaccard_verify(_lsh_candidate_pairs(spark, sf_dir), sh, 0.5)
 
 
 # --------------------------------------------------------------------------

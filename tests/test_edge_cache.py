@@ -32,6 +32,10 @@ _CACHED_EDGE_QUERIES = (
     # jaccard pair memo) shared by assign + canonical-pick
     "dedup_cluster_assign",
     "dedup_canonical_pick",
+    # r11 wave 10: the memoized banded-LSH candidate relation shared by
+    # the near-dup pipeline and its recall eval
+    "dedup_minhash_lsh",
+    "dedup_lsh_recall_eval",
 )
 
 
