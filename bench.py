@@ -6,6 +6,14 @@ unit/sf, per-query map referenced via bench_out.json).
 
 Each query is forced end-to-end with the `noop` sink (full compute, no
 driver-side materialization — the same discipline a 100 TB run needs).
+
+Methodology change (r12, directed by the r11 verdict): session memos and
+the CacheManager are cleared before EVERY timed pass, so per-query numbers
+include the build cost of any shared relation the query's declared work
+consumes (previously the first toucher's warm pass absorbed the build and
+best-of-2 reported cache-hit timings for ~22 memo-consumer queries).
+Old-methodology totals for the same tree are recorded in
+OPTIMIZATION_r12.md for continuity.
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_pipeline_spark.plans.registry import REGISTRY, _ensure_loaded
 from etl_pipeline_spark.session import get_spark
+from etl_pipeline_spark.utils.session_cache import clear_caches
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -187,11 +196,22 @@ def main() -> None:
     # Noise discipline: the first execution of a query pays one-off costs
     # (Janino compile of its expressions, classloading, broadcast-thread
     # spin-up) that scheduling overlap turns into >2x swings on untouched
-    # queries. Each query therefore runs twice — a warm-up execution, then
-    # the timed pass — and reports best-of-2, which measures the plan, not
-    # the JIT lottery. Failures go to a separate "errors" map (never a
-    # sentinel mixed into the timings) and flip the exit code so a broken
-    # query can't read as a speedup.
+    # queries. Each query therefore runs twice and reports best-of-2,
+    # which measures the plan, not the JIT lottery. Failures go to a
+    # separate "errors" map (never a sentinel mixed into the timings) and
+    # flip the exit code so a broken query can't read as a speedup.
+    #
+    # Memo transparency (r12, per the r11 verdict): EVERY pass — not just
+    # the first — starts from a cleared session-memo state
+    # (clear_caches(spark)) and an empty CacheManager (catalog.clearCache),
+    # so a query that declares work over a shared relation (shingles,
+    # jaccard pairs, edge sets, ANN index encodes, partsupp proxy …) pays
+    # that build inside its own timed pass. Clearing before BOTH passes
+    # matters: clearing only the second would let best-of-2 pick the first
+    # pass, which can hit relations persisted by the PREVIOUS query's
+    # timed pass. What survives across passes is exactly what honest
+    # reuse allows: JVM JIT, Janino's generated-class cache, and warm
+    # executor threads.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
@@ -200,6 +220,8 @@ def main() -> None:
         best = None
         try:
             for _ in range(2):
+                clear_caches(spark)
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
@@ -211,12 +233,18 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
 
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    metric = (
+        "headline suite wall clock (noop sink, best-of-2 per query,"
+        " session memos + cache cleared before every pass)"
+    )
     out = {
-        "metric": "headline suite wall clock (noop sink, best-of-2 per query)",
+        "metric": metric,
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": int(cpus),
         "coverage": {"benched": len(suite), "registered": len(REGISTRY)},
     }
     if errors:
@@ -224,28 +252,33 @@ def main() -> None:
     line = json.dumps(out)
     # Truncation-proofing (BENCH_r03's single line overflowed the
     # driver's tail capture): persist the full JSON to bench_out.json
-    # FIRST, then print the line with an explicit flush.
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
-            "w",
-        ) as f:
-            f.write(line + "\n")
-    except OSError as exc:
-        print(f"BENCH-WARN could not write bench_out.json: {exc}", file=sys.stderr)
+    # FIRST, then print the line with an explicit flush. ALSO write a
+    # per-core-count copy (bench_out_c<cpus>.json): the driver benches the
+    # same tree at two core counts and the second run used to overwrite
+    # the first's per-query map, which destroyed the round-over-round and
+    # scaling diffs (PERF_r11 n_common: 0). Per-cpus files survive both
+    # runs.
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("bench_out.json", f"bench_out_c{cpus}.json"):
+        try:
+            with open(os.path.join(here, fname), "w") as f:
+                f.write(line + "\n")
+        except OSError as exc:
+            print(f"BENCH-WARN could not write {fname}: {exc}", file=sys.stderr)
     print(line, flush=True)
     # The driver records only the TAIL of stdout; the full 272-query JSON
     # line overflows that window (BENCH_r07/r08 carried "parsed": null).
     # Emit a compact one-line summary LAST so any tail capture ends with a
     # complete, parseable JSON line; bench_out.json keeps the per-query map.
     summary = {
-        "metric": "headline suite wall clock (noop sink, best-of-2 per query)",
+        "metric": metric,
         "value": round(total, 3),
         "unit": "sec",
         "sf": sf,
+        "cpus": int(cpus),
         "coverage": out["coverage"],
         "error_count": len(errors),
-        "queries_full": "bench_out.json",
+        "queries_full": f"bench_out_c{cpus}.json",
     }
     print(json.dumps(summary), flush=True)
     if errors:

@@ -40,9 +40,20 @@ def slugify(col: Column | str) -> Column:
 
 
 def sanitize_name(col: Column | str, max_len: int = MAX_NAME_LEN) -> Column:
-    c = slugify(col)
-    c = F.regexp_replace(c, "-", "_")
-    c = F.regexp_replace(c, "_+", "_")
+    # Collapsed from the literal slugify→replace→collapse→strip chain (5
+    # regexp passes) to 2 passes with identical semantics: after
+    # transliterate+lower, slugify turns every run outside [a-z0-9_-]
+    # into one "_", then "-"→"_" and "_+"→"_" — the composition maps any
+    # maximal run outside [a-z0-9] to a single "_", which is what the
+    # first regexp below does directly. The strip/digit-prefix/truncate
+    # steps are unchanged. Equivalence is property-tested against the
+    # unchanged Python twin (sanitize_name_py, the spec) in
+    # tests/test_functions_naming.py; each regexp pass is a full scan +
+    # string rebuild per row, so this nearly halves the per-row kernel
+    # cost of naming-heavy queries (guide §1.2 "per-task work").
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(F.translate(c, "åäöÅÄÖ", "aaoAAO"))
+    c = F.regexp_replace(c, "[^a-z0-9]+", "_")
     c = F.regexp_replace(c, "^_+|_+$", "")
     c = F.when(c.rlike("^[0-9]"), F.concat(F.lit("_"), c)).otherwise(c)
     return F.substring(c, 1, max_len)

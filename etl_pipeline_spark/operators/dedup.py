@@ -64,6 +64,17 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
+# ordered index-pair combinations of a sorted posting list: for i < j,
+# struct(docs[i] AS doc_a, docs[j] AS doc_b) — the multiset of rows the
+# shingle-keyed equi-self-join with a.doc_id < b.doc_id would emit
+# (sorted ⇒ doc_a <= doc_b; callers filter the strict < after explode)
+_PAIR_EXPR = (
+    "flatten(transform(docs, (x, i) ->"
+    " transform(slice(docs, i + 2, size(docs) - i - 1),"
+    " y -> struct(x AS doc_a, y AS doc_b))))"
+)
+
+
 def containment_pairs(
     shingle_df: DataFrame, threshold: float, df_cap: int = DF_CAP
 ) -> DataFrame:
@@ -82,17 +93,26 @@ def containment_pairs(
     memoized shingle relation: this operator consumes its input FOUR
     times, both self-join sides and both size lookups, so callers with
     an expensive build should hand it a cached relation)."""
+    # Same grouped pair generation as jaccard_pairs below (one
+    # groupBy(shingle) replaces the df-cap window + sort-merge
+    # self-join; see the comments there for the NULL conventions).
+    grouped = shingle_df.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs"),
+        F.count(F.lit(1)).alias("_df"),
+    )
     if df_cap is not None:
-        shingle_df = df_capped_shingles(shingle_df, df_cap)
-    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = shingle_df.alias("a"), shingle_df.alias("b")
+        grouped = grouped.where(F.col("_df") <= df_cap)
+    sizes = (
+        grouped.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.where(F.col("shingle").isNotNull())
+        .select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )
     cont = F.col("n_common") / F.least(F.col("sa.n"), F.col("sb.n"))
@@ -117,16 +137,37 @@ def jaccard_pairs(
     capped too). For threshold-recall guarantees at scale prefer the
     LSH pipeline (:func:`minhash_lsh_pairs`); this is the exact
     verifier. Set ``df_cap=None`` only for bounded inputs."""
+    # Grouped pair generation instead of window-cap + sort-merge
+    # self-join: ONE groupBy(shingle) yields both the df cap (array
+    # size) and, per surviving shingle, every ordered candidate pair as
+    # an in-memory combination of the sorted posting list — the same
+    # multiset of (doc_a < doc_b) rows the equi-self-join emits, without
+    # the window sort or the two join-side sorts over the shingle
+    # relation (guide §2.3/§2.4). Per-key work is bounded by the cap
+    # (≤ cap²/2 pairs per shingle). NULL-shingle rows count toward df
+    # and doc sizes (the window counted them too) but pair no one —
+    # join-on-equality semantics. The cap compares the ROW count (the
+    # window's COUNT(*)), not size(docs): collect_list drops NULL
+    # doc_ids, which the window counted.
+    grouped = shingle_df.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs"),
+        F.count(F.lit(1)).alias("_df"),
+    )
     if df_cap is not None:
-        shingle_df = df_capped_shingles(shingle_df, df_cap)
-    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = shingle_df.alias("a"), shingle_df.alias("b")
+        grouped = grouped.where(F.col("_df") <= df_cap)
+    sizes = (
+        grouped.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.where(F.col("shingle").isNotNull())
+        .select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        # sorted posting list ⇒ doc_a <= doc_b; keep strictly-less pairs
+        # only, mirroring the join's a.doc_id < b.doc_id
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))

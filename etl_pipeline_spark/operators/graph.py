@@ -263,6 +263,14 @@ def cooccurrence_pairs(
     when groups are small (orders hold a handful of line items); for
     hot groups you'd cap or sample the group first.
     """
+    # NOTE (r12, measured and REJECTED): the grouped-pair device that wins
+    # for jaccard/containment_pairs (operators/dedup.py) LOSES here —
+    # executor time 1.4-2x worse across the co-supplier consumers
+    # (triangle 35→69 s, jaccard_link 21→36 s at sf0.1). The difference:
+    # this join key is a narrow int with tiny per-key fan-out, so the
+    # sort-merge legs are cheap, while collect_list forces an
+    # ObjectHashAggregate whose per-group array allocation dominates.
+    # The self-join stays.
     g = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("item")).distinct()
     a, b = g.alias("a"), g.alias("b")
     return (

@@ -185,7 +185,10 @@ def cosine_pairs(
         # still parallel if nb² ever gets huge
         spark.range(0, nb * nb, 1, max(1, (nb * nb) // 4_000_000))
         .select(
-            (F.col("id") / nb).cast("int").alias("ba"),
+            # integer DIV, not double division + floor-cast: double floor
+            # misrounds once nb*nb approaches 2^53 — exactly the huge-nb
+            # regime this range form exists for (ADVICE r11)
+            F.expr(f"CAST(id DIV {nb} AS INT)").alias("ba"),
             (F.col("id") % nb).cast("int").alias("bb"),
         )
         .where(F.col("ba") <= F.col("bb"))

@@ -784,10 +784,21 @@ def kcore_cosupplier_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.where(F.col("deg") >= _KCORE_K).select("node")
+        # keep-set is node-sized: checkpoint it once (both join sides
+        # consume it — without the checkpoint each broadcast build would
+        # re-run the degree aggregate), then BROADCAST it into both
+        # semi-filters so the edge relation is never shuffled inside a
+        # peel round (guide §2.4/§3.1: two sort-merge exchanges of e per
+        # round → two broadcast hash joins; only the degree aggregate
+        # still exchanges, keyed on node).
+        keep = (
+            deg.where(F.col("deg") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
         e = (
-            e.join(keep.withColumnRenamed("node", "src"), "src")
-            .join(keep.withColumnRenamed("node", "dst"), "dst")
+            e.join(F.broadcast(keep.withColumnRenamed("node", "src")), "src")
+            .join(F.broadcast(keep.withColumnRenamed("node", "dst")), "dst")
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )

@@ -89,10 +89,6 @@ _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 # exact-Jaccard near-dup pair relation, memoized per (session, sf_dir, thr)
 _JACCARD_PAIRS_CACHE: dict[tuple, DataFrame] = register_cache({})
 
-# half-doc-augmented, df-capped shingle relation for the containment
-# verifier, per (session, sf_dir) — see dedup_containment_pairs
-_CONTAINMENT_SH_CACHE: dict[tuple, DataFrame] = register_cache({})
-
 # banded-LSH candidate pairs over the shared shingle relation, memoized
 # per (session, sf_dir): a candidate table is a build-once artifact (two
 # seeded-md5 passes over every shingle + the band self-join), and BOTH
@@ -354,30 +350,38 @@ def _simhash_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
         )
         hv = toks.select("doc_id", F.expr(_HEX_DECODE_FAST).alias("v"))
-        votes = (
-            hv.select(
-                "doc_id", "v", F.explode(F.expr("sequence(0, 31)")).alias("bit")
-            )
-            .groupBy("doc_id", "bit")
-            .agg(
+        # One groupBy(doc_id) with 32 conditional ±1 sums instead of
+        # explode(0..31) → groupBy(doc_id, bit) → groupBy(doc_id): the
+        # explode amplified every token row 32× BEFORE the first
+        # exchange (guide §2.3 "aggregate before you shuffle") and paid
+        # a second doc-keyed shuffle for the re-fold. Each vote_b is the
+        # identical integer sum of +1/−1 per token (same values, exact
+        # arithmetic), evaluated map-side over un-amplified rows; the
+        # final projection folds the 32 votes into the fingerprint
+        # (A/B numbers in OPTIMIZATION_r12.md).
+        votes = hv.groupBy("doc_id").agg(
+            *[
                 F.sum(
                     F.when(
-                        F.expr("(v div shiftleft(CAST(1 AS BIGINT), bit)) % 2")
-                        == 1,
-                        F.lit(1),
+                        F.expr(f"(v div {1 << b}L) % 2") == 1, F.lit(1)
                     ).otherwise(F.lit(-1))
-                ).alias("vote")
-            )
+                ).alias(f"vote{b}")
+                for b in range(32)
+            ]
         )
-        return votes.groupBy("doc_id").agg(
-            F.sum(
-                F.when(
-                    F.col("vote") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
-                ).otherwise(F.lit(0))
+        return votes.select(
+            "doc_id",
+            sum(
+                [
+                    F.when(F.col(f"vote{b}") > 0, F.lit(1 << b)).otherwise(
+                        F.lit(0)
+                    )
+                    for b in range(32)
+                ],
+                F.lit(0),
             )
             .cast("bigint")
-            .alias("simhash")
+            .alias("simhash"),
         )
 
     return memoized_relation(_SIMHASH_CACHE, spark, (sf_dir,), _build)
@@ -1448,32 +1452,28 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the operator consumes the capped shingle relation four times (both
-    # self-join sides + both size lookups) — the un-memoized plan showed
-    # 4 df-cap Window subtrees / 8 parquet scans for one query. The
-    # half-doc-augmented relation is memoized + persisted per (session,
-    # sf_dir) like the plain-corpus shingle table, and handed to the
-    # operator pre-capped (df_cap=None: the cap is already inside the
-    # cached relation, visible in-plan through the InMemoryTableScan).
+    # r12: the operator's grouped-pair rewrite consumes its input through
+    # ONE groupBy(shingle) (pair generation and size lookups both descend
+    # from the same exchange, which the planner reuses), so the r11-era
+    # memoized pre-capped relation — added when the self-join shape
+    # referenced the capped relation four times — no longer buys anything:
+    # hand the raw augmented shingle relation straight to the operator,
+    # which applies the identical DF_CAP row-count filter inside its
+    # grouped aggregate (no df-cap Window pass at all).
     return containment_pairs(
-        _containment_shingles(spark, sf_dir), 0.9, df_cap=None
+        _containment_shingles(spark, sf_dir), 0.9, df_cap=DF_CAP
     )
 
 
 def _containment_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_pipeline_spark.operators.dedup import DF_CAP, df_capped_shingles
-
-    def _build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        toks = F.split(F.col("text"), " ")
-        half = docs.where(F.size(toks) >= 7).select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
-            F.array_join(
-                F.slice(toks, 1, F.expr("(size(split(text, ' ')) + 1) DIV 2")),
-                " ",
-            ).alias("text"),
-        )
-        corpus = docs.unionByName(half)
-        return df_capped_shingles(shingles(corpus, "doc_id", "text", 3), DF_CAP)
-
-    return memoized_relation(_CONTAINMENT_SH_CACHE, spark, (sf_dir,), _build)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    half = docs.where(F.size(toks) >= 7).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.expr("(size(split(text, ' ')) + 1) DIV 2")),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(half)
+    return shingles(corpus, "doc_id", "text", 3)

@@ -248,6 +248,12 @@ def _er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal"
     )
+    # NOTE (r12, measured and REJECTED): rewriting the two blocking
+    # self-joins with the grouped-pair device (and checkpointing the
+    # corpus) measured WORSE (blocking_quality_er executor 0.83→1.70 s)
+    # — same reason as cooccurrence_pairs (operators/graph.py): cheap
+    # equality keys + tiny blocks make the sort-merge legs cheaper than
+    # collect_list's ObjectHashAggregate. Kept as-is.
     corpus = cust.select(
         F.col("c_custkey").alias("id"), "c_name", "c_nationkey", "c_acctbal"
     ).unionByName(
@@ -834,10 +840,15 @@ _AR_MIN_SUPPORT = 20
     tags=("agg", "join", "basket"),
 )
 def assoc_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the distinct (user, type) basket relation is consumed by FOUR
+    # lineages (n, tc, both self-join sides): checkpoint it once instead
+    # of 4× scan+distinct over the fact table (guide §5). Entity-sized:
+    # |users| × |event types ≤ 5|.
     u = (
         load_table(spark, sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = u.agg(F.countDistinct("user_id").cast("bigint").alias("n"))
     tc = u.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("c"))

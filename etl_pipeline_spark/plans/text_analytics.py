@@ -505,8 +505,14 @@ _BUDGET = 100_000
 )
 def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("lang", "text")
-    c = docs.groupBy("lang").agg(
-        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("c_tokens")
+    # lang-sized relation consumed by FOUR downstream lineages (tot, base,
+    # short-via-base, final projection): without the checkpoint each one
+    # re-runs the corpus scan + tokenize + groupBy — 4 fact passes for a
+    # #langs-row table (guide §5; the within-query dedup discipline)
+    c = (
+        docs.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("bigint").alias("c_tokens"))
+        .localCheckpoint(eager=False)
     )
     tot = c.agg(F.sum("c_tokens").cast("bigint").alias("total"))
     base = c.crossJoin(F.broadcast(tot)).select(

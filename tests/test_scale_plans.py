@@ -813,15 +813,19 @@ def test_exact_shingle_verifiers_are_df_capped(spark):
 
     for q in ("dedup_ngram_jaccard", "dedup_containment_pairs"):
         plan = _plan(spark, REGISTRY[q].spark_fn(spark, SF_DIR))
-        # the cap filter on the window count appears in the optimized
-        # plan as `_df#N <= DF_CAP` (reference DF_CAP, not a literal,
-        # so a cap retune can't silently break or spuriously pass this
-        # guard)
+        # the cap filter on the per-shingle row count appears in the
+        # optimized plan as `_df#N <= DF_CAP` (reference DF_CAP, not a
+        # literal, so a cap retune can't silently break or spuriously
+        # pass this guard)
         assert re.search(rf"_df#\d+L? <= {DF_CAP}\b", plan), q
-        # both join inputs descend from the capped relation: the window
-        # (count over shingle) runs before the self-join, so the plan
-        # carries a Window/Filter ancestor of the SortMergeJoin
-        assert "Window" in plan, q
+        # r12: candidate pairs come from grouped posting lists (one
+        # groupBy(shingle) + in-memory combinations), NOT a raw shingle
+        # equi-self-join — the plan must carry the pair-generation
+        # Generate over the capped grouped relation and NO sort-merge
+        # join on the shingle column (the joins that remain are the
+        # doc-keyed size lookups)
+        assert "explode(flatten(transform(docs#" in plan, q
+        assert not re.search(r"SortMergeJoin.*shingle", plan), q
 
 
 def test_df_cap_drops_hot_shingles(spark):
